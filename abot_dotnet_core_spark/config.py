@@ -1,0 +1,64 @@
+"""Crawl configuration — mirror of the reference ``CrawlConfiguration``.
+
+Reference: /root/reference/Abot/src/Abot/Poco/CrawlConfiguration.cs:8-23
+(defaults) and :26-241 (knobs). Names are snake_cased 1:1 so pytest oracles
+read across. The frozen dataclass is broadcast-safe (pickled once per round).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    # crawlBehavior — CrawlConfiguration.cs:8-23 defaults
+    max_concurrent_threads: int = 10
+    max_pages_to_crawl: int = 1000
+    max_pages_to_crawl_per_domain: int = 0
+    max_page_size_in_bytes: int = 0
+    user_agent_string: str = (
+        "Mozilla/5.0 (Windows NT 6.3; Trident/7.0; rv:11.0) like Gecko"
+    )
+    max_crawl_depth: int = 100
+    max_links_per_page: int = 0
+    downloadable_content_types: str = "text/html"
+    is_external_page_crawling_enabled: bool = False
+    is_external_page_links_crawling_enabled: bool = False
+    is_forced_link_parsing_enabled: bool = False
+    max_retry_count: int = 0
+    min_retry_delay_in_milliseconds: int = 0
+
+    # http — CrawlConfiguration.cs
+    http_request_max_auto_redirects: int = 7
+    is_http_request_auto_redirects_enabled: bool = True
+    http_request_timeout_in_seconds: int = 15
+
+    # politeness — CrawlConfiguration.cs:185-222
+    is_respect_robots_dot_text_enabled: bool = False
+    is_respect_meta_robots_no_follow_enabled: bool = False
+    is_respect_http_x_robots_tag_header_no_follow_enabled: bool = False
+    is_respect_anchor_rel_no_follow_enabled: bool = False
+    is_ignore_robots_dot_text_if_root_disallowed_enabled: bool = False
+    robots_dot_text_user_agent_string: str = "abot"
+    max_robots_dot_text_crawl_delay_in_seconds: int = 5
+    min_crawl_delay_per_domain_milli_seconds: int = 0
+
+    # link handling — HyperLinkParser.cs:105-107
+    is_respect_url_named_anchor_or_hashbang_enabled: bool = False
+    is_uri_recrawling_enabled: bool = False
+
+    # engine extensions (ours — no reference counterpart)
+    # Round wall-length used by budgeted politeness admission (S3): per round,
+    # a domain with effective delay d ms may fetch floor(round_length_ms / d).
+    round_length_ms: int = 60_000
+    # Number of hash buckets for frontier/seen partitioning at scale.
+    state_buckets: int = 32
+    # Salt fan-out for hot domains (deterministic pmod(xxhash64(url), salt)).
+    skew_salt: int = 8
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+
+DEFAULT_CONFIG = CrawlConfig()

@@ -1,0 +1,161 @@
+"""Oracle-simulator behavior tests (orchestration semantics from
+WebCrawlerTest.cs / SchedulerTest.cs / the integration golden crawls)."""
+
+from abot_dotnet_core_spark.config import CrawlConfig
+from abot_dotnet_core_spark.kernel.robots import parse_robots
+from abot_dotnet_core_spark.kernel.simulator import (
+    CrawlSimulator, PageRecord,
+)
+
+
+def linkpage(*hrefs, status=200, **kw):
+    html = "".join(f'<a href="{h}"></a>' for h in hrefs)
+    return PageRecord(status=status, html=html, **kw)
+
+
+ROOT = "http://site.test/"
+
+
+def small_corpus():
+    return {
+        ROOT: linkpage("/a", "/b", "http://external.test/x"),
+        ROOT + "a": linkpage("/b", "/c"),
+        ROOT + "b": linkpage("/a", "/d", "/d"),
+        ROOT + "c": linkpage(),
+        ROOT + "d": linkpage("/a", status=404),
+    }
+
+
+class TestBfsOrder:
+    def test_fifo_bfs(self):
+        sim = CrawlSimulator(small_corpus())
+        res = sim.crawl(ROOT)
+        urls = [c.url for c in res.crawled]
+        assert urls == [ROOT, ROOT + "a", ROOT + "b", ROOT + "c", ROOT + "d"]
+        depths = {c.url: c.depth for c in res.crawled}
+        assert depths == {ROOT: 0, ROOT + "a": 1, ROOT + "b": 1,
+                          ROOT + "c": 2, ROOT + "d": 2}
+
+    def test_links_checked_exactly_once(self):  # WebCrawlerTest.cs:836-862
+        # every extracted link lands in seen, even unscheduled externals
+        res = CrawlSimulator(small_corpus()).crawl(ROOT)
+        assert "http://external.test/x" in res.seen
+        # external disallowed via ShouldSchedulePageLink internal gate,
+        # silently (no decision event fires for the internal-gate branch)
+        assert all(c.url != "http://external.test/x" for c in res.crawled)
+
+    def test_non_200_recorded_not_parsed(self):
+        res = CrawlSimulator(small_corpus()).crawl(ROOT)
+        d = next(c for c in res.crawled if c.url == ROOT + "d")
+        assert d.status == 404 and d.links_extracted == 0
+        reasons = [e.reason for e in res.disallowed if e.url == ROOT + "d"]
+        assert "Page has no content" in reasons  # content not downloaded
+
+
+class TestBudgets:
+    def test_max_pages(self):
+        cfg = CrawlConfig(max_pages_to_crawl=3)
+        res = CrawlSimulator(small_corpus(), cfg).crawl(ROOT)
+        assert len(res.crawled) == 3
+        assert [c.url for c in res.crawled] == [ROOT, ROOT + "a", ROOT + "b"]
+
+    def test_max_depth(self):
+        cfg = CrawlConfig(max_crawl_depth=1)
+        res = CrawlSimulator(small_corpus(), cfg).crawl(ROOT)
+        assert {c.depth for c in res.crawled} == {0, 1}
+        assert len(res.crawled) == 3
+
+    def test_max_pages_per_domain(self):
+        # Gate uses *crawled* counts at schedule time (CrawlDecisionMaker.cs:
+        # 62-70): root crawls (count 1), schedules both /a and /b while the
+        # count is still 1 -> 3 pages total, their children denied.
+        cfg = CrawlConfig(max_pages_to_crawl_per_domain=2)
+        res = CrawlSimulator(small_corpus(), cfg).crawl(ROOT)
+        assert [c.url for c in res.crawled] == [ROOT, ROOT + "a", ROOT + "b"]
+        assert any(e.reason.startswith("MaxPagesToCrawlPerDomain limit of [2]")
+                   for e in res.disallowed)
+
+    def test_max_links_per_page(self):
+        cfg = CrawlConfig(max_links_per_page=1)
+        res = CrawlSimulator(small_corpus(), cfg).crawl(ROOT)
+        # root schedules only /a; /a schedules only /b; /b -> /d... wait /b's
+        # first unseen link is /d (/a is seen). So order: root,a,b,d
+        urls = [c.url for c in res.crawled]
+        assert urls == [ROOT, ROOT + "a", ROOT + "b", ROOT + "d"]
+
+
+class TestRetries:
+    def test_non_2xx_retried_when_enabled(self):
+        cfg = CrawlConfig(max_retry_count=2)
+        res = CrawlSimulator(small_corpus(), cfg).crawl(ROOT)
+        d_events = [c for c in res.crawled if c.url == ROOT + "d"]
+        # initial + 2 retries
+        assert len(d_events) == 3
+        assert [e.retry_count for e in d_events] == [0, 1, 2]
+        assert d_events[1].is_retry and d_events[2].is_retry
+
+    def test_transport_error_not_retried(self):
+        corpus = {ROOT: linkpage("/gone")}
+        cfg = CrawlConfig(max_retry_count=2)
+        res = CrawlSimulator(corpus, cfg).crawl(ROOT)
+        gone = [c for c in res.crawled if c.url == ROOT + "gone"]
+        assert len(gone) == 1 and gone[0].status is None
+
+    def test_retry_counted_once_in_crawled_count(self):
+        cfg = CrawlConfig(max_retry_count=2)
+        res = CrawlSimulator(small_corpus(), cfg).crawl(ROOT)
+        assert res.crawled_count == 5  # retries don't increment
+
+
+class TestRobots:
+    def test_robots_disallow(self):
+        robots = {ROOT: parse_robots("User-agent: *\nDisallow: /b")}
+        cfg = CrawlConfig(is_respect_robots_dot_text_enabled=True)
+        res = CrawlSimulator(small_corpus(), cfg, robots).crawl(ROOT)
+        urls = [c.url for c in res.crawled]
+        assert ROOT + "b" not in urls
+        assert urls == [ROOT, ROOT + "a", ROOT + "c"]
+        assert any(e.reason == "Disallowed by robots.txt file" and e.url == ROOT + "b"
+                   for e in res.disallowed)
+
+    def test_robots_root_disallowed(self):
+        robots = {ROOT: parse_robots("User-agent: *\nDisallow: /")}
+        cfg = CrawlConfig(is_respect_robots_dot_text_enabled=True)
+        res = CrawlSimulator(small_corpus(), cfg, robots).crawl(ROOT)
+        assert res.crawled == []
+
+    def test_ignore_robots_if_root_disallowed(self):  # PoliteWebCrawler.cs:111-133
+        robots = {ROOT: parse_robots("User-agent: *\nDisallow: /")}
+        cfg = CrawlConfig(is_respect_robots_dot_text_enabled=True,
+                          is_ignore_robots_dot_text_if_root_disallowed_enabled=True)
+        res = CrawlSimulator(small_corpus(), cfg, robots).crawl(ROOT)
+        assert len(res.crawled) == 5  # robots dropped entirely
+
+    def test_all_paths_below_root_probe(self):
+        robots = {ROOT: parse_robots("User-agent: *\nDisallow: /a")}
+        cfg = CrawlConfig(is_respect_robots_dot_text_enabled=True,
+                          is_ignore_robots_dot_text_if_root_disallowed_enabled=True)
+        res = CrawlSimulator(small_corpus(), cfg, robots).crawl(ROOT)
+        # probe /aaaaa IS disallowed by "/a" prefix -> robots dropped
+        assert ROOT + "a" in [c.url for c in res.crawled]
+
+
+class TestSeenSet:
+    def test_seed_in_seen(self):
+        res = CrawlSimulator(small_corpus()).crawl(ROOT)
+        assert ROOT in res.seen
+
+    def test_duplicate_never_scheduled_twice(self):  # SchedulerTest.cs:59-101
+        res = CrawlSimulator(small_corpus()).crawl(ROOT)
+        urls = [c.url for c in res.crawled]
+        assert len(urls) == len(set(urls))
+
+    def test_recrawling_enabled_still_deduped_by_known_gate(self):
+        # Scheduler.Add bypasses AddIfNew when recrawling is enabled
+        # (Scheduler.cs:78-82), but WebCrawler's IsUriKnown gate + AddKnownUri
+        # (WebCrawler.cs:940-969) still dedup every parsed link, so the crawl
+        # set is unchanged — the bypass is only observable for retries.
+        cfg = CrawlConfig(is_uri_recrawling_enabled=True, max_pages_to_crawl=8)
+        res = CrawlSimulator(small_corpus(), cfg).crawl(ROOT)
+        urls = [c.url for c in res.crawled]
+        assert len(urls) == 5 and len(set(urls)) == 5
