@@ -1,38 +1,911 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every operator family from SURVEY.md §2 (crawl kernel,
+decision cascades, budgets, frontier BFS, robots, extraction) plus the
+training-data pipeline operators (dedup, similarity search, text analysis,
+multimodal plumbing) over the driver's testdata tables. Each entry has a
+DuckDB oracle in ``oracle_sql()`` unless the operator is genuinely
+non-SQL-expressible (noted per entry).
+
+Crawl-specific operators are exercised over deterministic URL/frontier/edge
+columns *synthesized from the registered tables* (documents/orders/...), so
+the same rows exist on both sides of the diff without external files.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+N_DOCS = 500  # documents rows at sf<=0.01 (the correctness scale)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# URL synthesized from doc_id — identical construction in the SQL oracles.
+def _url_col():
+    return F.concat(F.lit("http://doc"), F.col("doc_id"),
+                    F.lit(".example/p"), F.col("doc_id") % 7)
+
+
+_URL_SQL = "'http://doc' || doc_id || '.example/p' || (doc_id % 7)"
+
+_HASH64_SQL = ("(CASE WHEN md5_number_upper({u}) >= 9223372036854775808 "
+               "THEN (md5_number_upper({u})::hugeint - 18446744073709551616) "
+               "ELSE md5_number_upper({u})::hugeint END)::bigint")
+
+
+# ===========================================================================
+# crawl kernel operators (T6/T7/S2/P1-P16/S1/S3)
+# ===========================================================================
+
+def q_url_hash64(spark, sf_dir):
+    """T7 — MD5-prefix int64 url identity (CompactCrawledUrlRepository.cs:35-46)."""
+    from abot_dotnet_core_spark.functions.udfs import url_hash64_udf
+    return (_docs(spark, sf_dir)
+            .select(F.col("doc_id"), _url_col().alias("url"))
+            .withColumn("url_hash", url_hash64_udf(F.col("url")))
+            .select("doc_id", "url", "url_hash"))
+
+
+def sql_url_hash64():
+    h = _HASH64_SQL.format(u=_URL_SQL)
+    return (f"SELECT doc_id, {_URL_SQL} AS url, {h} AS url_hash "
+            "FROM documents")
+
+
+def q_url_normalize(spark, sf_dir):
+    """T6 — RFC-3986 normalization (scheme/host lowercase, default port strip,
+    dot-segment collapse, fragment strip) via the kernel UDF."""
+    from abot_dotnet_core_spark.functions.udfs import normalize_url_udf
+    messy = F.concat(F.lit("HTTP://Doc"), F.col("doc_id"),
+                     F.lit(".Example.COM:80/a/./b/../p"), F.col("doc_id"),
+                     F.lit("#frag"))
+    return (_docs(spark, sf_dir)
+            .select("doc_id", messy.alias("messy_url"))
+            .withColumn("normalized",
+                        normalize_url_udf(F.expr("split(messy_url, '#')[0]")))
+            .select("doc_id", "normalized"))
+
+
+def sql_url_normalize():
+    return ("SELECT doc_id, 'http://doc' || doc_id || '.example.com/a/p' || doc_id "
+            "AS normalized FROM documents")
+
+
+def q_seen_antijoin(spark, sf_dir):
+    """S2/P15 — the URL-seen dedup: left-anti join on the 8-byte hash."""
+    from abot_dotnet_core_spark.functions.udfs import url_hash64_udf
+    frontier = (_docs(spark, sf_dir)
+                .select("doc_id", _url_col().alias("url"))
+                .withColumn("url_hash", url_hash64_udf(F.col("url"))))
+    seen = frontier.filter(F.col("doc_id") % 3 == 0).select("url_hash")
+    return (frontier.join(seen, "url_hash", "left_anti")
+            .select("doc_id", "url", "url_hash"))
+
+
+def sql_seen_antijoin():
+    h = _HASH64_SQL.format(u=_URL_SQL)
+    return (f"WITH f AS (SELECT doc_id, {_URL_SQL} AS url, {h} AS url_hash FROM documents), "
+            "s AS (SELECT url_hash FROM f WHERE doc_id % 3 = 0) "
+            "SELECT doc_id, url, url_hash FROM f "
+            "WHERE url_hash NOT IN (SELECT url_hash FROM s)")
+
+
+def q_decision_cascade(spark, sf_dir):
+    """P1-P3,P6 — ShouldCrawlPage reason cascade (CrawlDecisionMaker.cs:37-79)
+    over a synthesized frontier; golden reason strings."""
+    from abot_dotnet_core_spark.config import CrawlConfig
+    from abot_dotnet_core_spark.operators.decisions import should_crawl_page_reason
+    cfg = CrawlConfig()
+    d = F.col("doc_id")
+    fr = (_docs(spark, sf_dir).select(
+        "doc_id",
+        (d % 120).cast("int").alias("depth"),
+        F.when(d % 17 == 0, "ftp").otherwise("http").alias("scheme"),
+        F.lit("ex.test").alias("domain"),
+        (d % 5 != 0).alias("is_internal"),
+        F.lit(False).alias("is_retry"),
+        F.when(d % 11 > 8, "http://r.test/").alias("redirected_from"),
+        (d % 11).cast("int").alias("redirect_position")))
+    return fr.withColumn("reason", should_crawl_page_reason(cfg)) \
+             .select("doc_id", "reason")
+
+
+def sql_decision_cascade():
+    return """
+SELECT doc_id,
+  CASE
+    WHEN (doc_id % 11 > 8) AND (doc_id % 11) > 7
+      THEN 'HttpRequestMaxAutoRedirects limit of [7] has been reached'
+    WHEN (doc_id % 120) > 100 THEN 'Crawl depth is above max'
+    WHEN NOT starts_with(CASE WHEN doc_id % 17 = 0 THEN 'ftp' ELSE 'http' END, 'http')
+      THEN 'Scheme does not begin with http'
+    WHEN NOT (doc_id % 5 <> 0) THEN 'Link is external'
+    ELSE NULL
+  END AS reason
+FROM documents"""
+
+
+def q_download_gate(spark, sf_dir):
+    """P10-P12 — ShouldDownloadPageContent cascade."""
+    from abot_dotnet_core_spark.config import CrawlConfig
+    from abot_dotnet_core_spark.operators.decisions import should_download_reason
+    cfg = CrawlConfig(max_page_size_in_bytes=400)
+    d = F.col("doc_id")
+    statuses = F.element_at(
+        F.array(*[F.lit(s) for s in (200, 200, 200, 403, 404, 503)]),
+        (d % 6 + 1).cast("int"))
+    fr = (_docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(d % 13 == 0, F.lit(None).cast("int")).otherwise(statuses).alias("status"),
+        F.when(d % 9 == 0, "image/jpeg")
+         .when(d % 9 == 1, "text/html; charset=utf-8")
+         .otherwise("text/html").alias("content_type"),
+        F.col("n_chars").cast("long").alias("content_length")))
+    return fr.withColumn("reason", should_download_reason(cfg)) \
+             .select("doc_id", "reason")
+
+
+def sql_download_gate():
+    return """
+SELECT doc_id,
+  CASE
+    WHEN doc_id % 13 = 0 THEN 'Null HttpWebResponse'
+    WHEN list_extract([200,200,200,403,404,503], (doc_id % 6)::int + 1) <> 200
+      THEN 'HttpStatusCode is not 200'
+    WHEN NOT contains(lower(trim(CASE WHEN doc_id % 9 = 0 THEN 'image/jpeg'
+                       WHEN doc_id % 9 = 1 THEN 'text/html; charset=utf-8'
+                       ELSE 'text/html' END)), 'text/html')
+      THEN 'Content type is not any of the following: text/html'
+    WHEN n_chars > 400
+      THEN 'Page size of [' || n_chars || '] bytes is above the max allowable of [400] bytes'
+    ELSE NULL
+  END AS reason
+FROM documents"""
+
+
+def q_links_gate(spark, sf_dir):
+    """P7-P9 — ShouldCrawlPageLinks cascade over real document text."""
+    from abot_dotnet_core_spark.config import CrawlConfig
+    from abot_dotnet_core_spark.operators.decisions import should_crawl_page_links_reason
+    cfg = CrawlConfig(max_crawl_depth=100)
+    d = F.col("doc_id")
+    fr = (_docs(spark, sf_dir).select(
+        "doc_id", "text",
+        (d % 150).cast("int").alias("depth"),
+        (d % 4 != 0).alias("is_internal")))
+    return fr.withColumn("reason", should_crawl_page_links_reason(cfg)) \
+             .select("doc_id", "reason")
+
+
+def sql_links_gate():
+    return """
+SELECT doc_id,
+  CASE
+    WHEN text IS NULL OR trim(text) = '' THEN 'Page has no content'
+    WHEN NOT (doc_id % 4 <> 0) THEN 'Link is external'
+    WHEN (doc_id % 150) >= 100 THEN 'Crawl depth is above max'
+    ELSE NULL
+  END AS reason
+FROM documents"""
+
+
+def q_robots_gate(spark, sf_dir):
+    """P14/T10 — robots.txt allow/deny via the real parser+matcher UDF over a
+    broadcast rules table (3 robots variants across 10 domains)."""
+    from abot_dotnet_core_spark.functions.udfs import make_robots_allowed_udf
+    from abot_dotnet_core_spark.kernel.robots import parse_robots, rules_to_flat
+    texts = {0: "User-agent: *\nDisallow: /blocked\n",
+             1: "User-agent: *\nDisallow: /\n",
+             2: "User-agent: *\nDisallow:\n"}
+    rules_rows = [(f"d{i}.test", rules_to_flat(parse_robots(texts[i % 3])))
+                  for i in range(10)]
+    rules_df = spark.createDataFrame(
+        rules_rows, "domain string, rules_flat array<string>")
+    d = F.col("doc_id")
+    fr = (_docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("d"), (d % 10), F.lit(".test")).alias("domain"),
+        F.concat(F.lit("http://d"), (d % 10), F.lit(".test"),
+                 F.when(d % 4 == 0, "/blocked/x")
+                  .when(d % 4 == 1, "/ok/y")
+                  .when(d % 4 == 2, "/blocked")
+                  .otherwise("/")).alias("url")))
+    allowed = make_robots_allowed_udf("abot")
+    return (fr.join(F.broadcast(rules_df), "domain", "left")
+            .withColumn("allowed", allowed(F.col("url"), F.col("rules_flat")))
+            .select("doc_id", "url", "allowed"))
+
+
+def sql_robots_gate():
+    return """
+WITH fr AS (
+  SELECT doc_id,
+         (doc_id % 10) % 3 AS variant,
+         'http://d' || (doc_id % 10) || '.test' ||
+           CASE WHEN doc_id % 4 = 0 THEN '/blocked/x'
+                WHEN doc_id % 4 = 1 THEN '/ok/y'
+                WHEN doc_id % 4 = 2 THEN '/blocked'
+                ELSE '/' END AS url,
+         CASE WHEN doc_id % 4 = 0 THEN '/blocked/x'
+              WHEN doc_id % 4 = 1 THEN '/ok/y'
+              WHEN doc_id % 4 = 2 THEN '/blocked'
+              ELSE '/' END AS path
+  FROM documents)
+SELECT doc_id, url,
+  CASE WHEN variant = 0 THEN NOT starts_with(path, '/blocked')
+       WHEN variant = 1 THEN NOT starts_with(path, '/')
+       ELSE TRUE END AS allowed
+FROM fr"""
+
+
+def q_domain_budget(spark, sf_dir):
+    """P5/S3 — per-domain admission: row_number window caps each domain at 3
+    (the per-domain-budget shape used by politeness + MaxPagesToCrawlPerDomain)."""
+    d = F.col("doc_id")
+    fr = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.lit("d"), (d % 17), F.lit(".test")).alias("domain"))
+    w = W.partitionBy("domain").orderBy("doc_id")
+    return (fr.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("doc_id", "domain", "rk"))
+
+
+def sql_domain_budget():
+    return """
+SELECT doc_id, domain, rk FROM (
+  SELECT doc_id, 'd' || (doc_id % 17) || '.test' AS domain,
+         row_number() OVER (PARTITION BY (doc_id % 17) ORDER BY doc_id) AS rk
+  FROM documents) WHERE rk <= 3"""
+
+
+def q_global_budget(spark, sf_dir):
+    """P4 — MaxPagesToCrawl as an ordered prefix cap (orderBy+limit ==
+    TakeOrdered, the scalable form of the sequential budget)."""
+    fr = _docs(spark, sf_dir).select("doc_id", _url_col().alias("url"))
+    return fr.orderBy("doc_id").limit(100).select("doc_id", "url")
+
+
+def sql_global_budget():
+    return (f"SELECT doc_id, {_URL_SQL} AS url FROM documents "
+            "ORDER BY doc_id LIMIT 100")
+
+
+def q_politeness_budget(spark, sf_dir):
+    """S3 — budgeted admission arithmetic: per-domain fetch budget
+    floor(round_ms / delay_ms), admitted = least(queued, budget)."""
+    d = F.col("doc_id")
+    delays = F.element_at(F.array(*[F.lit(x) for x in (0, 1020, 5000, 20000)]),
+                          (d % 4 + 1).cast("int"))
+    fr = (_docs(spark, sf_dir)
+          .select("doc_id",
+                  F.concat(F.lit("d"), (d % 23), F.lit(".test")).alias("domain"),
+                  delays.alias("delay_ms")))
+    per_domain = fr.groupBy("domain").agg(
+        F.count("*").alias("queued"), F.max("delay_ms").alias("delay_ms"))
+    budget = F.when(F.col("delay_ms") <= 0, F.col("queued")) \
+              .otherwise(F.floor(F.lit(60000) / F.col("delay_ms")))
+    return (per_domain.withColumn("budget", budget.cast("long"))
+            .withColumn("admitted", F.least(F.col("queued"), F.col("budget")))
+            .select("domain", "queued", "budget", "admitted"))
+
+
+def sql_politeness_budget():
+    return """
+WITH fr AS (
+  SELECT 'd' || (doc_id % 23) || '.test' AS domain,
+         list_extract([0,1020,5000,20000], (doc_id % 4)::int + 1) AS delay_ms
+  FROM documents),
+pd AS (SELECT domain, count(*) AS queued, max(delay_ms) AS delay_ms
+       FROM fr GROUP BY domain)
+SELECT domain, queued,
+       (CASE WHEN delay_ms <= 0 THEN queued ELSE floor(60000 / delay_ms) END)::bigint AS budget,
+       least(queued, (CASE WHEN delay_ms <= 0 THEN queued ELSE floor(60000 / delay_ms) END)::bigint) AS admitted
+FROM pd"""
+
+
+def q_frontier_bfs(spark, sf_dir):
+    """S1/S2 — the frontier-expansion kernel: iterative BFS with seen-set
+    anti-join dedup over a synthesized link graph (the exact crawl-round
+    pattern: frontier -> expand -> anti-join seen -> next frontier)."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.array((F.col("doc_id") * 2 + 1) % N_DOCS,
+                          (F.col("doc_id") * 3 + 2) % N_DOCS)).alias("dst"))
+    edges = edges.localCheckpoint(eager=True)
+    frontier = spark.createDataFrame([(0, 0)], "node long, depth int")
+    seen = frontier.select("node")
+    out = [frontier]
+    for depth in range(1, 5):
+        nxt = (frontier.join(edges, frontier.node == edges.src)
+               .select(F.col("dst").alias("node"))
+               .distinct()
+               .join(seen, "node", "left_anti")
+               .withColumn("depth", F.lit(depth)))
+        nxt = nxt.localCheckpoint(eager=True)
+        seen = seen.union(nxt.select("node")).distinct().localCheckpoint(eager=True)
+        frontier = nxt
+        out.append(nxt)
+    res = out[0]
+    for df in out[1:]:
+        res = res.union(df)
+    return res.select(F.col("node").cast("long").alias("node"),
+                      F.col("depth").cast("int").alias("depth"))
+
+
+def sql_frontier_bfs():
+    return f"""
+WITH RECURSIVE edges AS (
+  SELECT doc_id AS src, (doc_id * 2 + 1) % {N_DOCS} AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 3 + 2) % {N_DOCS} FROM documents
+),
+bfs AS (
+  SELECT 0::bigint AS node, 0 AS depth
+  UNION ALL
+  SELECT DISTINCT e.dst::bigint, b.depth + 1
+  FROM bfs b JOIN edges e ON e.src = b.node
+  WHERE b.depth < 4
+)
+SELECT node, min(depth)::int AS depth FROM bfs GROUP BY node"""
+
+
+def q_text_extract_roundtrip(spark, sf_dir):
+    """T5 — byte-identical text extraction: encode each document to bytes,
+    run the charset-cascade UDF, emit the extracted text (the value-hash
+    compares every byte against the original)."""
+    from abot_dotnet_core_spark.functions.udfs import extract_text_udf
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("html"))
+    ext = docs.withColumn("__e", extract_text_udf(F.col("html"), F.lit("text/html")))
+    return ext.select("doc_id", F.col("__e.text").alias("extracted_text"))
+
+
+def sql_text_extract_roundtrip():
+    return "SELECT doc_id, text AS extracted_text FROM documents"
+
+
+def q_link_extract(spark, sf_dir):
+    """T1-T4 — the real HTML link extractor over synthesized pages with known
+    link sets (relative + absolute + entity-encoded + fragment + dup)."""
+    from abot_dotnet_core_spark.config import CrawlConfig
+    from abot_dotnet_core_spark.functions.udfs import make_extract_links_udf
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><body><a href="/p'), d, F.lit('">a</a>'),
+        F.lit('<a href="http://x.test/q?a=1&amp;b='), d, F.lit('">b</a>'),
+        F.lit('<a href="/p'), d, F.lit('#frag">dup</a>'),
+        F.lit('<!-- <a href="/decoy">no</a> -->'),
+        F.lit("</body></html>"))
+    pages = _docs(spark, sf_dir).select(
+        "doc_id", html.alias("html"),
+        F.concat(F.lit("http://d"), d, F.lit(".test/")).alias("url"))
+    udf = make_extract_links_udf(CrawlConfig())
+    return (pages.withColumn(
+        "links", udf(F.col("html"), F.col("url"),
+                     F.lit(None).cast("string"), F.lit(None).cast("string")))
+        .select("doc_id", F.posexplode("links").alias("link_pos", "link")))
+
+
+def sql_link_extract():
+    return """
+SELECT doc_id, 0 AS link_pos,
+       'http://d' || doc_id || '.test/p' || doc_id AS link FROM documents
+UNION ALL
+SELECT doc_id, 1, 'http://x.test/q?a=1&b=' || doc_id FROM documents"""
+
+
+# ===========================================================================
+# dedup operators
+# ===========================================================================
+
+def q_exact_dedup(spark, sf_dir):
+    from abot_dotnet_core_spark.functions.dedup import exact_dedup
+    return (exact_dedup(_docs(spark, sf_dir))
+            .select("fingerprint", "keep_id", "n_dups"))
+
+
+def sql_exact_dedup():
+    return """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY 1"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    from abot_dotnet_core_spark.functions.dedup import minhash_signatures
+    return minhash_signatures(_docs(spark, sf_dir), k=4)
+
+
+def sql_minhash_signatures():
+    shingle = ("list_transform(range(1, len(toks) - 1), "
+               "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])")
+    mins = ", ".join(
+        f"min(md5('{i}|' || shingle)) AS mh_{i}" for i in range(4))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({shingle}) AS shingle FROM tok)
+SELECT doc_id, {mins} FROM sh GROUP BY doc_id"""
+
+
+def q_neardup_pairs(spark, sf_dir):
+    """MinHash-LSH banding candidates verified with exact n-gram Jaccard."""
+    from abot_dotnet_core_spark.functions.dedup import (
+        jaccard_pairs, lsh_candidate_pairs, minhash_signatures)
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(docs, k=4)
+    pairs = lsh_candidate_pairs(sigs, k=4, bands=2)
+    return (jaccard_pairs(docs, pairs, threshold=0.2)
+            .select("id_a", "id_b", "n_inter", "jaccard"))
+
+
+def sql_neardup_pairs():
+    shingle = ("list_transform(range(1, len(toks) - 1), "
+               "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3),
+sh AS (SELECT DISTINCT doc_id, unnest({shingle}) AS shingle FROM tok),
+sig AS (
+  SELECT doc_id,
+         min(md5('0|' || shingle)) AS mh_0, min(md5('1|' || shingle)) AS mh_1,
+         min(md5('2|' || shingle)) AS mh_2, min(md5('3|' || shingle)) AS mh_3
+  FROM sh GROUP BY doc_id),
+buckets AS (
+  SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1, md5(mh_2 || '|' || mh_3) FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b)
+SELECT c.id_a, c.id_b, coalesce(i.n_inter, 0) AS n_inter,
+       round(coalesce(i.n_inter, 0)::double
+             / (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)), 6) AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN sizes za ON za.doc_id = c.id_a
+JOIN sizes zb ON zb.doc_id = c.id_b
+WHERE round(coalesce(i.n_inter, 0)::double
+            / (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)), 6) >= 0.2"""
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (numpy pandas-UDF bit fold) — non-SQL-expressible;
+    covered by the pytest oracle in tests/test_pipeline_ops.py instead."""
+    from abot_dotnet_core_spark.functions.dedup import simhash_hamming_pairs
+    return simhash_hamming_pairs(_docs(spark, sf_dir), max_hamming=8)
+
+
+# ===========================================================================
+# similarity search
+# ===========================================================================
+
+def _queries_df(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    return (emb.filter(F.col("vec_id") < 5)
+            .select(F.col("vec_id").alias("q_id"),
+                    F.col("embedding").alias("q_vec")))
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-5 per query vector (broadcast queries)."""
+    from abot_dotnet_core_spark.functions.similarity import brute_force_topk
+    emb = _read(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, _queries_df(spark, sf_dir), k=5)
+
+
+def sql_cosine_topk():
+    return """
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding::double[], q.q_vec::double[]), 6) AS cosine
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+ranked AS (
+  SELECT q_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored)
+SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5"""
+
+
+def q_cosine_topk_lsh(spark, sf_dir):
+    """Random-hyperplane LSH-bucketed ANN top-k (the at-scale path)."""
+    from abot_dotnet_core_spark.functions.similarity import lsh_topk
+    emb = _read(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, _queries_df(spark, sf_dir), k=5, n_planes=6, dim=64)
+
+
+def sql_cosine_topk_lsh():
+    from abot_dotnet_core_spark.functions.similarity import hyperplanes
+    planes = hyperplanes(64, 6)
+    bit_exprs = []
+    for p in planes:
+        arr = "[" + ",".join(f"{x!r}" for x in p) + "]::double[]"
+        bit_exprs.append(
+            f"CASE WHEN list_dot_product(embedding::double[], {arr}) >= 0 "
+            "THEN '1' ELSE '0' END")
+    sig = " || ".join(bit_exprs)
+    return f"""
+WITH sigs AS (SELECT vec_id, embedding, {sig} AS sig FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec, sig FROM sigs WHERE vec_id < 5),
+joined AS (
+  SELECT q.q_id, s.vec_id,
+         round(list_cosine_similarity(s.embedding::double[], q.q_vec::double[]), 6) AS cosine
+  FROM sigs s JOIN q ON s.sig = q.sig WHERE s.vec_id <> q.q_id),
+ranked AS (
+  SELECT q_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM joined)
+SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5"""
+
+
+# ===========================================================================
+# text analysis
+# ===========================================================================
+
+def q_token_stats(spark, sf_dir):
+    from abot_dotnet_core_spark.functions.textfns import with_token_counts
+    return (with_token_counts(_docs(spark, sf_dir))
+            .select("doc_id", "n_tokens", "n_subtokens", "n_chars_seen"))
+
+
+def sql_token_stats():
+    return """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_subtokens,
+       length(text) AS n_chars_seen
+FROM documents"""
+
+
+def q_quality_scores(spark, sf_dir):
+    from abot_dotnet_core_spark.functions.textfns import with_quality
+    return (with_quality(_docs(spark, sf_dir))
+            .select("doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
+                    "mean_token_len", "quality_score"))
+
+
+def sql_quality_scores():
+    from abot_dotnet_core_spark.functions.textfns import STOPWORDS
+    stops = ",".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN []::varchar[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+  FROM documents),
+feat AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::double
+               / greatest(length(text), 1), 6) AS punct_ratio,
+         round(len(list_filter(toks, x -> list_contains([{stops}], lower(x))))::double
+               / greatest(len(toks), 1), 6) AS stopword_ratio,
+         round(length(text)::double / greatest(len(toks), 1), 6) AS mean_token_len
+  FROM t)
+SELECT doc_id, n_tokens, punct_ratio, stopword_ratio, mean_token_len,
+       round(stopword_ratio * 2.0
+             - CASE WHEN punct_ratio > 0.2 THEN punct_ratio ELSE 0 END
+             + CASE WHEN mean_token_len >= 3 AND mean_token_len <= 12
+                    THEN 0.5 ELSE 0 END, 6) AS quality_score
+FROM feat"""
+
+
+def q_lang_id(spark, sf_dir):
+    from abot_dotnet_core_spark.functions.textfns import with_lang_id
+    return (with_lang_id(_docs(spark, sf_dir))
+            .select("doc_id", "lang_pred", "lang_hits"))
+
+
+def sql_lang_id():
+    from abot_dotnet_core_spark.functions.textfns import STOPWORDS
+    unions = []
+    for lang in sorted(STOPWORDS):
+        stops = ",".join(f"'{w}'" for w in STOPWORDS[lang])
+        unions.append(
+            f"SELECT doc_id, '{lang}' AS lang, "
+            f"len(list_filter(toks, x -> list_contains([{stops}], x))) AS hits FROM t")
+    u = " UNION ALL ".join(unions)
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::varchar[]
+              ELSE list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                  x -> lower(x)) END AS toks
+  FROM documents),
+scores AS ({u}),
+best AS (
+  SELECT doc_id, lang, hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn
+  FROM scores)
+SELECT doc_id,
+       CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_pred,
+       hits AS lang_hits
+FROM best WHERE rn = 1"""
+
+
+def q_fingerprint(spark, sf_dir):
+    from abot_dotnet_core_spark.functions.textfns import with_fingerprint
+    return (with_fingerprint(_docs(spark, sf_dir))
+            .select("doc_id", "fingerprint", "fingerprint64"))
+
+
+def sql_fingerprint():
+    # fingerprint64 = first 15 hex chars parsed base-16 (fits in int64);
+    # DuckDB: upper 64 bits of md5_number_upper is little-endian — instead
+    # reproduce via from_hex-free arithmetic: parse hex digits with a fold.
+    return """
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+  FROM documents)
+SELECT doc_id, fingerprint,
+       list_aggregate(
+         list_transform(range(1, 16),
+           i -> (CASE WHEN ascii(substr(fingerprint, i::int, 1)) >= 97
+                      THEN ascii(substr(fingerprint, i::int, 1)) - 87
+                      ELSE ascii(substr(fingerprint, i::int, 1)) - 48 END)::hugeint
+                * (1::hugeint << (4 * (15 - i::int)))), 'sum')::bigint AS fingerprint64
+FROM fp"""
+
+
+# ===========================================================================
+# multimodal plumbing
+# ===========================================================================
+
+def q_multimodal_meta(spark, sf_dir):
+    """Binary-column metadata pass (mapInPandas over Arrow batches; the
+    payload is the utf-8 encoding of each document — deterministic)."""
+    from abot_dotnet_core_spark.functions.multimodal import with_media_meta
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"))
+    return with_media_meta(docs)
+
+
+def sql_multimodal_meta():
+    return """
+SELECT doc_id AS media_id,
+       'application/octet-stream' AS mime,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents"""
+
+
+# ===========================================================================
+# streaming-shaped event analytics
+# ===========================================================================
+
+def q_events_tumbling(spark, sf_dir):
+    from abot_dotnet_core_spark.streaming.metrics_stream import tumbling_counts
+    return tumbling_counts(_read(spark, sf_dir, "events"), window="1 hour")
+
+
+def sql_events_tumbling():
+    return """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2"""
+
+
+def q_events_sessions(spark, sf_dir):
+    from abot_dotnet_core_spark.streaming.metrics_stream import session_stats
+    return session_stats(_read(spark, sf_dir, "events"), gap_minutes=30)
+
+
+def sql_events_sessions():
+    return """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       round(sum(value), 6) AS sum_value
+FROM sess GROUP BY user_id, session_id"""
+
+
+# ===========================================================================
+# relational core (joins / agg / windows / rollup — bench headliners)
+# ===========================================================================
+
+def q_tpch_q1(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6)
+                  .alias("sum_disc_price"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def sql_tpch_q1():
+    return """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice), 6) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus"""
+
+
+def q_tpch_q3(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+                 .alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+            .limit(10))
+
+
+def sql_tpch_q3():
+    return """
+SELECT l_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
+
+def q_running_window(spark, sf_dir):
+    orders = _read(spark, sf_dir, "orders")
+    w = (W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (orders.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 6).alias("running_total"),
+        F.row_number().over(
+            W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+         .alias("order_rank")))
+
+
+def sql_running_window():
+    return """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 6)
+         AS running_total,
+       row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS order_rank
+FROM orders"""
+
+
+def q_rollup_agg(spark, sf_dir):
+    orders = _read(spark, sf_dir, "orders")
+    return (orders.rollup("o_orderpriority", "o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 6).alias("total"))
+            .select("o_orderpriority", "o_orderstatus", "n_orders", "total"))
+
+
+def sql_rollup_agg():
+    return """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+       round(sum(o_totalprice), 6) AS total
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)"""
+
+
+# ===========================================================================
+# driver contract
+# ===========================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the crawl-frontier BFS kernel (iterative expansion with
+    seen-set anti-join dedup — one crawl round per iteration) on sf0.001."""
+    return q_frontier_bfs(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # crawl kernel (SURVEY.md §2.2/§2.3/§2.5)
+        "url_hash64": q_url_hash64,
+        "url_normalize": q_url_normalize,
+        "seen_antijoin": q_seen_antijoin,
+        "decision_cascade": q_decision_cascade,
+        "download_gate": q_download_gate,
+        "links_gate": q_links_gate,
+        "robots_gate": q_robots_gate,
+        "domain_budget": q_domain_budget,
+        "global_budget": q_global_budget,
+        "politeness_budget": q_politeness_budget,
+        "frontier_bfs": q_frontier_bfs,
+        "text_extract_roundtrip": q_text_extract_roundtrip,
+        "link_extract": q_link_extract,
+        # dedup family
+        "exact_dedup": q_exact_dedup,
+        "minhash_signatures": q_minhash_signatures,
+        "neardup_pairs": q_neardup_pairs,
+        "simhash_pairs": q_simhash_pairs,          # rows-only (pandas UDF)
+        # similarity search
+        "cosine_topk": q_cosine_topk,
+        "cosine_topk_lsh": q_cosine_topk_lsh,
+        # text analysis
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        # multimodal plumbing
+        "multimodal_meta": q_multimodal_meta,
+        # streaming-shaped event analytics
+        "events_tumbling": q_events_tumbling,
+        "events_sessions": q_events_sessions,
+        # relational core
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "running_window": q_running_window,
+        "rollup_agg": q_rollup_agg,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "url_hash64": sql_url_hash64(),
+        "url_normalize": sql_url_normalize(),
+        "seen_antijoin": sql_seen_antijoin(),
+        "decision_cascade": sql_decision_cascade(),
+        "download_gate": sql_download_gate(),
+        "links_gate": sql_links_gate(),
+        "robots_gate": sql_robots_gate(),
+        "domain_budget": sql_domain_budget(),
+        "global_budget": sql_global_budget(),
+        "politeness_budget": sql_politeness_budget(),
+        "frontier_bfs": sql_frontier_bfs(),
+        "text_extract_roundtrip": sql_text_extract_roundtrip(),
+        "link_extract": sql_link_extract(),
+        "exact_dedup": sql_exact_dedup(),
+        "minhash_signatures": sql_minhash_signatures(),
+        "neardup_pairs": sql_neardup_pairs(),
+        # simhash_pairs: intentionally omitted (non-SQL-expressible)
+        "cosine_topk": sql_cosine_topk(),
+        "cosine_topk_lsh": sql_cosine_topk_lsh(),
+        "token_stats": sql_token_stats(),
+        "quality_scores": sql_quality_scores(),
+        "lang_id": sql_lang_id(),
+        "fingerprint": sql_fingerprint(),
+        "multimodal_meta": sql_multimodal_meta(),
+        "events_tumbling": sql_events_tumbling(),
+        "events_sessions": sql_events_sessions(),
+        "tpch_q1": sql_tpch_q1(),
+        "tpch_q3": sql_tpch_q3(),
+        "running_window": sql_running_window(),
+        "rollup_agg": sql_rollup_agg(),
+    }

@@ -1,0 +1,658 @@
+"""CrawlEngine — the distributed round-loop (the whole reference WebCrawler
+orchestration re-expressed as one DataFrame DAG per crawl round).
+
+Round dataflow (SURVEY.md §3.1):
+
+  frontier ──(politeness budget S3)──► batch ──(⋈ corpus_meta, ⋈ corpus.html
+  for downloadable rows only — column pruning keeps the binary out of every
+  other stage)──► fetched ──(T5 text UDF, P7-P9 gate, T1-T4 link UDF,
+  posexplode)──► links ──(intra-round first-seen dedup + anti-join seen S2/P15,
+  internal gate, robots P14 broadcast join, P1-P6 cascade, P5 via per-domain
+  event/probe running-count window, P4 via top-k + rank over the canonical
+  enqueue stream, P16 per-parent cut)──► admitted ──► next frontier + seen
+  appends + crawled/disallowed/lineage/metrics, committed as one snapshot.
+
+Sequential-budget equivalences (proved against the single-thread reference,
+see tests/test_engine_parity.py):
+
+* P4 (MaxPagesToCrawl counts scheduler backlog, CrawlDecisionMaker.cs:55-60):
+  at the moment link L is considered, CrawledCount + Scheduler.Count =
+  C0 + F0 + (elements enqueued so far this round) — the dequeue/crawl
+  increments cancel. So admission is a prefix cap over the canonical enqueue
+  stream: non-retry element with k admitted non-retries and r retries before
+  it is admitted iff C0 + F0 + k + r + 1 <= MaxPagesToCrawl. Implemented as
+  orderBy+limit (TakeOrdered, scalable) + row_number on the small survivor
+  set — never a global window over the full stream.
+
+* P5 (MaxPagesToCrawlPerDomain, CrawlDecisionMaker.cs:62-70): the count for
+  link L's domain g = C0_g + |batch pages of g crawled up to L's parent,
+  parent inclusive|. Implemented as an event(+1)/probe(0) union windowed by
+  domain — one running sum per domain partition, no as-of join blow-up.
+
+Scale posture: state tables are bucketed by pmod(xxhash64(domain), B); the
+seen anti-join keys on the 8-byte url_hash only; robots and seed authorities
+are broadcast; the html binary column is joined in only for rows that passed
+P10-P12; hot domains can be salted (cfg.skew_salt) in the politeness window.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F, types as T
+
+from .config import CrawlConfig
+from .functions import udfs
+from .kernel.robots import parse_robots, rules_to_flat
+from .kernel.decisions import effective_domain_delay_ms
+from .operators import decisions as DX
+from .operators.ordering import assign_global_seq
+from .sources.statestore import StateStore
+
+FRONTIER_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("url_hash", T.LongType(), False),
+    T.StructField("domain", T.StringType(), False),
+    T.StructField("scheme", T.StringType(), False),
+    T.StructField("parent_url", T.StringType(), True),
+    T.StructField("depth", T.IntegerType(), False),
+    T.StructField("is_internal", T.BooleanType(), False),
+    T.StructField("is_retry", T.BooleanType(), False),
+    T.StructField("retry_count", T.IntegerType(), False),
+    T.StructField("redirected_from", T.StringType(), True),
+    T.StructField("redirect_position", T.IntegerType(), False),
+    T.StructField("priority_seq", T.LongType(), False),
+])
+
+SEEN_SCHEMA = T.StructType([
+    T.StructField("url_hash", T.LongType(), False),
+])
+
+
+@dataclass
+class RoundStats:
+    round: int
+    fetched: int = 0
+    links_extracted: int = 0
+    deduped: int = 0
+    robots_denied: int = 0
+    depth_pruned: int = 0
+    budget_denied: int = 0
+    admitted: int = 0
+    retries: int = 0
+    counters: dict = field(default_factory=dict)
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: CrawlConfig,
+        corpus_path: str,
+        corpus_meta_path: str,
+        store_root: str,
+        robots_path: str | None = None,
+    ) -> None:
+        self.spark = spark
+        self.cfg = cfg
+        self.store = StateStore(store_root)
+        self.corpus_path = corpus_path
+        self.corpus_meta_path = corpus_meta_path
+        self.robots_path = robots_path
+        self._extract_links_udf = udfs.make_extract_links_udf(cfg)
+        self._robots_allowed_udf = udfs.make_robots_allowed_udf(
+            cfg.robots_dot_text_user_agent_string)
+        self._robots_df: DataFrame | None = None
+        self.crawled_count = 0      # CrawlContext.CrawledCount (driver scalar)
+        self.event_count = 0        # total ProcessPage events (incl. retries)
+        self.round = -1
+        self.root_authorities: list[str] = []
+
+    # ------------------------------------------------------------------ #
+    # setup
+    # ------------------------------------------------------------------ #
+
+    def _load_robots(self) -> DataFrame | None:
+        """Parse robots.txt rows into broadcastable flat rules + delay.
+
+        One row per domain: (domain, rules_flat array<string>, crawl_delay_s).
+        Parsing happens once, driver-side batched through pandas — the engine
+        never re-parses robots text per URL."""
+        if not self.cfg.is_respect_robots_dot_text_enabled or self.robots_path is None:
+            return None
+        import pandas as pd
+        pdf = self.spark.read.parquet(self.robots_path).toPandas()
+        rows = []
+        for _, r in pdf.iterrows():
+            if r["robots_txt"] is None:
+                continue
+            rules = parse_robots(r["robots_txt"])
+            rows.append({
+                "domain": r["domain"],
+                "rules_flat": rules_to_flat(rules),
+                "crawl_delay_s": rules.crawl_delay(
+                    self.cfg.robots_dot_text_user_agent_string),
+            })
+        if not rows:
+            return None
+        schema = T.StructType([
+            T.StructField("domain", T.StringType()),
+            T.StructField("rules_flat", T.ArrayType(T.StringType())),
+            T.StructField("crawl_delay_s", T.IntegerType()),
+        ])
+        return self.spark.createDataFrame(pd.DataFrame(rows), schema=schema)
+
+    def seed(self, seed_urls: list[str]) -> None:
+        """Round -1: gate + schedule the seeds (WebCrawler.cs:238-240)."""
+        from .kernel.urlnorm import authority, normalize_url, scheme_of, url_hash64
+        self._robots_df = self._load_robots()
+        robots_pd = (self._robots_df.toPandas().set_index("domain")
+                     if self._robots_df is not None else None)
+
+        normalized = [normalize_url(u) for u in seed_urls]
+        normalized = [u for u in normalized if u is not None]
+        self.root_authorities = sorted({authority(u) for u in normalized})
+
+        rows, seen_rows = [], []
+        seq = 0
+        from .kernel import decisions as KD
+        from .kernel.robots import flat_to_rules, is_url_allowed
+        for u in normalized:
+            # PoliteWebCrawler robots-first gate for the root
+            if robots_pd is not None and authority(u) in robots_pd.index:
+                flat = robots_pd.loc[authority(u), "rules_flat"]
+                root = f"{scheme_of(u)}://{authority(u)}/"
+                if not is_url_allowed(flat_to_rules(list(flat)), root, u,
+                                      self.cfg.robots_dot_text_user_agent_string):
+                    if not self.cfg.is_ignore_robots_dot_text_if_root_disallowed_enabled:
+                        continue
+            d = KD.should_crawl_page(
+                cfg=self.cfg, depth=0, scheme=scheme_of(u), domain=authority(u),
+                is_internal=True, crawled_count=0, scheduled_count=seq)
+            if not d.allow:
+                continue
+            rows.append((u, url_hash64(u), authority(u), scheme_of(u), None, 0,
+                         True, False, 0, None, 0, seq))
+            seen_rows.append((url_hash64(u),))
+            seq += 1
+
+        frontier = self.spark.createDataFrame(rows, schema=FRONTIER_SCHEMA)
+        seen = self.spark.createDataFrame(seen_rows, schema=SEEN_SCHEMA)
+        counts = self.spark.createDataFrame(
+            [], "domain string, cnt long")
+        self.round = 0
+        self.store.write_table("frontier", frontier, 0)
+        self.store.write_table("seen", seen, 0)
+        self.store.write_table("domain_counts", counts, 0)
+        self.store.write_table("domain_state", self._domain_state_df(), 0)
+        self.store.commit_round(0, self._counters())
+
+    def _domain_state_df(self) -> DataFrame:
+        """Per-domain effective politeness delay (S3) from config + robots."""
+        if self._robots_df is None:
+            return self.spark.createDataFrame([], "domain string, delay_ms long")
+        cfg = self.cfg
+        import pandas as pd
+        pdf = self._robots_df.select("domain", "crawl_delay_s").toPandas()
+        pdf["delay_ms"] = pdf["crawl_delay_s"].map(
+            lambda s: effective_domain_delay_ms(cfg, int(s)))
+        return self.spark.createDataFrame(pdf[["domain", "delay_ms"]])
+
+    def _counters(self) -> dict:
+        return {
+            "crawled_count": self.crawled_count,
+            "event_count": self.event_count,
+            "root_authorities": self.root_authorities,
+        }
+
+    @classmethod
+    def resume(cls, spark: SparkSession, cfg: CrawlConfig, corpus_path: str,
+               corpus_meta_path: str, store_root: str,
+               robots_path: str | None = None) -> "CrawlEngine":
+        """Rebuild engine state from the latest committed snapshot."""
+        eng = cls(spark, cfg, corpus_path, corpus_meta_path, store_root, robots_path)
+        last = eng.store.latest_round()
+        if last is None:
+            raise ValueError("nothing to resume — no committed rounds")
+        manifest = eng.store.read_manifest(last)
+        eng.round = last
+        eng.crawled_count = manifest["counters"]["crawled_count"]
+        eng.event_count = manifest["counters"]["event_count"]
+        eng.root_authorities = manifest["counters"]["root_authorities"]
+        eng._robots_df = eng._load_robots()
+        eng.store.drop_uncommitted()
+        return eng
+
+    # ------------------------------------------------------------------ #
+    # the round job
+    # ------------------------------------------------------------------ #
+
+    def run(self, max_rounds: int = 1000, politeness: bool = False) -> list[RoundStats]:
+        stats = []
+        for _ in range(max_rounds):
+            frontier = self.store.read_table(self.spark, "frontier", self.round)
+            if frontier.isEmpty():
+                break
+            st = self._crawl_round(politeness=politeness)
+            stats.append(st)
+        return stats
+
+    def _read_seen(self) -> DataFrame:
+        paths = [self.store._table_path("seen", r) for r in range(self.round + 1)]
+        import os
+        paths = [p for p in paths if os.path.isdir(p)]
+        return self.spark.read.parquet(*paths)
+
+    def _crawl_round(self, politeness: bool = False) -> RoundStats:
+        spark, cfg = self.spark, self.cfg
+        r = self.round
+        st = RoundStats(round=r + 1)
+
+        frontier = self.store.read_table(spark, "frontier", r)
+        seen = self._read_seen()
+        domain_counts = self.store.read_table(spark, "domain_counts", r)
+
+        # ---- S3 politeness: budgeted per-domain admission ----------------
+        if politeness:
+            state = self.store.read_table(spark, "domain_state", r)
+            budget = state.withColumn(
+                "budget",
+                F.when(F.col("delay_ms") <= 0, F.lit(None).cast("long"))
+                 .otherwise(F.floor(F.lit(cfg.round_length_ms) / F.col("delay_ms"))))
+            w_dom = W.partitionBy("domain").orderBy("priority_seq")
+            fr = (frontier.join(F.broadcast(budget.select("domain", "budget")),
+                                "domain", "left")
+                  .withColumn("__rk", F.row_number().over(w_dom)))
+            batch = (fr.filter(F.col("budget").isNull()
+                               | (F.col("__rk") <= F.col("budget")))
+                       .drop("__rk", "budget"))
+            pending = (fr.filter(F.col("budget").isNotNull()
+                                 & (F.col("__rk") > F.col("budget")))
+                         .drop("__rk", "budget"))
+        else:
+            batch = frontier
+            pending = None
+
+        # stabilize the batch (it feeds many branches)
+        batch = batch.localCheckpoint(eager=True)
+        f0 = frontier.count()
+        batch_n = batch.count()
+        non_retry_n = batch.filter(~F.col("is_retry")).count()
+        st.fetched = batch_n
+
+        c0 = self.crawled_count
+        self.crawled_count += non_retry_n    # AddPageToContext (batch form)
+
+        # crawl order for this round (densified, canonical FIFO)
+        batch = assign_global_seq(batch, ["priority_seq"], "crawl_order",
+                                  start=self.event_count)
+        self.event_count += batch_n
+
+        # ---- fetch: join corpus_meta (small cols), then html selectively --
+        meta = spark.read.parquet(self.corpus_meta_path)
+        fetched = batch.join(meta, "url", "left")
+        # retry pages increment retry_count at processing time
+        fetched = fetched.withColumn(
+            "retry_count",
+            F.when(F.col("is_retry"), F.col("retry_count") + 1)
+             .otherwise(F.col("retry_count")))
+
+        fetched = fetched.withColumn("download_reason", DX.should_download_reason(cfg))
+
+        corpus = spark.read.parquet(self.corpus_path).select("url", "html")
+        downloadable = (fetched.filter(F.col("download_reason").isNull())
+                        .join(corpus, "url", "left")
+                        .withColumn("__ext", udfs.extract_text_udf(
+                            F.col("html"), F.col("content_type")))
+                        .withColumn("charset", F.col("__ext.charset"))
+                        .withColumn("text", F.col("__ext.text"))
+                        .drop("__ext", "html"))
+        rest = (fetched.filter(F.col("download_reason").isNotNull())
+                .withColumn("charset", F.lit(None).cast("string"))
+                .withColumn("text", F.lit(None).cast("string")))
+        fetched = downloadable.unionByName(rest)
+
+        # ---- P7-P9 links gate + T1-T4 extraction --------------------------
+        fetched = fetched.withColumn("links_reason",
+                                     DX.should_crawl_page_links_reason(cfg))
+        parse_links = F.col("links_reason").isNull()
+        fetched = fetched.withColumn(
+            "parsed_links",
+            F.when(parse_links, self._extract_links_udf(
+                F.col("text"), F.col("url"), F.lit(None).cast("string"),
+                F.lit(None).cast("string")))
+             .otherwise(F.array().cast("array<string>")))
+        fetched = fetched.localCheckpoint(eager=True)
+
+        links = (fetched
+                 .select("url", "crawl_order", "priority_seq", "depth", "domain",
+                         F.posexplode_outer("parsed_links").alias("link_pos", "dst_url"))
+                 .filter(F.col("dst_url").isNotNull()))
+
+        # ---- scheduling stream --------------------------------------------
+        links_flagged = self._schedule_links(links, batch, fetched, seen,
+                                             domain_counts, c0, f0, st)
+
+        # ---- outputs -------------------------------------------------------
+        self._write_round_outputs(fetched, links_flagged, batch, pending,
+                                  seen, domain_counts, st)
+        return st
+
+    # ------------------------------------------------------------------ #
+    # link scheduling (the S2/P14/P1-P6/P15-P17 pipeline)
+    # ------------------------------------------------------------------ #
+
+    def _schedule_links(self, links: DataFrame, batch: DataFrame,
+                        fetched: DataFrame, seen: DataFrame,
+                        domain_counts: DataFrame, c0: int, f0: int,
+                        st: RoundStats) -> DataFrame:
+        spark, cfg = self.spark, self.cfg
+
+        links = (links
+                 .withColumnRenamed("url", "parent_url")
+                 .withColumnRenamed("depth", "parent_depth")
+                 .withColumnRenamed("domain", "parent_domain")
+                 .withColumnRenamed("priority_seq", "parent_seq")
+                 .withColumn("dst_hash", udfs.url_hash64_udf(F.col("dst_url")))
+                 .withColumn("dst_domain", udfs.authority_udf(F.col("dst_url")))
+                 .withColumn("dst_scheme", udfs.scheme_udf(F.col("dst_url"))))
+
+        # P15 intra-round first-seen occurrence (later dups silently skipped)
+        w_first = W.partitionBy("dst_hash").orderBy("parent_seq", "link_pos")
+        links = links.withColumn("__occ", F.row_number().over(w_first))
+
+        # P15 known gate: anti-join semantics via a left join flag (we still
+        # need the row for the lineage counters)
+        seen_d = seen.select(F.col("url_hash").alias("dst_hash")).distinct() \
+                     .withColumn("__known", F.lit(True))
+        links = (links.join(seen_d, "dst_hash", "left")
+                 .withColumn("is_known",
+                             (F.col("__occ") > 1) | F.col("__known").isNotNull())
+                 .drop("__known", "__occ"))
+
+        # child construction
+        roots = self.root_authorities
+        links = (links
+                 .withColumn("depth", F.col("parent_depth") + 1)
+                 .withColumn("is_internal", F.col("dst_domain").isin(roots))
+                 .withColumn("is_retry", F.lit(False))
+                 .withColumn("retry_count", F.lit(0))
+                 .withColumn("redirected_from", F.lit(None).cast("string"))
+                 .withColumn("redirect_position", F.lit(0)))
+
+        # internal gate (silent — WebCrawler.cs:975)
+        internal_ok = F.col("is_internal") | F.lit(cfg.is_external_page_crawling_enabled)
+        links = links.withColumn("internal_gate", internal_ok)
+
+        # robots P14 (broadcast join on the link's own domain)
+        if self._robots_df is not None:
+            links = links.join(
+                F.broadcast(self._robots_df.select(
+                    F.col("domain").alias("dst_domain"), "rules_flat")),
+                "dst_domain", "left")
+            links = links.withColumn(
+                "robots_denied",
+                F.col("rules_flat").isNotNull()
+                & ~self._robots_allowed_udf(F.col("dst_url"), F.col("rules_flat")))
+            links = links.drop("rules_flat")
+        else:
+            links = links.withColumn("robots_denied", F.lit(False))
+
+        # ---- P5 per-domain budget (event/probe running count) -------------
+        if cfg.max_pages_to_crawl_per_domain > 0:
+            events = batch.select(
+                F.col("domain").alias("dst_domain"),
+                F.col("priority_seq").alias("__ord"),
+                F.lit(0).alias("__probe"),
+                F.when(F.col("is_retry"), F.lit(0)).otherwise(F.lit(1)).alias("__inc"),
+                F.lit(None).cast("long").alias("dst_hash"),
+                F.lit(None).cast("long").alias("__pseq"),
+                F.lit(None).cast("int").alias("__lpos"))
+            probes = links.select(
+                "dst_domain",
+                F.col("parent_seq").alias("__ord"),
+                F.lit(1).alias("__probe"),
+                F.lit(0).alias("__inc"),
+                "dst_hash",
+                F.col("parent_seq").alias("__pseq"),
+                F.col("link_pos").alias("__lpos"))
+            w_cum = (W.partitionBy("dst_domain").orderBy("__ord", "__probe")
+                     .rowsBetween(W.unboundedPreceding, W.currentRow))
+            cum = (events.unionByName(probes)
+                   .withColumn("__cum", F.sum("__inc").over(w_cum))
+                   .filter(F.col("__probe") == 1)
+                   .select("dst_domain", "dst_hash",
+                           F.col("__pseq").alias("parent_seq"),
+                           F.col("__lpos").alias("link_pos"), "__cum"))
+            cum = cum.join(
+                domain_counts.select(F.col("domain").alias("dst_domain"),
+                                     F.col("cnt").alias("__c0d")),
+                "dst_domain", "left").fillna({"__c0d": 0})
+            cum = cum.withColumn(
+                "domain_budget_denied",
+                ((F.col("__cum") + F.col("__c0d")) > 0)
+                & ((F.col("__cum") + F.col("__c0d"))
+                   >= cfg.max_pages_to_crawl_per_domain)) \
+                .select("dst_hash", "parent_seq", "link_pos", "domain_budget_denied")
+            links = links.join(cum, ["dst_hash", "parent_seq", "link_pos"], "left") \
+                         .fillna({"domain_budget_denied": False})
+        else:
+            links = links.withColumn("domain_budget_denied", F.lit(False))
+
+        # ---- pre-budget cascade (P1,P2,P3,P5,P6 + robots) ------------------
+        # the cascade's column contract: domain/scheme refer to the candidate
+        links = (links.withColumn("scheme", F.col("dst_scheme"))
+                 .withColumn("domain", F.col("dst_domain")))
+        links = links.withColumn(
+            "pre_reason",
+            DX.should_crawl_page_reason(
+                cfg, budget_denied=None,
+                domain_budget_denied=F.col("domain_budget_denied"),
+                robots_denied=F.col("robots_denied")))
+
+        # processed = passes the known gate and the P16 cut (marked known,
+        # eligible for events); eligible = processed + internal gate + no deny
+        links = links.withColumn(
+            "processed", ~F.col("is_known"))
+
+        # ---- P16 MaxLinksPerPage per-parent cut ---------------------------
+        if cfg.max_links_per_page != 0:
+            admit0 = (F.col("processed") & F.col("internal_gate")
+                      & F.col("pre_reason").isNull())
+            w_par = (W.partitionBy("parent_seq").orderBy("link_pos")
+                     .rowsBetween(W.unboundedPreceding, W.currentRow))
+            links = links.withColumn(
+                "__cum_adm", F.sum(admit0.cast("int")).over(w_par))
+            prev_adm = F.col("__cum_adm") - admit0.cast("int")
+            links = (links.withColumn("processed",
+                                      F.col("processed") & (prev_adm < cfg.max_links_per_page))
+                     .drop("__cum_adm"))
+
+        links = links.withColumn(
+            "eligible",
+            F.col("processed") & F.col("internal_gate") & F.col("pre_reason").isNull())
+
+        # ---- P4 global budget over the canonical enqueue stream ------------
+        # stream = eligible links (sub=1) ∪ retries (sub=2); redirect children
+        # would be sub=0 (manual-redirect mode is wired through the same path).
+        retries = self._retry_rows(fetched)
+        n_retries = retries.count()
+        links = links.withColumn("budget_denied", F.lit(False))
+        if cfg.max_pages_to_crawl > 0:
+            cap = cfg.max_pages_to_crawl - c0 - f0
+            eligible_n = links.filter(F.col("eligible")).count()
+            if eligible_n > max(cap, 0):
+                if cap <= 0:
+                    links = links.withColumn(
+                        "budget_denied", F.col("eligible"))
+                else:
+                    stream = (links.filter(F.col("eligible"))
+                              .select("dst_hash", "parent_seq", "link_pos",
+                                      F.lit(1).alias("__sub"))
+                              .unionByName(retries.select(
+                                  F.col("url_hash").alias("dst_hash"),
+                                  F.col("priority_seq").alias("parent_seq"),
+                                  F.lit(0).alias("link_pos"),
+                                  F.lit(2).alias("__sub"))))
+                    topk = (stream.orderBy("parent_seq", "__sub", "link_pos")
+                            .limit(cap + n_retries))
+                    w_stream = W.orderBy("parent_seq", "__sub", "link_pos") \
+                        .rowsBetween(W.unboundedPreceding, W.currentRow)
+                    topk = topk.withColumn(
+                        "__pos", F.count("*").over(w_stream))  # 1-based
+                    topk = topk.withColumn(
+                        "__retries_before",
+                        F.sum((F.col("__sub") == 2).cast("int")).over(w_stream))
+                    # non-retry element admitted iff c0+f0+(k + r)+1 <= max,
+                    # k = non-retry order before it (0-based), r = retries before
+                    admitted_mark = (topk.filter(F.col("__sub") == 1)
+                                     .withColumn(
+                                         "__k", F.col("__pos") - F.col("__retries_before") - 1)
+                                     .withColumn(
+                                         "__adm",
+                                         (F.lit(c0 + f0) + F.col("__k")
+                                          + F.col("__retries_before") + 1)
+                                         <= cfg.max_pages_to_crawl)
+                                     .select("dst_hash", "parent_seq",
+                                             "link_pos", "__adm"))
+                    links = (links.join(admitted_mark,
+                                        ["dst_hash", "parent_seq", "link_pos"],
+                                        "left")
+                             .withColumn(
+                                 "budget_denied",
+                                 F.col("eligible")
+                                 & ~F.coalesce(F.col("__adm"), F.lit(False)))
+                             .drop("__adm"))
+
+        links = links.withColumn(
+            "reason",
+            F.when(~F.col("processed") | ~F.col("internal_gate"), F.lit(None))
+             .when(F.col("pre_reason").isNotNull(), F.col("pre_reason"))
+             .when(F.col("budget_denied"),
+                   F.lit(f"MaxPagesToCrawl limit of [{cfg.max_pages_to_crawl}] has been reached"))
+             .otherwise(F.lit(None)))
+        links = links.withColumn(
+            "admitted", F.col("eligible") & ~F.col("budget_denied"))
+        return links.localCheckpoint(eager=True)
+
+    def _retry_rows(self, fetched: DataFrame) -> DataFrame:
+        """P13 — pages re-enqueued with is_retry=true (WebCrawler.cs:702-706)."""
+        cfg = self.cfg
+        recrawl_reason = DX.should_recrawl_reason(cfg)
+        return (fetched.withColumn("__rc", recrawl_reason)
+                .filter(F.col("__rc").isNull())
+                .select("url", "url_hash", "domain", "scheme", "parent_url",
+                        "depth", "is_internal", "retry_count",
+                        "redirected_from", "redirect_position", "priority_seq")
+                .withColumn("is_retry", F.lit(True)))
+
+    # ------------------------------------------------------------------ #
+    # round outputs
+    # ------------------------------------------------------------------ #
+
+    def _write_round_outputs(self, fetched: DataFrame, links: DataFrame,
+                             batch: DataFrame, pending: DataFrame | None,
+                             seen: DataFrame, domain_counts: DataFrame,
+                             st: RoundStats) -> None:
+        spark, cfg = self.spark, self.cfg
+        r = self.round + 1
+
+        # -- crawled events ------------------------------------------------
+        crawled = fetched.select(
+            "url", "crawl_order", "status", "depth",
+            F.col("parent_url"), "is_retry", "retry_count", "charset",
+            F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("text_md5"),
+            F.size("parsed_links").alias("links_extracted"),
+            F.lit(r).alias("round"))
+        self.store.write_table("crawled", crawled, r)
+
+        # -- disallowed events ----------------------------------------------
+        dis_links = (links.filter(F.col("processed") & F.col("internal_gate")
+                                  & F.col("reason").isNotNull())
+                     .select(F.col("dst_url").alias("url"), "reason",
+                             F.lit("schedule").alias("stage"), F.lit(r).alias("round")))
+        dis_pages = (fetched.filter(F.col("links_reason").isNotNull())
+                     .select("url", F.col("links_reason").alias("reason"),
+                             F.lit("links").alias("stage"), F.lit(r).alias("round")))
+        self.store.write_table("disallowed", dis_links.unionByName(dis_pages), r)
+
+        # -- seen appends: every processed link + admitted children ----------
+        seen_new = (links.filter(F.col("processed"))
+                    .select(F.col("dst_hash").alias("url_hash"))
+                    .distinct()
+                    .join(seen.select("url_hash").distinct(), "url_hash", "left_anti"))
+        self.store.write_table("seen", seen_new, r)
+
+        # -- next frontier ----------------------------------------------------
+        admitted = (links.filter(F.col("admitted"))
+                    .select(F.col("dst_url").alias("url"),
+                            F.col("dst_hash").alias("url_hash"),
+                            F.col("dst_domain").alias("domain"),
+                            "scheme", F.col("parent_url"),
+                            "depth", "is_internal", "is_retry", "retry_count",
+                            "redirected_from", "redirect_position",
+                            "parent_seq", F.lit(1).alias("__sub"),
+                            F.col("link_pos").alias("__pos")))
+        retries = self._retry_rows(fetched).withColumn(
+            "__sub", F.lit(2)).withColumn("__pos", F.lit(0)) \
+            .withColumnRenamed("priority_seq", "parent_seq")
+        stream = admitted.unionByName(
+            retries.select(*[c for c in admitted.columns]))
+        # continue the global priority_seq sequence from the previous max
+        prev_max = batch.agg(F.max("priority_seq")).collect()[0][0] or 0
+        stream = assign_global_seq(stream, ["parent_seq", "__sub", "__pos"],
+                                   "priority_seq", start=prev_max + 1)
+        new_frontier = stream.drop("parent_seq", "__sub", "__pos")
+        if pending is not None and not pending.isEmpty():
+            new_frontier = new_frontier.unionByName(
+                pending.select(*new_frontier.columns))
+        new_frontier = new_frontier.repartition(
+            max(cfg.state_buckets, 1), F.pmod(F.xxhash64("domain"),
+                                              F.lit(cfg.state_buckets)))
+        self.store.write_table("frontier", new_frontier, r)
+
+        # -- domain counts (A2) ----------------------------------------------
+        batch_counts = (batch.filter(~F.col("is_retry"))
+                        .groupBy("domain").agg(F.count("*").alias("cnt")))
+        merged = (domain_counts.unionByName(batch_counts)
+                  .groupBy("domain").agg(F.sum("cnt").alias("cnt")))
+        self.store.write_table("domain_counts", merged, r)
+        self.store.write_table("domain_state",
+                               self.store.read_table(spark, "domain_state",
+                                                     self.round), r)
+
+        # -- lineage (A4): per-partition counters ------------------------------
+        lineage = (links.groupBy(F.spark_partition_id().alias("partition_id"))
+                   .agg(F.count("*").alias("links_seen"),
+                        F.sum(F.col("is_known").cast("int")).alias("deduped"),
+                        F.sum((F.col("processed") & F.col("robots_denied"))
+                              .cast("int")).alias("robots_denied"),
+                        F.sum((F.col("reason") == "Crawl depth is above max")
+                              .cast("int")).alias("depth_pruned"),
+                        F.sum(F.col("budget_denied").cast("int")).alias("budget_denied"),
+                        F.sum(F.col("admitted").cast("int")).alias("admitted"))
+                   .withColumn("round", F.lit(r)))
+        self.store.write_table("lineage", lineage, r)
+
+        # -- metrics + commit ---------------------------------------------------
+        agg = links.agg(
+            F.count("*").alias("links"),
+            F.sum(F.col("is_known").cast("int")).alias("deduped"),
+            F.sum((F.col("processed") & F.col("robots_denied")).cast("int")).alias("robots_denied"),
+            F.sum(F.col("budget_denied").cast("int")).alias("budget_denied"),
+            F.sum(F.col("admitted").cast("int")).alias("admitted")).collect()[0]
+        st.links_extracted = agg["links"] or 0
+        st.deduped = agg["deduped"] or 0
+        st.robots_denied = agg["robots_denied"] or 0
+        st.budget_denied = agg["budget_denied"] or 0
+        st.admitted = agg["admitted"] or 0
+        metrics = spark.createDataFrame(
+            [(r, st.fetched, st.links_extracted, st.deduped, st.robots_denied,
+              st.budget_denied, st.admitted, self.crawled_count)],
+            "round int, fetched long, links long, deduped long, robots_denied long,"
+            "budget_denied long, admitted long, crawled_total long")
+        self.store.write_table("metrics", metrics, r)
+
+        self.round = r
+        self.store.commit_round(r, self._counters())
+        st.counters = self._counters()

@@ -1,0 +1,160 @@
+"""Deduplication operators for web-scale corpora.
+
+Four families, each a composition of built-in DataFrame ops (shuffle-aware,
+no UDFs in the relational path):
+
+  exact_dedup      hash-groupBy on the normalized-text fingerprint
+  minhash          k-permutation MinHash signatures over token shingles
+                   (permutation_i = md5(i || '|' || shingle) — string-min is a
+                   valid random permutation proxy and is reproducible in any
+                   engine with md5, which keeps the DuckDB oracle exact)
+  lsh_candidates   banding: group signature bands into buckets, join within
+                   buckets -> candidate pairs (the at-scale path: avoids the
+                   O(n^2) cross join; only bucket-mates shuffle together)
+  jaccard_pairs    exact n-gram Jaccard verification on candidate pairs via
+                   an exploded shingle equi-join (set-based, skew-tolerant)
+  simhash          64-bit SimHash over tokens (vectorized pandas UDF — the
+                   64-way bit fold is numpy work, not relational work)
+
+Scale notes: shingling explodes ~|tokens| rows per doc; the minhash groupBy
+is a partial-aggregating shuffle on (doc_id). LSH bucket join shuffles on
+(band, bucket) — hot buckets (boilerplate) are the skew risk; cap bucket
+size with a count filter before the self-join (boilerplate_cap).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql.functions import pandas_udf
+
+from .textfns import tokens_col
+
+
+def shingles_col(text, n: int = 3):
+    """Token n-gram shingles as an array column (JVM-side transform)."""
+    toks = tokens_col(text)
+    k = F.size(toks)
+    return F.when(k < n, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(0), k - n),
+                    lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1)
+                                                 for j in range(n)])))
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Keep the min-id representative per normalized-text hash."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
+    return (df.withColumn("fingerprint", F.md5(norm))
+            .groupBy("fingerprint")
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count("*").alias("n_dups")))
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", k: int = 8,
+                       shingle_n: int = 3) -> DataFrame:
+    """(id, minhash_0..minhash_{k-1}) — min over md5(i|shingle) hex strings."""
+    ex = (df.select(id_col, F.explode(shingles_col(F.col(text_col), shingle_n))
+                    .alias("shingle"))
+          .dropDuplicates([id_col, "shingle"]))
+    aggs = [F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))))
+            .alias(f"mh_{i}") for i in range(k)]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                        k: int = 8, bands: int = 4,
+                        boilerplate_cap: int = 1000) -> DataFrame:
+    """Banding: docs sharing any band bucket become a candidate pair (a<b)."""
+    rows_per_band = k // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + j}") for j in range(rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"),
+                                  F.md5(F.concat_ws("|", *cols)).alias("bucket")))
+    buckets = (sigs.select(id_col, F.explode(F.array(*band_cols)).alias("bb"))
+               .select(id_col, F.col("bb.band").alias("band"),
+                       F.col("bb.bucket").alias("bucket")))
+    # skew guard: drop boilerplate buckets that would quadratically explode
+    sizes = buckets.groupBy("band", "bucket").agg(F.count("*").alias("n"))
+    buckets = (buckets.join(sizes, ["band", "bucket"])
+               .filter(F.col("n") <= boilerplate_cap).drop("n"))
+    a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (a.join(b, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+
+
+def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", shingle_n: int = 3,
+                  threshold: float = 0.0) -> DataFrame:
+    """Exact n-gram Jaccard for given (id_a, id_b) pairs, set-based:
+    |A∩B| via exploded-shingle equi-join, |A∪B| = |A|+|B|-|A∩B|."""
+    ex = (df.select(id_col, F.explode(shingles_col(F.col(text_col), shingle_n))
+                    .alias("shingle"))
+          .dropDuplicates([id_col, "shingle"]))
+    sizes = ex.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    inter = (pairs
+             .join(ex.select(F.col(id_col).alias("id_a"),
+                             F.col("shingle")), "id_a")
+             .join(ex.select(F.col(id_col).alias("id_b"),
+                             F.col("shingle")), ["id_b", "shingle"])
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter")))
+    out = (pairs.join(inter, ["id_a", "id_b"], "left").fillna({"n_inter": 0})
+           .join(sizes.select(F.col(id_col).alias("id_a"),
+                              F.col("n_sh").alias("n_a")), "id_a")
+           .join(sizes.select(F.col(id_col).alias("id_b"),
+                              F.col("n_sh").alias("n_b")), "id_b")
+           .withColumn("jaccard", F.round(
+               F.col("n_inter")
+               / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6)))
+    return out.filter(F.col("jaccard") >= threshold) \
+              .select("id_a", "id_b", "n_inter", "jaccard")
+
+
+# --- SimHash (numpy-vectorized pandas UDF) ----------------------------------
+
+@pandas_udf(T.LongType())
+def simhash64_udf(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens; token bits from md5 (stable
+    everywhere). Vectorized per Arrow batch; bit fold in numpy."""
+    import hashlib
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        toks = t.split()
+        if not toks:
+            continue
+        hashes = np.fromiter(
+            (int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+             for tok in toks), dtype=np.uint64, count=len(toks))
+        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
+        votes = bits.sum(axis=0) * 2 - len(toks)   # +1/-1 majority
+        sim = np.uint64(0)
+        for j in np.nonzero(votes > 0)[0]:
+            sim |= np.uint64(1) << np.uint64(j)
+        out[i] = np.int64(sim)
+    return pd.Series(out)
+
+
+def simhash_hamming_pairs(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", max_hamming: int = 3,
+                          prefix_bits: int = 16) -> DataFrame:
+    """Near-dup pairs by SimHash: block on the top ``prefix_bits`` bits
+    (cheap LSH), verify Hamming distance via bit_count(xor)."""
+    sh = df.select(id_col, simhash64_udf(F.col(text_col)).alias("simhash"))
+    block = F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
+    sh = sh.withColumn("block", block)
+    a = sh.select(F.col(id_col).alias("id_a"),
+                  F.col("simhash").alias("sh_a"), "block")
+    b = sh.select(F.col(id_col).alias("id_b"),
+                  F.col("simhash").alias("sh_b"), "block")
+    return (a.join(b, "block").filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("hamming", F.bit_count(
+                F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

@@ -1,0 +1,95 @@
+"""Similarity search over embedding columns (array<float>).
+
+  brute_force_topk   exact cosine top-k: broadcast the (small) query set
+                     against the corpus — one pass, no shuffle until the
+                     final per-query top-k window
+  lsh_topk           random-hyperplane LSH bucketing: deterministic planes
+                     derived from md5 (reproducible on any engine), candidates
+                     = same signature prefix, then exact cosine on candidates
+                     — the at-scale path (bucket join instead of cross join)
+
+All vector math is JVM-side (`F.zip_with` + `F.aggregate` left fold over
+double-cast arrays — deterministic summation order, which keeps the DuckDB
+oracle value-hash exact after round(,6)).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_col(a, b):
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
+    """Exact cosine top-k per query. ``queries`` must be broadcast-small."""
+    from pyspark.sql import Window as W
+    joined = corpus.crossJoin(F.broadcast(queries))
+    joined = joined.filter(F.col(id_col) != F.col(q_id_col))
+    scored = joined.withColumn(
+        "cosine", F.round(cosine_col(F.col(vec_col), F.col(q_vec_col)), 6))
+    w = W.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(q_id_col, "rank", id_col, "cosine"))
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes from md5 bytes — no RNG
+    state, identical on driver/executors/oracles."""
+    planes = []
+    for p in range(n_planes):
+        vals = []
+        for d in range(0, dim, 16):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()
+            vals.extend(b - 127.5 for b in h)
+        v = np.array(vals[:dim], dtype=np.float64)
+        v /= np.linalg.norm(v)
+        planes.append([float(x) for x in v])
+    return planes
+
+
+def lsh_signature_col(vec_col, planes: list[list[float]]):
+    """Bit-string signature: sign(v · plane_p) per plane (JVM-side)."""
+    vd = F.transform(vec_col, lambda x: x.cast("double"))
+    bits = []
+    for plane in planes:
+        lits = F.array(*[F.lit(x) for x in plane])
+        bits.append(F.when(_dot(vd, lits) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             n_planes: int = 8, dim: int = 64,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
+    """Approximate top-k: candidates share the full LSH signature bucket; the
+    scale path replaces the cross join with an equi-join on the signature."""
+    from pyspark.sql import Window as W
+    planes = hyperplanes(dim, n_planes)
+    c = corpus.withColumn("sig", lsh_signature_col(F.col(vec_col), planes))
+    q = queries.withColumn("sig", lsh_signature_col(F.col(q_vec_col), planes))
+    joined = c.join(F.broadcast(q), "sig").filter(F.col(id_col) != F.col(q_id_col))
+    scored = joined.withColumn(
+        "cosine", F.round(cosine_col(F.col(vec_col), F.col(q_vec_col)), 6))
+    w = W.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(q_id_col, "rank", id_col, "cosine"))

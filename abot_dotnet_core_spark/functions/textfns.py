@@ -1,0 +1,102 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are JVM-side built-ins (split/regexp/aggregate) so
+they stay inside whole-stage codegen; nothing here uses per-row Python. Each
+operator has a matching ANSI-SQL oracle in __spark_entry__.oracle_sql().
+
+Operators:
+  token_count        whitespace tokens + BPE-ish subword regex tokens
+  quality_score      length / punctuation-ratio / stopword-ratio features
+  lang_id            stopword-profile n-gram heuristic language guess
+  fingerprint        rolling/normalized document fingerprint (md5)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# a small multilingual stopword profile (deterministic, shared with the SQL
+# oracle as inline VALUES)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "for", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "fr": ["le", "la", "de", "et", "un", "en", "est", "que", "pour", "dans"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "ein", "zu"],
+}
+
+# BPE-ish pre-tokenizer: word pieces OR single non-alnum non-space marks
+SUBTOKEN_RE = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+PUNCT_RE = "[^.,;:!?]"
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization; empty text -> empty array (not [''])."""
+    t = F.trim(text)
+    return F.when(t == "", F.array().cast("array<string>")) \
+            .otherwise(F.split(t, "\\s+"))
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return (df
+            .withColumn("n_tokens", F.size(tokens_col(t)))
+            .withColumn("n_subtokens", F.size(F.regexp_extract_all(
+                t, F.lit(SUBTOKEN_RE), 0)))
+            .withColumn("n_chars_seen", F.length(t)))
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/punct/stopword-ratio quality features + a composite score.
+
+    The score formula is arbitrary but frozen (shared with the SQL oracle):
+    higher = cleaner prose. Ratios are rounded to 6 dp so Spark and the
+    oracle hash identically."""
+    t = F.col(text_col)
+    toks = tokens_col(t)
+    n_tok = F.size(toks)
+    punct = F.length(F.regexp_replace(t, PUNCT_RE, ""))
+    stop_list = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_list, F.lower(x))))
+    punct_ratio = F.round(punct / F.greatest(F.length(t), F.lit(1)), 6)
+    stop_ratio = F.round(n_stop / F.greatest(n_tok, F.lit(1)), 6)
+    mean_tok_len = F.round(F.length(t) / F.greatest(n_tok, F.lit(1)), 6)
+    score = F.round(
+        stop_ratio * 2.0
+        - F.when(punct_ratio > 0.2, punct_ratio).otherwise(F.lit(0.0))
+        + F.when((mean_tok_len >= 3) & (mean_tok_len <= 12), F.lit(0.5))
+           .otherwise(F.lit(0.0)), 6)
+    return (df.withColumn("n_tokens", n_tok)
+              .withColumn("punct_ratio", punct_ratio)
+              .withColumn("stopword_ratio", stop_ratio)
+              .withColumn("mean_token_len", mean_tok_len)
+              .withColumn("quality_score", score))
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Predicted language = argmax stopword-profile hit count (ties -> lang
+    code order). A heuristic n-gram/stopword language id — set-based: one
+    pass, no UDF."""
+    toks = F.transform(tokens_col(F.col(text_col)), lambda x: F.lower(x))
+    scores = []
+    for lang in sorted(STOPWORDS):
+        sl = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        scores.append(
+            F.struct(F.size(F.filter(toks, lambda x: F.array_contains(sl, x)))
+                      .alias("hits"),
+                     F.lit(lang).alias("lang")))
+    # argmax: sort desc by (hits, lang-reversed) — deterministic tiebreak
+    best = F.sort_array(F.array(*scores), asc=False)[0]
+    return (df.withColumn("lang_pred",
+                          F.when(best["hits"] > 0, best["lang"])
+                           .otherwise(F.lit("und")))
+              .withColumn("lang_hits", best["hits"]))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized lowercased text
+    (the exact-dedup key), plus a 64-bit numeric form for compact storage."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
+    fp = F.md5(norm)
+    return (df.withColumn("fingerprint", fp)
+              .withColumn("fingerprint64",
+                          F.conv(F.substring(fp, 1, 15), 16, 10).cast("long")))

@@ -1,0 +1,61 @@
+"""Scalable deterministic global sequencing (the FIFO-frontier order, S1).
+
+The engine needs dense global ranks in canonical order (round, parent_seq,
+sub_order, link_pos) to (a) assign next-round ``priority_seq`` values and
+(b) evaluate the sequential budget predicates P4/P16. A naive
+``row_number() OVER (ORDER BY ...)`` collapses to a single partition — fine
+at test scale, fatal at 10^10 URLs. This module implements the standard
+two-pass range-partition trick instead:
+
+  1. ``repartitionByRange`` + ``sortWithinPartitions`` on the sort keys
+  2. count rows per partition, cumulative-sum the counts on the driver
+     (O(#partitions), tiny)
+  3. ``mapInPandas`` adds partition_offset + local_index
+
+Deterministic given deterministic sort keys (ties must be impossible — the
+caller includes a unique tiebreaker). Scales linearly with executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+
+def assign_global_seq(df: DataFrame, sort_cols: list[str], out_col: str,
+                      start: int = 0, num_partitions: int | None = None) -> DataFrame:
+    """Add ``out_col``: dense 0-based global rank by ``sort_cols`` + start."""
+    if df.isEmpty():
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    if num_partitions is None:
+        num_partitions = max(df.sparkSession.sparkContext.defaultParallelism, 4)
+
+    ranged = (df.repartitionByRange(num_partitions, *[F.col(c) for c in sort_cols])
+                .sortWithinPartitions(*sort_cols))
+    ranged = ranged.withColumn("__pid", F.spark_partition_id())
+    # cache so pass 1 (counts) and pass 2 (offsets) see identical partitioning
+    ranged = ranged.localCheckpoint(eager=True)
+
+    counts = {r["__pid"]: r["cnt"] for r in
+              ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets = {}
+    acc = start
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    schema = T.StructType(ranged.schema.fields + [T.StructField(out_col, T.LongType())])
+    out_names = [f.name for f in schema.fields]
+
+    def add_seq(batches):
+        import pandas as pd
+        local = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            base = offsets[int(pdf["__pid"].iloc[0])]
+            pdf = pdf.copy()
+            pdf[out_col] = range(base + local, base + local + len(pdf))
+            local += len(pdf)
+            yield pdf[out_names]
+
+    return ranged.mapInPandas(add_seq, schema=schema).drop("__pid")

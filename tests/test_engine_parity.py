@@ -1,0 +1,172 @@
+"""End-to-end parity: the Spark CrawlEngine must reproduce the single-threaded
+reference simulator exactly — crawl order, decision outcomes, seen-set and
+byte-identical extracted text — on the same corpus + config + seed.
+"""
+
+import hashlib
+
+import pytest
+
+from abot_dotnet_core_spark.config import CrawlConfig
+from abot_dotnet_core_spark.crawler import CrawlEngine
+from abot_dotnet_core_spark.kernel.robots import parse_robots
+from abot_dotnet_core_spark.kernel.simulator import CrawlSimulator
+from abot_dotnet_core_spark.sources.corpus import (
+    TINY, domain_name, robots_txt_for, to_simulator_corpus,
+)
+
+SEED = "http://d0.test/"
+
+
+def simulator_result(cfg):
+    corpus = to_simulator_corpus(TINY)
+    robots_map = {}
+    if cfg.is_respect_robots_dot_text_enabled:
+        for i in range(TINY.n_domains):
+            txt = robots_txt_for(TINY, i)
+            if txt is not None:
+                robots_map[f"http://{domain_name(i)}/"] = parse_robots(txt)
+    return CrawlSimulator(corpus, cfg, robots_map).crawl(SEED)
+
+
+def run_engine(spark, cfg, corpus_dir, tmp_path, politeness=False,
+               max_rounds=100):
+    eng = CrawlEngine(
+        spark, cfg,
+        corpus_path=f"{corpus_dir}/corpus.parquet",
+        corpus_meta_path=f"{corpus_dir}/corpus_meta.parquet",
+        store_root=str(tmp_path / "state"),
+        robots_path=f"{corpus_dir}/robots.parquet",
+    )
+    eng.seed([SEED])
+    eng.run(max_rounds=max_rounds, politeness=politeness)
+    return eng
+
+
+def engine_crawled(spark, eng):
+    df = eng.store.read_events(spark, "crawled").orderBy("crawl_order")
+    return df.collect()
+
+
+def assert_parity(spark, eng, sim, check_text=True):
+    rows = engine_crawled(spark, eng)
+    got = [(r["url"], r["status"], r["depth"], r["is_retry"], r["retry_count"])
+           for r in rows]
+    want = [(c.url, c.status, c.depth, c.is_retry, c.retry_count)
+            for c in sim.crawled]
+    assert got == want, (
+        f"crawl order mismatch:\n got[:10]={got[:10]}\nwant[:10]={want[:10]}\n"
+        f"len got={len(got)} want={len(want)}")
+
+    # seen set equality (hash-level, CompactCrawledUrlRepository contract)
+    eng_seen = {r["url_hash"] for r in eng._read_seen().collect()}
+    assert eng_seen == sim.seen_hashes()
+
+    # disallowed events (links + schedule stages), order-insensitive multiset
+    dis = eng.store.read_events(spark, "disallowed").collect()
+    got_dis = sorted((r["url"], r["reason"]) for r in dis)
+    want_dis = sorted((e.url, e.reason) for e in sim.disallowed
+                      if e.stage in ("links", "schedule"))
+    assert got_dis == want_dis
+
+    if check_text:
+        # byte-identical text per url (vs the golden corpus text column)
+        corpus = {r["url"]: r["text"] for r in
+                  spark.read.parquet(eng.corpus_path)
+                  .select("url", "text").collect()}
+        for r in rows:
+            if r["links_extracted"] > 0 or (r["status"] == 200 and r["url"] in corpus):
+                if r["text_md5"] and r["url"] in corpus:
+                    want_md5 = hashlib.md5(
+                        corpus[r["url"]].encode("utf-8")).hexdigest()
+                    if r["status"] == 200:
+                        assert r["text_md5"] == want_md5, r["url"]
+
+
+class TestParityDefaults:
+    def test_default_config(self, spark, tiny_corpus_dir, tmp_path):
+        cfg = CrawlConfig()
+        eng = run_engine(spark, cfg, tiny_corpus_dir, tmp_path)
+        assert_parity(spark, eng, simulator_result(cfg))
+
+
+class TestParityRobots:
+    def test_robots_enabled(self, spark, tiny_corpus_dir, tmp_path):
+        cfg = CrawlConfig(is_respect_robots_dot_text_enabled=True)
+        eng = run_engine(spark, cfg, tiny_corpus_dir, tmp_path)
+        assert_parity(spark, eng, simulator_result(cfg))
+
+
+class TestParityBudgets:
+    def test_max_pages(self, spark, tiny_corpus_dir, tmp_path):
+        cfg = CrawlConfig(max_pages_to_crawl=11)
+        eng = run_engine(spark, cfg, tiny_corpus_dir, tmp_path)
+        assert_parity(spark, eng, simulator_result(cfg))
+
+    def test_max_depth(self, spark, tiny_corpus_dir, tmp_path):
+        cfg = CrawlConfig(max_crawl_depth=2)
+        eng = run_engine(spark, cfg, tiny_corpus_dir, tmp_path)
+        assert_parity(spark, eng, simulator_result(cfg))
+
+    def test_per_domain_cap(self, spark, tiny_corpus_dir, tmp_path):
+        cfg = CrawlConfig(max_pages_to_crawl_per_domain=5,
+                          is_external_page_crawling_enabled=True)
+        eng = run_engine(spark, cfg, tiny_corpus_dir, tmp_path)
+        assert_parity(spark, eng, simulator_result(cfg))
+
+    def test_max_links_per_page(self, spark, tiny_corpus_dir, tmp_path):
+        cfg = CrawlConfig(max_links_per_page=2)
+        eng = run_engine(spark, cfg, tiny_corpus_dir, tmp_path)
+        assert_parity(spark, eng, simulator_result(cfg))
+
+
+class TestParityRetries:
+    def test_retries(self, spark, tiny_corpus_dir, tmp_path):
+        cfg = CrawlConfig(max_retry_count=2)
+        eng = run_engine(spark, cfg, tiny_corpus_dir, tmp_path)
+        assert_parity(spark, eng, simulator_result(cfg))
+
+    def test_retries_with_budget(self, spark, tiny_corpus_dir, tmp_path):
+        cfg = CrawlConfig(max_retry_count=1, max_pages_to_crawl=15)
+        eng = run_engine(spark, cfg, tiny_corpus_dir, tmp_path)
+        assert_parity(spark, eng, simulator_result(cfg))
+
+
+class TestParityExternal:
+    def test_external_crawling(self, spark, tiny_corpus_dir, tmp_path):
+        cfg = CrawlConfig(is_external_page_crawling_enabled=True,
+                          is_external_page_links_crawling_enabled=True,
+                          max_pages_to_crawl=60)
+        eng = run_engine(spark, cfg, tiny_corpus_dir, tmp_path)
+        assert_parity(spark, eng, simulator_result(cfg))
+
+
+class TestResume:
+    def test_resume_mid_frontier(self, spark, tiny_corpus_dir, tmp_path):
+        cfg = CrawlConfig()
+        # uninterrupted reference run
+        eng_full = run_engine(spark, cfg, tiny_corpus_dir, tmp_path / "full")
+        # interrupted: 2 rounds, then a fresh engine resumes from checkpoint
+        eng_a = CrawlEngine(
+            spark, cfg,
+            corpus_path=f"{tiny_corpus_dir}/corpus.parquet",
+            corpus_meta_path=f"{tiny_corpus_dir}/corpus_meta.parquet",
+            store_root=str(tmp_path / "interrupted" / "state"),
+            robots_path=f"{tiny_corpus_dir}/robots.parquet")
+        eng_a.seed([SEED])
+        eng_a.run(max_rounds=2)
+        eng_b = CrawlEngine.resume(
+            spark, cfg,
+            corpus_path=f"{tiny_corpus_dir}/corpus.parquet",
+            corpus_meta_path=f"{tiny_corpus_dir}/corpus_meta.parquet",
+            store_root=str(tmp_path / "interrupted" / "state"),
+            robots_path=f"{tiny_corpus_dir}/robots.parquet")
+        eng_b.run(max_rounds=100)
+
+        full = [(r["url"], r["status"], r["depth"], r["crawl_order"])
+                for r in engine_crawled(spark, eng_full)]
+        resumed = [(r["url"], r["status"], r["depth"], r["crawl_order"])
+                   for r in engine_crawled(spark, eng_b)]
+        assert full == resumed
+        assert ({r["url_hash"] for r in eng_full._read_seen().collect()}
+                == {r["url_hash"] for r in eng_b._read_seen().collect()})
