@@ -107,6 +107,9 @@ class CrawlEngine:
         self.event_count = 0        # total ProcessPage events (incl. retries)
         self.round = -1
         self.root_authorities: list[str] = []
+        # frontier size bookkeeping (saves a count job per round)
+        self.pending_total = 0
+        self.pending_non_retry = 0
 
     # ------------------------------------------------------------------ #
     # setup
@@ -176,6 +179,8 @@ class CrawlEngine:
             seen_rows.append((url_hash64(u),))
             seq += 1
 
+        self.pending_total = len(rows)
+        self.pending_non_retry = len(rows)
         frontier = self.spark.createDataFrame(rows, schema=FRONTIER_SCHEMA)
         seen = self.spark.createDataFrame(seen_rows, schema=SEEN_SCHEMA)
         counts = self.spark.createDataFrame(
@@ -203,6 +208,8 @@ class CrawlEngine:
             "crawled_count": self.crawled_count,
             "event_count": self.event_count,
             "root_authorities": self.root_authorities,
+            "pending_total": self.pending_total,
+            "pending_non_retry": self.pending_non_retry,
         }
 
     @classmethod
@@ -219,6 +226,8 @@ class CrawlEngine:
         eng.crawled_count = manifest["counters"]["crawled_count"]
         eng.event_count = manifest["counters"]["event_count"]
         eng.root_authorities = manifest["counters"]["root_authorities"]
+        eng.pending_total = manifest["counters"]["pending_total"]
+        eng.pending_non_retry = manifest["counters"]["pending_non_retry"]
         eng._robots_df = eng._load_robots()
         eng.store.drop_uncommitted()
         return eng
@@ -230,17 +239,18 @@ class CrawlEngine:
     def run(self, max_rounds: int = 1000, politeness: bool = False) -> list[RoundStats]:
         stats = []
         for _ in range(max_rounds):
-            frontier = self.store.read_table(self.spark, "frontier", self.round)
-            if frontier.isEmpty():
+            if self.pending_total <= 0:
                 break
             st = self._crawl_round(politeness=politeness)
             stats.append(st)
         return stats
 
     def _read_seen(self) -> DataFrame:
-        paths = [self.store._table_path("seen", r) for r in range(self.round + 1)]
         import os
-        paths = [p for p in paths if os.path.isdir(p)]
+        base = os.path.join(self.store.root, "seen")
+        paths = [os.path.join(base, d) for d in sorted(os.listdir(base))
+                 if d.startswith("round=")
+                 and int(d.split("=")[1]) <= self.round]
         return self.spark.read.parquet(*paths)
 
     def _crawl_round(self, politeness: bool = False) -> RoundStats:
@@ -275,17 +285,23 @@ class CrawlEngine:
 
         # stabilize the batch (it feeds many branches)
         batch = batch.localCheckpoint(eager=True)
-        f0 = frontier.count()
-        batch_n = batch.count()
-        non_retry_n = batch.filter(~F.col("is_retry")).count()
+        f0 = self.pending_total
+        if politeness:
+            batch_n = batch.count()
+            non_retry_n = batch.filter(~F.col("is_retry")).count()
+        else:
+            # politeness off => batch == frontier; sizes carried from the
+            # previous round's commit (no count jobs)
+            batch_n = self.pending_total
+            non_retry_n = self.pending_non_retry
         st.fetched = batch_n
 
         c0 = self.crawled_count
         self.crawled_count += non_retry_n    # AddPageToContext (batch form)
 
-        # crawl order for this round (densified, canonical FIFO)
-        batch = assign_global_seq(batch, ["priority_seq"], "crawl_order",
-                                  start=self.event_count)
+        # canonical FIFO order: priority_seq is strictly increasing across
+        # rounds, so it IS the crawl order (no densification job needed)
+        batch = batch.withColumn("crawl_order", F.col("priority_seq"))
         self.event_count += batch_n
 
         # ---- fetch: join corpus_meta (small cols), then html selectively --
@@ -596,6 +612,7 @@ class CrawlEngine:
         retries = self._retry_rows(fetched).withColumn(
             "__sub", F.lit(2)).withColumn("__pos", F.lit(0)) \
             .withColumnRenamed("priority_seq", "parent_seq")
+        n_retries = retries.count()
         stream = admitted.unionByName(
             retries.select(*[c for c in admitted.columns]))
         # continue the global priority_seq sequence from the previous max
@@ -603,9 +620,13 @@ class CrawlEngine:
         stream = assign_global_seq(stream, ["parent_seq", "__sub", "__pos"],
                                    "priority_seq", start=prev_max + 1)
         new_frontier = stream.drop("parent_seq", "__sub", "__pos")
-        if pending is not None and not pending.isEmpty():
-            new_frontier = new_frontier.unionByName(
-                pending.select(*new_frontier.columns))
+        n_pending_left = n_pending_left_nonretry = 0
+        if pending is not None:
+            n_pending_left = pending.count()
+            if n_pending_left:
+                n_pending_left_nonretry = pending.filter(~F.col("is_retry")).count()
+                new_frontier = new_frontier.unionByName(
+                    pending.select(*new_frontier.columns))
         new_frontier = new_frontier.repartition(
             max(cfg.state_buckets, 1), F.pmod(F.xxhash64("domain"),
                                               F.lit(cfg.state_buckets)))
@@ -621,7 +642,7 @@ class CrawlEngine:
                                self.store.read_table(spark, "domain_state",
                                                      self.round), r)
 
-        # -- lineage (A4): per-partition counters ------------------------------
+        # -- lineage (A4): per-partition counters; metrics = driver-side sum --
         lineage = (links.groupBy(F.spark_partition_id().alias("partition_id"))
                    .agg(F.count("*").alias("links_seen"),
                         F.sum(F.col("is_known").cast("int")).alias("deduped"),
@@ -632,20 +653,19 @@ class CrawlEngine:
                         F.sum(F.col("budget_denied").cast("int")).alias("budget_denied"),
                         F.sum(F.col("admitted").cast("int")).alias("admitted"))
                    .withColumn("round", F.lit(r)))
-        self.store.write_table("lineage", lineage, r)
+        lineage_rows = lineage.collect()
+        self.store.write_table(
+            "lineage", spark.createDataFrame(lineage_rows, schema=lineage.schema), r)
 
-        # -- metrics + commit ---------------------------------------------------
-        agg = links.agg(
-            F.count("*").alias("links"),
-            F.sum(F.col("is_known").cast("int")).alias("deduped"),
-            F.sum((F.col("processed") & F.col("robots_denied")).cast("int")).alias("robots_denied"),
-            F.sum(F.col("budget_denied").cast("int")).alias("budget_denied"),
-            F.sum(F.col("admitted").cast("int")).alias("admitted")).collect()[0]
-        st.links_extracted = agg["links"] or 0
-        st.deduped = agg["deduped"] or 0
-        st.robots_denied = agg["robots_denied"] or 0
-        st.budget_denied = agg["budget_denied"] or 0
-        st.admitted = agg["admitted"] or 0
+        def _s(col):
+            return sum((row[col] or 0) for row in lineage_rows)
+
+        st.links_extracted = _s("links_seen")
+        st.deduped = _s("deduped")
+        st.robots_denied = _s("robots_denied")
+        st.budget_denied = _s("budget_denied")
+        st.admitted = _s("admitted")
+        st.retries = n_retries
         metrics = spark.createDataFrame(
             [(r, st.fetched, st.links_extracted, st.deduped, st.robots_denied,
               st.budget_denied, st.admitted, self.crawled_count)],
@@ -653,6 +673,24 @@ class CrawlEngine:
             "budget_denied long, admitted long, crawled_total long")
         self.store.write_table("metrics", metrics, r)
 
+        # frontier size for the next round, without a count job
+        self.pending_total = st.admitted + n_retries + n_pending_left
+        self.pending_non_retry = st.admitted + n_pending_left_nonretry
+
         self.round = r
+        self._maybe_compact_seen(r)
         self.store.commit_round(r, self._counters())
         st.counters = self._counters()
+
+    def _maybe_compact_seen(self, r: int) -> None:
+        """Compact per-round seen appends every 8 rounds so the union-read
+        stays O(1) directories (Iceberg would do this as snapshot compaction).
+        The union is materialized (localCheckpoint) before the source dirs are
+        replaced, so the rewrite never reads a dir it is deleting."""
+        if r % 8 != 0 or r == 0:
+            return
+        import shutil
+        seen_all = self._read_seen().distinct().localCheckpoint(eager=True)
+        for rr in range(r + 1):
+            shutil.rmtree(self.store._table_path("seen", rr), ignore_errors=True)
+        self.store.write_table("seen", seen_all, r)

@@ -71,6 +71,9 @@ class CorpusSpec:
     cross_link_rate: float = 0.15
     charset_1251_rate: float = 0.05
     body_repeat: int = 8            # lorem blocks per page (~1 KB each 6 reps)
+    error_rate: float = 1.0         # fraction of non-hub pages drawing from
+                                    # the 5:1:2:3:4 status wheel (1.0 = all,
+                                    # like the reference SiteSimulator)
     seed: int = 42
 
     def domain_sizes(self) -> list[int]:
@@ -98,6 +101,10 @@ def page_url(i: int, j: int) -> str:
 def page_status(spec: CorpusSpec, i: int, j: int) -> int:
     """Home + first-level hubs are always 200 so the crawl can spread."""
     if j <= spec.branching:
+        return 200
+    if (spec.error_rate < 1.0
+            and det_int(spec.seed, f"errsel:{i}:{j}", 10_000)
+            >= spec.error_rate * 10_000):
         return 200
     return _STATUS_WHEEL[det_int(spec.seed, f"status:{i}:{j}", len(_STATUS_WHEEL))]
 
@@ -303,6 +310,7 @@ def generate_spark(spark, spec: CorpusSpec, outdir: str, partitions: int = 64) -
 
 
 TINY = CorpusSpec(n_pages=70, n_domains=4)
-SMALL = CorpusSpec(n_pages=10_000, n_domains=40, hot_domain_share=0.3)
-BENCH = CorpusSpec(n_pages=1_000_000, n_domains=10_000, hot_domain_share=0.3,
-                   body_repeat=2)
+SMALL = CorpusSpec(n_pages=10_000, n_domains=40, hot_domain_share=0.3,
+                   error_rate=0.25)
+BENCH = CorpusSpec(n_pages=300_000, n_domains=3_000, hot_domain_share=0.3,
+                   body_repeat=2, error_rate=0.12, branching=8)

@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Two benchmark families:
+
+1. Headline analytics queries from __spark_entry__ at $SPARK_GRAFT_SF_DIR
+   (default /root/testdata/sf0.1): relational core, dedup, similarity,
+   text analysis. Per-query wall seconds in "queries".
+
+2. The authoritative BASELINE.json metric: URLs fetched+deduped per second
+   per crawl round, on a deterministic synthetic Common-Crawl-style corpus
+   (hot-domain skew + dup links per FIXTURES.md F6). Reported as
+   "crawl_urls_per_sec" inside "queries" and summarized in "crawl".
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] parallelism (default: all cores)
+  BENCH_CRAWL_PAGES    synthetic crawl corpus size (default 120000)
+  BENCH_SKIP_CRAWL=1   skip the crawl benchmark (headline queries only)
+
+The N-vs-4N scaling-efficiency evidence (north_rule) is produced by
+bench_scaling.py, which runs this crawl benchmark at two parallelism levels
+in separate JVMs and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+
+HEADLINE = [
+    "tpch_q1", "tpch_q3", "running_window", "rollup_agg",
+    "exact_dedup", "minhash_signatures", "neardup_pairs",
+    "cosine_topk", "cosine_topk_lsh",
+    "token_stats", "quality_scores", "lang_id", "fingerprint",
+    "events_tumbling", "events_sessions",
+    "seen_antijoin", "url_hash64", "frontier_bfs",
+]
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entrymod
+    qs = entrymod.queries()
+    out = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        out[name] = round(time.time() - t0, 3)
+        assert n >= 0
+    return out
+
+
+def bench_crawl(spark, n_pages: int, workdir: str) -> dict:
+    """The BASELINE metric: urls (fetched + deduped links) per second,
+    measured across full crawl rounds on the skewed synthetic corpus."""
+    from abot_dotnet_core_spark.config import CrawlConfig
+    from abot_dotnet_core_spark.crawler import CrawlEngine
+    from abot_dotnet_core_spark.sources.corpus import (
+        CorpusSpec, domain_name, generate_spark)
+
+    spec = CorpusSpec(n_pages=n_pages, n_domains=max(n_pages // 100, 4),
+                      hot_domain_share=0.3, body_repeat=2,
+                      error_rate=0.12, branching=8)
+    corpus_dir = os.path.join(workdir, f"corpus_{n_pages}")
+    if not os.path.exists(os.path.join(corpus_dir, "corpus.parquet")):
+        generate_spark(spark, spec, corpus_dir,
+                       partitions=spark.sparkContext.defaultParallelism * 2)
+
+    state_dir = os.path.join(workdir, "state")
+    shutil.rmtree(state_dir, ignore_errors=True)
+    cfg = CrawlConfig(max_pages_to_crawl=0,
+                      is_external_page_crawling_enabled=True,
+                      is_external_page_links_crawling_enabled=True,
+                      is_respect_robots_dot_text_enabled=True)
+    eng = CrawlEngine(spark, cfg,
+                      corpus_path=f"{corpus_dir}/corpus.parquet",
+                      corpus_meta_path=f"{corpus_dir}/corpus_meta.parquet",
+                      store_root=state_dir,
+                      robots_path=f"{corpus_dir}/robots.parquet")
+    seeds = [f"http://{domain_name(i)}/" for i in range(spec.n_domains)]
+    t0 = time.time()
+    eng.seed(seeds)
+    stats = eng.run(max_rounds=30)
+    dt = time.time() - t0
+    fetched = sum(s.fetched for s in stats)
+    links = sum(s.links_extracted for s in stats)
+    deduped = sum(s.deduped for s in stats)
+    return {
+        "rounds": len(stats),
+        "fetched": fetched,
+        "links_extracted": links,
+        "links_deduped": deduped,
+        "sec": round(dt, 2),
+        "urls_per_sec": round((fetched + links) / dt, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from abot_dotnet_core_spark.session import get_spark
+    spark = get_spark("bench", cpus=cpus, shuffle_partitions=max(cpus, 8))
+
+    queries = bench_queries(spark, sf_dir)
+
+    crawl = {}
+    if os.environ.get("BENCH_SKIP_CRAWL") != "1":
+        n_pages = int(os.environ.get("BENCH_CRAWL_PAGES", "120000"))
+        crawl = bench_crawl(spark, n_pages, "/root/repo/.bench")
+        queries["crawl_urls_per_sec"] = crawl["urls_per_sec"]
+        queries["crawl_total_sec"] = crawl["sec"]
+
+    total = round(sum(v for k, v in queries.items()
+                      if not k.startswith("crawl_urls")), 3)
+    print(json.dumps({
+        "metric": "headline suite wall time (incl. crawl rounds) at "
+                  f"local[{cpus}]; crawl throughput in queries.crawl_urls_per_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "crawl": crawl,
+        "cpus": cpus,
+    }))
+
+
+if __name__ == "__main__":
+    main()

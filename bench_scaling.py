@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence for the north_rule: the same crawl job at two
+parallelism levels (local[N] vs local[4N], separate JVMs), throughput at both
+and efficiency = (throughput@4N / throughput@N) / 4. Writes BENCH/BASELINE.md.
+
+No real cluster exists in this sandbox; local[N] task slots are the stand-in
+for N executors (each task slot runs the same shuffle/scan/UDF work an
+executor core would).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+N = int(os.environ.get("SCALE_N", "8"))
+PAGES = int(os.environ.get("BENCH_CRAWL_PAGES", "120000"))
+
+
+def run_at(cpus: int) -> dict:
+    env = dict(os.environ,
+               SPARK_GRAFT_CPUS=str(cpus),
+               BENCH_CRAWL_PAGES=str(PAGES),
+               BENCH_SKIP_QUERIES="1")
+    code = (
+        "import os, json\n"
+        "from abot_dotnet_core_spark.session import get_spark\n"
+        "import bench\n"
+        f"spark = get_spark('scale', cpus={cpus}, shuffle_partitions={max(cpus, 8)})\n"
+        f"res = bench.bench_crawl(spark, {PAGES}, '/root/repo/.bench')\n"
+        "print('SCALERESULT ' + json.dumps(res))\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, cwd="/root/repo",
+                         timeout=3600)
+    for line in out.stdout.splitlines():
+        if line.startswith("SCALERESULT "):
+            return json.loads(line[len("SCALERESULT "):])
+    raise RuntimeError(f"no result at cpus={cpus}:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    lo = run_at(N)
+    hi = run_at(4 * N)
+    eff = (hi["urls_per_sec"] / lo["urls_per_sec"]) / 4
+    report = f"""# BENCH — crawl-round throughput scaling (N vs 4N parallelism)
+
+Metric (BASELINE.json): URLs fetched+deduped/sec per crawl round on a
+Common-Crawl-style frontier; scaling efficiency >= 0.8 from N to 4N.
+
+Sandbox evidence: the same crawl job (same {PAGES}-page deterministic corpus,
+hot-domain skew 30%, robots + politeness semantics on) in two separate JVMs.
+
+| parallelism | rounds | fetched | links extracted | deduped | wall sec | URLs/sec |
+|---|---|---|---|---|---|---|
+| local[{N}]  | {lo['rounds']} | {lo['fetched']} | {lo['links_extracted']} | {lo['links_deduped']} | {lo['sec']} | {lo['urls_per_sec']} |
+| local[{4*N}] | {hi['rounds']} | {hi['fetched']} | {hi['links_extracted']} | {hi['links_deduped']} | {hi['sec']} | {hi['urls_per_sec']} |
+
+**Scaling efficiency (throughput@4N / throughput@N) / 4 = {eff:.3f}**
+(target >= 0.8 — note that per-round fixed costs (job scheduling, snapshot
+commit) do not shrink with cores, so efficiency rises with corpus size;
+at 10^10-URL scale rounds are minutes long and the fixed cost vanishes.)
+
+Raw JSON:
+```json
+{json.dumps({'N': N, 'lo': lo, 'hi': hi, 'efficiency': round(eff, 4)}, indent=2)}
+```
+"""
+    os.makedirs("/root/repo/BENCH", exist_ok=True)
+    with open("/root/repo/BENCH/BASELINE.md", "w") as f:
+        f.write(report)
+    print(json.dumps({"N": N, "lo": lo, "hi": hi, "efficiency": round(eff, 4)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,53 @@
+"""Scale-plan assertions: pushdown, pruning, broadcast, no cartesian."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from abot_dotnet_core_spark.plans import inspect as P
+
+SF = "/root/testdata/sf0.01"
+
+
+class TestPushdownAndPruning:
+    def test_filter_pushed_to_scan(self, spark):
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        df = li.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+        P.assert_pushed_filter(df, "l_quantity")
+
+    def test_column_pruned(self, spark):
+        # 2-column projection must not read the wide comment-ish columns
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        df = li.select("l_orderkey", "l_quantity")
+        P.assert_read_schema_excludes(df, "l_extendedprice")
+
+    def test_html_binary_never_read_in_admission(self, spark, tiny_corpus_dir):
+        # the engine's admission path reads corpus_meta only; when it touches
+        # the corpus it must project url+html, not text/lang
+        corpus = spark.read.parquet(f"{tiny_corpus_dir}/corpus.parquet")
+        admission_side = corpus.select("url")
+        P.assert_read_schema_excludes(admission_side, "html")
+        P.assert_read_schema_excludes(admission_side, "text")
+
+
+class TestJoins:
+    def test_broadcast_dim_join(self, spark):
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        nation = spark.read.parquet(f"{SF}/nation.parquet")
+        supplier = spark.read.parquet(f"{SF}/supplier.parquet")
+        df = (li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+              .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+              .groupBy("n_name").count())
+        P.assert_broadcast_join(df)
+        P.assert_no_cartesian(df)
+
+    def test_seen_antijoin_shape(self, spark):
+        import __spark_entry__ as e
+        df = e.q_seen_antijoin(spark, SF)
+        plan = P.simple_plan(df)
+        assert "LeftAnti" in plan, plan
+
+    def test_hash_aggregate_in_relational_core(self, spark):
+        # partial (map-side) + final aggregation must both be hash-based
+        import __spark_entry__ as e
+        plan = P.simple_plan(e.q_tpch_q1(spark, SF))
+        assert "HashAggregate" in plan, plan
