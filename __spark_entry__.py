@@ -530,33 +530,45 @@ SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5"""
 
 
 def q_cosine_topk_lsh(spark, sf_dir):
-    """Random-hyperplane LSH-bucketed ANN top-k (the at-scale path)."""
+    """Random-hyperplane LSH-bucketed ANN top-k (the at-scale path):
+    2 bands of 4 planes, candidate = same sub-signature in any band."""
     from abot_dotnet_core_spark.functions.similarity import lsh_topk
     emb = _read(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, _queries_df(spark, sf_dir), k=5, n_planes=6, dim=64)
+    return lsh_topk(emb, _queries_df(spark, sf_dir), k=5,
+                    n_planes=8, bands=2, dim=64)
 
 
 def sql_cosine_topk_lsh():
     from abot_dotnet_core_spark.functions.similarity import hyperplanes
-    planes = hyperplanes(64, 6)
-    bit_exprs = []
-    for p in planes:
-        arr = "[" + ",".join(f"{x!r}" for x in p) + "]::double[]"
-        bit_exprs.append(
-            f"CASE WHEN list_dot_product(embedding::double[], {arr}) >= 0 "
-            "THEN '1' ELSE '0' END")
-    sig = " || ".join(bit_exprs)
+    planes = hyperplanes(64, 8)
+
+    def sig(plane_slice):
+        bits = []
+        for p in plane_slice:
+            arr = "[" + ",".join(f"{x!r}" for x in p) + "]::double[]"
+            bits.append(
+                f"CASE WHEN list_dot_product(embedding::double[], {arr}) >= 0 "
+                "THEN '1' ELSE '0' END")
+        return " || ".join(bits)
+
     return f"""
-WITH sigs AS (SELECT vec_id, embedding, {sig} AS sig FROM embeddings),
-q AS (SELECT vec_id AS q_id, embedding AS q_vec, sig FROM sigs WHERE vec_id < 5),
-joined AS (
-  SELECT q.q_id, s.vec_id,
-         round(list_cosine_similarity(s.embedding::double[], q.q_vec::double[]), 6) AS cosine
-  FROM sigs s JOIN q ON s.sig = q.sig WHERE s.vec_id <> q.q_id),
+WITH sigs AS (
+  SELECT vec_id, embedding, {sig(planes[:4])} AS sig0, {sig(planes[4:])} AS sig1
+  FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec, sig0, sig1
+      FROM sigs WHERE vec_id < 5),
+cand AS (
+  SELECT DISTINCT s.vec_id, s.embedding, q.q_id, q.q_vec
+  FROM sigs s JOIN q ON (s.sig0 = q.sig0 OR s.sig1 = q.sig1)
+  WHERE s.vec_id <> q.q_id),
+scored AS (
+  SELECT q_id, vec_id,
+         round(list_cosine_similarity(embedding::double[], q_vec::double[]), 6) AS cosine
+  FROM cand),
 ranked AS (
   SELECT q_id, vec_id, cosine,
          row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
-  FROM joined)
+  FROM scored)
 SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5"""
 
 

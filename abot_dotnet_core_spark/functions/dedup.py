@@ -133,7 +133,8 @@ def simhash64_udf(texts: pd.Series) -> pd.Series:
             (int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
              for tok in toks), dtype=np.uint64, count=len(toks))
         bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
-        votes = bits.sum(axis=0) * 2 - len(toks)   # +1/-1 majority
+        # signed arithmetic — uint64 would wrap for negative vote totals
+        votes = bits.sum(axis=0).astype(np.int64) * 2 - len(toks)  # ±1 majority
         sim = np.uint64(0)
         for j in np.nonzero(votes > 0)[0]:
             sim |= np.uint64(1) << np.uint64(j)

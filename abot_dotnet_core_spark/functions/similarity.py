@@ -77,17 +77,35 @@ def lsh_signature_col(vec_col, planes: list[list[float]]):
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
-             n_planes: int = 8, dim: int = 64,
+             n_planes: int = 8, bands: int = 4, dim: int = 64,
              id_col: str = "vec_id", vec_col: str = "embedding",
              q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
-    """Approximate top-k: candidates share the full LSH signature bucket; the
-    scale path replaces the cross join with an equi-join on the signature."""
+    """Approximate top-k with banded OR-amplification: the planes are split
+    into ``bands`` groups; a corpus vector is a candidate if it matches the
+    query's sub-signature in ANY band. The scale path: the cross join becomes
+    an equi-join on (band, sub_signature) — only bucket-mates shuffle."""
     from pyspark.sql import Window as W
     planes = hyperplanes(dim, n_planes)
-    c = corpus.withColumn("sig", lsh_signature_col(F.col(vec_col), planes))
-    q = queries.withColumn("sig", lsh_signature_col(F.col(q_vec_col), planes))
-    joined = c.join(F.broadcast(q), "sig").filter(F.col(id_col) != F.col(q_id_col))
-    scored = joined.withColumn(
+    per_band = max(n_planes // bands, 1)
+
+    def banded(df, vcol):
+        band_cols = []
+        for b in range(bands):
+            sub = planes[b * per_band: (b + 1) * per_band]
+            band_cols.append(F.struct(
+                F.lit(b).alias("band"),
+                lsh_signature_col(F.col(vcol), sub).alias("sig")))
+        return (df.withColumn("bb", F.explode(F.array(*band_cols)))
+                .withColumn("band", F.col("bb.band"))
+                .withColumn("sig", F.col("bb.sig")).drop("bb"))
+
+    c = banded(corpus, vec_col)
+    q = banded(queries, q_vec_col)
+    cand = (c.join(F.broadcast(q), ["band", "sig"])
+            .filter(F.col(id_col) != F.col(q_id_col))
+            .select(id_col, vec_col, q_id_col, q_vec_col)
+            .dropDuplicates([id_col, q_id_col]))
+    scored = cand.withColumn(
         "cosine", F.round(cosine_col(F.col(vec_col), F.col(q_vec_col)), 6))
     w = W.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))

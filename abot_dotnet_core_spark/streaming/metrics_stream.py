@@ -19,9 +19,11 @@ from pyspark.sql import DataFrame, functions as F
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour",
                     watermark: str = "10 minutes") -> DataFrame:
-    src = events
+    # watermarks require TIMESTAMP (not NTZ); session tz is UTC so the cast
+    # is value-preserving
+    src = events.withColumn("ts", F.col("ts").cast("timestamp"))
     if events.isStreaming:
-        src = events.withWatermark("ts", watermark)
+        src = src.withWatermark("ts", watermark)
     return (src.groupBy(F.window("ts", window).alias("w"), "event_type")
             .agg(F.count("*").alias("n_events"),
                  F.round(F.sum("value"), 6).alias("sum_value"))

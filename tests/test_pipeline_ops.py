@@ -1,0 +1,194 @@
+"""Training-data pipeline operator tests: dedup, similarity, multimodal
+plumbing, streaming windows — including pure-Python oracles for the
+non-SQL-expressible ops (simhash)."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+class TestExactDedup:
+    def test_duplicates_collapse(self, spark):
+        from abot_dotnet_core_spark.functions.dedup import exact_dedup
+        df = spark.createDataFrame(
+            [(1, "Hello  World"), (2, "hello world"), (3, "other text")],
+            "doc_id long, text string")
+        rows = {r["keep_id"]: r["n_dups"] for r in exact_dedup(df).collect()}
+        assert rows == {1: 2, 3: 1}
+
+
+class TestMinhash:
+    def test_identical_docs_same_signature(self, spark):
+        from abot_dotnet_core_spark.functions.dedup import minhash_signatures
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "x y z w v u t")],
+            "doc_id long, text string")
+        sigs = {r["doc_id"]: tuple(r[f"mh_{i}"] for i in range(4))
+                for r in minhash_signatures(df, k=4).collect()}
+        assert sigs[1] == sigs[2]
+        assert sigs[1] != sigs[3]
+
+    def test_short_docs_skipped(self, spark):
+        from abot_dotnet_core_spark.functions.dedup import minhash_signatures
+        df = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
+        assert minhash_signatures(df, k=4).count() == 0
+
+    def test_lsh_finds_near_dups(self, spark):
+        from abot_dotnet_core_spark.functions.dedup import (
+            jaccard_pairs, lsh_candidate_pairs, minhash_signatures)
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        df = spark.createDataFrame(
+            [(1, base), (2, base + " extra"), (3, "completely different words "
+              "nothing shared here at all believe me")],
+            "doc_id long, text string")
+        sigs = minhash_signatures(df, k=4)
+        pairs = lsh_candidate_pairs(sigs, k=4, bands=2)
+        verified = jaccard_pairs(df, pairs, threshold=0.5).collect()
+        ids = {(r["id_a"], r["id_b"]) for r in verified}
+        assert (1, 2) in ids
+        assert all(3 not in p for p in ids)
+
+
+class TestSimhash:
+    def _py_simhash(self, text: str) -> int:
+        toks = text.split()
+        votes = [0] * 64
+        for tok in toks:
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            for j in range(64):
+                votes[j] += 1 if (h >> j) & 1 else -1
+        v = 0
+        for j in range(64):
+            if votes[j] > 0:
+                v |= 1 << j
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    def test_matches_python_oracle(self, spark):
+        from abot_dotnet_core_spark.functions.dedup import simhash64_udf
+        docs = spark.read.parquet(f"{SF}/documents.parquet").limit(30)
+        got = {r["doc_id"]: r["sh"] for r in docs.select(
+            "doc_id", simhash64_udf(F.col("text")).alias("sh")).collect()}
+        want = {r["doc_id"]: self._py_simhash(r["text"])
+                for r in docs.collect()}
+        assert got == want
+
+    def test_near_docs_close_hamming(self, spark):
+        from abot_dotnet_core_spark.functions.dedup import simhash_hamming_pairs
+        base = " ".join(f"word{i}" for i in range(60))
+        df = spark.createDataFrame(
+            [(1, base), (2, base + " tail"), (3, " ".join(
+                f"other{i}" for i in range(60)))],
+            "doc_id long, text string")
+        pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+                 for r in simhash_hamming_pairs(df, max_hamming=10,
+                                                prefix_bits=4).collect()}
+        assert (1, 2) in pairs and pairs[(1, 2)] <= 5
+
+
+class TestSimilarity:
+    def test_brute_force_matches_numpy(self, spark):
+        from abot_dotnet_core_spark.functions.similarity import brute_force_topk
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        q = (emb.filter(F.col("vec_id") < 2)
+             .select(F.col("vec_id").alias("q_id"),
+                     F.col("embedding").alias("q_vec")))
+        got = brute_force_topk(emb, q, k=3).collect()
+
+        rows = emb.collect()
+        vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+                for r in rows}
+        for q_id in (0, 1):
+            qv = vecs[q_id]
+            sims = sorted(
+                ((round(float(np.dot(v, qv) / (np.linalg.norm(v) * np.linalg.norm(qv))), 6), vid)
+                 for vid, v in vecs.items() if vid != q_id),
+                key=lambda t: (-t[0], t[1]))[:3]
+            want_ids = [vid for _, vid in sims]
+            got_ids = [r["vec_id"] for r in sorted(
+                (g for g in got if g["q_id"] == q_id), key=lambda r: r["rank"])]
+            assert got_ids == want_ids, (q_id, got_ids, want_ids)
+
+    def test_lsh_recall_reasonable(self, spark):
+        from abot_dotnet_core_spark.functions.similarity import (
+            brute_force_topk, lsh_topk)
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        q = (emb.filter(F.col("vec_id") < 5)
+             .select(F.col("vec_id").alias("q_id"),
+                     F.col("embedding").alias("q_vec")))
+        exact = {(r["q_id"], r["vec_id"])
+                 for r in brute_force_topk(emb, q, k=3).collect()}
+        approx = {(r["q_id"], r["vec_id"])
+                  for r in lsh_topk(emb, q, k=3, n_planes=4, dim=64).collect()}
+        # approximate: same-bucket neighbors should recover a decent fraction
+        assert len(exact & approx) >= len(exact) * 0.2
+
+
+class TestMultimodal:
+    def test_meta_pass(self, spark):
+        from abot_dotnet_core_spark.functions.multimodal import with_media_meta
+        df = spark.createDataFrame(
+            [(1, bytearray(b"\xff\xd8\xffrest")), (2, bytearray(b"\x89PNG\r\n\x1a\nxx")),
+             (3, bytearray(b"plain")), (4, None)],
+            "media_id long, payload binary")
+        rows = {r["media_id"]: r for r in with_media_meta(df).collect()}
+        assert rows[1]["mime"] == "image/jpeg"
+        assert rows[2]["mime"] == "image/png"
+        assert rows[3]["mime"] == "application/octet-stream"
+        assert rows[4]["n_bytes"] == 0 and rows[4]["content_md5"] is None
+        assert rows[3]["content_md5"] == hashlib.md5(b"plain").hexdigest()
+
+    def test_feature_stub_deterministic(self, spark):
+        from abot_dotnet_core_spark.functions.multimodal import extract_features
+        df = spark.createDataFrame(
+            [(1, bytearray(b"payload-a")), (2, bytearray(b"payload-a"))],
+            "media_id long, payload binary")
+        rows = {r["media_id"]: r["feature"]
+                for r in extract_features(df, dim=8).collect()}
+        assert rows[1] == rows[2]
+        assert len(rows[1]) == 8
+
+    def test_real_decode_raises(self, spark):
+        from abot_dotnet_core_spark.functions.multimodal import extract_features
+        df = spark.createDataFrame([(1, bytearray(b"x"))],
+                                   "media_id long, payload binary")
+        with pytest.raises(Exception, match="NotImplementedError|decode"):
+            extract_features(df, decode_stub=False).collect()
+
+    def test_frame_sampling_plan(self, spark):
+        from abot_dotnet_core_spark.functions.multimodal import sample_frames
+        df = spark.createDataFrame([(1, 3), (2, 0)],
+                                   "media_id long, duration_s int")
+        rows = {r["media_id"]: r["frame_idx"]
+                for r in sample_frames(df, fps_out=2).collect()}
+        assert rows[1] == [0, 1, 2, 3, 4, 5]
+        assert rows[2] == []
+
+
+class TestStreaming:
+    def test_available_now_stream(self, spark, tmp_path):
+        """Real readStream/writeStream round trip with availableNow trigger;
+        result must equal the batch window aggregation."""
+        import shutil
+        from abot_dotnet_core_spark.streaming.metrics_stream import (
+            stream_tumbling_counts, tumbling_counts)
+        # FileStreamSource needs a directory feed
+        src = str(tmp_path / "feed")
+        import os
+        os.makedirs(src)
+        shutil.copy(f"{SF}/events.parquet", f"{src}/part-0.parquet")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        q = stream_tumbling_counts(spark, src, ckpt, out).start()
+        q.awaitTermination(120)
+        got = spark.read.parquet(out)
+        want = tumbling_counts(spark.read.parquet(src))
+        assert got.count() == want.count()
+        g = {(r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+             for r in got.collect()}
+        w = {(r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+             for r in want.collect()}
+        assert g == w
