@@ -186,9 +186,15 @@ class TestStreaming:
         q.awaitTermination(120)
         got = spark.read.parquet(out)
         want = tumbling_counts(spark.read.parquet(src))
-        assert got.count() == want.count()
         g = {(r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
              for r in got.collect()}
         w = {(r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
              for r in want.collect()}
-        assert g == w
+        # append mode: every emitted window must match the batch result
+        # exactly; windows still above the watermark at end-of-stream are
+        # (correctly) never finalized, so only trailing windows may be absent
+        assert g.items() <= w.items()
+        missing = set(w) - set(g)
+        max_start = max(k[0] for k in w)
+        assert all((max_start - k[0]).total_seconds() <= 2 * 3600
+                   for k in missing), f"non-trailing windows missing: {missing}"
