@@ -99,7 +99,7 @@ class CrawlEngine:
         self.corpus_path = corpus_path
         self.corpus_meta_path = corpus_meta_path
         self.robots_path = robots_path
-        self._extract_links_udf = udfs.make_extract_links_udf(cfg)
+        self._extract_page_udf = udfs.make_extract_page_udf(cfg)
         self._robots_allowed_udf = udfs.make_robots_allowed_udf(
             cfg.robots_dot_text_user_agent_string)
         self._robots_df: DataFrame | None = None
@@ -264,7 +264,7 @@ class CrawlEngine:
 
         # ---- S3 politeness: budgeted per-domain admission ----------------
         if politeness:
-            state = self.store.read_table(spark, "domain_state", r)
+            state = self.store.read_table(spark, "domain_state", 0)
             budget = state.withColumn(
                 "budget",
                 F.when(F.col("delay_ms") <= 0, F.lit(None).cast("long"))
@@ -315,29 +315,30 @@ class CrawlEngine:
 
         fetched = fetched.withColumn("download_reason", DX.should_download_reason(cfg))
 
+        # P8/P9 are row-local and known pre-UDF; P7 (blank text) is checked
+        # inside the fused UDF right after decoding — one Arrow pass total
+        want_links = ((F.col("is_internal")
+                       | F.lit(cfg.is_external_page_links_crawling_enabled))
+                      & (F.col("depth") < cfg.max_crawl_depth))
         corpus = spark.read.parquet(self.corpus_path).select("url", "html")
         downloadable = (fetched.filter(F.col("download_reason").isNull())
                         .join(corpus, "url", "left")
-                        .withColumn("__ext", udfs.extract_text_udf(
-                            F.col("html"), F.col("content_type")))
-                        .withColumn("charset", F.col("__ext.charset"))
-                        .withColumn("text", F.col("__ext.text"))
-                        .drop("__ext", "html"))
+                        .withColumn("__pg", self._extract_page_udf(
+                            F.col("html"), F.col("content_type"), F.col("url"),
+                            want_links, F.lit(None).cast("string")))
+                        .withColumn("charset", F.col("__pg.charset"))
+                        .withColumn("text", F.col("__pg.text"))
+                        .withColumn("parsed_links", F.col("__pg.links"))
+                        .drop("__pg", "html"))
         rest = (fetched.filter(F.col("download_reason").isNotNull())
                 .withColumn("charset", F.lit(None).cast("string"))
-                .withColumn("text", F.lit(None).cast("string")))
+                .withColumn("text", F.lit(None).cast("string"))
+                .withColumn("parsed_links", F.array().cast("array<string>")))
         fetched = downloadable.unionByName(rest)
 
-        # ---- P7-P9 links gate + T1-T4 extraction --------------------------
+        # ---- P7-P9 links gate (golden reason strings) ----------------------
         fetched = fetched.withColumn("links_reason",
                                      DX.should_crawl_page_links_reason(cfg))
-        parse_links = F.col("links_reason").isNull()
-        fetched = fetched.withColumn(
-            "parsed_links",
-            F.when(parse_links, self._extract_links_udf(
-                F.col("text"), F.col("url"), F.lit(None).cast("string"),
-                F.lit(None).cast("string")))
-             .otherwise(F.array().cast("array<string>")))
         fetched = fetched.localCheckpoint(eager=True)
 
         links = (fetched
@@ -552,10 +553,14 @@ class CrawlEngine:
         return links.localCheckpoint(eager=True)
 
     def _retry_rows(self, fetched: DataFrame) -> DataFrame:
-        """P13 — pages re-enqueued with is_retry=true (WebCrawler.cs:702-706)."""
+        """P13 — pages re-enqueued with is_retry=true (WebCrawler.cs:702-706).
+        Statically empty when MaxRetryCount < 1 (no job needed to know)."""
         cfg = self.cfg
+        base = fetched
+        if cfg.max_retry_count < 1:
+            base = fetched.filter(F.lit(False))
         recrawl_reason = DX.should_recrawl_reason(cfg)
-        return (fetched.withColumn("__rc", recrawl_reason)
+        return (base.withColumn("__rc", recrawl_reason)
                 .filter(F.col("__rc").isNull())
                 .select("url", "url_hash", "domain", "scheme", "parent_url",
                         "depth", "is_internal", "retry_count",
@@ -572,6 +577,29 @@ class CrawlEngine:
                              st: RoundStats) -> None:
         spark, cfg = self.spark, self.cfg
         r = self.round + 1
+
+        # -- lineage (A4) first: one pass over the checkpointed links gives
+        # both the per-partition lineage rows and (summed driver-side) the
+        # round metrics — no separate aggregate job
+        lineage = (links.groupBy(F.spark_partition_id().alias("partition_id"))
+                   .agg(F.count("*").alias("links_seen"),
+                        F.sum(F.col("is_known").cast("int")).alias("deduped"),
+                        F.sum((F.col("processed") & F.col("robots_denied"))
+                              .cast("int")).alias("robots_denied"),
+                        F.sum((F.col("reason") == "Crawl depth is above max")
+                              .cast("int")).alias("depth_pruned"),
+                        F.sum(F.col("budget_denied").cast("int")).alias("budget_denied"),
+                        F.sum(F.col("admitted").cast("int")).alias("admitted")))
+        lineage_rows = [row.asDict() for row in lineage.collect()]
+
+        def _s(col):
+            return sum((row[col] or 0) for row in lineage_rows)
+
+        st.links_extracted = _s("links_seen")
+        st.deduped = _s("deduped")
+        st.robots_denied = _s("robots_denied")
+        st.budget_denied = _s("budget_denied")
+        st.admitted = _s("admitted")
 
         # -- crawled events ------------------------------------------------
         crawled = fetched.select(
@@ -612,13 +640,22 @@ class CrawlEngine:
         retries = self._retry_rows(fetched).withColumn(
             "__sub", F.lit(2)).withColumn("__pos", F.lit(0)) \
             .withColumnRenamed("priority_seq", "parent_seq")
-        n_retries = retries.count()
+        n_retries = 0 if cfg.max_retry_count < 1 else retries.count()
         stream = admitted.unionByName(
             retries.select(*[c for c in admitted.columns]))
         # continue the global priority_seq sequence from the previous max
         prev_max = batch.agg(F.max("priority_seq")).collect()[0][0] or 0
-        stream = assign_global_seq(stream, ["parent_seq", "__sub", "__pos"],
-                                   "priority_seq", start=prev_max + 1)
+        stream_n = st.admitted + n_retries
+        if stream_n <= 2_000_000:
+            # small-stream fast path: one single-partition window beats the
+            # three-job range-partition densification
+            w_seq = W.orderBy("parent_seq", "__sub", "__pos")
+            stream = stream.withColumn(
+                "priority_seq",
+                F.row_number().over(w_seq).cast("long") + prev_max)
+        else:
+            stream = assign_global_seq(stream, ["parent_seq", "__sub", "__pos"],
+                                       "priority_seq", start=prev_max + 1)
         new_frontier = stream.drop("parent_seq", "__sub", "__pos")
         n_pending_left = n_pending_left_nonretry = 0
         if pending is not None:
@@ -638,40 +675,22 @@ class CrawlEngine:
         merged = (domain_counts.unionByName(batch_counts)
                   .groupBy("domain").agg(F.sum("cnt").alias("cnt")))
         self.store.write_table("domain_counts", merged, r)
-        self.store.write_table("domain_state",
-                               self.store.read_table(spark, "domain_state",
-                                                     self.round), r)
 
-        # -- lineage (A4): per-partition counters; metrics = driver-side sum --
-        lineage = (links.groupBy(F.spark_partition_id().alias("partition_id"))
-                   .agg(F.count("*").alias("links_seen"),
-                        F.sum(F.col("is_known").cast("int")).alias("deduped"),
-                        F.sum((F.col("processed") & F.col("robots_denied"))
-                              .cast("int")).alias("robots_denied"),
-                        F.sum((F.col("reason") == "Crawl depth is above max")
-                              .cast("int")).alias("depth_pruned"),
-                        F.sum(F.col("budget_denied").cast("int")).alias("budget_denied"),
-                        F.sum(F.col("admitted").cast("int")).alias("admitted"))
-                   .withColumn("round", F.lit(r)))
-        lineage_rows = lineage.collect()
-        self.store.write_table(
-            "lineage", spark.createDataFrame(lineage_rows, schema=lineage.schema), r)
-
-        def _s(col):
-            return sum((row[col] or 0) for row in lineage_rows)
-
-        st.links_extracted = _s("links_seen")
-        st.deduped = _s("deduped")
-        st.robots_denied = _s("robots_denied")
-        st.budget_denied = _s("budget_denied")
-        st.admitted = _s("admitted")
+        # -- lineage + metrics: tiny, written driver-side (no Spark jobs) ----
         st.retries = n_retries
-        metrics = spark.createDataFrame(
-            [(r, st.fetched, st.links_extracted, st.deduped, st.robots_denied,
-              st.budget_denied, st.admitted, self.crawled_count)],
-            "round int, fetched long, links long, deduped long, robots_denied long,"
-            "budget_denied long, admitted long, crawled_total long")
-        self.store.write_table("metrics", metrics, r)
+        import pandas as pd
+        for row in lineage_rows:
+            row["round"] = r
+        self.store.write_pandas(
+            "lineage",
+            pd.DataFrame(lineage_rows, columns=[
+                "partition_id", "links_seen", "deduped", "robots_denied",
+                "depth_pruned", "budget_denied", "admitted", "round"]), r)
+        self.store.write_pandas("metrics", pd.DataFrame([{
+            "round": r, "fetched": st.fetched, "links": st.links_extracted,
+            "deduped": st.deduped, "robots_denied": st.robots_denied,
+            "budget_denied": st.budget_denied, "admitted": st.admitted,
+            "crawled_total": self.crawled_count}]), r)
 
         # frontier size for the next round, without a count job
         self.pending_total = st.admitted + n_retries + n_pending_left

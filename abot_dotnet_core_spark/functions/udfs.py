@@ -99,6 +99,55 @@ def extract_text_udf(html: pd.Series, content_type: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"charset": charsets, "text": texts})
 
 
+# --- fused page extraction (T5 + T1-T4 in one Arrow pass) --------------------
+
+_PAGE_TYPE = T.StructType([
+    T.StructField("charset", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("links", T.ArrayType(T.StringType())),
+])
+
+
+def make_extract_page_udf(cfg) -> callable:
+    """One Arrow round trip per page instead of two: decode bytes -> text
+    (T5 charset cascade) and, when ``want_links`` is set for the row
+    (the P7-P9 gate is computed JVM-side from depth/is_internal), extract
+    links from the just-decoded text (T1-T4). Halves the html/text transfer."""
+    meta_nf = cfg.is_respect_meta_robots_no_follow_enabled
+    rel_nf = cfg.is_respect_anchor_rel_no_follow_enabled
+    x_nf = cfg.is_respect_http_x_robots_tag_header_no_follow_enabled
+    keep_frag = cfg.is_respect_url_named_anchor_or_hashbang_enabled
+
+    @pandas_udf(_PAGE_TYPE)
+    def extract_page_udf(html: pd.Series, content_type: pd.Series,
+                         page_url: pd.Series, want_links: pd.Series,
+                         x_robots: pd.Series) -> pd.DataFrame:
+        charsets, texts, links = [], [], []
+        for raw, ct, u, wl, xr in zip(html, content_type, page_url,
+                                      want_links, x_robots):
+            if raw is None:
+                charsets.append(None)
+                texts.append(None)
+                links.append([])
+                continue
+            cs, text = extract_text(bytes(raw), ct)
+            charsets.append(cs)
+            texts.append(text)
+            if wl and text is not None and text.strip():
+                links.append(extract_links(
+                    text, u, None, x_robots_tag=xr,
+                    respect_meta_robots_nofollow=meta_nf,
+                    respect_anchor_rel_nofollow=rel_nf,
+                    respect_x_robots_nofollow=x_nf,
+                    keep_fragment=keep_frag))
+            else:
+                links.append([])
+        return pd.DataFrame({"charset": charsets, "text": texts,
+                             "links": links})
+
+    return extract_page_udf
+
+
 # --- robots allow check (P14) ------------------------------------------------
 
 def make_robots_allowed_udf(user_agent: str) -> callable:

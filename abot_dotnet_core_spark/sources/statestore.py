@@ -54,6 +54,15 @@ class StateStore:
         df.write.mode("overwrite").parquet(path)
         return path
 
+    def write_pandas(self, name: str, pdf, round_: int) -> str:
+        """Driver-side write for tiny tables (metrics/lineage) — same layout
+        as write_table, no Spark job."""
+        path = self._table_path(name, round_)
+        os.makedirs(path, exist_ok=True)
+        pdf.to_parquet(os.path.join(path, "part-0.parquet"), index=False,
+                       coerce_timestamps="us", allow_truncated_timestamps=True)
+        return path
+
     def commit_round(self, round_: int, counters: dict) -> None:
         """Atomic: the round is visible iff the manifest rename completed."""
         manifest = {
