@@ -346,9 +346,31 @@ class CrawlEngine:
                          F.posexplode_outer("parsed_links").alias("link_pos", "dst_url"))
                  .filter(F.col("dst_url").isNotNull()))
 
+        # manual redirect children (ProcessRedirect, WebCrawler.cs:722-749):
+        # scheduled BEFORE the page's links (sub=0), same depth, position+1
+        redirect_children = None
+        if not cfg.is_http_request_auto_redirects_enabled:
+            rd = fetched.filter(F.col("redirect_to").isNotNull())
+            rd = (rd.withColumn("dst_url",
+                                udfs.normalize_url_udf(F.col("redirect_to")))
+                  .filter(F.col("dst_url").isNotNull()))
+            redirect_children = rd.select(
+                F.col("parent_url"),                       # parent kept as-is
+                F.col("crawl_order"),
+                F.col("priority_seq").alias("parent_seq"),
+                (F.col("depth") - 1).alias("parent_depth"),
+                F.col("domain").alias("parent_domain"),
+                F.lit(-1).alias("link_pos"),
+                F.col("dst_url"),
+                F.lit(0).alias("sub"),
+                F.col("url").alias("r_redirected_from"),
+                (F.col("redirect_position") + 1).alias("r_redirect_position"),
+                F.col("depth").alias("r_depth"))
+
         # ---- scheduling stream --------------------------------------------
         links_flagged = self._schedule_links(links, batch, fetched, seen,
-                                             domain_counts, c0, f0, st)
+                                             domain_counts, c0, f0, st,
+                                             redirect_children)
 
         # ---- outputs -------------------------------------------------------
         self._write_round_outputs(fetched, links_flagged, batch, pending,
@@ -362,7 +384,8 @@ class CrawlEngine:
     def _schedule_links(self, links: DataFrame, batch: DataFrame,
                         fetched: DataFrame, seen: DataFrame,
                         domain_counts: DataFrame, c0: int, f0: int,
-                        st: RoundStats) -> DataFrame:
+                        st: RoundStats,
+                        redirect_children: DataFrame | None = None) -> DataFrame:
         spark, cfg = self.spark, self.cfg
 
         links = (links
@@ -370,12 +393,20 @@ class CrawlEngine:
                  .withColumnRenamed("depth", "parent_depth")
                  .withColumnRenamed("domain", "parent_domain")
                  .withColumnRenamed("priority_seq", "parent_seq")
+                 .withColumn("sub", F.lit(1))
+                 .withColumn("r_redirected_from", F.lit(None).cast("string"))
+                 .withColumn("r_redirect_position", F.lit(None).cast("int"))
+                 .withColumn("r_depth", F.lit(None).cast("int")))
+        if redirect_children is not None:
+            links = links.unionByName(redirect_children)
+        links = (links
                  .withColumn("dst_hash", udfs.url_hash64_udf(F.col("dst_url")))
                  .withColumn("dst_domain", udfs.authority_udf(F.col("dst_url")))
                  .withColumn("dst_scheme", udfs.scheme_udf(F.col("dst_url"))))
 
-        # P15 intra-round first-seen occurrence (later dups silently skipped)
-        w_first = W.partitionBy("dst_hash").orderBy("parent_seq", "link_pos")
+        # P15 intra-round first-seen occurrence (later dups silently skipped);
+        # redirect children (sub=0) precede the same page's links
+        w_first = W.partitionBy("dst_hash").orderBy("parent_seq", "sub", "link_pos")
         links = links.withColumn("__occ", F.row_number().over(w_first))
 
         # P15 known gate: anti-join semantics via a left join flag (we still
@@ -387,15 +418,18 @@ class CrawlEngine:
                              (F.col("__occ") > 1) | F.col("__known").isNotNull())
                  .drop("__known", "__occ"))
 
-        # child construction
+        # child construction (redirect children keep the page's depth and
+        # carry redirected_from/position — WebCrawler.cs:730-736)
         roots = self.root_authorities
         links = (links
                  .withColumn("depth", F.col("parent_depth") + 1)
                  .withColumn("is_internal", F.col("dst_domain").isin(roots))
                  .withColumn("is_retry", F.lit(False))
                  .withColumn("retry_count", F.lit(0))
-                 .withColumn("redirected_from", F.lit(None).cast("string"))
-                 .withColumn("redirect_position", F.lit(0)))
+                 .withColumn("redirected_from", F.col("r_redirected_from"))
+                 .withColumn("redirect_position",
+                             F.coalesce(F.col("r_redirect_position"), F.lit(0)))
+                 .drop("r_redirected_from", "r_redirect_position", "r_depth"))
 
         # internal gate (silent — WebCrawler.cs:975)
         internal_ok = F.col("is_internal") | F.lit(cfg.is_external_page_crawling_enabled)
@@ -468,44 +502,53 @@ class CrawlEngine:
                 robots_denied=F.col("robots_denied")))
 
         # processed = passes the known gate and the P16 cut (marked known,
-        # eligible for events); eligible = processed + internal gate + no deny
+        # eligible for events); redirect children (sub=0) are always
+        # decision-checked — their known gate applies at enqueue time only
+        # (Scheduler.Add/AddIfNew, WebCrawler.cs:745)
         links = links.withColumn(
-            "processed", ~F.col("is_known"))
+            "processed", (F.col("sub") == 0) | ~F.col("is_known"))
 
-        # ---- P16 MaxLinksPerPage per-parent cut ---------------------------
+        # ---- P16 MaxLinksPerPage per-parent cut (links only) ---------------
         if cfg.max_links_per_page != 0:
-            admit0 = (F.col("processed") & F.col("internal_gate")
+            is_link = F.col("sub") == 1
+            admit0 = (is_link & F.col("processed") & F.col("internal_gate")
                       & F.col("pre_reason").isNull())
-            w_par = (W.partitionBy("parent_seq").orderBy("link_pos")
+            w_par = (W.partitionBy("parent_seq").orderBy("sub", "link_pos")
                      .rowsBetween(W.unboundedPreceding, W.currentRow))
             links = links.withColumn(
                 "__cum_adm", F.sum(admit0.cast("int")).over(w_par))
             prev_adm = F.col("__cum_adm") - admit0.cast("int")
-            links = (links.withColumn("processed",
-                                      F.col("processed") & (prev_adm < cfg.max_links_per_page))
-                     .drop("__cum_adm"))
+            links = (links.withColumn(
+                "processed",
+                F.col("processed")
+                & (~is_link | (prev_adm < cfg.max_links_per_page)))
+                .drop("__cum_adm"))
 
+        # a known redirect child is decision-checked (events can fire) but
+        # never enqueued and consumes no budget slot (Add/AddIfNew no-ops)
+        enqueueable = (F.col("sub") == 1) | ~F.col("is_known")
         links = links.withColumn(
             "eligible",
-            F.col("processed") & F.col("internal_gate") & F.col("pre_reason").isNull())
+            F.col("processed") & F.col("internal_gate")
+            & F.col("pre_reason").isNull())
 
         # ---- P4 global budget over the canonical enqueue stream ------------
-        # stream = eligible links (sub=1) ∪ retries (sub=2); redirect children
-        # would be sub=0 (manual-redirect mode is wired through the same path).
+        # stream = eligible redirect children (sub=0) ∪ eligible links (sub=1)
+        # ∪ retries (sub=2), ordered (parent_seq, sub, link_pos)
         retries = self._retry_rows(fetched)
-        n_retries = retries.count()
+        n_retries = 0 if cfg.max_retry_count < 1 else retries.count()
         links = links.withColumn("budget_denied", F.lit(False))
         if cfg.max_pages_to_crawl > 0:
             cap = cfg.max_pages_to_crawl - c0 - f0
-            eligible_n = links.filter(F.col("eligible")).count()
+            eligible_n = links.filter(F.col("eligible") & enqueueable).count()
             if eligible_n > max(cap, 0):
                 if cap <= 0:
                     links = links.withColumn(
                         "budget_denied", F.col("eligible"))
                 else:
-                    stream = (links.filter(F.col("eligible"))
+                    stream = (links.filter(F.col("eligible") & enqueueable)
                               .select("dst_hash", "parent_seq", "link_pos",
-                                      F.lit(1).alias("__sub"))
+                                      F.col("sub").alias("__sub"))
                               .unionByName(retries.select(
                                   F.col("url_hash").alias("dst_hash"),
                                   F.col("priority_seq").alias("parent_seq"),
@@ -522,7 +565,7 @@ class CrawlEngine:
                         F.sum((F.col("__sub") == 2).cast("int")).over(w_stream))
                     # non-retry element admitted iff c0+f0+(k + r)+1 <= max,
                     # k = non-retry order before it (0-based), r = retries before
-                    admitted_mark = (topk.filter(F.col("__sub") == 1)
+                    admitted_mark = (topk.filter(F.col("__sub") != 2)
                                      .withColumn(
                                          "__k", F.col("__pos") - F.col("__retries_before") - 1)
                                      .withColumn(
@@ -549,7 +592,8 @@ class CrawlEngine:
                    F.lit(f"MaxPagesToCrawl limit of [{cfg.max_pages_to_crawl}] has been reached"))
              .otherwise(F.lit(None)))
         links = links.withColumn(
-            "admitted", F.col("eligible") & ~F.col("budget_denied"))
+            "admitted",
+            F.col("eligible") & ~F.col("budget_denied") & enqueueable)
         return links.localCheckpoint(eager=True)
 
     def _retry_rows(self, fetched: DataFrame) -> DataFrame:
@@ -621,7 +665,8 @@ class CrawlEngine:
         self.store.write_table("disallowed", dis_links.unionByName(dis_pages), r)
 
         # -- seen appends: every processed link + admitted children ----------
-        seen_new = (links.filter(F.col("processed"))
+        seen_new = (links.filter(((F.col("sub") == 1) & F.col("processed"))
+                                 | ((F.col("sub") == 0) & F.col("admitted")))
                     .select(F.col("dst_hash").alias("url_hash"))
                     .distinct()
                     .join(seen.select("url_hash").distinct(), "url_hash", "left_anti"))
@@ -635,7 +680,7 @@ class CrawlEngine:
                             "scheme", F.col("parent_url"),
                             "depth", "is_internal", "is_retry", "retry_count",
                             "redirected_from", "redirect_position",
-                            "parent_seq", F.lit(1).alias("__sub"),
+                            "parent_seq", F.col("sub").alias("__sub"),
                             F.col("link_pos").alias("__pos")))
         retries = self._retry_rows(fetched).withColumn(
             "__sub", F.lit(2)).withColumn("__pos", F.lit(0)) \

@@ -1,0 +1,266 @@
+"""Probabilistic URL-seen sidecars: per-bucket Bloom filters + a cuckoo
+filter with deletion support.
+
+Role (north_star): the exact int64-hash anti-join is the source of truth;
+the Bloom sidecar is a *pre-filter* that drops the bulk of already-seen
+candidates before they reach the shuffle, cutting anti-join exchange volume
+at 10^10-URL scale. Because Bloom false positives only send a few extra rows
+into the exact join, exactness is preserved. (The reference's
+BloomFilterCrawledUrlRepository instead drops on FP — that lossy mode exists
+behind ``lossy=True`` for behavioral parity.)
+
+Design:
+- one Bloom blob per domain-hash bucket (``pmod(xxhash64(domain), B)``), so
+  blob size stays bounded and builds parallelize: built with a grouped
+  ``applyInPandas`` (numpy bitset per bucket), stored as a binary column.
+- sizing per the reference's formulas (BloomFilter.cs:178-192):
+  m = n·|ln p|/ln(2)^2 bits, k = round(ln(2)·m/n) hashes.
+- membership hashing: Dillinger–Manolios double hashing h1 + i·h2 mod m
+  (BloomFilter.cs:282-286) over the two halves of md5(url) — stable
+  everywhere, no process-randomized .NET GetHashCode.
+- the cuckoo filter (4-way buckets, 16-bit fingerprints, partial-cuckoo
+  kicking) supports ``delete`` — used when a URL is evicted from the seen
+  set (IsUriRecrawlingEnabled / scheduled recrawl), which Bloom cannot do.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+
+# --------------------------------------------------------------------------
+# Bloom filter (numpy bitset, reference sizing formulas)
+# --------------------------------------------------------------------------
+
+def best_m_k(capacity: int, error_rate: float) -> tuple[int, int]:
+    """BloomFilter.cs:178-192 — BestM / BestK."""
+    m = int(math.ceil(capacity * abs(math.log(error_rate))
+                      / (math.log(2) ** 2)))
+    k = int(round(math.log(2.0) * m / capacity))
+    return max(m, 8), max(k, 1)
+
+
+def _h1_h2(key: bytes) -> tuple[int, int]:
+    d = hashlib.md5(key).digest()
+    return (int.from_bytes(d[:8], "little"),
+            int.from_bytes(d[8:], "little") | 1)  # odd => full cycle
+
+
+class BloomFilter:
+    """Bitset Bloom filter; double hashing h1 + i*h2 mod m."""
+
+    def __init__(self, capacity: int, error_rate: float = 0.001,
+                 bits: np.ndarray | None = None) -> None:
+        self.m, self.k = best_m_k(capacity, error_rate)
+        self.capacity = capacity
+        self.error_rate = error_rate
+        if bits is None:
+            self.bits = np.zeros((self.m + 7) // 8, dtype=np.uint8)
+        else:
+            self.bits = bits
+
+    def _positions(self, key: bytes) -> list[int]:
+        h1, h2 = _h1_h2(key)
+        return [(h1 + i * h2) % self.m for i in range(self.k)]
+
+    def add(self, key: bytes) -> None:
+        for pos in self._positions(key):
+            self.bits[pos >> 3] |= 1 << (pos & 7)
+
+    def __contains__(self, key: bytes) -> bool:
+        return all(self.bits[pos >> 3] & (1 << (pos & 7))
+                   for pos in self._positions(key))
+
+    def add_many(self, keys) -> None:
+        for key in keys:
+            self.add(key)
+
+    def truthiness(self) -> float:
+        """Fraction of set bits (BloomFilter.cs:127-133 diagnostic, A3)."""
+        return float(np.unpackbits(self.bits).sum()) / self.m
+
+    def to_bytes(self) -> bytes:
+        header = self.m.to_bytes(8, "little") + self.k.to_bytes(4, "little")
+        return header + self.bits.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "BloomFilter":
+        m = int.from_bytes(blob[:8], "little")
+        k = int.from_bytes(blob[8:12], "little")
+        obj = cls.__new__(cls)
+        obj.m, obj.k = m, k
+        obj.capacity, obj.error_rate = 0, 0.0
+        obj.bits = np.frombuffer(blob[12:], dtype=np.uint8).copy()
+        return obj
+
+
+def _key_of(url_hash: int) -> bytes:
+    return int(url_hash).to_bytes(8, "little", signed=True)
+
+
+BLOOM_SCHEMA = T.StructType([
+    T.StructField("bucket", T.IntegerType()),
+    T.StructField("n_keys", T.LongType()),
+    T.StructField("blob", T.BinaryType()),
+])
+
+
+def build_bloom_sidecar(seen: DataFrame, buckets: int = 32,
+                        error_rate: float = 0.001,
+                        min_capacity: int = 100_000) -> DataFrame:
+    """One Bloom blob per domain-hash bucket, built with grouped
+    applyInPandas (the reference capacity default is 2,000,001 @ 0.1% —
+    BloomFilterCrawledUrlRepository.cs:18; we size per-bucket)."""
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        bf = BloomFilter(max(n * 2, min_capacity), error_rate)
+        for h in pdf["url_hash"]:
+            bf.add(_key_of(h))
+        return pd.DataFrame({"bucket": [int(pdf["bucket"].iloc[0])],
+                             "n_keys": [n], "blob": [bf.to_bytes()]})
+
+    with_bucket = seen.withColumn(
+        "bucket", F.pmod(F.xxhash64("url_hash"), F.lit(buckets)).cast("int"))
+    return with_bucket.groupBy("bucket").applyInPandas(build, BLOOM_SCHEMA)
+
+
+def bloom_prefilter(candidates: DataFrame, sidecar: DataFrame,
+                    hash_col: str = "url_hash", buckets: int = 32,
+                    lossy: bool = False) -> DataFrame:
+    """Filter candidates through the broadcast Bloom sidecar.
+
+    lossy=False (default): keep rows NOT in the filter (definitely-new) and
+    rows the filter claims seen — flagged ``maybe_seen`` — for the exact
+    anti-join; exactness preserved, shuffle volume cut.
+    lossy=True: reference BloomFilterCrawledUrlRepository semantics —
+    FP-positive rows are dropped outright (accepted URL loss)."""
+    pdf = sidecar.toPandas()
+    filters = {int(r["bucket"]): BloomFilter.from_bytes(bytes(r["blob"]))
+               for _, r in pdf.iterrows()}
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.BooleanType())
+    def maybe_seen_udf(hashes: pd.Series, bucket: pd.Series) -> pd.Series:
+        out = []
+        for h, b in zip(hashes, bucket):
+            bf = filters.get(int(b))
+            out.append(bf is not None and _key_of(int(h)) in bf)
+        return pd.Series(out)
+
+    out = candidates.withColumn(
+        "__bucket", F.pmod(F.xxhash64(hash_col), F.lit(buckets)).cast("int"))
+    out = out.withColumn("maybe_seen",
+                         maybe_seen_udf(F.col(hash_col), F.col("__bucket")))
+    out = out.drop("__bucket")
+    if lossy:
+        return out.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Cuckoo filter (deletion-capable sidecar)
+# --------------------------------------------------------------------------
+
+class CuckooFilter:
+    """4-way-bucket cuckoo filter with 16-bit fingerprints.
+
+    Supports delete (what Bloom lacks) — used for recrawl-eviction from the
+    seen set. Partial-key cuckoo hashing: alt_bucket = bucket XOR hash(fp)."""
+
+    SLOTS = 4
+    MAX_KICKS = 500
+
+    def __init__(self, capacity: int) -> None:
+        n_buckets = 1
+        while n_buckets * self.SLOTS < capacity * 1.3:
+            n_buckets <<= 1
+        self.n_buckets = n_buckets
+        self.table = np.zeros((n_buckets, self.SLOTS), dtype=np.uint16)
+        self.count = 0
+
+    def _fp_and_bucket(self, key: bytes) -> tuple[int, int]:
+        d = hashlib.md5(key).digest()
+        fp = (int.from_bytes(d[:2], "little") % 65535) + 1  # never 0
+        bucket = int.from_bytes(d[2:10], "little") % self.n_buckets
+        return fp, bucket
+
+    def _alt(self, bucket: int, fp: int) -> int:
+        h = int.from_bytes(hashlib.md5(fp.to_bytes(2, "little")).digest()[:8],
+                           "little")
+        return (bucket ^ h) % self.n_buckets
+
+    def add(self, key: bytes) -> bool:
+        fp, b1 = self._fp_and_bucket(key)
+        b2 = self._alt(b1, fp)
+        for b in (b1, b2):
+            row = self.table[b]
+            free = np.where(row == 0)[0]
+            if len(free):
+                row[free[0]] = fp
+                self.count += 1
+                return True
+        # kick
+        import random
+        rng = random.Random(fp)  # deterministic per fingerprint
+        b = rng.choice((b1, b2))
+        for _ in range(self.MAX_KICKS):
+            slot = rng.randrange(self.SLOTS)
+            fp, self.table[b][slot] = int(self.table[b][slot]), fp
+            b = self._alt(b, fp)
+            row = self.table[b]
+            free = np.where(row == 0)[0]
+            if len(free):
+                row[free[0]] = fp
+                self.count += 1
+                return True
+        return False  # table full
+
+    def __contains__(self, key: bytes) -> bool:
+        fp, b1 = self._fp_and_bucket(key)
+        b2 = self._alt(b1, fp)
+        return bool((self.table[b1] == fp).any() or (self.table[b2] == fp).any())
+
+    def delete(self, key: bytes) -> bool:
+        fp, b1 = self._fp_and_bucket(key)
+        b2 = self._alt(b1, fp)
+        for b in (b1, b2):
+            idx = np.where(self.table[b] == fp)[0]
+            if len(idx):
+                self.table[b][idx[0]] = 0
+                self.count -= 1
+                return True
+        return False
+
+    def to_bytes(self) -> bytes:
+        return self.n_buckets.to_bytes(8, "little") + self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "CuckooFilter":
+        obj = cls.__new__(cls)
+        obj.n_buckets = int.from_bytes(blob[:8], "little")
+        obj.table = np.frombuffer(blob[8:], dtype=np.uint16) \
+            .reshape(obj.n_buckets, cls.SLOTS).copy()
+        obj.count = int((obj.table != 0).sum())
+        return obj
+
+
+CUCKOO_SCHEMA = BLOOM_SCHEMA
+
+
+def build_cuckoo_sidecar(seen: DataFrame, buckets: int = 32) -> DataFrame:
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        cf = CuckooFilter(max(len(pdf), 1024))
+        for h in pdf["url_hash"]:
+            cf.add(_key_of(h))
+        return pd.DataFrame({"bucket": [int(pdf["bucket"].iloc[0])],
+                             "n_keys": [len(pdf)], "blob": [cf.to_bytes()]})
+
+    with_bucket = seen.withColumn(
+        "bucket", F.pmod(F.xxhash64("url_hash"), F.lit(buckets)).cast("int"))
+    return with_bucket.groupBy("bucket").applyInPandas(build, CUCKOO_SCHEMA)

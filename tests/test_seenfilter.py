@@ -1,0 +1,104 @@
+"""Bloom + cuckoo seen-set sidecar tests (T8 + north_star deletion support)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from abot_dotnet_core_spark.operators.seenfilter import (
+    BloomFilter, CuckooFilter, best_m_k, bloom_prefilter,
+    build_bloom_sidecar, build_cuckoo_sidecar, _key_of,
+)
+
+
+class TestBloomLocal:
+    def test_sizing_formulas(self):
+        # BloomFilter.cs:178-192 — reference defaults 2,000,001 @ 0.1%
+        m, k = best_m_k(2_000_001, 0.001)
+        assert 28_000_000 < m < 29_000_000   # ~14.4 bits/key
+        assert k == 10
+
+    def test_no_false_negatives(self):
+        bf = BloomFilter(10_000, 0.001)
+        keys = [_key_of(i * 7919) for i in range(5000)]
+        bf.add_many(keys)
+        assert all(k in bf for k in keys)
+
+    def test_fp_rate_bounded(self):
+        bf = BloomFilter(10_000, 0.001)
+        bf.add_many(_key_of(i) for i in range(10_000))
+        fps = sum(_key_of(i) in bf for i in range(10_000, 60_000))
+        assert fps / 50_000 < 0.005
+
+    def test_serialization_roundtrip(self):
+        bf = BloomFilter(1000, 0.01)
+        bf.add_many(_key_of(i) for i in range(500))
+        rt = BloomFilter.from_bytes(bf.to_bytes())
+        assert all(_key_of(i) in rt for i in range(500))
+        assert rt.m == bf.m and rt.k == bf.k
+
+    def test_truthiness(self):
+        bf = BloomFilter(1000, 0.01)
+        assert bf.truthiness() == 0.0
+        bf.add_many(_key_of(i) for i in range(500))
+        assert 0.1 < bf.truthiness() < 0.6
+
+
+class TestCuckooLocal:
+    def test_add_contains_delete(self):
+        cf = CuckooFilter(10_000)
+        keys = [_key_of(i * 31 + 7) for i in range(8000)]
+        for k in keys:
+            assert cf.add(k)
+        assert all(k in cf for k in keys)
+        # deletion actually removes (the capability Bloom lacks)
+        for k in keys[:4000]:
+            assert cf.delete(k)
+        present = sum(k in cf for k in keys[:4000])
+        assert present < 200  # only fp-collisions remain
+        assert all(k in cf for k in keys[4000:])
+
+    def test_serialization_roundtrip(self):
+        cf = CuckooFilter(1000)
+        for i in range(800):
+            cf.add(_key_of(i))
+        rt = CuckooFilter.from_bytes(cf.to_bytes())
+        assert all(_key_of(i) in rt for i in range(800))
+        assert rt.delete(_key_of(5))
+        assert _key_of(5) not in rt or _key_of(5) in cf  # fp collision ok
+
+
+class TestSidecarSpark:
+    def test_bloom_prefilter_exactness(self, spark):
+        seen = spark.range(0, 5000).select(
+            (F.col("id") * 2654435761).alias("url_hash"))
+        sidecar = build_bloom_sidecar(seen, buckets=8)
+        # candidates: half seen, half new
+        cands = spark.range(2500, 7500).select(
+            (F.col("id") * 2654435761).alias("url_hash"))
+        flagged = bloom_prefilter(cands, sidecar, buckets=8)
+        rows = flagged.collect()
+        seen_set = {i * 2654435761 for i in range(5000)}
+        # NO false negatives: every truly-seen candidate must be flagged
+        for r in rows:
+            if r["url_hash"] in seen_set:
+                assert r["maybe_seen"], r
+        # prefilter effectiveness: most truly-new rows pass through unflagged
+        new_rows = [r for r in rows if r["url_hash"] not in seen_set]
+        flagged_new = sum(r["maybe_seen"] for r in new_rows)
+        assert flagged_new < len(new_rows) * 0.05
+
+    def test_bloom_lossy_mode(self, spark):
+        seen = spark.range(0, 1000).select(F.col("id").alias("url_hash"))
+        sidecar = build_bloom_sidecar(seen, buckets=4)
+        cands = spark.range(0, 2000).select(F.col("id").alias("url_hash"))
+        kept = bloom_prefilter(cands, sidecar, buckets=4, lossy=True)
+        ids = {r["url_hash"] for r in kept.collect()}
+        assert not (ids & set(range(1000)))       # all seen dropped
+        assert len(ids) > 900                      # most new kept
+
+    def test_cuckoo_sidecar_build(self, spark):
+        seen = spark.range(0, 2000).select(F.col("id").alias("url_hash"))
+        sidecar = build_cuckoo_sidecar(seen, buckets=4).collect()
+        assert sum(r["n_keys"] for r in sidecar) == 2000
+        cf = CuckooFilter.from_bytes(bytes(sidecar[0]["blob"]))
+        assert cf.count > 0
