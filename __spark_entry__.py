@@ -836,6 +836,76 @@ SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
 FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)"""
 
 
+def q_set_ops(spark, sf_dir):
+    """Set operators: nations with customers EXCEPT nations with suppliers,
+    and the INTERSECT, tagged."""
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")).distinct()
+    supp = _read(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")).distinct()
+    only_cust = cust.exceptAll(supp).withColumn("op", F.lit("cust_only"))
+    both = cust.intersect(supp).withColumn("op", F.lit("both"))
+    return only_cust.unionByName(both).select("nationkey", "op")
+
+
+def sql_set_ops():
+    return """
+SELECT nationkey, 'cust_only' AS op FROM (
+  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+  EXCEPT ALL
+  SELECT DISTINCT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'both' AS op FROM (
+  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+  INTERSECT
+  SELECT DISTINCT s_nationkey FROM supplier)"""
+
+
+def q_pivot_agg(spark, sf_dir):
+    """Pivot: order totals per priority pivoted by status (O/F/P)."""
+    orders = _read(spark, sf_dir, "orders")
+    piv = (orders.groupBy("o_orderpriority")
+           .pivot("o_orderstatus", ["O", "F", "P"])
+           .agg(F.round(F.sum("o_totalprice"), 6)))
+    return piv.select("o_orderpriority",
+                      F.col("O").alias("total_o"),
+                      F.col("F").alias("total_f"),
+                      F.col("P").alias("total_p"))
+
+
+def sql_pivot_agg():
+    return """
+SELECT o_orderpriority,
+       round(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 6) AS total_o,
+       round(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 6) AS total_f,
+       round(sum(o_totalprice) FILTER (o_orderstatus = 'P'), 6) AS total_p
+FROM orders GROUP BY o_orderpriority"""
+
+
+def q_distinct_agg(spark, sf_dir):
+    """Distinct aggregates: per market segment, exact distinct nations and
+    order-date span of that segment's customers' orders."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    return (orders.join(cust, orders.o_custkey == cust.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.countDistinct("c_nationkey").alias("n_nations"),
+                 F.countDistinct("o_custkey").alias("n_customers"),
+                 F.min("o_orderdate").alias("first_order"),
+                 F.max("o_orderdate").alias("last_order")))
+
+
+def sql_distinct_agg():
+    return """
+SELECT c_mktsegment,
+       count(DISTINCT c_nationkey) AS n_nations,
+       count(DISTINCT o_custkey) AS n_customers,
+       min(o_orderdate) AS first_order,
+       max(o_orderdate) AS last_order
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -885,6 +955,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "running_window": q_running_window,
         "rollup_agg": q_rollup_agg,
+        "set_ops": q_set_ops,
+        "pivot_agg": q_pivot_agg,
+        "distinct_agg": q_distinct_agg,
     }
 
 
@@ -920,4 +993,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q3": sql_tpch_q3(),
         "running_window": sql_running_window(),
         "rollup_agg": sql_rollup_agg(),
+        "set_ops": sql_set_ops(),
+        "pivot_agg": sql_pivot_agg(),
+        "distinct_agg": sql_distinct_agg(),
     }

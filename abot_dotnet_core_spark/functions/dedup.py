@@ -93,15 +93,19 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                   threshold: float = 0.0) -> DataFrame:
     """Exact n-gram Jaccard for given (id_a, id_b) pairs, set-based:
     |A∩B| via exploded-shingle equi-join, |A∪B| = |A|+|B|-|A∩B|."""
+    # join on the 8-byte xxhash of the shingle, not the string — the
+    # intersection shuffle moves longs instead of ~20-byte strings
+    # (collision probability ~ n^2/2^64, immaterial at corpus scale)
     ex = (df.select(id_col, F.explode(shingles_col(F.col(text_col), shingle_n))
                     .alias("shingle"))
-          .dropDuplicates([id_col, "shingle"]))
+          .select(id_col, F.xxhash64("shingle").alias("sh_h"))
+          .dropDuplicates([id_col, "sh_h"]))
     sizes = ex.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     inter = (pairs
              .join(ex.select(F.col(id_col).alias("id_a"),
-                             F.col("shingle")), "id_a")
+                             F.col("sh_h")), "id_a")
              .join(ex.select(F.col(id_col).alias("id_b"),
-                             F.col("shingle")), ["id_b", "shingle"])
+                             F.col("sh_h")), ["id_b", "sh_h"])
              .groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter")))
     out = (pairs.join(inter, ["id_a", "id_b"], "left").fillna({"n_inter": 0})
            .join(sizes.select(F.col(id_col).alias("id_a"),

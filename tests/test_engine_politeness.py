@@ -1,0 +1,82 @@
+"""S3 budgeted politeness admission: per round, a domain with effective delay
+d ms gets at most floor(round_length_ms / d) fetches; deferred rows stay
+pending and the crawl still converges to the same final page set."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from abot_dotnet_core_spark.config import CrawlConfig
+from abot_dotnet_core_spark.crawler import CrawlEngine
+
+ROOT = "http://polite.test/"
+
+
+def write_corpus(tmp_path, n_children=20):
+    """One root fanning out to n_children leaves on the same domain, plus a
+    robots file demanding Crawl-delay: 20 (clamped to 5 s by config)."""
+    links = "".join(f'<a href="/p{i}"></a>' for i in range(n_children))
+    rows = [{"url": ROOT, "html": f"{links}root".encode(), "text": f"{links}root"}]
+    for i in range(n_children):
+        rows.append({"url": f"{ROOT}p{i}", "html": b"leaf", "text": "leaf"})
+    pdf = pd.DataFrame([{
+        "url": r["url"], "warc_ts": pd.Timestamp("2024-01-01"),
+        "html": r["html"], "text": r["text"], "lang": "en",
+        "status": 200, "content_type": "text/html",
+        "content_length": len(r["html"]), "redirect_to": None} for r in rows])
+    d = tmp_path / "corpus"
+    d.mkdir()
+    pdf[["url", "warc_ts", "html", "text", "lang"]].to_parquet(
+        f"{d}/corpus.parquet", index=False, coerce_timestamps="us",
+        allow_truncated_timestamps=True)
+    pdf[["url", "status", "content_type", "content_length", "redirect_to"]] \
+        .to_parquet(f"{d}/corpus_meta.parquet", index=False)
+    robots = pd.DataFrame([{"domain": "polite.test",
+                            "robots_txt": "User-agent: *\nCrawl-delay: 20\n"}])
+    robots.to_parquet(f"{d}/robots.parquet", index=False)
+    return str(d)
+
+
+def test_politeness_budget_defers_fetches(spark, tmp_path):
+    # effective delay = clamp(20 s, MaxRobotsDotTextCrawlDelayInSeconds=5)
+    # = 5000 ms; round_length 20_000 ms => budget = 4 fetches/round/domain
+    cfg = CrawlConfig(is_respect_robots_dot_text_enabled=True,
+                      min_crawl_delay_per_domain_milli_seconds=1000,
+                      round_length_ms=20_000)
+    d = write_corpus(tmp_path)
+    eng = CrawlEngine(spark, cfg,
+                      corpus_path=f"{d}/corpus.parquet",
+                      corpus_meta_path=f"{d}/corpus_meta.parquet",
+                      store_root=str(tmp_path / "state"),
+                      robots_path=f"{d}/robots.parquet")
+    eng.seed([ROOT])
+    stats = eng.run(max_rounds=30, politeness=True)
+
+    # every round fetches at most 4 pages of the domain
+    assert all(s.fetched <= 4 for s in stats), [s.fetched for s in stats]
+    # 21 pages at 4/round => at least 6 rounds
+    assert len(stats) >= 6
+    # completeness: every page still crawled exactly once
+    rows = eng.store.read_events(spark, "crawled").collect()
+    urls = sorted(r["url"] for r in rows)
+    assert urls == sorted([ROOT] + [f"{ROOT}p{i}" for i in range(20)])
+
+
+def test_politeness_unlimited_without_delay(spark, tmp_path):
+    cfg = CrawlConfig(is_respect_robots_dot_text_enabled=True,
+                      round_length_ms=20_000)
+    d = write_corpus(tmp_path)
+    # no robots delay, no config min => delay 0 => unlimited budget
+    import pandas as pd
+    pd.DataFrame([{"domain": "polite.test",
+                   "robots_txt": "User-agent: *\nDisallow:\n"}]) \
+        .to_parquet(f"{d}/robots.parquet", index=False)
+    eng = CrawlEngine(spark, cfg,
+                      corpus_path=f"{d}/corpus.parquet",
+                      corpus_meta_path=f"{d}/corpus_meta.parquet",
+                      store_root=str(tmp_path / "state"),
+                      robots_path=f"{d}/robots.parquet")
+    eng.seed([ROOT])
+    stats = eng.run(max_rounds=10, politeness=True)
+    assert len(stats) == 2  # root, then all 20 children in one round
+    assert stats[1].fetched == 20
