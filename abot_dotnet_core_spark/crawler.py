@@ -80,6 +80,7 @@ class RoundStats:
     budget_denied: int = 0
     admitted: int = 0
     retries: int = 0
+    wall_sec: float = 0.0
     counters: dict = field(default_factory=dict)
 
 
@@ -92,6 +93,7 @@ class CrawlEngine:
         corpus_meta_path: str,
         store_root: str,
         robots_path: str | None = None,
+        bloom_prefilter: bool = False,
     ) -> None:
         self.spark = spark
         self.cfg = cfg
@@ -110,6 +112,7 @@ class CrawlEngine:
         # frontier size bookkeeping (saves a count job per round)
         self.pending_total = 0
         self.pending_non_retry = 0
+        self.use_bloom_prefilter = bloom_prefilter
 
     # ------------------------------------------------------------------ #
     # setup
@@ -237,11 +240,14 @@ class CrawlEngine:
     # ------------------------------------------------------------------ #
 
     def run(self, max_rounds: int = 1000, politeness: bool = False) -> list[RoundStats]:
+        import time
         stats = []
         for _ in range(max_rounds):
             if self.pending_total <= 0:
                 break
+            t0 = time.time()
             st = self._crawl_round(politeness=politeness)
+            st.wall_sec = round(time.time() - t0, 3)
             stats.append(st)
         return stats
 
@@ -262,23 +268,38 @@ class CrawlEngine:
         seen = self._read_seen()
         domain_counts = self.store.read_table(spark, "domain_counts", r)
 
-        # ---- S3 politeness: budgeted per-domain admission ----------------
+        # ---- S3 politeness: budgeted per-domain admission ------------------
+        # Hot-domain skew: the per-domain ranking window is salted — the rank
+        # runs within (domain, pmod(xxhash64(url), S)) shards and the domain
+        # budget is split across shards (floor(B/S) + remainder spread), so a
+        # domain holding 30% of the frontier never serializes one partition.
         if politeness:
             state = self.store.read_table(spark, "domain_state", 0)
             budget = state.withColumn(
                 "budget",
                 F.when(F.col("delay_ms") <= 0, F.lit(None).cast("long"))
                  .otherwise(F.floor(F.lit(cfg.round_length_ms) / F.col("delay_ms"))))
-            w_dom = W.partitionBy("domain").orderBy("priority_seq")
-            fr = (frontier.join(F.broadcast(budget.select("domain", "budget")),
-                                "domain", "left")
-                  .withColumn("__rk", F.row_number().over(w_dom)))
-            batch = (fr.filter(F.col("budget").isNull()
-                               | (F.col("__rk") <= F.col("budget")))
-                       .drop("__rk", "budget"))
-            pending = (fr.filter(F.col("budget").isNotNull()
-                                 & (F.col("__rk") > F.col("budget")))
-                         .drop("__rk", "budget"))
+            s = max(cfg.skew_salt, 1)
+            fr = frontier.join(F.broadcast(budget.select("domain", "budget")),
+                               "domain", "left")
+            # effective shard count = min(budget, S): every shard keeps a
+            # budget >= 1, so low-budget domains can never stall on an
+            # unlucky hash (progress guarantee)
+            s_d = F.when(F.col("budget").isNull(), F.lit(1)) \
+                   .otherwise(F.greatest(F.least(F.col("budget"), F.lit(s)),
+                                         F.lit(1)))
+            fr = (fr.withColumn("__salt", F.pmod(F.xxhash64("url"), s_d))
+                  .withColumn(
+                      "__shard_budget",
+                      F.floor(F.col("budget") / s_d)
+                      + (F.col("__salt") < F.col("budget") % s_d).cast("long")))
+            w_dom = W.partitionBy("domain", "__salt").orderBy("priority_seq")
+            fr = fr.withColumn("__rk", F.row_number().over(w_dom))
+            admit = (F.col("budget").isNull()
+                     | (F.col("__rk") <= F.col("__shard_budget")))
+            drop_cols = ("__rk", "__salt", "__shard_budget", "budget")
+            batch = fr.filter(admit).drop(*drop_cols)
+            pending = fr.filter(~admit).drop(*drop_cols)
         else:
             batch = frontier
             pending = None
@@ -327,18 +348,21 @@ class CrawlEngine:
                             F.col("html"), F.col("content_type"), F.col("url"),
                             want_links, F.lit(None).cast("string")))
                         .withColumn("charset", F.col("__pg.charset"))
-                        .withColumn("text", F.col("__pg.text"))
+                        .withColumn("text_md5", F.col("__pg.text_md5"))
+                        .withColumn("text_blank", F.col("__pg.text_blank"))
                         .withColumn("parsed_links", F.col("__pg.links"))
                         .drop("__pg", "html"))
         rest = (fetched.filter(F.col("download_reason").isNotNull())
                 .withColumn("charset", F.lit(None).cast("string"))
-                .withColumn("text", F.lit(None).cast("string"))
+                .withColumn("text_md5", F.lit(None).cast("string"))
+                .withColumn("text_blank", F.lit(True))
                 .withColumn("parsed_links", F.array().cast("array<string>")))
         fetched = downloadable.unionByName(rest)
 
         # ---- P7-P9 links gate (golden reason strings) ----------------------
-        fetched = fetched.withColumn("links_reason",
-                                     DX.should_crawl_page_links_reason(cfg))
+        fetched = fetched.withColumn(
+            "links_reason",
+            DX.should_crawl_page_links_reason(cfg, text_blank=F.col("text_blank")))
         fetched = fetched.localCheckpoint(eager=True)
 
         links = (fetched
@@ -375,6 +399,13 @@ class CrawlEngine:
         # ---- outputs -------------------------------------------------------
         self._write_round_outputs(fetched, links_flagged, batch, pending,
                                   seen, domain_counts, st)
+        # release this round's checkpoint blocks — otherwise they accumulate
+        # in the block manager across rounds and late rounds pay GC/eviction
+        for df in (batch, fetched, links_flagged):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
         return st
 
     # ------------------------------------------------------------------ #
@@ -413,7 +444,22 @@ class CrawlEngine:
         # need the row for the lineage counters)
         seen_d = seen.select(F.col("url_hash").alias("dst_hash")).distinct() \
                      .withColumn("__known", F.lit(True))
-        links = (links.join(seen_d, "dst_hash", "left")
+        if self.use_bloom_prefilter:
+            # T8 sidecar: candidates the Bloom filter clears as definitely-new
+            # skip the exact seen join entirely — only maybe-seen rows shuffle
+            # into the anti-join (exactness preserved: no false negatives)
+            from .operators.seenfilter import bloom_prefilter, build_bloom_sidecar
+            sidecar = build_bloom_sidecar(seen, buckets=cfg.state_buckets)
+            links = bloom_prefilter(links, sidecar, hash_col="dst_hash",
+                                    buckets=cfg.state_buckets)
+            maybe = (links.filter(F.col("maybe_seen"))
+                     .join(seen_d, "dst_hash", "left"))
+            fresh = (links.filter(~F.col("maybe_seen"))
+                     .withColumn("__known", F.lit(None).cast("boolean")))
+            links = maybe.unionByName(fresh).drop("maybe_seen")
+        else:
+            links = links.join(seen_d, "dst_hash", "left")
+        links = (links
                  .withColumn("is_known",
                              (F.col("__occ") > 1) | F.col("__known").isNotNull())
                  .drop("__known", "__occ"))
@@ -645,14 +691,21 @@ class CrawlEngine:
         st.budget_denied = _s("budget_denied")
         st.admitted = _s("admitted")
 
+        def _width(n_rows: int, per: int = 50_000) -> int:
+            """Output-file width proportional to row count — per-round fixed
+            cost must not scale with configured parallelism on tiny tables."""
+            return max(1, min(spark.sparkContext.defaultParallelism,
+                              n_rows // per + 1))
+
         # -- crawled events ------------------------------------------------
         crawled = fetched.select(
             "url", "crawl_order", "status", "depth",
             F.col("parent_url"), "is_retry", "retry_count", "charset",
-            F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("text_md5"),
+            F.coalesce(F.col("text_md5"),
+                       F.md5(F.lit(""))).alias("text_md5"),
             F.size("parsed_links").alias("links_extracted"),
             F.lit(r).alias("round"))
-        self.store.write_table("crawled", crawled, r)
+        self.store.write_table("crawled", crawled.coalesce(_width(st.fetched)), r)
 
         # -- disallowed events ----------------------------------------------
         dis_links = (links.filter(F.col("processed") & F.col("internal_gate")
@@ -662,7 +715,9 @@ class CrawlEngine:
         dis_pages = (fetched.filter(F.col("links_reason").isNotNull())
                      .select("url", F.col("links_reason").alias("reason"),
                              F.lit("links").alias("stage"), F.lit(r).alias("round")))
-        self.store.write_table("disallowed", dis_links.unionByName(dis_pages), r)
+        self.store.write_table(
+            "disallowed",
+            dis_links.unionByName(dis_pages).coalesce(_width(st.links_extracted)), r)
 
         # -- seen appends: every processed link + admitted children ----------
         seen_new = (links.filter(((F.col("sub") == 1) & F.col("processed"))
@@ -670,7 +725,8 @@ class CrawlEngine:
                     .select(F.col("dst_hash").alias("url_hash"))
                     .distinct()
                     .join(seen.select("url_hash").distinct(), "url_hash", "left_anti"))
-        self.store.write_table("seen", seen_new, r)
+        self.store.write_table(
+            "seen", seen_new.coalesce(_width(st.links_extracted, 200_000)), r)
 
         # -- next frontier ----------------------------------------------------
         admitted = (links.filter(F.col("admitted"))
@@ -709,9 +765,13 @@ class CrawlEngine:
                 n_pending_left_nonretry = pending.filter(~F.col("is_retry")).count()
                 new_frontier = new_frontier.unionByName(
                     pending.select(*new_frontier.columns))
+        # adaptive bucket count: tiny frontiers get 1 file; big ones keep the
+        # full domain-hash bucketing (per-round fixed cost must not scale
+        # with the configured bucket width)
+        n_next = st.admitted + n_retries
+        buckets = max(1, min(cfg.state_buckets, n_next // 20_000 + 1))
         new_frontier = new_frontier.repartition(
-            max(cfg.state_buckets, 1), F.pmod(F.xxhash64("domain"),
-                                              F.lit(cfg.state_buckets)))
+            buckets, F.pmod(F.xxhash64("domain"), F.lit(cfg.state_buckets)))
         self.store.write_table("frontier", new_frontier, r)
 
         # -- domain counts (A2) ----------------------------------------------
@@ -719,7 +779,7 @@ class CrawlEngine:
                         .groupBy("domain").agg(F.count("*").alias("cnt")))
         merged = (domain_counts.unionByName(batch_counts)
                   .groupBy("domain").agg(F.sum("cnt").alias("cnt")))
-        self.store.write_table("domain_counts", merged, r)
+        self.store.write_table("domain_counts", merged.coalesce(buckets), r)
 
         # -- lineage + metrics: tiny, written driver-side (no Spark jobs) ----
         st.retries = n_retries

@@ -103,7 +103,8 @@ def extract_text_udf(html: pd.Series, content_type: pd.Series) -> pd.DataFrame:
 
 _PAGE_TYPE = T.StructType([
     T.StructField("charset", T.StringType()),
-    T.StructField("text", T.StringType()),
+    T.StructField("text_md5", T.StringType()),
+    T.StructField("text_blank", T.BooleanType()),
     T.StructField("links", T.ArrayType(T.StringType())),
 ])
 
@@ -112,7 +113,13 @@ def make_extract_page_udf(cfg) -> callable:
     """One Arrow round trip per page instead of two: decode bytes -> text
     (T5 charset cascade) and, when ``want_links`` is set for the row
     (the P7-P9 gate is computed JVM-side from depth/is_internal), extract
-    links from the just-decoded text (T1-T4). Halves the html/text transfer."""
+    links from the just-decoded text (T1-T4).
+
+    The decoded text never leaves the UDF: only its md5 (the byte-identical
+    contract digest, == F.md5 over the utf-8 string), blank-ness (the P7
+    input) and the link list are returned — at 10^10 scale the text column
+    would otherwise dominate every downstream checkpoint and shuffle."""
+    import hashlib
     meta_nf = cfg.is_respect_meta_robots_no_follow_enabled
     rel_nf = cfg.is_respect_anchor_rel_no_follow_enabled
     x_nf = cfg.is_respect_http_x_robots_tag_header_no_follow_enabled
@@ -122,18 +129,21 @@ def make_extract_page_udf(cfg) -> callable:
     def extract_page_udf(html: pd.Series, content_type: pd.Series,
                          page_url: pd.Series, want_links: pd.Series,
                          x_robots: pd.Series) -> pd.DataFrame:
-        charsets, texts, links = [], [], []
+        charsets, md5s, blanks, links = [], [], [], []
         for raw, ct, u, wl, xr in zip(html, content_type, page_url,
                                       want_links, x_robots):
             if raw is None:
                 charsets.append(None)
-                texts.append(None)
+                md5s.append(None)
+                blanks.append(True)
                 links.append([])
                 continue
             cs, text = extract_text(bytes(raw), ct)
             charsets.append(cs)
-            texts.append(text)
-            if wl and text is not None and text.strip():
+            md5s.append(hashlib.md5(text.encode("utf-8")).hexdigest())
+            blank = not text.strip()
+            blanks.append(blank)
+            if wl and not blank:
                 links.append(extract_links(
                     text, u, None, x_robots_tag=xr,
                     respect_meta_robots_nofollow=meta_nf,
@@ -142,8 +152,8 @@ def make_extract_page_udf(cfg) -> callable:
                     keep_fragment=keep_frag))
             else:
                 links.append([])
-        return pd.DataFrame({"charset": charsets, "text": texts,
-                             "links": links})
+        return pd.DataFrame({"charset": charsets, "text_md5": md5s,
+                             "text_blank": blanks, "links": links})
 
     return extract_page_udf
 

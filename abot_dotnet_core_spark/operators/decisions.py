@@ -56,10 +56,14 @@ def should_crawl_page_reason(cfg: CrawlConfig, *, budget_denied: Column | None =
     return chain.otherwise(F.lit(None))
 
 
-def should_crawl_page_links_reason(cfg: CrawlConfig) -> Column:
-    """P7,P8,P9 — CrawlDecisionMaker.cs:81-99."""
-    chain = F.when(F.col("text").isNull() | (F.trim(F.col("text")) == ""),
-                   F.lit("Page has no content"))
+def should_crawl_page_links_reason(cfg: CrawlConfig,
+                                   text_blank: Column | None = None) -> Column:
+    """P7,P8,P9 — CrawlDecisionMaker.cs:81-99. ``text_blank`` lets callers
+    that never materialize the text column (the engine's fused-UDF path)
+    supply the P7 predicate directly."""
+    if text_blank is None:
+        text_blank = F.col("text").isNull() | (F.trim(F.col("text")) == "")
+    chain = F.when(text_blank, F.lit("Page has no content"))
     if not cfg.is_external_page_links_crawling_enabled:
         chain = chain.when(~F.col("is_internal"), F.lit("Link is external"))
     chain = chain.when(F.col("depth") >= cfg.max_crawl_depth,

@@ -18,7 +18,10 @@ def get_spark(app: str = "abot_dotnet_core_spark", cpus: int | None = None,
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     if shuffle_partitions is None:
-        shuffle_partitions = max(cpus, 8)
+        # 2x cores: post-shuffle stages carry Arrow-batched Python work whose
+        # CPU cost per byte is far above JVM relational work — byte-based AQE
+        # coalescing alone would under-parallelize the UDF stages
+        shuffle_partitions = max(cpus * 2, 16)
     builder = (
         SparkSession.builder
         .master(f"local[{cpus}]")
@@ -27,7 +30,12 @@ def get_spark(app: str = "abot_dotnet_core_spark", cpus: int | None = None,
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # keep coalesced partitions small enough that UDF stages stay wide
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # html pages are ~3 KB: default 128 MB splits give too few scan tasks
+        .config("spark.sql.files.maxPartitionBytes", "32m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
