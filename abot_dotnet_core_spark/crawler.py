@@ -112,6 +112,7 @@ class CrawlEngine:
         # frontier size bookkeeping (saves a count job per round)
         self.pending_total = 0
         self.pending_non_retry = 0
+        self.next_seq = 0
         self.use_bloom_prefilter = bloom_prefilter
 
     # ------------------------------------------------------------------ #
@@ -184,6 +185,7 @@ class CrawlEngine:
 
         self.pending_total = len(rows)
         self.pending_non_retry = len(rows)
+        self.next_seq = seq          # first unassigned priority_seq
         frontier = self.spark.createDataFrame(rows, schema=FRONTIER_SCHEMA)
         seen = self.spark.createDataFrame(seen_rows, schema=SEEN_SCHEMA)
         counts = self.spark.createDataFrame(
@@ -213,6 +215,7 @@ class CrawlEngine:
             "root_authorities": self.root_authorities,
             "pending_total": self.pending_total,
             "pending_non_retry": self.pending_non_retry,
+            "next_seq": self.next_seq,
         }
 
     @classmethod
@@ -231,6 +234,7 @@ class CrawlEngine:
         eng.root_authorities = manifest["counters"]["root_authorities"]
         eng.pending_total = manifest["counters"]["pending_total"]
         eng.pending_non_retry = manifest["counters"]["pending_non_retry"]
+        eng.next_seq = manifest["counters"]["next_seq"]
         eng._robots_df = eng._load_robots()
         eng.store.drop_uncommitted()
         return eng
@@ -260,6 +264,18 @@ class CrawlEngine:
         return self.spark.read.parquet(*paths)
 
     def _crawl_round(self, politeness: bool = False) -> RoundStats:
+        import os as _os
+        import time as _time
+        _prof = _os.environ.get("SPARK_GRAFT_PROFILE") == "1"
+        _t = [_time.time()]
+
+        def _mark(label: str) -> None:
+            if _prof:
+                now = _time.time()
+                print(f"PROF round={self.round + 1} {label}: "
+                      f"{now - _t[0]:.2f}s", flush=True)
+                _t[0] = now
+
         spark, cfg = self.spark, self.cfg
         r = self.round
         st = RoundStats(round=r + 1)
@@ -306,10 +322,14 @@ class CrawlEngine:
 
         # stabilize the batch (it feeds many branches)
         batch = batch.localCheckpoint(eager=True)
+        _mark("batch_ckpt")
         f0 = self.pending_total
         if politeness:
-            batch_n = batch.count()
-            non_retry_n = batch.filter(~F.col("is_retry")).count()
+            row = batch.agg(
+                F.count("*").alias("n"),
+                F.sum((~F.col("is_retry")).cast("long")).alias("nr")).collect()[0]
+            batch_n = row["n"]
+            non_retry_n = row["nr"] or 0
         else:
             # politeness off => batch == frontier; sizes carried from the
             # previous round's commit (no count jobs)
@@ -326,8 +346,21 @@ class CrawlEngine:
         self.event_count += batch_n
 
         # ---- fetch: join corpus_meta (small cols), then html selectively --
+        # The corpus is the 100-TB side: it must NEVER shuffle. The fetch
+        # queue (bounded per round by the politeness budget) broadcasts INTO
+        # the corpus scan as a semi-join reducer — corpus rows stream through
+        # a broadcast hash probe and only the per-round hits survive; the
+        # left-outer join then runs over two batch-sized inputs. On Iceberg
+        # the same shape becomes storage-partition-join / DPP on the url
+        # bucket; the fallback below is the plain shuffle join for rounds too
+        # large to broadcast even as a url-only projection.
         meta = spark.read.parquet(self.corpus_meta_path)
-        fetched = batch.join(meta, "url", "left")
+        small_round = self.pending_total <= 4_000_000
+        if small_round:
+            meta_hit = meta.join(F.broadcast(batch.select("url")), "url", "inner")
+            fetched = batch.join(F.broadcast(meta_hit), "url", "left")
+        else:
+            fetched = batch.join(meta, "url", "left")
         # retry pages increment retry_count at processing time
         fetched = fetched.withColumn(
             "retry_count",
@@ -342,7 +375,12 @@ class CrawlEngine:
                        | F.lit(cfg.is_external_page_links_crawling_enabled))
                       & (F.col("depth") < cfg.max_crawl_depth))
         corpus = spark.read.parquet(self.corpus_path).select("url", "html")
-        downloadable = (fetched.filter(F.col("download_reason").isNull())
+        dl = fetched.filter(F.col("download_reason").isNull())
+        if small_round:
+            # html never shuffles: queue-url broadcast prunes the scan, then
+            # the outer join shuffles only the per-round hit set
+            corpus = corpus.join(F.broadcast(dl.select("url")), "url", "inner")
+        downloadable = (dl
                         .join(corpus, "url", "left")
                         .withColumn("__pg", self._extract_page_udf(
                             F.col("html"), F.col("content_type"), F.col("url"),
@@ -356,7 +394,8 @@ class CrawlEngine:
                 .withColumn("charset", F.lit(None).cast("string"))
                 .withColumn("text_md5", F.lit(None).cast("string"))
                 .withColumn("text_blank", F.lit(True))
-                .withColumn("parsed_links", F.array().cast("array<string>")))
+                .withColumn("parsed_links", F.array().cast(
+                    "array<struct<url:string,hash:bigint,domain:string,scheme:string>>")))
         fetched = downloadable.unionByName(rest)
 
         # ---- P7-P9 links gate (golden reason strings) ----------------------
@@ -364,11 +403,17 @@ class CrawlEngine:
             "links_reason",
             DX.should_crawl_page_links_reason(cfg, text_blank=F.col("text_blank")))
         fetched = fetched.localCheckpoint(eager=True)
+        _mark("fetch_extract_ckpt")
 
         links = (fetched
                  .select("url", "crawl_order", "priority_seq", "depth", "domain",
-                         F.posexplode_outer("parsed_links").alias("link_pos", "dst_url"))
-                 .filter(F.col("dst_url").isNotNull()))
+                         F.posexplode_outer("parsed_links").alias("link_pos", "__link"))
+                 .filter(F.col("__link").isNotNull())
+                 .withColumn("dst_url", F.col("__link.url"))
+                 .withColumn("dst_hash", F.col("__link.hash"))
+                 .withColumn("dst_domain", F.col("__link.domain"))
+                 .withColumn("dst_scheme", F.col("__link.scheme"))
+                 .drop("__link"))
 
         # manual redirect children (ProcessRedirect, WebCrawler.cs:722-749):
         # scheduled BEFORE the page's links (sub=0), same depth, position+1
@@ -395,10 +440,11 @@ class CrawlEngine:
         links_flagged = self._schedule_links(links, batch, fetched, seen,
                                              domain_counts, c0, f0, st,
                                              redirect_children)
+        _mark("schedule_links_ckpt")
 
         # ---- outputs -------------------------------------------------------
         self._write_round_outputs(fetched, links_flagged, batch, pending,
-                                  seen, domain_counts, st)
+                                  seen, domain_counts, st, _mark)
         # release this round's checkpoint blocks — otherwise they accumulate
         # in the block manager across rounds and late rounds pay GC/eviction
         for df in (batch, fetched, links_flagged):
@@ -429,11 +475,14 @@ class CrawlEngine:
                  .withColumn("r_redirect_position", F.lit(None).cast("int"))
                  .withColumn("r_depth", F.lit(None).cast("int")))
         if redirect_children is not None:
+            # redirect children are a tiny set — the T6/T7 UDFs run per-row
+            # here; mainstream links carry hash/domain/scheme from the fused
+            # extraction pass already
+            redirect_children = (redirect_children
+                .withColumn("dst_hash", udfs.url_hash64_udf(F.col("dst_url")))
+                .withColumn("dst_domain", udfs.authority_udf(F.col("dst_url")))
+                .withColumn("dst_scheme", udfs.scheme_udf(F.col("dst_url"))))
             links = links.unionByName(redirect_children)
-        links = (links
-                 .withColumn("dst_hash", udfs.url_hash64_udf(F.col("dst_url")))
-                 .withColumn("dst_domain", udfs.authority_udf(F.col("dst_url")))
-                 .withColumn("dst_scheme", udfs.scheme_udf(F.col("dst_url"))))
 
         # P15 intra-round first-seen occurrence (later dups silently skipped);
         # redirect children (sub=0) precede the same page's links
@@ -664,7 +713,7 @@ class CrawlEngine:
     def _write_round_outputs(self, fetched: DataFrame, links: DataFrame,
                              batch: DataFrame, pending: DataFrame | None,
                              seen: DataFrame, domain_counts: DataFrame,
-                             st: RoundStats) -> None:
+                             st: RoundStats, _mark=lambda label: None) -> None:
         spark, cfg = self.spark, self.cfg
         r = self.round + 1
 
@@ -681,6 +730,7 @@ class CrawlEngine:
                         F.sum(F.col("budget_denied").cast("int")).alias("budget_denied"),
                         F.sum(F.col("admitted").cast("int")).alias("admitted")))
         lineage_rows = [row.asDict() for row in lineage.collect()]
+        _mark("lineage_agg")
 
         def _s(col):
             return sum((row[col] or 0) for row in lineage_rows)
@@ -705,7 +755,6 @@ class CrawlEngine:
                        F.md5(F.lit(""))).alias("text_md5"),
             F.size("parsed_links").alias("links_extracted"),
             F.lit(r).alias("round"))
-        self.store.write_table("crawled", crawled.coalesce(_width(st.fetched)), r)
 
         # -- disallowed events ----------------------------------------------
         dis_links = (links.filter(F.col("processed") & F.col("internal_gate")
@@ -715,9 +764,7 @@ class CrawlEngine:
         dis_pages = (fetched.filter(F.col("links_reason").isNotNull())
                      .select("url", F.col("links_reason").alias("reason"),
                              F.lit("links").alias("stage"), F.lit(r).alias("round")))
-        self.store.write_table(
-            "disallowed",
-            dis_links.unionByName(dis_pages).coalesce(_width(st.links_extracted)), r)
+        disallowed = dis_links.unionByName(dis_pages)
 
         # -- seen appends: every processed link + admitted children ----------
         seen_new = (links.filter(((F.col("sub") == 1) & F.col("processed"))
@@ -725,8 +772,6 @@ class CrawlEngine:
                     .select(F.col("dst_hash").alias("url_hash"))
                     .distinct()
                     .join(seen.select("url_hash").distinct(), "url_hash", "left_anti"))
-        self.store.write_table(
-            "seen", seen_new.coalesce(_width(st.links_extracted, 200_000)), r)
 
         # -- next frontier ----------------------------------------------------
         admitted = (links.filter(F.col("admitted"))
@@ -744,10 +789,13 @@ class CrawlEngine:
         n_retries = 0 if cfg.max_retry_count < 1 else retries.count()
         stream = admitted.unionByName(
             retries.select(*[c for c in admitted.columns]))
-        # continue the global priority_seq sequence from the previous max
-        prev_max = batch.agg(F.max("priority_seq")).collect()[0][0] or 0
+        # continue the global priority_seq sequence: the driver carries the
+        # high-water mark (next_seq), so children always sort after EVERY
+        # existing frontier row — including politeness-deferred rows whose
+        # seq exceeds this batch's max — and no per-round max() job runs
+        prev_max = self.next_seq - 1
         stream_n = st.admitted + n_retries
-        if stream_n <= 2_000_000:
+        if stream_n <= 65_536:
             # small-stream fast path: one single-partition window beats the
             # three-job range-partition densification
             w_seq = W.orderBy("parent_seq", "__sub", "__pos")
@@ -757,14 +805,11 @@ class CrawlEngine:
         else:
             stream = assign_global_seq(stream, ["parent_seq", "__sub", "__pos"],
                                        "priority_seq", start=prev_max + 1)
+        self.next_seq = prev_max + 1 + stream_n
         new_frontier = stream.drop("parent_seq", "__sub", "__pos")
-        n_pending_left = n_pending_left_nonretry = 0
         if pending is not None:
-            n_pending_left = pending.count()
-            if n_pending_left:
-                n_pending_left_nonretry = pending.filter(~F.col("is_retry")).count()
-                new_frontier = new_frontier.unionByName(
-                    pending.select(*new_frontier.columns))
+            new_frontier = new_frontier.unionByName(
+                pending.select(*new_frontier.columns))
         # adaptive bucket count: tiny frontiers get 1 file; big ones keep the
         # full domain-hash bucketing (per-round fixed cost must not scale
         # with the configured bucket width)
@@ -772,14 +817,43 @@ class CrawlEngine:
         buckets = max(1, min(cfg.state_buckets, n_next // 20_000 + 1))
         new_frontier = new_frontier.repartition(
             buckets, F.pmod(F.xxhash64("domain"), F.lit(cfg.state_buckets)))
-        self.store.write_table("frontier", new_frontier, r)
 
         # -- domain counts (A2) ----------------------------------------------
         batch_counts = (batch.filter(~F.col("is_retry"))
                         .groupBy("domain").agg(F.count("*").alias("cnt")))
         merged = (domain_counts.unionByName(batch_counts)
                   .groupBy("domain").agg(F.sum("cnt").alias("cnt")))
-        self.store.write_table("domain_counts", merged.coalesce(buckets), r)
+
+        # -- run the five independent output jobs concurrently: each is a
+        # small action over the already-checkpointed links/fetched, and the
+        # Spark scheduler interleaves their stages, so round turnaround pays
+        # max() of the writes instead of their sum (plus better slot
+        # utilization — none of these fills the cluster on its own)
+        from concurrent.futures import ThreadPoolExecutor
+        jobs = {
+            "crawled": lambda: self.store.write_table(
+                "crawled", crawled.coalesce(_width(st.fetched)), r),
+            "disallowed": lambda: self.store.write_table(
+                "disallowed", disallowed.coalesce(_width(st.links_extracted)), r),
+            "seen": lambda: self.store.write_table(
+                "seen", seen_new.coalesce(_width(st.links_extracted, 200_000)), r),
+            "frontier": lambda: self.store.write_table(
+                "frontier", new_frontier, r),
+            "domain_counts": lambda: self.store.write_table(
+                "domain_counts", merged.coalesce(buckets), r),
+        }
+        if pending is not None:
+            def _pending_counts():
+                row = pending.agg(
+                    F.count("*").alias("n"),
+                    F.sum((~F.col("is_retry")).cast("long")).alias("nr")).collect()[0]
+                return row["n"], row["nr"] or 0
+            jobs["pending"] = _pending_counts
+        with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+            futures = {k: pool.submit(fn) for k, fn in jobs.items()}
+            results = {k: f.result() for k, f in futures.items()}
+        n_pending_left, n_pending_left_nonretry = results.get("pending", (0, 0))
+        _mark("write_outputs")
 
         # -- lineage + metrics: tiny, written driver-side (no Spark jobs) ----
         st.retries = n_retries

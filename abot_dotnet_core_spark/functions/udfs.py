@@ -101,11 +101,18 @@ def extract_text_udf(html: pd.Series, content_type: pd.Series) -> pd.DataFrame:
 
 # --- fused page extraction (T5 + T1-T4 in one Arrow pass) --------------------
 
+_LINK_TYPE = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("hash", T.LongType()),
+    T.StructField("domain", T.StringType()),
+    T.StructField("scheme", T.StringType()),
+])
+
 _PAGE_TYPE = T.StructType([
     T.StructField("charset", T.StringType()),
     T.StructField("text_md5", T.StringType()),
     T.StructField("text_blank", T.BooleanType()),
-    T.StructField("links", T.ArrayType(T.StringType())),
+    T.StructField("links", T.ArrayType(_LINK_TYPE)),
 ])
 
 
@@ -118,7 +125,13 @@ def make_extract_page_udf(cfg) -> callable:
     The decoded text never leaves the UDF: only its md5 (the byte-identical
     contract digest, == F.md5 over the utf-8 string), blank-ness (the P7
     input) and the link list are returned — at 10^10 scale the text column
-    would otherwise dominate every downstream checkpoint and shuffle."""
+    would otherwise dominate every downstream checkpoint and shuffle.
+
+    Each link is returned as a (url, hash, domain, scheme) struct: the T6/T7
+    derivations ride the same Arrow pass in the wide extraction stage, so the
+    exploded link stream downstream is pure JVM column work (AQE may coalesce
+    that narrow stream to few partitions without cost — there is no Python
+    left in it)."""
     import hashlib
     meta_nf = cfg.is_respect_meta_robots_no_follow_enabled
     rel_nf = cfg.is_respect_anchor_rel_no_follow_enabled
@@ -144,12 +157,15 @@ def make_extract_page_udf(cfg) -> callable:
             blank = not text.strip()
             blanks.append(blank)
             if wl and not blank:
-                links.append(extract_links(
-                    text, u, None, x_robots_tag=xr,
-                    respect_meta_robots_nofollow=meta_nf,
-                    respect_anchor_rel_nofollow=rel_nf,
-                    respect_x_robots_nofollow=x_nf,
-                    keep_fragment=keep_frag))
+                links.append([
+                    {"url": l, "hash": U.url_hash64(l),
+                     "domain": U.authority(l), "scheme": U.scheme_of(l)}
+                    for l in extract_links(
+                        text, u, None, x_robots_tag=xr,
+                        respect_meta_robots_nofollow=meta_nf,
+                        respect_anchor_rel_nofollow=rel_nf,
+                        respect_x_robots_nofollow=x_nf,
+                        keep_fragment=keep_frag)])
             else:
                 links.append([])
         return pd.DataFrame({"charset": charsets, "text_md5": md5s,

@@ -33,10 +33,20 @@ def get_spark(app: str = "abot_dotnet_core_spark", cpus: int | None = None,
         # keep coalesced partitions small enough that UDF stages stay wide
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+        # post-shuffle stages that carry pandas-UDF work are CPU-bound, not
+        # byte-bound: a 4 MB link batch can hold seconds of Python — keep the
+        # coalescer from narrowing below real parallelism
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "128k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # html pages are ~3 KB: default 128 MB splits give too few scan tasks
         .config("spark.sql.files.maxPartitionBytes", "32m")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # local mode runs many short rounds in one JVM: reclaim broadcast /
+        # shuffle state often (default 30min lets it pile up), and a larger
+        # G1 region keeps batch-sized broadcasts out of humongous territory
+        .config("spark.cleaner.periodicGC.interval", "2min")
+        .config("spark.driver.extraJavaOptions",
+                "-XX:G1HeapRegionSize=32m -XX:MaxGCPauseMillis=300")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -57,8 +57,40 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def warmup_crawl(spark, workdir: str) -> None:
+    """One small throwaway crawl before timing: the first ~60 s of a fresh
+    JVM is JIT-compilation-bound (codegen, shuffle, Arrow paths), which
+    would otherwise be charged to the first measured rounds and swamp the
+    N-vs-4N comparison with a constant that no real cluster pays at
+    steady state."""
+    from abot_dotnet_core_spark.config import CrawlConfig
+    from abot_dotnet_core_spark.crawler import CrawlEngine
+    from abot_dotnet_core_spark.sources.corpus import (
+        CorpusSpec, domain_name, generate_spark)
+    spec = CorpusSpec(n_pages=20_000, n_domains=50, hot_domain_share=0.3,
+                      body_repeat=2, error_rate=0.12, branching=8)
+    corpus_dir = os.path.join(workdir, "warmup_corpus")
+    if not os.path.exists(os.path.join(corpus_dir, "corpus.parquet")):
+        generate_spark(spark, spec, corpus_dir,
+                       partitions=spark.sparkContext.defaultParallelism)
+    state_dir = os.path.join(workdir, "warmup_state")
+    shutil.rmtree(state_dir, ignore_errors=True)
+    cfg = CrawlConfig(max_pages_to_crawl=0,
+                      is_external_page_crawling_enabled=True,
+                      is_external_page_links_crawling_enabled=True,
+                      is_respect_robots_dot_text_enabled=True)
+    eng = CrawlEngine(spark, cfg,
+                      corpus_path=f"{corpus_dir}/corpus.parquet",
+                      corpus_meta_path=f"{corpus_dir}/corpus_meta.parquet",
+                      store_root=state_dir,
+                      robots_path=f"{corpus_dir}/robots.parquet")
+    eng.seed([f"http://{domain_name(i)}/" for i in range(spec.n_domains)])
+    eng.run(max_rounds=4)
+    shutil.rmtree(state_dir, ignore_errors=True)
+
+
 def bench_crawl(spark, n_pages: int, workdir: str,
-                body_repeat: int = 4) -> dict:
+                body_repeat: int = 4, warmup: bool = True) -> dict:
     """The BASELINE metric: urls (fetched + deduped links) per second,
     measured across full crawl rounds on the skewed synthetic corpus.
 
@@ -70,6 +102,9 @@ def bench_crawl(spark, n_pages: int, workdir: str,
     from abot_dotnet_core_spark.crawler import CrawlEngine
     from abot_dotnet_core_spark.sources.corpus import (
         CorpusSpec, domain_name, generate_spark)
+
+    if warmup:
+        warmup_crawl(spark, workdir)
 
     spec = CorpusSpec(n_pages=n_pages, n_domains=max(n_pages // 100, 4),
                       hot_domain_share=0.3, body_repeat=body_repeat,
