@@ -142,6 +142,10 @@ def make_extract_page_udf(cfg) -> callable:
     def extract_page_udf(html: pd.Series, content_type: pd.Series,
                          page_url: pd.Series, want_links: pd.Series,
                          x_robots: pd.Series) -> pd.DataFrame:
+        import os as _os
+        if _os.environ.get("SPARK_GRAFT_UDF_COUNT"):
+            import sys as _sys
+            print(f"UDFBATCH {len(html)}", file=_sys.stderr, flush=True)
         charsets, md5s, blanks, links = [], [], [], []
         for raw, ct, u, wl, xr in zip(html, content_type, page_url,
                                       want_links, x_robots):
