@@ -529,6 +529,44 @@ ranked AS (
 SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5"""
 
 
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (dedup family): LSH band candidates ->
+    exact cosine >= 0.3 (testdata embeddings are random; 0.3 exercises the
+    full candidate->verify path with a non-trivial survivor set)."""
+    from abot_dotnet_core_spark.functions.similarity import embedding_neardup_pairs
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.3, n_planes=8, bands=2,
+                                   dim=64)
+
+
+def sql_embedding_neardup():
+    from abot_dotnet_core_spark.functions.similarity import hyperplanes
+    planes = hyperplanes(64, 8)
+
+    def sig(plane_slice):
+        bits = []
+        for p in plane_slice:
+            arr = "[" + ",".join(f"{x!r}" for x in p) + "]::double[]"
+            bits.append(
+                f"CASE WHEN list_dot_product(embedding::double[], {arr}) >= 0 "
+                "THEN '1' ELSE '0' END")
+        return " || ".join(bits)
+
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, {sig(planes[:4])} AS sig0, {sig(planes[4:])} AS sig1
+  FROM embeddings),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.embedding AS va, b.embedding AS vb
+  FROM sigs a JOIN sigs b
+    ON (a.sig0 = b.sig0 OR a.sig1 = b.sig1) AND a.vec_id < b.vec_id)
+SELECT id_a, id_b,
+       round(list_cosine_similarity(va::double[], vb::double[]), 6) AS cosine
+FROM cand
+WHERE round(list_cosine_similarity(va::double[], vb::double[]), 6) >= 0.3"""
+
+
 def q_cosine_topk_lsh(spark, sf_dir):
     """Random-hyperplane LSH-bucketed ANN top-k (the at-scale path):
     2 bands of 4 planes, candidate = same sub-signature in any band."""
@@ -940,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "cosine_topk": q_cosine_topk,
         "cosine_topk_lsh": q_cosine_topk_lsh,
+        "embedding_neardup": q_embedding_neardup,
         # text analysis
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
@@ -982,6 +1021,7 @@ def oracle_sql() -> dict[str, str]:
         # simhash_pairs: intentionally omitted (non-SQL-expressible)
         "cosine_topk": sql_cosine_topk(),
         "cosine_topk_lsh": sql_cosine_topk_lsh(),
+        "embedding_neardup": sql_embedding_neardup(),
         "token_stats": sql_token_stats(),
         "quality_scores": sql_quality_scores(),
         "lang_id": sql_lang_id(),

@@ -76,6 +76,46 @@ def lsh_signature_col(vec_col, planes: list[list[float]]):
     return F.concat(*bits)
 
 
+def banded_signatures(df: DataFrame, vec_col: str,
+                      planes: list[list[float]], bands: int) -> DataFrame:
+    """Explode each row into one (band, sig) bucket row per band."""
+    n_planes = len(planes)
+    per_band = max(n_planes // bands, 1)
+    band_cols = []
+    for b in range(bands):
+        sub = planes[b * per_band: (b + 1) * per_band]
+        band_cols.append(F.struct(
+            F.lit(b).alias("band"),
+            lsh_signature_col(F.col(vec_col), sub).alias("sig")))
+    return (df.withColumn("bb", F.explode(F.array(*band_cols)))
+            .withColumn("band", F.col("bb.band"))
+            .withColumn("sig", F.col("bb.sig")).drop("bb"))
+
+
+def embedding_neardup_pairs(corpus: DataFrame, threshold: float = 0.9,
+                            n_planes: int = 8, bands: int = 2, dim: int = 64,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate detection (the dedup-family variant of
+    LSH search): candidate pairs share a band sub-signature, then the exact
+    cosine gate keeps pairs >= threshold. At scale this is a self equi-join
+    on (band, sig) — bucket-mates shuffle, nothing else."""
+    planes = hyperplanes(dim, n_planes)
+    c = banded_signatures(corpus, vec_col, planes, bands)
+    a = c.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
+                 "band", "sig")
+    b = c.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
+                 "band", "sig")
+    cand = (a.join(b, ["band", "sig"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "vec_a", "id_b", "vec_b")
+            .dropDuplicates(["id_a", "id_b"]))
+    scored = cand.withColumn(
+        "cosine", F.round(cosine_col(F.col("vec_a"), F.col("vec_b")), 6))
+    return (scored.filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_planes: int = 8, bands: int = 4, dim: int = 64,
              id_col: str = "vec_id", vec_col: str = "embedding",
@@ -86,21 +126,8 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     an equi-join on (band, sub_signature) — only bucket-mates shuffle."""
     from pyspark.sql import Window as W
     planes = hyperplanes(dim, n_planes)
-    per_band = max(n_planes // bands, 1)
-
-    def banded(df, vcol):
-        band_cols = []
-        for b in range(bands):
-            sub = planes[b * per_band: (b + 1) * per_band]
-            band_cols.append(F.struct(
-                F.lit(b).alias("band"),
-                lsh_signature_col(F.col(vcol), sub).alias("sig")))
-        return (df.withColumn("bb", F.explode(F.array(*band_cols)))
-                .withColumn("band", F.col("bb.band"))
-                .withColumn("sig", F.col("bb.sig")).drop("bb"))
-
-    c = banded(corpus, vec_col)
-    q = banded(queries, q_vec_col)
+    c = banded_signatures(corpus, vec_col, planes, bands)
+    q = banded_signatures(queries, q_vec_col, planes, bands)
     cand = (c.join(F.broadcast(q), ["band", "sig"])
             .filter(F.col(id_col) != F.col(q_id_col))
             .select(id_col, vec_col, q_id_col, q_vec_col)
