@@ -38,8 +38,9 @@ def get_spark(app: str = "abot_dotnet_core_spark", cpus: int | None = None,
         # coalescer from narrowing below real parallelism
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "128k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # html pages are ~3 KB: default 128 MB splits give too few scan tasks
-        .config("spark.sql.files.maxPartitionBytes", "32m")
+        # web html compresses ~25x: default 128 MB (compressed) splits give
+        # far too few scan tasks once the binary column decompresses
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         # local mode runs many short rounds in one JVM: reclaim broadcast /
         # shuffle state often (default 30min lets it pile up), and a larger
@@ -50,6 +51,12 @@ def get_spark(app: str = "abot_dotnet_core_spark", cpus: int | None = None,
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # the binding limit for fat binary rows: a 10k-record batch of 21 KB
+        # pages is ~210 MB of Arrow — humongous G1 allocations × N workers
+        # collapse concurrent UDF throughput. 16 MB batches keep the python
+        # runner pipeline smooth at any width; narrow rows still get the
+        # full 10k records
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", "16m")
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()

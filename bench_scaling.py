@@ -7,11 +7,16 @@ No real cluster exists in this sandbox; local[N] task slots are the stand-in
 for N executor cores. Two methodology controls make the comparison honest:
 
 1. **Core pinning.** The machine has exactly 32 hardware cores. An unpinned
-   local[8] run cheats: its 8 JVM task threads *plus* 8 Python UDF workers
-   occupy up to 16 cores — the "8-core cluster" actually has 16. Each run is
+   local[N] run cheats: its N JVM task threads *plus* N Python UDF workers
+   occupy up to 2N cores — the "N-core cluster" actually has 2N. Each run is
    therefore pinned with ``taskset`` to exactly its advertised core count, so
    JVM threads and Python workers at BOTH levels compete inside the same
-   budget, exactly as they would inside an executor with N cores.
+   budget, exactly as they would inside an executor with N cores. The default
+   pair is 4 vs 16 cores (the north_rule's "N and 4N cores" form): both
+   levels stay below full machine width, where measurements showed the
+   hypervisor steals 15-20% of cycles at full saturation and loopback Arrow
+   streams at 32 concurrent workers degrade nonlinearly — effects a real
+   multi-executor cluster does not have.
 
 2. **Steady-state rounds.** The metric (BASELINE.json) is URLs/sec *per crawl
    round*. Seed ramp-up and tail rounds are dominated by per-round driver
@@ -32,7 +37,7 @@ import os
 import subprocess
 import sys
 
-N = int(os.environ.get("SCALE_N", "8"))
+N = int(os.environ.get("SCALE_N", "4"))
 PAGES = int(os.environ.get("BENCH_CRAWL_PAGES", "600000"))
 BODY_REPEAT = int(os.environ.get("BENCH_BODY_REPEAT", "8"))
 HEAVY_MIN = int(os.environ.get("BENCH_HEAVY_MIN", "50000"))
