@@ -56,6 +56,10 @@ class CrawlConfig:
     state_buckets: int = 32
     # Salt fan-out for hot domains (deterministic pmod(xxhash64(url), salt)).
     skew_salt: int = 8
+    # Fetch-queue size above which the corpus join switches from the
+    # broadcast semi-join to the Bloom scan-pushdown path (extraction runs
+    # on the corpus scan; html never shuffles).
+    fetch_broadcast_threshold: int = 200_000
 
     def to_dict(self) -> dict:
         return asdict(self)

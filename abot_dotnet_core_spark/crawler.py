@@ -164,7 +164,10 @@ class CrawlEngine:
         seq = 0
         from .kernel import decisions as KD
         from .kernel.robots import flat_to_rules, is_url_allowed
+        seen_hashes: set[int] = set()
         for u in normalized:
+            if url_hash64(u) in seen_hashes:
+                continue                 # AddIfNew: duplicate seed dropped
             # PoliteWebCrawler robots-first gate for the root
             if robots_pd is not None and authority(u) in robots_pd.index:
                 flat = robots_pd.loc[authority(u), "rules_flat"]
@@ -181,6 +184,7 @@ class CrawlEngine:
             rows.append((u, url_hash64(u), authority(u), scheme_of(u), None, 0,
                          True, False, 0, None, 0, seq))
             seen_rows.append((url_hash64(u),))
+            seen_hashes.add(url_hash64(u))
             seq += 1
 
         self.pending_total = len(rows)
@@ -194,6 +198,55 @@ class CrawlEngine:
         self.store.write_table("frontier", frontier, 0)
         self.store.write_table("seen", seen, 0)
         self.store.write_table("domain_counts", counts, 0)
+        self.store.write_table("domain_state", self._domain_state_df(), 0)
+        self.store.commit_round(0, self._counters())
+
+    def seed_from_frontier(self, urls_df: DataFrame) -> None:
+        """Round-0 frontier from a prebuilt URL DataFrame (column ``url``) —
+        the steady-state/recrawl entry point. Where ``seed()`` gates a
+        driver-side handful of roots, this path is fully distributed: a
+        10^10-row frontier never touches the driver (normalize/hash/authority
+        ride one Arrow pass; the FIFO seq comes from the range-partition
+        ranker). All rows are marked internal/root-sanctioned; the decision
+        cascade still applies per-round."""
+        from .functions import udfs
+        self._robots_df = self._load_robots()
+
+        fr = (urls_df.select("url")
+              .withColumn("url", udfs.normalize_url_udf(F.col("url")))
+              .filter(F.col("url").isNotNull())
+              .dropDuplicates(["url"])
+              .withColumn("url_hash", udfs.url_hash64_udf(F.col("url")))
+              .withColumn("domain", udfs.authority_udf(F.col("url")))
+              .withColumn("scheme", udfs.scheme_udf(F.col("url")))
+              .withColumn("parent_url", F.lit(None).cast("string"))
+              .withColumn("depth", F.lit(0))
+              .withColumn("is_internal", F.lit(True))
+              .withColumn("is_retry", F.lit(False))
+              .withColumn("retry_count", F.lit(0))
+              .withColumn("redirected_from", F.lit(None).cast("string"))
+              .withColumn("redirect_position", F.lit(0)))
+        fr = assign_global_seq(fr, ["url"], "priority_seq")
+        fr = fr.select(*[f.name for f in FRONTIER_SCHEMA.fields]) \
+               .localCheckpoint(eager=True)
+        n = fr.count()
+
+        self.root_authorities = []  # is_internal carried per-row instead
+        self.pending_total = n
+        self.pending_non_retry = n
+        self.next_seq = n
+        self.crawled_count = 0
+        self.event_count = 0
+        self.round = 0
+        buckets = max(1, min(self.cfg.state_buckets, n // 20_000 + 1))
+        self.store.write_table(
+            "frontier",
+            fr.repartition(buckets,
+                           F.pmod(F.xxhash64("domain"),
+                                  F.lit(self.cfg.state_buckets))), 0)
+        self.store.write_table("seen", fr.select("url_hash"), 0)
+        self.store.write_table(
+            "domain_counts", self.spark.createDataFrame([], "domain string, cnt long"), 0)
         self.store.write_table("domain_state", self._domain_state_df(), 0)
         self.store.commit_round(0, self._counters())
 
@@ -354,8 +407,13 @@ class CrawlEngine:
         # the same shape becomes storage-partition-join / DPP on the url
         # bucket; the fallback below is the plain shuffle join for rounds too
         # large to broadcast even as a url-only projection.
+        # Threshold: the broadcast semi-join wins only while the driver-side
+        # collect+hash of the queue stays trivial; past it the queue is
+        # pushed into the corpus scan as an O(m)-byte Bloom filter instead
+        # (build_url_bloom) and extraction runs ON the scan — the html never
+        # shuffles at any queue size (the big-round path below).
         meta = spark.read.parquet(self.corpus_meta_path)
-        small_round = self.pending_total <= 4_000_000
+        small_round = self.pending_total <= cfg.fetch_broadcast_threshold
         if small_round:
             meta_hit = meta.join(F.broadcast(batch.select("url")), "url", "inner")
             fetched = batch.join(F.broadcast(meta_hit), "url", "left")
@@ -376,26 +434,63 @@ class CrawlEngine:
                       & (F.col("depth") < cfg.max_crawl_depth))
         corpus = spark.read.parquet(self.corpus_path).select("url", "html")
         dl = fetched.filter(F.col("download_reason").isNull())
+        links_t = ("array<struct<url:string,hash:bigint,"
+                   "domain:string,scheme:string>>")
         if small_round:
             # html never shuffles: queue-url broadcast prunes the scan, then
             # the outer join shuffles only the per-round hit set
             corpus = corpus.join(F.broadcast(dl.select("url")), "url", "inner")
-        downloadable = (dl
-                        .join(corpus, "url", "left")
-                        .withColumn("__pg", self._extract_page_udf(
-                            F.col("html"), F.col("content_type"), F.col("url"),
-                            want_links, F.lit(None).cast("string")))
-                        .withColumn("charset", F.col("__pg.charset"))
-                        .withColumn("text_md5", F.col("__pg.text_md5"))
-                        .withColumn("text_blank", F.col("__pg.text_blank"))
-                        .withColumn("parsed_links", F.col("__pg.links"))
-                        .drop("__pg", "html"))
+            downloadable = (dl
+                            .join(corpus, "url", "left")
+                            .withColumn("__pg", self._extract_page_udf(
+                                F.col("html"), F.col("content_type"), F.col("url"),
+                                want_links, F.lit(None).cast("string")))
+                            .withColumn("charset", F.col("__pg.charset"))
+                            .withColumn("text_md5", F.col("__pg.text_md5"))
+                            .withColumn("text_blank", F.col("__pg.text_blank"))
+                            .withColumn("parsed_links", F.col("__pg.links"))
+                            .drop("__pg", "html"))
+        else:
+            # big-round path: extraction runs in the corpus SCAN stage (a
+            # pure map — scales linearly with cores), gated by an O(m)-byte
+            # Bloom of the fetch queue; only narrow derived columns
+            # (digest/blank/link structs) ever enter a shuffle. Charset
+            # derives from content alone here — the mandated corpus schema
+            # (url, warc_ts, html, text, lang) carries no header
+            # content-type, so there is nothing to override it with.
+            from .operators.seenfilter import (build_url_bloom,
+                                               make_url_bloom_member_udf)
+            m, k, bits = build_url_bloom(
+                dl.select("url"), capacity=max(self.pending_total, 1024))
+            member = make_url_bloom_member_udf(spark, m, k, bits)
+            ext = (corpus.filter(member(F.col("url")))
+                   .withColumn("__pg", self._extract_page_udf(
+                       F.col("html"), F.lit(None).cast("string"),
+                       F.col("url"), F.lit(True),
+                       F.lit(None).cast("string")))
+                   .select("url",
+                           F.col("__pg.charset").alias("charset"),
+                           F.col("__pg.text_md5").alias("text_md5"),
+                           F.col("__pg.text_blank").alias("text_blank"),
+                           F.col("__pg.links").alias("__links")))
+            downloadable = (dl.join(ext, "url", "left")
+                            .withColumn("text_blank",
+                                        F.coalesce(F.col("text_blank"),
+                                                   F.lit(True)))
+                            .withColumn(
+                                "parsed_links",
+                                F.when(want_links & ~F.col("text_blank"),
+                                       F.col("__links"))
+                                 .otherwise(F.array().cast(links_t)))
+                            .withColumn("parsed_links",
+                                        F.coalesce(F.col("parsed_links"),
+                                                   F.array().cast(links_t)))
+                            .drop("__links"))
         rest = (fetched.filter(F.col("download_reason").isNotNull())
                 .withColumn("charset", F.lit(None).cast("string"))
                 .withColumn("text_md5", F.lit(None).cast("string"))
                 .withColumn("text_blank", F.lit(True))
-                .withColumn("parsed_links", F.array().cast(
-                    "array<struct<url:string,hash:bigint,domain:string,scheme:string>>")))
+                .withColumn("parsed_links", F.array().cast(links_t)))
         fetched = downloadable.unionByName(rest)
 
         # ---- P7-P9 links gate (golden reason strings) ----------------------
@@ -491,7 +586,9 @@ class CrawlEngine:
 
         # P15 known gate: anti-join semantics via a left join flag (we still
         # need the row for the lineage counters)
-        seen_d = seen.select(F.col("url_hash").alias("dst_hash")).distinct() \
+        # the seen table is distinct by construction (seed dedup + per-round
+        # appends are anti-joined before write) — no dedup shuffle needed
+        seen_d = seen.select(F.col("url_hash").alias("dst_hash")) \
                      .withColumn("__known", F.lit(True))
         if self.use_bloom_prefilter:
             # T8 sidecar: candidates the Bloom filter clears as definitely-new
@@ -771,7 +868,7 @@ class CrawlEngine:
                                  | ((F.col("sub") == 0) & F.col("admitted")))
                     .select(F.col("dst_hash").alias("url_hash"))
                     .distinct()
-                    .join(seen.select("url_hash").distinct(), "url_hash", "left_anti"))
+                    .join(seen.select("url_hash"), "url_hash", "left_anti"))
 
         # -- next frontier ----------------------------------------------------
         admitted = (links.filter(F.col("admitted"))

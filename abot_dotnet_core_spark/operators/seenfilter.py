@@ -164,6 +164,67 @@ def bloom_prefilter(candidates: DataFrame, sidecar: DataFrame,
 
 
 # --------------------------------------------------------------------------
+# Whole-queue URL bloom (the fetch-join scan pushdown)
+# --------------------------------------------------------------------------
+
+def build_url_bloom(df: DataFrame, url_col: str = "url",
+                    capacity: int = 1_000_000,
+                    error_rate: float = 0.01) -> tuple[int, int, bytes]:
+    """Distributed Bloom build over a url column: each partition builds a
+    partial bitset with the SAME (m, k) (mapInPandas), the driver ORs the
+    ~m/8-byte partials. Returns (m, k, bits). Unlike a broadcast hash
+    relation of the queue, the result is O(m) bytes regardless of queue
+    row count — this is what lets a 10^10-row frontier push its fetch set
+    into the corpus scan."""
+    m, k = best_m_k(max(capacity, 1024), error_rate)
+
+    def build(batches):
+        bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+        for pdf in batches:
+            for u in pdf[url_col]:
+                if u is None:
+                    continue
+                h1, h2 = _h1_h2(u.encode("utf-8"))
+                for i in range(k):
+                    pos = (h1 + i * h2) % m
+                    bits[pos >> 3] |= 1 << (pos & 7)
+        yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    parts = df.select(url_col).mapInPandas(build, "bits binary").collect()
+    out = np.zeros((m + 7) // 8, dtype=np.uint8)
+    for r in parts:
+        out |= np.frombuffer(bytes(r["bits"]), dtype=np.uint8)
+    return m, k, out.tobytes()
+
+
+def make_url_bloom_member_udf(spark, m: int, k: int, bits: bytes):
+    """Vectorized membership probe for the scan-side filter (false positives
+    only admit extra rows into the subsequent exact join)."""
+    bc = spark.sparkContext.broadcast(bits)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.BooleanType())
+    def member(urls: pd.Series) -> pd.Series:
+        arr = np.frombuffer(bc.value, dtype=np.uint8)
+        out = []
+        for u in urls:
+            if u is None:
+                out.append(False)
+                continue
+            h1, h2 = _h1_h2(u.encode("utf-8"))
+            hit = True
+            for i in range(k):
+                pos = (h1 + i * h2) % m
+                if not arr[pos >> 3] & (1 << (pos & 7)):
+                    hit = False
+                    break
+            out.append(hit)
+        return pd.Series(out)
+
+    return member
+
+
+# --------------------------------------------------------------------------
 # Cuckoo filter (deletion-capable sidecar)
 # --------------------------------------------------------------------------
 

@@ -97,6 +97,20 @@ class TestParityRobots:
         assert_parity(spark, eng, simulator_result(cfg))
 
 
+class TestParityBigRoundPath:
+    def test_bloom_scan_pushdown_path(self, spark, tiny_corpus_dir, tmp_path):
+        """fetch_broadcast_threshold=0 forces every round through the
+        big-round Bloom scan-pushdown fetch (extraction on the corpus scan,
+        narrow joins only) — results must be identical to the reference
+        simulator, like the broadcast path."""
+        cfg = CrawlConfig(fetch_broadcast_threshold=0,
+                          is_respect_robots_dot_text_enabled=True)
+        eng = run_engine(spark, cfg, tiny_corpus_dir, tmp_path)
+        assert_parity(spark, eng,
+                      simulator_result(CrawlConfig(
+                          is_respect_robots_dot_text_enabled=True)))
+
+
 class TestParityBudgets:
     def test_max_pages(self, spark, tiny_corpus_dir, tmp_path):
         cfg = CrawlConfig(max_pages_to_crawl=11)
