@@ -53,6 +53,49 @@ def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                  F.round(F.sum("value"), 6).alias("sum_value")))
 
 
+DOMAIN_COUNTS_OUT = "domain string, crawled_total bigint"
+DOMAIN_COUNTS_STATE = "cnt bigint"
+
+
+def domain_counts_stateful(crawled: DataFrame) -> DataFrame:
+    """A2 as a custom stateful streaming operator: per-domain cumulative
+    crawled counters via ``applyInPandasWithState`` — the streaming analogue
+    of the reference's ``CrawlContext.CrawlCountByDomain``
+    (Abot/src/Abot/Poco/CrawlContext.cs:41, updated WebCrawler.cs:927).
+    State (one int64 per domain) survives across triggers through the
+    checkpoint, so a restarted telemetry job resumes exact totals."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        cnt = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            cnt += len(pdf)
+        state.update((cnt,))
+        yield pd.DataFrame({"domain": [key[0]], "crawled_total": [cnt]})
+
+    return (crawled.groupBy("domain")
+            .applyInPandasWithState(update,
+                                    outputStructType=DOMAIN_COUNTS_OUT,
+                                    stateStructType=DOMAIN_COUNTS_STATE,
+                                    outputMode="update",
+                                    timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def stream_domain_counts(spark, source_path: str, checkpoint: str,
+                         out_path: str):
+    """availableNow wiring for domain_counts_stateful over a parquet feed of
+    crawled events (any schema with a ``domain`` column)."""
+    schema = spark.read.parquet(source_path).schema
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    agg = domain_counts_stateful(stream)
+    return (agg.writeStream.outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", checkpoint)
+            .foreachBatch(lambda df, epoch:
+                          df.write.mode("append").parquet(out_path)))
+
+
 def stream_tumbling_counts(spark, source_path: str, checkpoint: str,
                            out_path: str, window: str = "1 hour"):
     """availableNow streaming job over a parquet directory feed — the real

@@ -198,3 +198,36 @@ class TestStreaming:
         max_start = max(k[0] for k in w)
         assert all((max_start - k[0]).total_seconds() <= 2 * 3600
                    for k in missing), f"non-trailing windows missing: {missing}"
+
+    def test_stateful_domain_counters(self, spark, tmp_path):
+        """applyInPandasWithState custom stateful operator: per-domain
+        cumulative counters must ACCUMULATE across two availableNow runs
+        that share a checkpoint (state survives restarts)."""
+        import os
+        import pandas as pd
+        from abot_dotnet_core_spark.streaming.metrics_stream import (
+            stream_domain_counts)
+        src = str(tmp_path / "feed")
+        os.makedirs(src)
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+
+        pd.DataFrame({"domain": ["a.test"] * 3 + ["b.test"] * 2,
+                      "url": [f"http://x/{i}" for i in range(5)]}) \
+            .to_parquet(f"{src}/part-0.parquet", index=False)
+        q = stream_domain_counts(spark, src, ckpt, out).start()
+        q.awaitTermination(120)
+
+        pd.DataFrame({"domain": ["a.test", "c.test"],
+                      "url": ["http://x/5", "http://x/6"]}) \
+            .to_parquet(f"{src}/part-1.parquet", index=False)
+        q = stream_domain_counts(spark, src, ckpt, out).start()
+        q.awaitTermination(120)
+
+        # last emitted total per domain across both runs
+        got = spark.read.parquet(out)
+        latest = {}
+        for r in got.collect():
+            latest[r["domain"]] = max(latest.get(r["domain"], 0),
+                                      r["crawled_total"])
+        assert latest == {"a.test": 4, "b.test": 2, "c.test": 1}
