@@ -373,8 +373,11 @@ class CrawlEngine:
             batch = frontier
             pending = None
 
-        # stabilize the batch (it feeds many branches)
-        batch = batch.localCheckpoint(eager=True)
+        # stabilize the batch (it feeds many branches); with politeness off
+        # the batch IS the frontier parquet snapshot — already stable, no
+        # materialization job needed
+        if politeness:
+            batch = batch.localCheckpoint(eager=True)
         _mark("batch_ckpt")
         f0 = self.pending_total
         if politeness:
@@ -458,12 +461,13 @@ class CrawlEngine:
             # derives from content alone here — the mandated corpus schema
             # (url, warc_ts, html, text, lang) carries no header
             # content-type, so there is nothing to override it with.
-            from .operators.seenfilter import (build_url_bloom,
-                                               make_url_bloom_member_udf)
-            m, k, bits = build_url_bloom(
-                dl.select("url"), capacity=max(self.pending_total, 1024))
-            member = make_url_bloom_member_udf(spark, m, k, bits)
-            ext = (corpus.filter(member(F.col("url")))
+            from .operators.seenfilter import (build_hash_bloom,
+                                               make_hash_bloom_member_udf)
+            m, k, bits = build_hash_bloom(
+                dl.select(F.xxhash64("url").alias("__h")), "__h",
+                capacity=max(self.pending_total, 1024))
+            member = make_hash_bloom_member_udf(spark, m, k, bits)
+            ext = (corpus.filter(member(F.xxhash64("url")))
                    .withColumn("__pg", self._extract_page_udf(
                        F.col("html"), F.lit(None).cast("string"),
                        F.col("url"), F.lit(True),

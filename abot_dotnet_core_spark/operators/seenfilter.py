@@ -197,6 +197,66 @@ def build_url_bloom(df: DataFrame, url_col: str = "url",
     return m, k, out.tobytes()
 
 
+def _mix64(h: "np.ndarray") -> "np.ndarray":
+    """splitmix64 finalizer — second independent hash stream from the first."""
+    z = (h + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def build_hash_bloom(df: DataFrame, hash_col: str,
+                     capacity: int = 1_000_000,
+                     error_rate: float = 0.01) -> tuple[int, int, bytes]:
+    """Fully vectorized variant of build_url_bloom over a PRE-HASHED int64
+    column (JVM xxhash64): numpy double hashing h1 + i*mix(h1), no per-row
+    python. Partition partials OR on the driver; O(m) bytes total."""
+    m, k = best_m_k(max(capacity, 1024), error_rate)
+
+    def build(batches):
+        bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+        for pdf in batches:
+            h1 = pdf[hash_col].to_numpy(dtype=np.int64).astype(np.uint64)
+            if not len(h1):
+                continue
+            h2 = _mix64(h1) | np.uint64(1)
+            for i in range(k):
+                pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+                np.bitwise_or.at(bits, (pos >> np.uint64(3)).astype(np.int64),
+                                 (np.uint64(1) << (pos & np.uint64(7)))
+                                 .astype(np.uint8))
+        yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    parts = df.mapInPandas(build, "bits binary").collect()
+    out = np.zeros((m + 7) // 8, dtype=np.uint8)
+    for r in parts:
+        out |= np.frombuffer(bytes(r["bits"]), dtype=np.uint8)
+    return m, k, out.tobytes()
+
+
+def make_hash_bloom_member_udf(spark, m: int, k: int, bits: bytes):
+    """Vectorized probe over a pre-hashed int64 column."""
+    bc = spark.sparkContext.broadcast(bits)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.BooleanType())
+    def member(hashes: pd.Series) -> pd.Series:
+        arr = np.frombuffer(bc.value, dtype=np.uint8)
+        h1 = hashes.to_numpy(dtype=np.int64).astype(np.uint64)
+        if not len(h1):
+            return pd.Series([], dtype=bool)
+        h2 = _mix64(h1) | np.uint64(1)
+        hit = np.ones(len(h1), dtype=bool)
+        for i in range(k):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+            byte = arr[(pos >> np.uint64(3)).astype(np.int64)]
+            hit &= (byte & (np.uint64(1) << (pos & np.uint64(7)))
+                    .astype(np.uint8)) != 0
+        return pd.Series(hit)
+
+    return member
+
+
 def make_url_bloom_member_udf(spark, m: int, k: int, bits: bytes):
     """Vectorized membership probe for the scan-side filter (false positives
     only admit extra rows into the subsequent exact join)."""

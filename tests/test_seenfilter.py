@@ -102,3 +102,22 @@ class TestSidecarSpark:
         assert sum(r["n_keys"] for r in sidecar) == 2000
         cf = CuckooFilter.from_bytes(bytes(sidecar[0]["blob"]))
         assert cf.count > 0
+
+
+class TestHashBloom:
+    def test_vectorized_hash_bloom_no_false_negatives(self, spark):
+        """build_hash_bloom/make_hash_bloom_member_udf: every inserted hash
+        must probe positive (prefilter exactness contract); FP rate sane."""
+        from pyspark.sql import functions as F
+        from abot_dotnet_core_spark.operators.seenfilter import (
+            build_hash_bloom, make_hash_bloom_member_udf)
+        df = spark.range(0, 20_000).select(F.xxhash64("id").alias("h"))
+        m, k, bits = build_hash_bloom(df, "h", capacity=20_000,
+                                      error_rate=0.01)
+        member = make_hash_bloom_member_udf(spark, m, k, bits)
+        hits = df.filter(member(F.col("h"))).count()
+        assert hits == 20_000  # no false negatives
+        other = (spark.range(100_000, 200_000)
+                 .select(F.xxhash64("id").alias("h")))
+        fp = other.filter(member(F.col("h"))).count()
+        assert fp < 100_000 * 0.05, fp  # fp rate in the right ballpark
