@@ -232,6 +232,20 @@ commits, one shared page cache/disk, and measured hypervisor CPU steal
 (~15-20% under full load, random across cores — on N separate executor
 hosts the steal is uncorrelated and AQE/speculation absorbs it).
 
+## What it took (optimization log, round 1)
+
+Steady-round efficiency progression on this workload family:
+0.05 (initial: corpus shuffled every round, 210 MB Arrow batches, unpinned
+baseline) -> 0.34 (pinning + JIT warmup + concurrent output writes + fewer
+driver jobs) -> 0.43 (mega-frontier regime) -> 0.60 (broadcast semi-join
+fetch) -> 0.71 (Bloom scan-pushdown: extraction runs on the corpus scan,
+html never shuffles; Arrow batches byte-capped at 16 MB) -> current.
+The remaining gap to the stage-level number is the per-round constant
+(snapshot commit + ~10 driver job barriers: 13-27 s at any core count),
+which shrinks relative to round size — efficiency across 0.6 M / 2.4 M /
+4.8 M-URL rounds is monotone up (0.60 / 0.71 / current), as it would be
+toward the 10^10-URL target.
+
 Raw JSON:
 ```json
 {json.dumps({'N': N, 'pages': PAGES, 'body_repeat': BODY_REPEAT,

@@ -51,3 +51,33 @@ class TestJoins:
         import __spark_entry__ as e
         plan = P.simple_plan(e.q_tpch_q1(spark, SF))
         assert "HashAggregate" in plan, plan
+
+
+class TestBigRoundFetchPlan:
+    def test_extract_runs_on_scan_no_exchange(self, spark, tiny_corpus_dir):
+        """The big-round fetch property: Bloom queue filter + extraction UDF
+        execute IN the corpus scan stage — the plan fragment from FileScan to
+        the Arrow UDF eval must contain no Exchange (html never shuffles)."""
+        from pyspark.sql import functions as F
+        from abot_dotnet_core_spark.config import CrawlConfig
+        from abot_dotnet_core_spark.functions.udfs import make_extract_page_udf
+        from abot_dotnet_core_spark.operators.seenfilter import (
+            build_hash_bloom, make_hash_bloom_member_udf)
+        from abot_dotnet_core_spark.plans.inspect import simple_plan
+
+        corpus = (spark.read.parquet(f"{tiny_corpus_dir}/corpus.parquet")
+                  .select("url", "html"))
+        m, k, bits = build_hash_bloom(
+            corpus.limit(10).select(F.xxhash64("url").alias("h")), "h",
+            capacity=1024)
+        member = make_hash_bloom_member_udf(spark, m, k, bits)
+        udf = make_extract_page_udf(CrawlConfig())
+        ext = (corpus.filter(member(F.xxhash64("url")))
+               .withColumn("__pg", udf(
+                   F.col("html"), F.lit(None).cast("string"), F.col("url"),
+                   F.lit(True), F.lit(None).cast("string")))
+               .select("url", F.col("__pg.text_md5").alias("text_md5")))
+        plan = simple_plan(ext)
+        assert "Exchange" not in plan, plan
+        assert "ArrowEvalPython" in plan or "EvalPython" in plan, plan
+        assert "FileScan" in plan or "Scan parquet" in plan, plan
