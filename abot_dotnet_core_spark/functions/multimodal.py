@@ -103,6 +103,41 @@ def extract_features(df: DataFrame, dim: int = 16, id_col: str = "media_id",
     return df.mapInPandas(gen, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("payload", T.BinaryType()),
+])
+
+
+def resize_images(df: DataFrame, width: int = 64, height: int = 64,
+                  id_col: str = "media_id", bin_col: str = "payload",
+                  decode_stub: bool = True) -> DataFrame:
+    """Image resize over the binary column (mapInPandas, Arrow-batched).
+    Decode/resample is STUBBED: the deterministic fake emits width*height
+    bytes derived by repeating md5(payload) (stable, size-correct plumbing);
+    ``decode_stub=False`` raises where PIL's ``Image.resize`` would run."""
+    n_out = width * height
+
+    def _resize(raw: bytes) -> bytes:
+        if decode_stub:
+            h = hashlib.md5(raw).digest()
+            return (h * (n_out // len(h) + 1))[:n_out]
+        raise NotImplementedError(
+            "real image resize requires PIL — not in this container")
+
+    def gen(batches):
+        for pdf in batches:
+            out = [None if b is None else _resize(bytes(b))
+                   for b in pdf[bin_col]]
+            yield pd.DataFrame({"media_id": pdf[id_col],
+                                "width": width, "height": height,
+                                "payload": out})
+
+    return df.mapInPandas(gen, schema=RESIZE_SCHEMA)
+
+
 FRAME_PLAN_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("frame_idx", T.ArrayType(T.IntegerType())),

@@ -167,6 +167,19 @@ class TestMultimodal:
         assert rows[1] == [0, 1, 2, 3, 4, 5]
         assert rows[2] == []
 
+    def test_resize_stub(self, spark):
+        from abot_dotnet_core_spark.functions.multimodal import resize_images
+        df = spark.createDataFrame(
+            [(1, bytearray(b"imgdata")), (2, bytearray(b"imgdata")),
+             (3, None)],
+            "media_id long, payload binary")
+        rows = {r["media_id"]: r for r in
+                resize_images(df, width=8, height=4).collect()}
+        assert len(rows[1]["payload"]) == 32
+        assert bytes(rows[1]["payload"]) == bytes(rows[2]["payload"])
+        assert rows[3]["payload"] is None
+        assert (rows[1]["width"], rows[1]["height"]) == (8, 4)
+
 
 class TestStreaming:
     def test_available_now_stream(self, spark, tmp_path):
