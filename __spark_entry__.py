@@ -491,10 +491,43 @@ WHERE round(coalesce(i.n_inter, 0)::double
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (numpy pandas-UDF bit fold) — non-SQL-expressible;
-    covered by the pytest oracle in tests/test_pipeline_ops.py instead."""
+    """SimHash near-dup pairs (numpy pandas-UDF bit fold) with pigeonhole
+    banding; recall-complete, so the exact O(n^2) DuckDB scan is its oracle."""
     from abot_dotnet_core_spark.functions.dedup import simhash_hamming_pairs
     return simhash_hamming_pairs(_docs(spark, sf_dir), max_hamming=8)
+
+
+def sql_simhash_pairs():
+    """Exact O(n^2) SimHash oracle: token hash = md5_number_upper (first 8
+    md5 bytes little-endian, identical to the UDF), 64 per-bit majority votes,
+    brute-force pair scan. The Spark side's pigeonhole blocking is
+    recall-complete so outputs must match exactly."""
+    return """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents),
+th AS (SELECT doc_id, md5_number_upper(tok) AS h FROM toks),
+counts AS (SELECT doc_id, count(*) AS n FROM th GROUP BY doc_id),
+votes AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN (h >> j::INTEGER) & 1::UBIGINT = 1::UBIGINT
+             THEN 1 ELSE 0 END) AS ones
+  FROM th, (SELECT unnest(range(64)) AS j) bits
+  GROUP BY doc_id, j),
+sims0 AS (
+  SELECT v.doc_id,
+         bit_or(CASE WHEN 2 * ones > c.n THEN (1::UBIGINT << j::INTEGER)
+                ELSE 0::UBIGINT END) AS simhash
+  FROM votes v JOIN counts c USING (doc_id) GROUP BY v.doc_id),
+sims AS (
+  SELECT d.doc_id, coalesce(s.simhash, 0::UBIGINT) AS simhash
+  FROM documents d LEFT JOIN sims0 s USING (doc_id))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 8"""
 
 
 # ===========================================================================
@@ -974,7 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
         "neardup_pairs": q_neardup_pairs,
-        "simhash_pairs": q_simhash_pairs,          # rows-only (pandas UDF)
+        "simhash_pairs": q_simhash_pairs,
         # similarity search
         "cosine_topk": q_cosine_topk,
         "cosine_topk_lsh": q_cosine_topk_lsh,
@@ -1018,7 +1051,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": sql_exact_dedup(),
         "minhash_signatures": sql_minhash_signatures(),
         "neardup_pairs": sql_neardup_pairs(),
-        # simhash_pairs: intentionally omitted (non-SQL-expressible)
+        "simhash_pairs": sql_simhash_pairs(),
         "cosine_topk": sql_cosine_topk(),
         "cosine_topk_lsh": sql_cosine_topk_lsh(),
         "embedding_neardup": sql_embedding_neardup(),

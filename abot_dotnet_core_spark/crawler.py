@@ -109,6 +109,10 @@ class CrawlEngine:
         self.event_count = 0        # total ProcessPage events (incl. retries)
         self.round = -1
         self.root_authorities: list[str] = []
+        # frontier-seeded crawls: internality comes from a root_domains state
+        # table (may be millions of rows) instead of the driver-side list
+        self._root_domains_df: DataFrame | None = None
+        self.n_root_domains = 0
         # frontier size bookkeeping (saves a count job per round)
         self.pending_total = 0
         self.pending_non_retry = 0
@@ -207,8 +211,12 @@ class CrawlEngine:
         driver-side handful of roots, this path is fully distributed: a
         10^10-row frontier never touches the driver (normalize/hash/authority
         ride one Arrow pass; the FIFO seq comes from the range-partition
-        ranker). All rows are marked internal/root-sanctioned; the decision
-        cascade still applies per-round."""
+        ranker). Every seeded row is a root of its own crawl: discovered
+        links are internal iff their domain is one of the seeded domains,
+        carried as a ``root_domains`` state table (never a driver list —
+        a 10^10-row frontier can span 10^8 domains). The robots gate applies
+        to the seeded rows exactly as ``seed()`` applies it to roots
+        (PoliteWebCrawler.cs:64-82), distributed via broadcast join."""
         from .functions import udfs
         self._robots_df = self._load_robots()
 
@@ -226,12 +234,27 @@ class CrawlEngine:
               .withColumn("retry_count", F.lit(0))
               .withColumn("redirected_from", F.lit(None).cast("string"))
               .withColumn("redirect_position", F.lit(0)))
+        # robots-first gate for seeded roots (mirrors seed(); with the
+        # root-disallow override enabled, disallowed roots are kept — the
+        # PoliteWebCrawler.cs:111-133 semantics)
+        if (self._robots_df is not None
+                and not self.cfg.is_ignore_robots_dot_text_if_root_disallowed_enabled):
+            fr = fr.join(
+                F.broadcast(self._robots_df.select("domain", "rules_flat")),
+                "domain", "left")
+            fr = fr.filter(
+                F.col("rules_flat").isNull()
+                | self._robots_allowed_udf(F.col("url"), F.col("rules_flat"))
+            ).drop("rules_flat")
         fr = assign_global_seq(fr, ["url"], "priority_seq")
         fr = fr.select(*[f.name for f in FRONTIER_SCHEMA.fields]) \
                .localCheckpoint(eager=True)
         n = fr.count()
 
-        self.root_authorities = []  # is_internal carried per-row instead
+        self.root_authorities = []  # root_domains table carries internality
+        root_domains = fr.select("domain").distinct().localCheckpoint(eager=True)
+        self.n_root_domains = root_domains.count()
+        self._root_domains_df = root_domains
         self.pending_total = n
         self.pending_non_retry = n
         self.next_seq = n
@@ -245,6 +268,7 @@ class CrawlEngine:
                            F.pmod(F.xxhash64("domain"),
                                   F.lit(self.cfg.state_buckets))), 0)
         self.store.write_table("seen", fr.select("url_hash"), 0)
+        self.store.write_table("root_domains", root_domains, 0)
         self.store.write_table(
             "domain_counts", self.spark.createDataFrame([], "domain string, cnt long"), 0)
         self.store.write_table("domain_state", self._domain_state_df(), 0)
@@ -269,6 +293,7 @@ class CrawlEngine:
             "pending_total": self.pending_total,
             "pending_non_retry": self.pending_non_retry,
             "next_seq": self.next_seq,
+            "n_root_domains": self.n_root_domains,
         }
 
     @classmethod
@@ -282,12 +307,25 @@ class CrawlEngine:
             raise ValueError("nothing to resume — no committed rounds")
         manifest = eng.store.read_manifest(last)
         eng.round = last
-        eng.crawled_count = manifest["counters"]["crawled_count"]
-        eng.event_count = manifest["counters"]["event_count"]
-        eng.root_authorities = manifest["counters"]["root_authorities"]
-        eng.pending_total = manifest["counters"]["pending_total"]
-        eng.pending_non_retry = manifest["counters"]["pending_non_retry"]
-        eng.next_seq = manifest["counters"]["next_seq"]
+        counters = manifest["counters"]
+        eng.crawled_count = counters["crawled_count"]
+        eng.event_count = counters["event_count"]
+        eng.root_authorities = counters["root_authorities"]
+        eng.pending_total = counters["pending_total"]
+        eng.pending_non_retry = counters["pending_non_retry"]
+        next_seq = counters.get("next_seq")
+        if next_seq is None:
+            # checkpoint from before next_seq existed: recompute the
+            # high-water mark from the persisted frontier
+            fr = eng.store.read_table(spark, "frontier", last)
+            row = fr.agg(F.max("priority_seq").alias("m")).collect()[0]
+            next_seq = (row["m"] if row["m"] is not None else -1) + 1
+        eng.next_seq = next_seq
+        eng.n_root_domains = counters.get("n_root_domains", 0)
+        import os
+        rd_path = os.path.join(store_root, "root_domains", "round=0")
+        if os.path.isdir(rd_path):
+            eng._root_domains_df = spark.read.parquet(rd_path)
         eng._robots_df = eng._load_robots()
         eng.store.drop_uncommitted()
         return eng
@@ -416,7 +454,14 @@ class CrawlEngine:
         # (build_url_bloom) and extraction runs ON the scan — the html never
         # shuffles at any queue size (the big-round path below).
         meta = spark.read.parquet(self.corpus_meta_path)
-        small_round = self.pending_total <= cfg.fetch_broadcast_threshold
+        # fixtures written before the header columns existed read as NULL
+        for hc in ("x_robots", "retry_after"):
+            if hc not in meta.columns:
+                meta = meta.withColumn(hc, F.lit(None).cast("string"))
+        # gate on the ADMITTED batch size, not the whole frontier: a large
+        # frontier with a tiny politeness-budgeted batch must still take the
+        # broadcast path (and the Bloom must be sized by what it filters)
+        small_round = batch_n <= cfg.fetch_broadcast_threshold
         if small_round:
             meta_hit = meta.join(F.broadcast(batch.select("url")), "url", "inner")
             fetched = batch.join(F.broadcast(meta_hit), "url", "left")
@@ -429,6 +474,11 @@ class CrawlEngine:
              .otherwise(F.col("retry_count")))
 
         fetched = fetched.withColumn("download_reason", DX.should_download_reason(cfg))
+        if not small_round:
+            # the narrow batch ⋈ meta join feeds three consumers below (the
+            # fetch bloom build, the header-meta bloom build, the final
+            # left join) — materialize it once instead of re-shuffling thrice
+            fetched = fetched.localCheckpoint(eager=True)
 
         # P8/P9 are row-local and known pre-UDF; P7 (blank text) is checked
         # inside the fused UDF right after decoding — one Arrow pass total
@@ -447,7 +497,7 @@ class CrawlEngine:
                             .join(corpus, "url", "left")
                             .withColumn("__pg", self._extract_page_udf(
                                 F.col("html"), F.col("content_type"), F.col("url"),
-                                want_links, F.lit(None).cast("string")))
+                                want_links, F.col("x_robots")))
                             .withColumn("charset", F.col("__pg.charset"))
                             .withColumn("text_md5", F.col("__pg.text_md5"))
                             .withColumn("text_blank", F.col("__pg.text_blank"))
@@ -457,21 +507,47 @@ class CrawlEngine:
             # big-round path: extraction runs in the corpus SCAN stage (a
             # pure map — scales linearly with cores), gated by an O(m)-byte
             # Bloom of the fetch queue; only narrow derived columns
-            # (digest/blank/link structs) ever enter a shuffle. Charset
-            # derives from content alone here — the mandated corpus schema
-            # (url, warc_ts, html, text, lang) carries no header
-            # content-type, so there is nothing to override it with.
+            # (digest/blank/link structs) ever enter a shuffle.
+            #
+            # Header metadata that can change extraction output — a
+            # charset-bearing Content-Type (WebContentExtractor.cs:59: the
+            # header CharSet beats the body sniff) or an X-Robots-Tag header
+            # (HyperLinkParser.cs:128-138) — must reach the UDF here too, or
+            # the crawl output becomes a function of the perf knob
+            # fetch_broadcast_threshold. A charset-less content type
+            # ('text/html') derives exactly like NULL (no 'charset=' for
+            # charset_from_header to find), so only the header-meta SUBSET
+            # needs shipping: a second O(m)-byte Bloom routes the scan —
+            # rows outside it stay a pure zero-exchange map; rows inside it
+            # (the subset + its Bloom false positives) take a shuffled left
+            # join bounded by the subset size. An FP simply finds no match
+            # and extracts with NULL headers — identical output, no count
+            # or broadcast-size probe job needed.
             from .operators.seenfilter import (build_hash_bloom,
                                                make_hash_bloom_member_udf)
             m, k, bits = build_hash_bloom(
                 dl.select(F.xxhash64("url").alias("__h")), "__h",
-                capacity=max(self.pending_total, 1024))
+                capacity=max(batch_n, 1024))
             member = make_hash_bloom_member_udf(spark, m, k, bits)
-            ext = (corpus.filter(member(F.xxhash64("url")))
+            aug = (dl.filter(F.col("content_type").rlike("(?i)charset\\s*=")
+                             | F.col("x_robots").isNotNull())
+                   .select("url", F.col("content_type").alias("__ct"),
+                           F.col("x_robots").alias("__xr")))
+            am, ak, abits = build_hash_bloom(
+                aug.select(F.xxhash64("url").alias("__h")), "__h",
+                capacity=max(batch_n // 8, 1024))
+            aug_member = make_hash_bloom_member_udf(spark, am, ak, abits)
+            scan = corpus.filter(member(F.xxhash64("url")))
+            plain = (scan.filter(~aug_member(F.xxhash64("url")))
+                     .withColumn("__ct", F.lit(None).cast("string"))
+                     .withColumn("__xr", F.lit(None).cast("string")))
+            with_hdr = (scan.filter(aug_member(F.xxhash64("url")))
+                        .join(aug, "url", "left"))
+            ext = (plain.unionByName(with_hdr)
                    .withColumn("__pg", self._extract_page_udf(
-                       F.col("html"), F.lit(None).cast("string"),
+                       F.col("html"), F.col("__ct"),
                        F.col("url"), F.lit(True),
-                       F.lit(None).cast("string")))
+                       F.col("__xr")))
                    .select("url",
                            F.col("__pg.charset").alias("charset"),
                            F.col("__pg.text_md5").alias("text_md5"),
@@ -617,9 +693,28 @@ class CrawlEngine:
         # child construction (redirect children keep the page's depth and
         # carry redirected_from/position — WebCrawler.cs:730-736)
         roots = self.root_authorities
+        if roots:
+            internal_col = F.col("dst_domain").isin(roots)
+        elif self._root_domains_df is not None:
+            # frontier-seeded crawl: internality = membership in the seeded
+            # domain set (a join against the root_domains state table, never
+            # a driver list — the set can be 10^8 rows; broadcast only while
+            # it fits, else let it shuffle on dst_domain)
+            rd = self._root_domains_df.select(
+                F.col("domain").alias("dst_domain")) \
+                .withColumn("__root", F.lit(True))
+            if self.n_root_domains <= 2_000_000:
+                rd = F.broadcast(rd)
+            links = links.join(rd, "dst_domain", "left")
+            internal_col = F.col("__root").isNotNull()
+        else:
+            internal_col = F.lit(False)
         links = (links
                  .withColumn("depth", F.col("parent_depth") + 1)
-                 .withColumn("is_internal", F.col("dst_domain").isin(roots))
+                 .withColumn("is_internal", internal_col))
+        if "__root" in links.columns:
+            links = links.drop("__root")
+        links = (links
                  .withColumn("is_retry", F.lit(False))
                  .withColumn("retry_count", F.lit(0))
                  .withColumn("redirected_from", F.col("r_redirected_from"))

@@ -123,8 +123,9 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
 
 @pandas_udf(T.LongType())
 def simhash64_udf(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens; token bits from md5 (stable
-    everywhere). Vectorized per Arrow batch; bit fold in numpy."""
+    """64-bit SimHash over whitespace tokens; token bits from the first 8 md5
+    bytes little-endian — exactly DuckDB's ``md5_number_upper``, which keeps
+    the SQL oracle bit-exact. Vectorized per Arrow batch; bit fold in numpy."""
     import hashlib
     out = np.zeros(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
@@ -134,7 +135,7 @@ def simhash64_udf(texts: pd.Series) -> pd.Series:
         if not toks:
             continue
         hashes = np.fromiter(
-            (int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            (int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
              for tok in toks), dtype=np.uint64, count=len(toks))
         bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
         # signed arithmetic — uint64 would wrap for negative vote totals
@@ -147,19 +148,45 @@ def simhash64_udf(texts: pd.Series) -> pd.Series:
 
 
 def simhash_hamming_pairs(df: DataFrame, id_col: str = "doc_id",
-                          text_col: str = "text", max_hamming: int = 3,
-                          prefix_bits: int = 16) -> DataFrame:
-    """Near-dup pairs by SimHash: block on the top ``prefix_bits`` bits
-    (cheap LSH), verify Hamming distance via bit_count(xor)."""
+                          text_col: str = "text",
+                          max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash with pigeonhole banding: the 64 bits split
+    into ``max_hamming + 1`` disjoint blocks, so any pair within Hamming
+    distance ``max_hamming`` agrees EXACTLY on at least one block (pigeonhole)
+    — blocked candidate generation is recall-complete and the output equals
+    the O(n^2) scan. Candidates join on (block_idx, block_value); verify with
+    bit_count(xor). All JVM-side after the signature UDF."""
     sh = df.select(id_col, simhash64_udf(F.col(text_col)).alias("simhash"))
-    block = F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
-    sh = sh.withColumn("block", block)
-    a = sh.select(F.col(id_col).alias("id_a"),
-                  F.col("simhash").alias("sh_a"), "block")
-    b = sh.select(F.col(id_col).alias("id_b"),
-                  F.col("simhash").alias("sh_b"), "block")
-    return (a.join(b, "block").filter(F.col("id_a") < F.col("id_b"))
+    return hamming_pairs_from_sigs(sh, id_col=id_col, max_hamming=max_hamming)
+
+
+def hamming_pairs_from_sigs(sh: DataFrame, id_col: str = "doc_id",
+                            max_hamming: int = 3) -> DataFrame:
+    """Pigeonhole-blocked Hamming pairs over an (id, simhash:long) DataFrame.
+    Exact (recall-complete) for distance <= max_hamming; see
+    simhash_hamming_pairs."""
+    n_blocks = max_hamming + 1
+    w = 64 // n_blocks
+    blocks = []
+    for i in range(n_blocks):
+        start = i * w
+        if i == n_blocks - 1:
+            # last block: the shift already discards all lower bits
+            val = F.shiftrightunsigned(F.col("simhash"), start)
+        else:
+            val = F.shiftrightunsigned(F.col("simhash"), start) \
+                   .bitwiseAND(F.lit((1 << w) - 1))
+        blocks.append(F.struct(F.lit(i).alias("blk"), val.alias("val")))
+    bl = (sh.select(id_col, "simhash",
+                    F.explode(F.array(*blocks)).alias("b"))
+          .select(id_col, "simhash", F.col("b.blk").alias("blk"),
+                  F.col("b.val").alias("val")))
+    a = bl.select(F.col(id_col).alias("id_a"),
+                  F.col("simhash").alias("sh_a"), "blk", "val")
+    b = bl.select(F.col(id_col).alias("id_b"),
+                  F.col("simhash").alias("sh_b"), "blk", "val")
+    return (a.join(b, ["blk", "val"]).filter(F.col("id_a") < F.col("id_b"))
             .withColumn("hamming", F.bit_count(
                 F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
             .filter(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming"))
+            .select("id_a", "id_b", "hamming").distinct())

@@ -40,6 +40,8 @@ class PageRecord:
     html: str = ""                    # decoded html text (link source)
     redirect_to: str | None = None
     content_length: int | None = None
+    x_robots: str | None = None       # X-Robots-Tag response header (T4)
+    retry_after: str | None = None    # Retry-After response header (S4)
 
     def length(self) -> int:
         return self.content_length if self.content_length is not None else len(self.html.encode("utf-8"))
@@ -203,8 +205,10 @@ class CrawlSimulator:
             if links_decision.allow:
                 links = extract_links(
                     text, page.url,
+                    x_robots_tag=rec.x_robots if rec is not None else None,
                     respect_meta_robots_nofollow=cfg.is_respect_meta_robots_no_follow_enabled,
                     respect_anchor_rel_nofollow=cfg.is_respect_anchor_rel_no_follow_enabled,
+                    respect_x_robots_nofollow=cfg.is_respect_http_x_robots_tag_header_no_follow_enabled,
                     keep_fragment=cfg.is_respect_url_named_anchor_or_hashbang_enabled,
                 )
             else:

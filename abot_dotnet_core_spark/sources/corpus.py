@@ -70,6 +70,15 @@ class CorpusSpec:
     dup_link_rate: float = 0.4
     cross_link_rate: float = 0.15
     charset_1251_rate: float = 0.05
+    # header-ONLY charset pages: Content-Type header declares windows-1251 but
+    # the body has NO <meta charset> tag — the fixture that catches a fetch
+    # path ignoring the header charset (WebContentExtractor.cs:59: header
+    # CharSet wins over the body sniff)
+    header_only_1251_rate: float = 0.0
+    # pages carrying an X-Robots-Tag: nofollow response header (T4 gate)
+    x_robots_nofollow_rate: float = 0.0
+    # fraction of 503 pages carrying a Retry-After: <seconds> header (S4)
+    retry_after_rate: float = 0.0
     body_repeat: int = 8            # lorem blocks per page (~1 KB each 6 reps)
     error_rate: float = 1.0         # fraction of non-hub pages drawing from
                                     # the 5:1:2:3:4 status wheel (1.0 = all,
@@ -113,6 +122,27 @@ def _charset_1251(spec: CorpusSpec, i: int, j: int) -> bool:
     return det_int(spec.seed, f"cs:{i}:{j}", 10_000) < spec.charset_1251_rate * 10_000
 
 
+def _header_only_1251(spec: CorpusSpec, i: int, j: int) -> bool:
+    """Header-declared charset with no meta tag (disjoint from _charset_1251)."""
+    return (not _charset_1251(spec, i, j)
+            and det_int(spec.seed, f"hocs:{i}:{j}", 10_000)
+            < spec.header_only_1251_rate * 10_000)
+
+
+def _x_robots(spec: CorpusSpec, i: int, j: int) -> str | None:
+    if det_int(spec.seed, f"xr:{i}:{j}", 10_000) < spec.x_robots_nofollow_rate * 10_000:
+        return "nofollow"
+    return None
+
+
+def _retry_after(spec: CorpusSpec, i: int, j: int, status: int) -> str | None:
+    """Retry-After header seconds (only on 503s, like real servers)."""
+    if (status == 503 and det_int(spec.seed, f"ra:{i}:{j}", 10_000)
+            < spec.retry_after_rate * 10_000):
+        return str(30 + det_int(spec.seed, f"ras:{i}:{j}", 4) * 30)
+    return None
+
+
 def page_links(spec: CorpusSpec, i: int, j: int, sizes: list[int]) -> list[str]:
     """Deterministic in-page hrefs (relative + absolute + decoys)."""
     n_i = sizes[i]
@@ -148,14 +178,15 @@ def page_html_text(spec: CorpusSpec, i: int, j: int, sizes: list[int]) -> str:
         meta = '<meta charset="windows-1251">'
     decoy = ("<!-- <a href='/decoy-comment'>x</a> -->"
              "<script>var a='<a href=\"/decoy-script\">x</a>';</script>")
-    body_word = "привет" if meta else "page"
+    body_word = ("привет" if meta or _header_only_1251(spec, i, j)
+                 else "page")
     body = f"<p>{body_word} {domain_name(i)} p{j} " + _LOREM * spec.body_repeat + "</p>"
     return (f"<html><head>{meta}<title>{domain_name(i)}/p{j}</title></head>"
             f"<body>{decoy}{''.join(anchors)}{body}</body></html>")
 
 
 def content_type_of(spec: CorpusSpec, i: int, j: int) -> str:
-    if _charset_1251(spec, i, j):
+    if _charset_1251(spec, i, j) or _header_only_1251(spec, i, j):
         return "text/html; charset=windows-1251"
     # a sliver of non-html rows to exercise P11
     if j > spec.branching and det_int(spec.seed, f"ct:{i}:{j}", 50) == 0:
@@ -164,7 +195,7 @@ def content_type_of(spec: CorpusSpec, i: int, j: int) -> str:
 
 
 def encode_html(spec: CorpusSpec, i: int, j: int, html_text: str) -> bytes:
-    if _charset_1251(spec, i, j):
+    if _charset_1251(spec, i, j) or _header_only_1251(spec, i, j):
         return html_text.encode("windows-1251", errors="replace")
     return html_text.encode("utf-8")
 
@@ -174,17 +205,21 @@ def make_row(spec: CorpusSpec, i: int, j: int, sizes: list[int]) -> dict:
     html_text = page_html_text(spec, i, j, sizes)
     raw = encode_html(spec, i, j, html_text)
     ct = content_type_of(spec, i, j)
+    status = page_status(spec, i, j)
     ts = EPOCH + pd.Timedelta(seconds=det_int(spec.seed, f"ts:{url}", 30 * 86400))
+    ru = _charset_1251(spec, i, j) or _header_only_1251(spec, i, j)
     return {
         "url": url,
         "warc_ts": ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts,
         "html": raw,
         "text": golden_text(raw, ct),      # byte-identical-per-url invariant
-        "lang": "ru" if _charset_1251(spec, i, j) else "en",
-        "status": page_status(spec, i, j),
+        "lang": "ru" if ru else "en",
+        "status": status,
         "content_type": ct,
         "content_length": len(raw),
         "redirect_to": None,
+        "x_robots": _x_robots(spec, i, j),
+        "retry_after": _retry_after(spec, i, j, status),
     }
 
 
@@ -209,7 +244,8 @@ def generate_tables(spec: CorpusSpec, with_edges: bool = True) -> dict[str, pd.D
                             ("url", "warc_ts", "html", "text", "lang")} for r in rows])
     meta = pd.DataFrame([{k: r[k] for k in
                           ("url", "status", "content_type", "content_length",
-                           "redirect_to")} for r in rows])
+                           "redirect_to", "x_robots", "retry_after")}
+                         for r in rows])
     robots = pd.DataFrame([
         {"domain": domain_name(i), "robots_txt": robots_txt_for(spec, i)}
         for i in range(spec.n_domains)
@@ -238,7 +274,8 @@ def to_simulator_corpus(spec: CorpusSpec) -> dict[str, PageRecord]:
             out[r["url"]] = PageRecord(
                 status=r["status"], content_type=r["content_type"],
                 html=r["text"], content_length=r["content_length"],
-                redirect_to=r["redirect_to"])
+                redirect_to=r["redirect_to"], x_robots=r["x_robots"],
+                retry_after=r["retry_after"])
     return out
 
 
@@ -278,6 +315,8 @@ def generate_spark(spark, spec: CorpusSpec, outdir: str, partitions: int = 64) -
         T.StructField("content_type", T.StringType()),
         T.StructField("content_length", T.LongType()),
         T.StructField("redirect_to", T.StringType()),
+        T.StructField("x_robots", T.StringType()),
+        T.StructField("retry_after", T.StringType()),
     ])
 
     def gen(batches):
@@ -294,7 +333,8 @@ def generate_spark(spark, spec: CorpusSpec, outdir: str, partitions: int = 64) -
           .mapInPandas(gen, schema=schema))
     (df.select("url", "warc_ts", "html", "text", "lang")
        .write.mode("overwrite").parquet(f"{outdir}/corpus.parquet"))
-    (df.select("url", "status", "content_type", "content_length", "redirect_to")
+    (df.select("url", "status", "content_type", "content_length",
+               "redirect_to", "x_robots", "retry_after")
        .write.mode("overwrite").parquet(f"{outdir}/corpus_meta.parquet"))
 
     robots = pd.DataFrame([

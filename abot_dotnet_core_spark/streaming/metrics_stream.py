@@ -36,8 +36,11 @@ def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     streaming form would use F.session_window — same semantics)."""
     from pyspark.sql import Window as W
     w_user = W.partitionBy("user_id").orderBy("ts")
-    # ts may be TIMESTAMP_NTZ (parquet) — route through timestamp for epoch
-    epoch = F.col("ts").cast("timestamp").cast("long")
+    # ts may be TIMESTAMP_NTZ (parquet) — normalize to TIMESTAMP up front so
+    # session_start/session_end come out as plain timestamps (the same route
+    # tumbling_counts takes; session tz is UTC so the cast is value-preserving)
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    epoch = F.col("ts").cast("long")
     gap = epoch - F.lag(epoch).over(w_user)
     marked = events.withColumn(
         "new_session",

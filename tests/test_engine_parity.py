@@ -3,6 +3,7 @@ reference simulator exactly — crawl order, decision outcomes, seen-set and
 byte-identical extracted text — on the same corpus + config + seed.
 """
 
+import dataclasses
 import hashlib
 
 import pytest
@@ -16,6 +17,12 @@ from abot_dotnet_core_spark.sources.corpus import (
 )
 
 SEED = "http://d0.test/"
+
+# header-declared charset with NO body meta tag: catches any fetch path that
+# ignores the header Content-Type charset (WebContentExtractor.cs:59)
+HDR_SPEC = dataclasses.replace(TINY, header_only_1251_rate=0.3, seed=77)
+# pages carrying X-Robots-Tag: nofollow (HyperLinkParser.cs:128-138)
+XROBOTS_SPEC = dataclasses.replace(TINY, x_robots_nofollow_rate=0.3, seed=78)
 
 
 def simulator_result(cfg):
@@ -109,6 +116,71 @@ class TestParityBigRoundPath:
         assert_parity(spark, eng,
                       simulator_result(CrawlConfig(
                           is_respect_robots_dot_text_enabled=True)))
+
+
+def run_custom_spec(spark, spec, cfg, tmp_path, seed=SEED):
+    """Engine + simulator over a non-default corpus spec; returns (eng, sim)."""
+    from abot_dotnet_core_spark.sources.corpus import write_parquet
+    d = tmp_path / "corpus_spec"
+    write_parquet(spec, str(d))
+    eng = CrawlEngine(
+        spark, cfg,
+        corpus_path=f"{d}/corpus.parquet",
+        corpus_meta_path=f"{d}/corpus_meta.parquet",
+        store_root=str(tmp_path / "state"),
+        robots_path=f"{d}/robots.parquet")
+    eng.seed([seed])
+    eng.run(max_rounds=100)
+    sim = CrawlSimulator(to_simulator_corpus(spec), cfg).crawl(seed)
+    return eng, sim
+
+
+class TestParityHeaderCharset:
+    def test_header_only_charset_big_round_path(self, spark, tmp_path):
+        """A page whose charset arrives ONLY in the Content-Type header (no
+        body meta tag) must decode identically in the big-round Bloom
+        scan-pushdown path — i.e. crawl output must not be a function of the
+        fetch_broadcast_threshold perf knob."""
+        from abot_dotnet_core_spark.sources.corpus import (
+            _header_only_1251, generate_rows)
+        # the spec really contains header-only-charset pages
+        n_hdr = sum(1 for r in generate_rows(HDR_SPEC)
+                    if "charset" in r["content_type"]
+                    and b"meta charset" not in r["html"])
+        assert n_hdr > 0
+        cfg = CrawlConfig(fetch_broadcast_threshold=0)   # force big-round path
+        eng, sim = run_custom_spec(spark, HDR_SPEC, cfg, tmp_path)
+        assert_parity(spark, eng, sim)
+        # at least one crawled row actually exercised the header-only decode
+        rows = engine_crawled(spark, eng)
+        assert any(r["charset"] == "windows-1251" for r in rows)
+
+    def test_header_only_charset_broadcast_path(self, spark, tmp_path):
+        cfg = CrawlConfig()                              # broadcast path
+        eng, sim = run_custom_spec(spark, HDR_SPEC, cfg, tmp_path)
+        assert_parity(spark, eng, sim)
+
+
+class TestParityXRobots:
+    def test_x_robots_nofollow_both_paths(self, spark, tmp_path):
+        """X-Robots-Tag: nofollow response headers must suppress link
+        extraction in the engine exactly as in the simulator (T4)."""
+        for thresh, sub in ((0, "big"), (200_000, "small")):
+            cfg = CrawlConfig(
+                fetch_broadcast_threshold=thresh,
+                is_respect_http_x_robots_tag_header_no_follow_enabled=True)
+            eng, sim = run_custom_spec(spark, XROBOTS_SPEC, cfg,
+                                       tmp_path / sub)
+            assert_parity(spark, eng, sim)
+        # the gate actually fired for some page: a nofollow 200 page with
+        # links in its html reports links_extracted == 0
+        rows = engine_crawled(spark, eng)
+        from abot_dotnet_core_spark.sources.corpus import generate_rows
+        nofollow_urls = {r["url"] for r in generate_rows(XROBOTS_SPEC)
+                         if r["x_robots"] == "nofollow" and r["status"] == 200}
+        crawled_nf = [r for r in rows if r["url"] in nofollow_urls]
+        assert crawled_nf and all(r["links_extracted"] == 0
+                                  for r in crawled_nf)
 
 
 class TestParityBudgets:

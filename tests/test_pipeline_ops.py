@@ -58,7 +58,9 @@ class TestSimhash:
         toks = text.split()
         votes = [0] * 64
         for tok in toks:
-            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            # little-endian 8-byte prefix == DuckDB md5_number_upper
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8],
+                               "little")
             for j in range(64):
                 votes[j] += 1 if (h >> j) & 1 else -1
         v = 0
@@ -84,9 +86,58 @@ class TestSimhash:
                 f"other{i}" for i in range(60)))],
             "doc_id long, text string")
         pairs = {(r["id_a"], r["id_b"]): r["hamming"]
-                 for r in simhash_hamming_pairs(df, max_hamming=10,
-                                                prefix_bits=4).collect()}
+                 for r in simhash_hamming_pairs(df,
+                                                max_hamming=10).collect()}
         assert (1, 2) in pairs and pairs[(1, 2)] <= 5
+
+    def test_pigeonhole_recall_complete(self, spark):
+        """Blocked candidate generation must equal the exact O(n^2) scan —
+        including pairs whose differing bits all fall in the TOP 16 bits
+        (the recall hole of single-prefix blocking)."""
+        from abot_dotnet_core_spark.functions.dedup import (
+            simhash_hamming_pairs, simhash64_udf)
+        import itertools
+        docs = [(i, f"tok{i}a tok{i}b " + " ".join(
+            f"w{j}" for j in range(40))) for i in range(1, 21)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        for max_h in (4, 8):
+            got = {(r["id_a"], r["id_b"]): r["hamming"]
+                   for r in simhash_hamming_pairs(
+                       df, max_hamming=max_h).collect()}
+            sims = {r["doc_id"]: r["sh"] & ((1 << 64) - 1) for r in df.select(
+                "doc_id", simhash64_udf(F.col("text")).alias("sh")).collect()}
+            want = {}
+            for a, b in itertools.combinations(sorted(sims), 2):
+                h = bin(sims[a] ^ sims[b]).count("1")
+                if h <= max_h:
+                    want[(a, b)] = h
+            assert got == want
+
+    def test_top_bits_difference_found(self, spark):
+        """A pair differing ONLY in the top 16 signature bits is still paired
+        (the recall hole of single-16-bit-prefix blocking, fixed by pigeonhole
+        banding). Crafted signatures drive the blocking machinery directly."""
+        from abot_dotnet_core_spark.functions.dedup import \
+            hamming_pairs_from_sigs
+
+        def s64(u):  # unsigned -> signed int64
+            return u - (1 << 64) if u >= (1 << 63) else u
+
+        base = 0x0123456789ABCDEF
+        rows = [
+            (1, s64(base)),
+            (2, s64(base ^ (0b111 << 61))),         # bits 61,62,63: top 16 only
+            (3, s64(base ^ 0xFFFF)),                # 16 low bits: beyond max_h
+            (4, s64(base ^ (1 << 63) ^ (1 << 2))),  # bits 63,2: top + bottom
+        ]
+        sigs = spark.createDataFrame(rows, "doc_id long, simhash long")
+        got = {(r["id_a"], r["id_b"]): r["hamming"]
+               for r in hamming_pairs_from_sigs(sigs, max_hamming=8).collect()}
+        assert got[(1, 2)] == 3   # would be MISSED by 16-bit-prefix blocking
+        assert got[(1, 4)] == 2
+        assert got[(2, 4)] == 3   # {61,62,63} xor {63,2} = {61,62,2}
+        assert (1, 3) not in got  # hamming 16 > 8 correctly excluded
+        assert (3, 4) not in got
 
 
 class TestSimilarity:
