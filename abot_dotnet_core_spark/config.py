@@ -33,6 +33,9 @@ class CrawlConfig:
     http_request_max_auto_redirects: int = 7
     is_http_request_auto_redirects_enabled: bool = True
     http_request_timeout_in_seconds: int = 15
+    # S6 — CrawlConfiguration.CrawlTimeoutSeconds (WebCrawler.cs:231-234):
+    # 0 = no timeout; otherwise stop scheduling rounds once elapsed
+    crawl_timeout_seconds: int = 0
 
     # politeness — CrawlConfiguration.cs:185-222
     is_respect_robots_dot_text_enabled: bool = False

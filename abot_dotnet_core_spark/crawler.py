@@ -62,6 +62,9 @@ FRONTIER_SCHEMA = T.StructType([
     T.StructField("redirected_from", T.StringType(), True),
     T.StructField("redirect_position", T.IntegerType(), False),
     T.StructField("priority_seq", T.LongType(), False),
+    # S4 retry delay: earliest round this row may be fetched (0 = anytime).
+    # Virtual clock: round k fetches at time (k-1) * round_length_ms.
+    T.StructField("not_before_round", T.IntegerType(), False),
 ])
 
 SEEN_SCHEMA = T.StructType([
@@ -94,14 +97,26 @@ class CrawlEngine:
         store_root: str,
         robots_path: str | None = None,
         bloom_prefilter: bool = False,
+        delegates=None,
     ) -> None:
+        from .operators.delegates import (DELEGATE_ARITY, CrawlDelegates,
+                                          as_pandas_udf)
         self.spark = spark
         self.cfg = cfg
         self.store = StateStore(store_root)
         self.corpus_path = corpus_path
         self.corpus_meta_path = corpus_meta_path
         self.robots_path = robots_path
-        self._extract_page_udf = udfs.make_extract_page_udf(cfg)
+        self.delegates = delegates or CrawlDelegates()
+        # user delegates as boolean pandas UDFs (WebCrawler.cs:458-504; each
+        # composed AFTER the built-in cascade allowed, :821-822)
+        self._dg = {
+            name: as_pandas_udf(fn, arity)
+            for name, arity in DELEGATE_ARITY.items()
+            if (fn := getattr(self.delegates, name)) is not None
+        }
+        self._extract_page_udf = udfs.make_extract_page_udf(
+            cfg, clean_url=self.delegates.clean_url)
         self._robots_allowed_udf = udfs.make_robots_allowed_udf(
             cfg.robots_dot_text_user_agent_string)
         self._robots_df: DataFrame | None = None
@@ -117,6 +132,9 @@ class CrawlEngine:
         self.pending_total = 0
         self.pending_non_retry = 0
         self.next_seq = 0
+        # highest not_before_round in the frontier: deferral admission runs
+        # only while this exceeds the upcoming round (zero-cost otherwise)
+        self.max_not_before = 0
         self.use_bloom_prefilter = bloom_prefilter
 
     # ------------------------------------------------------------------ #
@@ -185,8 +203,13 @@ class CrawlEngine:
                 is_internal=True, crawled_count=0, scheduled_count=seq)
             if not d.allow:
                 continue
+            if self.delegates.should_crawl_page is not None:
+                from .operators.delegates import scalar_call
+                if not scalar_call(self.delegates.should_crawl_page,
+                                   u, 0, True):
+                    continue
             rows.append((u, url_hash64(u), authority(u), scheme_of(u), None, 0,
-                         True, False, 0, None, 0, seq))
+                         True, False, 0, None, 0, seq, 0))
             seen_rows.append((url_hash64(u),))
             seen_hashes.add(url_hash64(u))
             seq += 1
@@ -233,7 +256,8 @@ class CrawlEngine:
               .withColumn("is_retry", F.lit(False))
               .withColumn("retry_count", F.lit(0))
               .withColumn("redirected_from", F.lit(None).cast("string"))
-              .withColumn("redirect_position", F.lit(0)))
+              .withColumn("redirect_position", F.lit(0))
+              .withColumn("not_before_round", F.lit(0)))
         # robots-first gate for seeded roots (mirrors seed(); with the
         # root-disallow override enabled, disallowed roots are kept — the
         # PoliteWebCrawler.cs:111-133 semantics)
@@ -294,6 +318,7 @@ class CrawlEngine:
             "pending_non_retry": self.pending_non_retry,
             "next_seq": self.next_seq,
             "n_root_domains": self.n_root_domains,
+            "max_not_before": self.max_not_before,
         }
 
     @classmethod
@@ -322,6 +347,7 @@ class CrawlEngine:
             next_seq = (row["m"] if row["m"] is not None else -1) + 1
         eng.next_seq = next_seq
         eng.n_root_domains = counters.get("n_root_domains", 0)
+        eng.max_not_before = counters.get("max_not_before", 0)
         import os
         rd_path = os.path.join(store_root, "root_domains", "round=0")
         if os.path.isdir(rd_path):
@@ -334,11 +360,23 @@ class CrawlEngine:
     # the round job
     # ------------------------------------------------------------------ #
 
-    def run(self, max_rounds: int = 1000, politeness: bool = False) -> list[RoundStats]:
+    def run(self, max_rounds: int = 1000, politeness: bool = False,
+            clock=None) -> list[RoundStats]:
+        """Round loop. S6 stop surface: exits on empty frontier, max_rounds,
+        or CrawlTimeoutSeconds (WebCrawler.cs:231-234, 653-661) — the
+        timeout stops SCHEDULING further rounds; the in-flight round
+        finishes and commits, so (unlike the reference, which clears its
+        scheduler) the crawl remains resumable from the last snapshot.
+        ``clock`` is injectable for tests."""
         import time
+        clock = clock or time.time
+        t_start = clock()
+        timeout = self.cfg.crawl_timeout_seconds
         stats = []
         for _ in range(max_rounds):
             if self.pending_total <= 0:
+                break
+            if timeout > 0 and clock() - t_start >= timeout:
                 break
             t0 = time.time()
             st = self._crawl_round(politeness=politeness)
@@ -372,8 +410,20 @@ class CrawlEngine:
         st = RoundStats(round=r + 1)
 
         frontier = self.store.read_table(spark, "frontier", r)
+        if "not_before_round" not in frontier.columns:
+            # checkpoint from before the S4 retry-delay column existed
+            frontier = frontier.withColumn("not_before_round", F.lit(0))
         seen = self._read_seen()
         domain_counts = self.store.read_table(spark, "domain_counts", r)
+
+        # ---- S4 retry-delay admission (WaitMinimumRetryDelayAsync,
+        # WebCrawler.cs:1030-1057, round-granular): rows not yet eligible
+        # stay pending. Zero-cost unless something is actually deferred.
+        defer_active = self.max_not_before > r + 1
+        deferred = None
+        if defer_active:
+            deferred = frontier.filter(F.col("not_before_round") > r + 1)
+            frontier = frontier.filter(F.col("not_before_round") <= r + 1)
 
         # ---- S3 politeness: budgeted per-domain admission ------------------
         # Hot-domain skew: the per-domain ranking window is salted — the rank
@@ -410,23 +460,26 @@ class CrawlEngine:
         else:
             batch = frontier
             pending = None
+        if deferred is not None:
+            pending = deferred if pending is None \
+                else pending.unionByName(deferred)
 
-        # stabilize the batch (it feeds many branches); with politeness off
-        # the batch IS the frontier parquet snapshot — already stable, no
-        # materialization job needed
-        if politeness:
+        # stabilize the batch (it feeds many branches); with politeness and
+        # deferral both off the batch IS the frontier parquet snapshot —
+        # already stable, no materialization job needed
+        if politeness or defer_active:
             batch = batch.localCheckpoint(eager=True)
         _mark("batch_ckpt")
         f0 = self.pending_total
-        if politeness:
+        if politeness or defer_active:
             row = batch.agg(
                 F.count("*").alias("n"),
                 F.sum((~F.col("is_retry")).cast("long")).alias("nr")).collect()[0]
             batch_n = row["n"]
             non_retry_n = row["nr"] or 0
         else:
-            # politeness off => batch == frontier; sizes carried from the
-            # previous round's commit (no count jobs)
+            # batch == frontier; sizes carried from the previous round's
+            # commit (no count jobs)
             batch_n = self.pending_total
             non_retry_n = self.pending_non_retry
         st.fetched = batch_n
@@ -474,6 +527,14 @@ class CrawlEngine:
              .otherwise(F.col("retry_count")))
 
         fetched = fetched.withColumn("download_reason", DX.should_download_reason(cfg))
+        if "should_download_page_content" in self._dg:
+            from .operators.delegates import REASON_CUSTOM
+            ok = self._dg["should_download_page_content"](
+                F.col("url"), F.col("status"), F.col("content_type"))
+            fetched = fetched.withColumn(
+                "download_reason",
+                F.coalesce(F.col("download_reason"),
+                           F.when(~ok, F.lit(REASON_CUSTOM))))
         if not small_round:
             # the narrow batch ⋈ meta join feeds three consumers below (the
             # fetch bloom build, the header-meta bloom build, the final
@@ -577,8 +638,47 @@ class CrawlEngine:
         fetched = fetched.withColumn(
             "links_reason",
             DX.should_crawl_page_links_reason(cfg, text_blank=F.col("text_blank")))
+        if "should_crawl_page_links" in self._dg:
+            from .operators.delegates import REASON_CUSTOM
+            ok = self._dg["should_crawl_page_links"](
+                F.col("url"), F.col("depth"), F.col("is_internal"))
+            fetched = (fetched.withColumn(
+                "links_reason",
+                F.coalesce(F.col("links_reason"),
+                           F.when(~ok, F.lit(REASON_CUSTOM))))
+                # a custom links denial suppresses the page's links entirely
+                .withColumn("parsed_links",
+                            F.when(F.col("links_reason").isNotNull(),
+                                   F.array().cast(links_t))
+                            .otherwise(F.col("parsed_links"))))
         fetched = fetched.localCheckpoint(eager=True)
         _mark("fetch_extract_ckpt")
+
+        # ---- root-redirect rebinding (ValidateRootUriForRedirection,
+        # WebCrawler.cs:676-678, 1063-1073): a redirected ROOT rebinds the
+        # crawl's root authority, changing IsInternal for every later URL
+        # (original authority stays internal too — IsInternalUri checks
+        # RootUri OR OriginalRootUri). Driver-side: roots are O(#seeds).
+        # Applies in manual-redirect mode (the corpus-join fetch model has
+        # no auto-redirect following). Runs before _schedule_links so the
+        # redirect child itself is classified under the NEW root.
+        if (not cfg.is_http_request_auto_redirects_enabled
+                and self.root_authorities):
+            rd_roots = (fetched.filter(
+                (F.col("depth") == 0) & F.col("parent_url").isNull()
+                & F.col("redirected_from").isNull()
+                & F.col("redirect_to").isNotNull())
+                .select("redirect_to").collect())
+            if rd_roots:
+                from .kernel.urlnorm import authority, normalize_url
+                new_auths = set()
+                for row in rd_roots:
+                    t = normalize_url(row["redirect_to"])
+                    if t is not None:
+                        new_auths.add(authority(t))
+                if new_auths - set(self.root_authorities):
+                    self.root_authorities = sorted(
+                        set(self.root_authorities) | new_auths)
 
         links = (fetched
                  .select("url", "crawl_order", "priority_seq", "depth", "domain",
@@ -611,15 +711,29 @@ class CrawlEngine:
                 (F.col("redirect_position") + 1).alias("r_redirect_position"),
                 F.col("depth").alias("r_depth"))
 
+        # ---- P13 retries: computed ONCE per round (previously counted in
+        # both the budget stream and the output writer — one job saved)
+        retries = self._retry_rows(fetched, r + 1)
+        if cfg.max_retry_count < 1:
+            n_retries, retries_max_nb = 0, 0
+        else:
+            rrow = retries.agg(
+                F.count("*").alias("n"),
+                F.max("not_before_round").alias("m")).collect()[0]
+            n_retries, retries_max_nb = rrow["n"] or 0, rrow["m"] or 0
+        self.max_not_before = max(self.max_not_before, retries_max_nb)
+
         # ---- scheduling stream --------------------------------------------
         links_flagged = self._schedule_links(links, batch, fetched, seen,
                                              domain_counts, c0, f0, st,
+                                             retries, n_retries,
                                              redirect_children)
         _mark("schedule_links_ckpt")
 
         # ---- outputs -------------------------------------------------------
         self._write_round_outputs(fetched, links_flagged, batch, pending,
-                                  seen, domain_counts, st, _mark)
+                                  seen, domain_counts, st, retries, n_retries,
+                                  _mark)
         # release this round's checkpoint blocks — otherwise they accumulate
         # in the block manager across rounds and late rounds pay GC/eviction
         for df in (batch, fetched, links_flagged):
@@ -636,7 +750,7 @@ class CrawlEngine:
     def _schedule_links(self, links: DataFrame, batch: DataFrame,
                         fetched: DataFrame, seen: DataFrame,
                         domain_counts: DataFrame, c0: int, f0: int,
-                        st: RoundStats,
+                        st: RoundStats, retries: DataFrame, n_retries: int,
                         redirect_children: DataFrame | None = None) -> DataFrame:
         spark, cfg = self.spark, self.cfg
 
@@ -693,7 +807,11 @@ class CrawlEngine:
         # child construction (redirect children keep the page's depth and
         # carry redirected_from/position — WebCrawler.cs:730-736)
         roots = self.root_authorities
-        if roots:
+        if "is_internal_uri" in self._dg:
+            # user IsInternalUri delegate replaces the authority-equality
+            # primitive (WebCrawler.cs:129-131, 458-462)
+            internal_col = self._dg["is_internal_uri"](F.col("dst_url"))
+        elif roots:
             internal_col = F.col("dst_domain").isin(roots)
         elif self._root_domains_df is not None:
             # frontier-seeded crawl: internality = membership in the seeded
@@ -791,6 +909,28 @@ class CrawlEngine:
                 cfg, budget_denied=None,
                 domain_budget_denied=F.col("domain_budget_denied"),
                 robots_denied=F.col("robots_denied")))
+        if "should_crawl_page" in self._dg:
+            # custom ShouldCrawlPage: runs only where built-ins allowed,
+            # fires the disallowed event with the custom reason
+            from .operators.delegates import REASON_CUSTOM
+            ok = self._dg["should_crawl_page"](
+                F.col("dst_url"), F.col("depth"), F.col("is_internal"))
+            links = links.withColumn(
+                "pre_reason",
+                F.coalesce(F.col("pre_reason"),
+                           F.when(~ok, F.lit(REASON_CUSTOM))))
+        if "should_schedule_link" in self._dg:
+            # ShouldScheduleLinkDecisionMaker (WebCrawler.cs:943-946): gates
+            # page links only (not redirect children), SILENTLY — no events,
+            # no enqueue, but the link is still marked known (:969)
+            links = links.withColumn(
+                "__sched_ok",
+                F.when(F.col("sub") == 1,
+                       self._dg["should_schedule_link"](
+                           F.col("parent_url"), F.col("dst_url")))
+                .otherwise(F.lit(True)))
+        else:
+            links = links.withColumn("__sched_ok", F.lit(True))
 
         # processed = passes the known gate and the P16 cut (marked known,
         # eligible for events); redirect children (sub=0) are always
@@ -803,7 +943,7 @@ class CrawlEngine:
         if cfg.max_links_per_page != 0:
             is_link = F.col("sub") == 1
             admit0 = (is_link & F.col("processed") & F.col("internal_gate")
-                      & F.col("pre_reason").isNull())
+                      & F.col("__sched_ok") & F.col("pre_reason").isNull())
             w_par = (W.partitionBy("parent_seq").orderBy("sub", "link_pos")
                      .rowsBetween(W.unboundedPreceding, W.currentRow))
             links = links.withColumn(
@@ -820,14 +960,12 @@ class CrawlEngine:
         enqueueable = (F.col("sub") == 1) | ~F.col("is_known")
         links = links.withColumn(
             "eligible",
-            F.col("processed") & F.col("internal_gate")
+            F.col("processed") & F.col("internal_gate") & F.col("__sched_ok")
             & F.col("pre_reason").isNull())
 
         # ---- P4 global budget over the canonical enqueue stream ------------
         # stream = eligible redirect children (sub=0) ∪ eligible links (sub=1)
         # ∪ retries (sub=2), ordered (parent_seq, sub, link_pos)
-        retries = self._retry_rows(fetched)
-        n_retries = 0 if cfg.max_retry_count < 1 else retries.count()
         links = links.withColumn("budget_denied", F.lit(False))
         if cfg.max_pages_to_crawl > 0:
             cap = cfg.max_pages_to_crawl - c0 - f0
@@ -877,7 +1015,8 @@ class CrawlEngine:
 
         links = links.withColumn(
             "reason",
-            F.when(~F.col("processed") | ~F.col("internal_gate"), F.lit(None))
+            F.when(~F.col("processed") | ~F.col("internal_gate")
+                   | ~F.col("__sched_ok"), F.lit(None))
              .when(F.col("pre_reason").isNotNull(), F.col("pre_reason"))
              .when(F.col("budget_denied"),
                    F.lit(f"MaxPagesToCrawl limit of [{cfg.max_pages_to_crawl}] has been reached"))
@@ -887,19 +1026,43 @@ class CrawlEngine:
             F.col("eligible") & ~F.col("budget_denied") & enqueueable)
         return links.localCheckpoint(eager=True)
 
-    def _retry_rows(self, fetched: DataFrame) -> DataFrame:
+    def _retry_rows(self, fetched: DataFrame, fetch_round: int) -> DataFrame:
         """P13 — pages re-enqueued with is_retry=true (WebCrawler.cs:702-706).
-        Statically empty when MaxRetryCount < 1 (no job needed to know)."""
+        Statically empty when MaxRetryCount < 1 (no job needed to know).
+
+        S4 retry delay (WebCrawler.cs:1030-1057 + Retry-After parse
+        :848-868): the earliest admissible round under the virtual clock is
+        fetch_round + ceil(max(Retry-After*1000, MinRetryDelayMs) / W).
+        The engine takes Retry-After's numeric (seconds) form; a date-form
+        header needs a wall clock the virtual-round model doesn't have and
+        falls back to the config minimum (kernel parse_retry_after handles
+        both forms for the per-row oracle)."""
         cfg = self.cfg
         base = fetched
         if cfg.max_retry_count < 1:
             base = fetched.filter(F.lit(False))
         recrawl_reason = DX.should_recrawl_reason(cfg)
-        return (base.withColumn("__rc", recrawl_reason)
-                .filter(F.col("__rc").isNull())
+        w = max(cfg.round_length_ms, 1)
+        if "retry_after" in fetched.columns:
+            ra_ms = F.col("retry_after").try_cast("double") * 1000.0
+        else:
+            ra_ms = F.lit(None).cast("double")
+        delay_ms = F.coalesce(
+            ra_ms, F.lit(float(cfg.min_retry_delay_in_milliseconds)))
+        not_before = (F.lit(fetch_round)
+                      + F.greatest(F.ceil(delay_ms / w), F.lit(1))
+                      .cast("int"))
+        base = base.withColumn("__rc", recrawl_reason) \
+                   .filter(F.col("__rc").isNull())
+        if "should_recrawl_page" in self._dg:
+            # custom ShouldRecrawlPage: composed after the built-in allowed
+            base = base.filter(self._dg["should_recrawl_page"](
+                F.col("url"), F.col("status"), F.col("retry_count")))
+        return (base
                 .select("url", "url_hash", "domain", "scheme", "parent_url",
                         "depth", "is_internal", "retry_count",
-                        "redirected_from", "redirect_position", "priority_seq")
+                        "redirected_from", "redirect_position", "priority_seq",
+                        not_before.alias("not_before_round"))
                 .withColumn("is_retry", F.lit(True)))
 
     # ------------------------------------------------------------------ #
@@ -909,7 +1072,9 @@ class CrawlEngine:
     def _write_round_outputs(self, fetched: DataFrame, links: DataFrame,
                              batch: DataFrame, pending: DataFrame | None,
                              seen: DataFrame, domain_counts: DataFrame,
-                             st: RoundStats, _mark=lambda label: None) -> None:
+                             st: RoundStats, retries: DataFrame,
+                             n_retries: int,
+                             _mark=lambda label: None) -> None:
         spark, cfg = self.spark, self.cfg
         r = self.round + 1
 
@@ -977,12 +1142,12 @@ class CrawlEngine:
                             "scheme", F.col("parent_url"),
                             "depth", "is_internal", "is_retry", "retry_count",
                             "redirected_from", "redirect_position",
+                            F.lit(0).alias("not_before_round"),
                             "parent_seq", F.col("sub").alias("__sub"),
                             F.col("link_pos").alias("__pos")))
-        retries = self._retry_rows(fetched).withColumn(
-            "__sub", F.lit(2)).withColumn("__pos", F.lit(0)) \
+        retries = retries.withColumn("__sub", F.lit(2)) \
+            .withColumn("__pos", F.lit(0)) \
             .withColumnRenamed("priority_seq", "parent_seq")
-        n_retries = 0 if cfg.max_retry_count < 1 else retries.count()
         stream = admitted.unionByName(
             retries.select(*[c for c in admitted.columns]))
         # continue the global priority_seq sequence: the driver carries the

@@ -116,7 +116,7 @@ _PAGE_TYPE = T.StructType([
 ])
 
 
-def make_extract_page_udf(cfg) -> callable:
+def make_extract_page_udf(cfg, clean_url=None) -> callable:
     """One Arrow round trip per page instead of two: decode bytes -> text
     (T5 charset cascade) and, when ``want_links`` is set for the row
     (the P7-P9 gate is computed JVM-side from depth/is_internal), extract
@@ -169,7 +169,8 @@ def make_extract_page_udf(cfg) -> callable:
                         respect_meta_robots_nofollow=meta_nf,
                         respect_anchor_rel_nofollow=rel_nf,
                         respect_x_robots_nofollow=x_nf,
-                        keep_fragment=keep_frag)])
+                        keep_fragment=keep_frag,
+                        clean_url=clean_url)])
             else:
                 links.append([])
         return pd.DataFrame({"charset": charsets, "text_md5": md5s,

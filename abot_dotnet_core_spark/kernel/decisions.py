@@ -116,6 +116,58 @@ def should_recrawl_page(
     return ALLOW
 
 
+def parse_retry_after(value: str | None, last_request=None) -> float | None:
+    """Retry-After header -> seconds to wait (S4) — WebCrawler.cs:848-868.
+
+    The reference tries ``DateTime.TryParse`` first (seconds = date -
+    LastRequest) and falls back to ``double.TryParse``. Mirrored here:
+    an HTTP-date or ISO form parses as a date when ``last_request`` is
+    provided; a bare numeric string (which .NET's date parse rejects)
+    takes the double branch. Unparseable -> None (no RetryAfter)."""
+    if value is None or not str(value).strip():
+        return None
+    s = str(value).strip()
+    if last_request is not None:
+        from datetime import datetime
+        dt = None
+        try:
+            from email.utils import parsedate_to_datetime
+            dt = parsedate_to_datetime(s)
+        except (TypeError, ValueError):
+            try:
+                dt = datetime.fromisoformat(s)
+            except ValueError:
+                dt = None
+        if dt is not None:
+            if dt.tzinfo is not None and last_request.tzinfo is None:
+                dt = dt.replace(tzinfo=None)
+            return (dt - last_request).total_seconds()
+    try:
+        return float(s)
+    except ValueError:
+        return None
+
+
+def retry_delay_ms(cfg: CrawlConfig, retry_after_s: float | None) -> float:
+    """Effective wait before re-fetching a retried page since its last
+    request — WebCrawler.cs:1030-1057: the server-provided Retry-After wins
+    over the config minimum when present."""
+    if retry_after_s is not None:
+        return retry_after_s * 1000.0
+    return float(cfg.min_retry_delay_in_milliseconds)
+
+
+def retry_not_before_round(cfg: CrawlConfig, fetch_round: int,
+                           retry_after_s: float | None) -> int:
+    """Round-granular form of the retry delay under the engine's virtual
+    clock (round k fetches at time (k-1) * round_length_ms): the earliest
+    round whose start time satisfies the wait, never sooner than the next
+    round (a retry cannot re-run inside its own round)."""
+    import math
+    d = retry_delay_ms(cfg, retry_after_s)
+    return fetch_round + max(1, math.ceil(d / max(cfg.round_length_ms, 1)))
+
+
 def effective_domain_delay_ms(cfg: CrawlConfig, robots_delay_s: int) -> int:
     """Per-domain effective politeness delay in ms.
 

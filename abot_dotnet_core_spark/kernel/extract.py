@@ -92,6 +92,7 @@ def extract_links(
     respect_anchor_rel_nofollow: bool = False,
     respect_x_robots_nofollow: bool = False,
     keep_fragment: bool = False,
+    clean_url=None,
 ) -> list[str]:
     """Absolute, deduped (first-seen) link list for one page."""
     if html_text is None or not html_text.strip():
@@ -122,6 +123,15 @@ def extract_links(
     out: list[str] = []
     seen: set[str] = set()
     for href in hrefs:
+        if clean_url is not None:
+            # user cleanURLFunc — HyperLinkParser.cs:25,110-111: applied to
+            # the raw (de-entitized) href before URI construction
+            try:
+                href = clean_url(href)
+            except Exception:
+                continue
+            if not href:
+                continue
         absolute = resolve_href(base, href, keep_fragment=keep_fragment)
         if absolute is None:
             continue

@@ -86,6 +86,11 @@ class CrawlResultState:
     seen: set[str] = field(default_factory=set)
     crawled_count: int = 0
     count_by_domain: dict[str, int] = field(default_factory=dict)
+    # S4: (url, wait_ms) per scheduled retry — the blocking wait the
+    # reference would take (WaitMinimumRetryDelayAsync); in the engine the
+    # same delay becomes the not_before_round deferral. Order is unaffected
+    # either way (the retry keeps its queue position / priority_seq).
+    retry_waits: list = field(default_factory=list)
 
     def seen_hashes(self) -> set[int]:
         return {url_hash64(u) for u in self.seen}
@@ -97,11 +102,21 @@ class CrawlSimulator:
         corpus: dict[str, PageRecord],
         cfg: CrawlConfig | None = None,
         robots_map: dict[str, RobotsRules] | None = None,
+        delegates=None,
     ) -> None:
+        from ..operators.delegates import CrawlDelegates
         self.corpus = corpus
         self.cfg = cfg or CrawlConfig()
         # robots_map keys are root urls ("http://host/"); values parsed rules
         self.robots_map = robots_map or {}
+        # same Series-contract delegates the engine takes, invoked per-row
+        self.delegates = delegates or CrawlDelegates()
+
+    def _dg(self, name, *args) -> bool:
+        """Invoke a user delegate on one row; True when unset."""
+        from ..operators.delegates import scalar_call
+        fn = getattr(self.delegates, name)
+        return True if fn is None else scalar_call(fn, *args)
 
     # --- robots (PoliteWebCrawler.ShouldCrawlPage override) ---------------
 
@@ -135,7 +150,7 @@ class CrawlSimulator:
                            queue_len: int) -> D.Decision:
         if not self._allowed_by_robots(page):
             return D.Decision(False, "Disallowed by robots.txt file")
-        return D.should_crawl_page(
+        d = D.should_crawl_page(
             cfg=self.cfg,
             depth=page.depth,
             scheme=scheme_of(page.url),
@@ -148,6 +163,11 @@ class CrawlSimulator:
             scheduled_count=queue_len,
             crawled_in_domain=state.count_by_domain.get(authority(page.url), 0),
         )
+        if d.allow and not self._dg("should_crawl_page", page.url,
+                                    page.depth, page.is_internal):
+            from ..operators.delegates import REASON_CUSTOM
+            return D.Decision(False, REASON_CUSTOM)
+        return d
 
     # --- main loop ----------------------------------------------------------
 
@@ -161,6 +181,8 @@ class CrawlSimulator:
         original_root_auth = root_auth
 
         def is_internal(url: str) -> bool:
+            if self.delegates.is_internal_uri is not None:
+                return self._dg("is_internal_uri", url)
             return authority(url) in (root_auth, original_root_auth)
 
         root = _Page(url=seed, is_root=True, is_internal=True)
@@ -196,12 +218,21 @@ class CrawlSimulator:
                 dl = D.should_download_page_content(
                     cfg=cfg, status=status, content_type=rec.content_type,
                     content_length=rec.length())
+                if dl.allow and not self._dg("should_download_page_content",
+                                            page.url, status,
+                                            rec.content_type):
+                    dl = D.Decision(False, "custom")
                 if dl.allow:
                     text = rec.html
 
             links: list[str] = []
             links_decision = D.should_crawl_page_links(
                 cfg=cfg, text=text, is_internal=page.is_internal, depth=page.depth)
+            if links_decision.allow and not self._dg(
+                    "should_crawl_page_links", page.url, page.depth,
+                    page.is_internal):
+                from ..operators.delegates import REASON_CUSTOM
+                links_decision = D.Decision(False, REASON_CUSTOM)
             if links_decision.allow:
                 links = extract_links(
                     text, page.url,
@@ -210,6 +241,7 @@ class CrawlSimulator:
                     respect_anchor_rel_nofollow=cfg.is_respect_anchor_rel_no_follow_enabled,
                     respect_x_robots_nofollow=cfg.is_respect_http_x_robots_tag_header_no_follow_enabled,
                     keep_fragment=cfg.is_respect_url_named_anchor_or_hashbang_enabled,
+                    clean_url=self.delegates.clean_url,
                 )
             else:
                 state.disallowed.append(
@@ -220,6 +252,16 @@ class CrawlSimulator:
                 parent_url=page.parent_url, is_retry=page.is_retry,
                 retry_count=page.retry_count, links_extracted=len(links)))
             order += 1
+
+            # root-redirect rebinding — ValidateRootUriForRedirection
+            # (WebCrawler.cs:676-678, 1063-1073): a redirected root page
+            # rebinds root_auth (original stays internal via
+            # original_root_auth) BEFORE the redirect child is scheduled
+            if (page.is_root and rec is not None and rec.redirect_to
+                    and not cfg.is_http_request_auto_redirects_enabled):
+                target = normalize_url(rec.redirect_to)
+                if target is not None:
+                    root_auth = authority(target)
 
             # manual redirect scheduling — WebCrawler.cs:680-681, 722-749
             if (rec is not None and rec.redirect_to
@@ -239,6 +281,13 @@ class CrawlSimulator:
                 links_added = 0
                 for uri in links:
                     if uri not in state.seen:
+                        # ShouldScheduleLinkDecisionMaker — silent gate before
+                        # child construction (WebCrawler.cs:943-946); the
+                        # link is still marked known below
+                        if not self._dg("should_schedule_link",
+                                        page.url, uri):
+                            state.seen.add(uri)
+                            continue
                         child = _Page(url=uri, parent_url=page.url,
                                       depth=page.depth + 1,
                                       is_internal=is_internal(uri))
@@ -253,8 +302,16 @@ class CrawlSimulator:
             recrawl = D.should_recrawl_page(
                 cfg=cfg, had_request_exception=had_request_exception,
                 retry_count=page.retry_count)
+            if recrawl.allow and not self._dg("should_recrawl_page",
+                                              page.url, status,
+                                              page.retry_count):
+                recrawl = D.Decision(False, "custom")
             if recrawl.allow:
                 page.is_retry = True
+                ra = D.parse_retry_after(
+                    rec.retry_after) if rec is not None else None
+                state.retry_waits.append(
+                    (page.url, D.retry_delay_ms(cfg, ra)))
                 queue.append(page)    # Scheduler.Add bypasses seen for retries
 
         return state
