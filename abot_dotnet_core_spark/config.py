@@ -63,6 +63,9 @@ class CrawlConfig:
     # broadcast semi-join to the Bloom scan-pushdown path (extraction runs
     # on the corpus scan; html never shuffles).
     fetch_broadcast_threshold: int = 200_000
+    # Robots-table row count above which the P14 dimension join stops
+    # broadcasting and shuffles on domain instead (10^7-10^8-domain crawls).
+    robots_broadcast_threshold: int = 2_000_000
 
     def to_dict(self) -> dict:
         return asdict(self)

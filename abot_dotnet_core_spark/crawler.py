@@ -43,7 +43,6 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F, ty
 
 from .config import CrawlConfig
 from .functions import udfs
-from .kernel.robots import parse_robots, rules_to_flat
 from .kernel.decisions import effective_domain_delay_ms
 from .operators import decisions as DX
 from .operators.ordering import assign_global_seq
@@ -120,6 +119,7 @@ class CrawlEngine:
         self._robots_allowed_udf = udfs.make_robots_allowed_udf(
             cfg.robots_dot_text_user_agent_string)
         self._robots_df: DataFrame | None = None
+        self._robots_count = 0
         self.crawled_count = 0      # CrawlContext.CrawledCount (driver scalar)
         self.event_count = 0        # total ProcessPage events (incl. retries)
         self.round = -1
@@ -136,51 +136,61 @@ class CrawlEngine:
         # only while this exceeds the upcoming round (zero-cost otherwise)
         self.max_not_before = 0
         self.use_bloom_prefilter = bloom_prefilter
+        # incremental Bloom sidecar: driver dict bucket -> (n_keys, blob);
+        # blob None = saturated bucket (exact join decides). Built once,
+        # merged with each round's seen_new, broadcast for the probe.
+        self._sidecar: dict | None = None
 
     # ------------------------------------------------------------------ #
     # setup
     # ------------------------------------------------------------------ #
 
     def _load_robots(self) -> DataFrame | None:
-        """Parse robots.txt rows into broadcastable flat rules + delay.
+        """Parse robots.txt rows into flat rules + delay, DISTRIBUTED.
 
-        One row per domain: (domain, rules_flat array<string>, crawl_delay_s).
-        Parsing happens once, driver-side batched through pandas — the engine
-        never re-parses robots text per URL."""
+        One row per domain: (domain, rules_flat array<string>, crawl_delay_s),
+        parsed once by an Arrow UDF and materialized (localCheckpoint) so no
+        round re-parses robots text. A real 100 TB crawl has 10^7-10^8
+        domains — the table never rides through the driver; downstream joins
+        broadcast it only while it fits (robots_broadcast_threshold), else
+        they shuffle on domain like any dimension table."""
         if not self.cfg.is_respect_robots_dot_text_enabled or self.robots_path is None:
             return None
-        import pandas as pd
-        pdf = self.spark.read.parquet(self.robots_path).toPandas()
-        rows = []
-        for _, r in pdf.iterrows():
-            if r["robots_txt"] is None:
-                continue
-            rules = parse_robots(r["robots_txt"])
-            rows.append({
-                "domain": r["domain"],
-                "rules_flat": rules_to_flat(rules),
-                "crawl_delay_s": rules.crawl_delay(
-                    self.cfg.robots_dot_text_user_agent_string),
-            })
-        if not rows:
+        parse = udfs.make_robots_parse_udf(
+            self.cfg.robots_dot_text_user_agent_string)
+        df = (self.spark.read.parquet(self.robots_path)
+              .filter(F.col("robots_txt").isNotNull())
+              .withColumn("__p", parse(F.col("robots_txt")))
+              .select("domain",
+                      F.col("__p.rules_flat").alias("rules_flat"),
+                      F.col("__p.crawl_delay_s").alias("crawl_delay_s"))
+              .localCheckpoint(eager=True))
+        self._robots_count = df.count()
+        if self._robots_count == 0:
             return None
-        schema = T.StructType([
-            T.StructField("domain", T.StringType()),
-            T.StructField("rules_flat", T.ArrayType(T.StringType())),
-            T.StructField("crawl_delay_s", T.IntegerType()),
-        ])
-        return self.spark.createDataFrame(pd.DataFrame(rows), schema=schema)
+        return df
+
+    def _robots_dim(self, df: DataFrame) -> DataFrame:
+        """Broadcast the robots dimension only while it fits."""
+        if self._robots_count <= self.cfg.robots_broadcast_threshold:
+            return F.broadcast(df)
+        return df
 
     def seed(self, seed_urls: list[str]) -> None:
         """Round -1: gate + schedule the seeds (WebCrawler.cs:238-240)."""
         from .kernel.urlnorm import authority, normalize_url, scheme_of, url_hash64
         self._robots_df = self._load_robots()
-        robots_pd = (self._robots_df.toPandas().set_index("domain")
-                     if self._robots_df is not None else None)
 
         normalized = [normalize_url(u) for u in seed_urls]
         normalized = [u for u in normalized if u is not None]
         self.root_authorities = sorted({authority(u) for u in normalized})
+
+        # only the SEED domains' rules come to the driver (O(#seeds) rows)
+        robots_pd = None
+        if self._robots_df is not None:
+            robots_pd = (self._robots_df
+                         .filter(F.col("domain").isin(self.root_authorities))
+                         .toPandas().set_index("domain"))
 
         rows, seen_rows = [], []
         seq = 0
@@ -264,7 +274,7 @@ class CrawlEngine:
         if (self._robots_df is not None
                 and not self.cfg.is_ignore_robots_dot_text_if_root_disallowed_enabled):
             fr = fr.join(
-                F.broadcast(self._robots_df.select("domain", "rules_flat")),
+                self._robots_dim(self._robots_df.select("domain", "rules_flat")),
                 "domain", "left")
             fr = fr.filter(
                 F.col("rules_flat").isNull()
@@ -299,15 +309,25 @@ class CrawlEngine:
         self.store.commit_round(0, self._counters())
 
     def _domain_state_df(self) -> DataFrame:
-        """Per-domain effective politeness delay (S3) from config + robots."""
+        """Per-domain effective politeness delay (S3) from config + robots,
+        computed as a pure column expression (JVM-side — the robots table
+        never rides through the driver). Mirrors the kernel's
+        effective_domain_delay_ms exactly (PoliteWebCrawler.cs:85-97 +
+        DomainRateLimiter.cs:46-47); pinned by a cross-check test."""
         if self._robots_df is None:
             return self.spark.createDataFrame([], "domain string, delay_ms long")
         cfg = self.cfg
-        import pandas as pd
-        pdf = self._robots_df.select("domain", "crawl_delay_s").toPandas()
-        pdf["delay_ms"] = pdf["crawl_delay_s"].map(
-            lambda s: effective_domain_delay_ms(cfg, int(s)))
-        return self.spark.createDataFrame(pdf[["domain", "delay_ms"]])
+        min_ms = cfg.min_crawl_delay_per_domain_milli_seconds
+        default_ms = min_ms + 20 if min_ms > 0 else 0
+        max_s = cfg.max_robots_dot_text_crawl_delay_in_seconds
+        s = F.col("crawl_delay_s")
+        robots_ms = F.when(F.lit(max_s > 0) & (s > max_s),
+                           F.lit(max_s * 1000)).otherwise(s * 1000)
+        delay = F.when((s > 0) & (s * 1000 > min_ms),
+                       F.greatest(robots_ms, F.lit(default_ms))) \
+                 .otherwise(F.lit(default_ms))
+        return self._robots_df.select(
+            "domain", delay.cast("long").alias("delay_ms"))
 
     def _counters(self) -> dict:
         return {
@@ -352,6 +372,15 @@ class CrawlEngine:
         rd_path = os.path.join(store_root, "root_domains", "round=0")
         if os.path.isdir(rd_path):
             eng._root_domains_df = spark.read.parquet(rd_path)
+        sc_path = os.path.join(store_root, "bloom_sidecar", f"round={last}")
+        if os.path.isdir(sc_path):
+            import pandas as pd
+            pdf = pd.read_parquet(sc_path)
+            eng._sidecar = {
+                int(row["bucket"]): (int(row["n_keys"]),
+                                     bytes(row["blob"])
+                                     if row["blob"] is not None else None)
+                for _, row in pdf.iterrows()}
         eng._robots_df = eng._load_robots()
         eng.store.drop_uncommitted()
         return eng
@@ -787,11 +816,21 @@ class CrawlEngine:
         if self.use_bloom_prefilter:
             # T8 sidecar: candidates the Bloom filter clears as definitely-new
             # skip the exact seen join entirely — only maybe-seen rows shuffle
-            # into the anti-join (exactness preserved: no false negatives)
+            # into the anti-join (exactness preserved: no false negatives).
+            # The sidecar is INCREMENTAL: built from the seen set once (seed
+            # or resume without a persisted sidecar), then merged with each
+            # round's seen_new — never rebuilt from the full seen table.
             from .operators.seenfilter import bloom_prefilter, build_bloom_sidecar
-            sidecar = build_bloom_sidecar(seen, buckets=cfg.state_buckets)
-            links = bloom_prefilter(links, sidecar, hash_col="dst_hash",
-                                    buckets=cfg.state_buckets)
+            if self._sidecar is None:
+                self._sidecar = {
+                    int(r["bucket"]): (int(r["n_keys"]),
+                                       bytes(r["blob"])
+                                       if r["blob"] is not None else None)
+                    for r in build_bloom_sidecar(
+                        seen, buckets=cfg.state_buckets).collect()}
+            links = bloom_prefilter(
+                links, {b: blob for b, (_n, blob) in self._sidecar.items()},
+                spark=spark, hash_col="dst_hash", buckets=cfg.state_buckets)
             maybe = (links.filter(F.col("maybe_seen"))
                      .join(seen_d, "dst_hash", "left"))
             fresh = (links.filter(~F.col("maybe_seen"))
@@ -844,10 +883,11 @@ class CrawlEngine:
         internal_ok = F.col("is_internal") | F.lit(cfg.is_external_page_crawling_enabled)
         links = links.withColumn("internal_gate", internal_ok)
 
-        # robots P14 (broadcast join on the link's own domain)
+        # robots P14 (dimension join on the link's own domain; broadcast
+        # while the robots table fits, shuffle join past the threshold)
         if self._robots_df is not None:
             links = links.join(
-                F.broadcast(self._robots_df.select(
+                self._robots_dim(self._robots_df.select(
                     F.col("domain").alias("dst_domain"), "rules_flat")),
                 "dst_domain", "left")
             links = links.withColumn(
@@ -1215,6 +1255,30 @@ class CrawlEngine:
             results = {k: f.result() for k, f in futures.items()}
         n_pending_left, n_pending_left_nonretry = results.get("pending", (0, 0))
         _mark("write_outputs")
+
+        # -- incremental Bloom sidecar merge: fold THIS round's new hashes
+        # (read back from the just-written seen partition — no recompute)
+        # into the per-bucket blobs; cost is O(new keys + B blobs) per
+        # round, never a full-seen rebuild. Blobs persist driver-side for
+        # resume (write_pandas, no Spark job).
+        if self.use_bloom_prefilter and self._sidecar is not None:
+            from .operators.seenfilter import BLOOM_SCHEMA, merge_bloom_sidecar
+            old = spark.createDataFrame(
+                [(b, n, blob) for b, (n, blob) in self._sidecar.items()],
+                BLOOM_SCHEMA)
+            merged = merge_bloom_sidecar(
+                old, self.store.read_table(spark, "seen", r),
+                buckets=cfg.state_buckets)
+            self._sidecar = {
+                int(x["bucket"]): (int(x["n_keys"]),
+                                   bytes(x["blob"])
+                                   if x["blob"] is not None else None)
+                for x in merged.collect()}
+            import pandas as pd
+            self.store.write_pandas("bloom_sidecar", pd.DataFrame(
+                [{"bucket": b, "n_keys": n, "blob": blob}
+                 for b, (n, blob) in self._sidecar.items()]), r)
+            _mark("sidecar_merge")
 
         # -- lineage + metrics: tiny, written driver-side (no Spark jobs) ----
         st.retries = n_retries

@@ -179,6 +179,36 @@ def make_extract_page_udf(cfg, clean_url=None) -> callable:
     return extract_page_udf
 
 
+# --- robots parsing (T10, distributed) ---------------------------------------
+
+_ROBOTS_PARSED_TYPE = T.StructType([
+    T.StructField("rules_flat", T.ArrayType(T.StringType())),
+    T.StructField("crawl_delay_s", T.IntegerType()),
+])
+
+
+def make_robots_parse_udf(user_agent: str) -> callable:
+    """Arrow-batched robots.txt parse: (robots_txt) -> (rules_flat,
+    crawl_delay_s). A 10^7-domain robots table parses executor-side — the
+    driver never sees a robots body."""
+    from ..kernel.robots import parse_robots, rules_to_flat
+
+    @pandas_udf(_ROBOTS_PARSED_TYPE)
+    def robots_parse_udf(txt: pd.Series) -> pd.DataFrame:
+        flats, delays = [], []
+        for t in txt:
+            if t is None:
+                flats.append(None)
+                delays.append(None)
+                continue
+            rules = parse_robots(t)
+            flats.append(rules_to_flat(rules))
+            delays.append(int(rules.crawl_delay(user_agent)))
+        return pd.DataFrame({"rules_flat": flats, "crawl_delay_s": delays})
+
+    return robots_parse_udf
+
+
 # --- robots allow check (P14) ------------------------------------------------
 
 def make_robots_allowed_udf(user_agent: str) -> callable:

@@ -129,28 +129,98 @@ def build_bloom_sidecar(seen: DataFrame, buckets: int = 32,
     return with_bucket.groupBy("bucket").applyInPandas(build, BLOOM_SCHEMA)
 
 
-def bloom_prefilter(candidates: DataFrame, sidecar: DataFrame,
+def merge_bloom_sidecar(sidecar: DataFrame, new_hashes: DataFrame,
+                        buckets: int = 32, error_rate: float = 0.001,
+                        min_capacity: int = 100_000,
+                        hash_col: str = "url_hash") -> DataFrame:
+    """Incremental sidecar update: only buckets receiving new keys touch
+    their bitsets; untouched blobs pass through unchanged. This replaces the
+    per-round full-seen rebuild — per-round cost is O(new keys + B blobs),
+    independent of the total seen-set size.
+
+    Saturation policy: a blob whose set-bit fraction exceeds 0.5 (its design
+    load at build time) is DROPPED rather than grown — the bucket then
+    reports maybe_seen=True for everything and the exact anti-join takes
+    over (exactness preserved, prefilter effectiveness degrades until the
+    next full rebuild, which production would align with Iceberg snapshot
+    compaction)."""
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(pdf["bucket"].iloc[0])
+        blob_rows = pdf[pdf["blob"].notna()]
+        keys = pdf.loc[pdf["blob"].isna(), "new_hash"]
+        if len(blob_rows):
+            bf = BloomFilter.from_bytes(bytes(blob_rows["blob"].iloc[0]))
+            n = int(blob_rows["n_keys"].iloc[0]) + len(keys)
+        else:
+            bf = BloomFilter(max(len(keys) * 2, min_capacity), error_rate)
+            n = len(keys)
+        for h in keys:
+            bf.add(_key_of(int(h)))
+        if bf.truthiness() > 0.5:   # saturated: degrade to always-maybe
+            return pd.DataFrame({"bucket": [bucket], "n_keys": [n],
+                                 "blob": [None]})
+        return pd.DataFrame({"bucket": [bucket], "n_keys": [n],
+                             "blob": [bf.to_bytes()]})
+
+    nb = (new_hashes.select(F.col(hash_col))
+          .withColumn("bucket",
+                      F.pmod(F.xxhash64(hash_col), F.lit(buckets)).cast("int"))
+          .select("bucket", F.col(hash_col).alias("new_hash"),
+                  F.lit(None).cast("long").alias("n_keys"),
+                  F.lit(None).cast("binary").alias("blob")))
+    old = sidecar.select("bucket",
+                         F.lit(None).cast("long").alias("new_hash"),
+                         "n_keys", "blob")
+    return old.unionByName(nb).groupBy("bucket").applyInPandas(
+        merge, BLOOM_SCHEMA)
+
+
+def bloom_prefilter(candidates: DataFrame, sidecar, spark=None,
                     hash_col: str = "url_hash", buckets: int = 32,
                     lossy: bool = False) -> DataFrame:
-    """Filter candidates through the broadcast Bloom sidecar.
+    """Filter candidates through the Bloom sidecar.
+
+    ``sidecar`` is either a (bucket, n_keys, blob) DataFrame or a driver
+    dict {bucket: blob_bytes | None}. Blobs ship to executors via
+    ``sc.broadcast`` (deserialized once per executor, NOT pickled into every
+    task closure). A missing or saturated (None) blob reports
+    maybe_seen=True — the exact anti-join decides.
 
     lossy=False (default): keep rows NOT in the filter (definitely-new) and
     rows the filter claims seen — flagged ``maybe_seen`` — for the exact
     anti-join; exactness preserved, shuffle volume cut.
     lossy=True: reference BloomFilterCrawledUrlRepository semantics —
     FP-positive rows are dropped outright (accepted URL loss)."""
-    pdf = sidecar.toPandas()
-    filters = {int(r["bucket"]): BloomFilter.from_bytes(bytes(r["blob"]))
-               for _, r in pdf.iterrows()}
+    if isinstance(sidecar, DataFrame):
+        blobs = {int(r["bucket"]): (bytes(r["blob"])
+                                    if r["blob"] is not None else None)
+                 for r in sidecar.collect()}
+        if spark is None:
+            spark = sidecar.sparkSession
+    else:
+        blobs = sidecar
+    bc = spark.sparkContext.broadcast(blobs)
 
     from pyspark.sql.functions import pandas_udf
+    cache: dict = {}
 
     @pandas_udf(T.BooleanType())
     def maybe_seen_udf(hashes: pd.Series, bucket: pd.Series) -> pd.Series:
+        local = cache.get("filters")
+        if local is None:
+            local = {b: (BloomFilter.from_bytes(blob)
+                         if blob is not None else None)
+                     for b, blob in bc.value.items()}
+            cache["filters"] = local
         out = []
         for h, b in zip(hashes, bucket):
-            bf = filters.get(int(b))
-            out.append(bf is not None and _key_of(int(h)) in bf)
+            b = int(b)
+            if b not in local:
+                out.append(False)          # bucket never seeded: nothing seen
+            else:
+                bf = local[b]
+                # saturated bucket (None): defer to the exact join
+                out.append(bf is None or _key_of(int(h)) in bf)
         return pd.Series(out)
 
     out = candidates.withColumn(

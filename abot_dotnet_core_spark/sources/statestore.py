@@ -30,7 +30,8 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
-STATE_TABLES = ("frontier", "seen", "domain_counts", "domain_state")
+STATE_TABLES = ("frontier", "seen", "domain_counts", "domain_state",
+                "root_domains", "bloom_sidecar")
 EVENT_TABLES = ("crawled", "disallowed", "lineage", "metrics")
 
 

@@ -1,10 +1,48 @@
 """Engine with the Bloom prefilter on must produce identical results to the
 exact-only path (the sidecar is a pre-filter, never a decider)."""
 
+from pyspark.sql import functions as F
+
 from abot_dotnet_core_spark.config import CrawlConfig
 from abot_dotnet_core_spark.crawler import CrawlEngine
 
 SEED = "http://d0.test/"
+
+
+class TestSidecarMerge:
+    def test_incremental_merge_membership(self, spark):
+        from abot_dotnet_core_spark.operators.seenfilter import (
+            bloom_prefilter, build_bloom_sidecar, merge_bloom_sidecar)
+        base = spark.range(0, 100).select(
+            (F.col("id") * 7919).alias("url_hash"))
+        extra = spark.range(100, 150).select(
+            (F.col("id") * 7919).alias("url_hash"))
+        sidecar = build_bloom_sidecar(base, buckets=4)
+        merged = merge_bloom_sidecar(sidecar, extra, buckets=4)
+        assert merged.agg(F.sum("n_keys")).collect()[0][0] == 150
+
+        # every key (old and new) must be maybe_seen after the merge
+        probe = spark.range(0, 150).select(
+            (F.col("id") * 7919).alias("url_hash"))
+        out = bloom_prefilter(probe, merged, spark=spark, buckets=4)
+        assert out.filter(~F.col("maybe_seen")).count() == 0
+
+    def test_saturated_bucket_degrades_to_exact(self, spark):
+        from abot_dotnet_core_spark.operators.seenfilter import (
+            bloom_prefilter, build_bloom_sidecar, merge_bloom_sidecar)
+        base = spark.range(0, 10).select(F.col("id").alias("url_hash"))
+        # tiny capacity: the merge overloads the blobs past 50% set bits
+        sidecar = build_bloom_sidecar(base, buckets=1, min_capacity=16)
+        extra = spark.range(10, 5000).select(F.col("id").alias("url_hash"))
+        merged = merge_bloom_sidecar(sidecar, extra, buckets=1,
+                                     min_capacity=16)
+        rows = merged.collect()
+        assert all(r["blob"] is None for r in rows)   # dropped, not grown
+        # saturated bucket: everything is maybe_seen (exact join decides)
+        probe = spark.range(100_000, 100_010).select(
+            F.col("id").alias("url_hash"))
+        out = bloom_prefilter(probe, merged, spark=spark, buckets=1)
+        assert out.filter(~F.col("maybe_seen")).count() == 0
 
 
 def run(spark, corpus_dir, tmp, bloom):
@@ -30,3 +68,63 @@ def test_bloom_prefilter_identical_crawl(spark, tiny_corpus_dir, tmp_path):
     assert e == b
     assert ({r["url_hash"] for r in exact._read_seen().collect()}
             == {r["url_hash"] for r in bloom._read_seen().collect()})
+
+
+def test_sidecar_built_once_then_incremental(spark, tiny_corpus_dir,
+                                             tmp_path, monkeypatch):
+    """The full-seen sidecar build must run AT MOST ONCE per crawl — every
+    later round folds seen_new into the blobs incrementally."""
+    from abot_dotnet_core_spark.operators import seenfilter as SF
+    calls = {"build": 0, "merge": 0}
+    real_build, real_merge = SF.build_bloom_sidecar, SF.merge_bloom_sidecar
+
+    def counted_build(*a, **k):
+        calls["build"] += 1
+        return real_build(*a, **k)
+
+    def counted_merge(*a, **k):
+        calls["merge"] += 1
+        return real_merge(*a, **k)
+
+    monkeypatch.setattr(SF, "build_bloom_sidecar", counted_build)
+    monkeypatch.setattr(SF, "merge_bloom_sidecar", counted_merge)
+    eng = run(spark, tiny_corpus_dir, tmp_path / "inc", bloom=True)
+    n_rounds = eng.round
+    assert n_rounds >= 3
+    assert calls["build"] == 1, "full-seen rebuild ran more than once"
+    assert calls["merge"] == n_rounds
+
+
+def test_sidecar_survives_resume(spark, tiny_corpus_dir, tmp_path):
+    from abot_dotnet_core_spark.crawler import CrawlEngine
+    store = str(tmp_path / "r" / "state")
+    eng = CrawlEngine(
+        spark, CrawlConfig(),
+        corpus_path=f"{tiny_corpus_dir}/corpus.parquet",
+        corpus_meta_path=f"{tiny_corpus_dir}/corpus_meta.parquet",
+        store_root=store,
+        robots_path=f"{tiny_corpus_dir}/robots.parquet",
+        bloom_prefilter=True)
+    eng.seed([SEED])
+    eng.run(max_rounds=2)
+    assert eng._sidecar is not None
+
+    eng2 = CrawlEngine.resume(
+        spark, CrawlConfig(),
+        corpus_path=f"{tiny_corpus_dir}/corpus.parquet",
+        corpus_meta_path=f"{tiny_corpus_dir}/corpus_meta.parquet",
+        store_root=store,
+        robots_path=f"{tiny_corpus_dir}/robots.parquet")
+    eng2.use_bloom_prefilter = True
+    assert eng2._sidecar is not None          # loaded, not rebuilt
+    assert {b for b in eng2._sidecar} == {b for b in eng._sidecar}
+    eng2.run(max_rounds=50)
+    # resumed+bloom crawl matches the uninterrupted exact crawl
+    exact = run(spark, tiny_corpus_dir, tmp_path / "exact", bloom=False)
+    e = [(r["url"], r["crawl_order"]) for r in
+         exact.store.read_events(spark, "crawled")
+         .orderBy("crawl_order").collect()]
+    g = [(r["url"], r["crawl_order"]) for r in
+         eng2.store.read_events(spark, "crawled")
+         .orderBy("crawl_order").collect()]
+    assert e == g
