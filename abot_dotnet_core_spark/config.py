@@ -50,6 +50,11 @@ class CrawlConfig:
     # link handling — HyperLinkParser.cs:105-107
     is_respect_url_named_anchor_or_hashbang_enabled: bool = False
     is_uri_recrawling_enabled: bool = False
+    # T2/T3 — which reference parser's semantics to reproduce:
+    # "hap" (HtmlAgilityPack, the default — WebCrawler.cs:186) or
+    # "anglesharp" (document-order a+area; canonical only when it differs
+    # from the page URL — AngleSharpHyperLinkParser.cs:35-79)
+    hyperlink_parser: str = "hap"
 
     # engine extensions (ours — no reference counterpart)
     # Round wall-length used by budgeted politeness admission (S3): per round,

@@ -55,6 +55,7 @@ def make_extract_links_udf(cfg) -> callable:
     rel_nf = cfg.is_respect_anchor_rel_no_follow_enabled
     x_nf = cfg.is_respect_http_x_robots_tag_header_no_follow_enabled
     keep_frag = cfg.is_respect_url_named_anchor_or_hashbang_enabled
+    parser = getattr(cfg, "hyperlink_parser", "hap")
 
     @pandas_udf(_LINKS_TYPE)
     def extract_links_udf(text: pd.Series, page_url: pd.Series,
@@ -71,6 +72,7 @@ def make_extract_links_udf(cfg) -> callable:
                 respect_anchor_rel_nofollow=rel_nf,
                 respect_x_robots_nofollow=x_nf,
                 keep_fragment=keep_frag,
+                parser=parser,
             ))
         return pd.Series(out)
 
@@ -137,6 +139,7 @@ def make_extract_page_udf(cfg, clean_url=None) -> callable:
     rel_nf = cfg.is_respect_anchor_rel_no_follow_enabled
     x_nf = cfg.is_respect_http_x_robots_tag_header_no_follow_enabled
     keep_frag = cfg.is_respect_url_named_anchor_or_hashbang_enabled
+    parser = getattr(cfg, "hyperlink_parser", "hap")
 
     @pandas_udf(_PAGE_TYPE)
     def extract_page_udf(html: pd.Series, content_type: pd.Series,
@@ -170,7 +173,7 @@ def make_extract_page_udf(cfg, clean_url=None) -> callable:
                         respect_anchor_rel_nofollow=rel_nf,
                         respect_x_robots_nofollow=x_nf,
                         keep_fragment=keep_frag,
-                        clean_url=clean_url)])
+                        clean_url=clean_url, parser=parser)])
             else:
                 links.append([])
         return pd.DataFrame({"charset": charsets, "text_md5": md5s,

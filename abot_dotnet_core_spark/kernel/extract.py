@@ -50,6 +50,7 @@ class _LinkCollector(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.a_hrefs: list[tuple[str, str]] = []      # (href, rel)
         self.area_hrefs: list[tuple[str, str]] = []
+        self.aa_hrefs: list[tuple[str, str]] = []     # a+area, document order
         self.canonical_hrefs: list[str] = []
         self.base_href: str | None = None
         self.meta_robots: str | None = None
@@ -58,8 +59,10 @@ class _LinkCollector(HTMLParser):
         d = dict(attrs)
         if tag == "a" and d.get("href") is not None:
             self.a_hrefs.append((d["href"], d.get("rel") or ""))
+            self.aa_hrefs.append((d["href"], d.get("rel") or ""))
         elif tag == "area" and d.get("href") is not None:
             self.area_hrefs.append((d["href"], d.get("rel") or ""))
+            self.aa_hrefs.append((d["href"], d.get("rel") or ""))
         elif tag == "link":
             if (d.get("rel") or "").strip().lower() == "canonical" and d.get("href"):
                 self.canonical_hrefs.append(d["href"])
@@ -93,8 +96,18 @@ def extract_links(
     respect_x_robots_nofollow: bool = False,
     keep_fragment: bool = False,
     clean_url=None,
+    parser: str = "hap",
 ) -> list[str]:
-    """Absolute, deduped (first-seen) link list for one page."""
+    """Absolute, deduped (first-seen) link list for one page.
+
+    Two parser variants, matching the reference's two implementations:
+      "hap" (default — WebCrawler.cs:186): all <a>, then all <area>, then
+        every <link rel=canonical> (HapHyperLinkParser.cs:41-43).
+      "anglesharp": a+area in DOCUMENT order (one 'a, area' CSS query,
+        AngleSharpHyperLinkParser.cs:35-38), and the canonical link only
+        when its raw href differs from the page URL case-insensitively
+        (:73-79 HasRelCanonicalPointingToDifferentUrl).
+    """
     if html_text is None or not html_text.strip():
         return []
     if respect_x_robots_nofollow and _nofollow(x_robots_tag):
@@ -110,13 +123,19 @@ def extract_links(
     if respect_meta_robots_nofollow and _nofollow(collector.meta_robots):
         return []
 
+    anchors = (collector.aa_hrefs if parser == "anglesharp"
+               else collector.a_hrefs + collector.area_hrefs)
     hrefs: list[str] = []
-    for href, rel in collector.a_hrefs + collector.area_hrefs:
+    for href, rel in anchors:
         if respect_anchor_rel_nofollow and rel.lower().strip() == "nofollow":
             continue
         if href and href.strip():
             hrefs.append(href)
-    hrefs.extend(collector.canonical_hrefs)
+    if parser == "anglesharp":
+        hrefs.extend(h for h in collector.canonical_hrefs
+                     if h and h.strip() and h.lower() != page_url.lower())
+    else:
+        hrefs.extend(collector.canonical_hrefs)
 
     base = effective_base(page_url, response_url, collector.base_href)
 

@@ -242,6 +242,7 @@ class CrawlSimulator:
                     respect_x_robots_nofollow=cfg.is_respect_http_x_robots_tag_header_no_follow_enabled,
                     keep_fragment=cfg.is_respect_url_named_anchor_or_hashbang_enabled,
                     clean_url=self.delegates.clean_url,
+                    parser=cfg.hyperlink_parser,
                 )
             else:
                 state.disallowed.append(

@@ -183,6 +183,15 @@ class TestParityXRobots:
                                   for r in crawled_nf)
 
 
+class TestParityAngleSharp:
+    def test_anglesharp_parser_config(self, spark, tiny_corpus_dir, tmp_path):
+        """T2: the AngleSharp parser variant rides the same config into the
+        engine UDF and the simulator — outputs stay in lockstep."""
+        cfg = CrawlConfig(hyperlink_parser="anglesharp")
+        eng = run_engine(spark, cfg, tiny_corpus_dir, tmp_path)
+        assert_parity(spark, eng, simulator_result(cfg))
+
+
 class TestParityBudgets:
     def test_max_pages(self, spark, tiny_corpus_dir, tmp_path):
         cfg = CrawlConfig(max_pages_to_crawl=11)

@@ -243,3 +243,38 @@ class TestTextExtraction:
         ) == "windows-1251"
         assert charset_from_body("<html>no meta</html>") is None
         assert charset_from_body(None) is None
+
+
+class TestAngleSharpVariant:
+    """T2 — AngleSharpHyperLinkParser.cs:35-79: a+area in document order
+    (one 'a, area' query) and canonical only when it differs from the page
+    URL case-insensitively."""
+
+    def test_interleaved_document_order(self):
+        from abot_dotnet_core_spark.kernel.extract import extract_links
+        html = ('<a href="/a1">x</a><area href="/m1">'
+                '<a href="/a2">y</a>')
+        hap = extract_links(html, "http://s.test/")
+        ang = extract_links(html, "http://s.test/", parser="anglesharp")
+        assert hap == ["http://s.test/a1", "http://s.test/a2",
+                       "http://s.test/m1"]           # all a, then all area
+        assert ang == ["http://s.test/a1", "http://s.test/m1",
+                       "http://s.test/a2"]           # document order
+
+    def test_canonical_same_as_page_excluded(self):
+        from abot_dotnet_core_spark.kernel.extract import extract_links
+        page = "http://s.test/page"
+        html = ('<link rel="canonical" href="HTTP://S.TEST/page">'
+                '<a href="/x">x</a>')
+        hap = extract_links(html, page)
+        ang = extract_links(html, page, parser="anglesharp")
+        assert "http://s.test/page" in hap            # HAP keeps it
+        assert "http://s.test/page" not in ang        # differs only by case
+
+    def test_canonical_different_included_by_both(self):
+        from abot_dotnet_core_spark.kernel.extract import extract_links
+        page = "http://s.test/page"
+        html = '<link rel="canonical" href="http://s.test/other">'
+        assert extract_links(html, page) == ["http://s.test/other"]
+        assert extract_links(html, page,
+                             parser="anglesharp") == ["http://s.test/other"]
