@@ -71,6 +71,13 @@ class CrawlConfig:
     # Robots-table row count above which the P14 dimension join stops
     # broadcasting and shuffles on domain instead (10^7-10^8-domain crawls).
     robots_broadcast_threshold: int = 2_000_000
+    # Header-metadata subset size (charset-bearing content types + X-Robots
+    # rows) above which the big-round scan-side join stops broadcasting and
+    # falls back to the bloom-routed shuffle of just that subset.
+    meta_broadcast_threshold: int = 2_000_000
+    # Consolidate the last N per-round seen appends into one directory every
+    # N rounds (bounded incremental merge; 0 disables).
+    seen_compact_every: int = 8
 
     def to_dict(self) -> dict:
         return asdict(self)

@@ -623,17 +623,32 @@ class CrawlEngine:
                              | F.col("x_robots").isNotNull())
                    .select("url", F.col("content_type").alias("__ct"),
                            F.col("x_robots").alias("__xr")))
-            am, ak, abits = build_hash_bloom(
-                aug.select(F.xxhash64("url").alias("__h")), "__h",
-                capacity=max(batch_n // 8, 1024))
-            aug_member = make_hash_bloom_member_udf(spark, am, ak, abits)
+            n_aug = aug.count()   # narrow scan over the checkpointed join
             scan = corpus.filter(member(F.xxhash64("url")))
-            plain = (scan.filter(~aug_member(F.xxhash64("url")))
-                     .withColumn("__ct", F.lit(None).cast("string"))
-                     .withColumn("__xr", F.lit(None).cast("string")))
-            with_hdr = (scan.filter(aug_member(F.xxhash64("url")))
-                        .join(aug, "url", "left"))
-            ext = (plain.unionByName(with_hdr)
+            if n_aug == 0:
+                scan = (scan
+                        .withColumn("__ct", F.lit(None).cast("string"))
+                        .withColumn("__xr", F.lit(None).cast("string")))
+            elif n_aug <= cfg.meta_broadcast_threshold:
+                # BroadcastHashJoin: the header subset probes INTO the scan —
+                # still zero Exchange between the FileScan and the UDF
+                scan = scan.join(F.broadcast(aug), "url", "left")
+            else:
+                # pathological charset-heavy round: a second O(m)-byte Bloom
+                # routes ONLY the header-subset rows (plus its FPs, which
+                # just find no match and extract with NULL headers) through
+                # a shuffled join; everything else stays a pure map
+                am, ak, abits = build_hash_bloom(
+                    aug.select(F.xxhash64("url").alias("__h")), "__h",
+                    capacity=max(n_aug, 1024))
+                aug_member = make_hash_bloom_member_udf(spark, am, ak, abits)
+                plain = (scan.filter(~aug_member(F.xxhash64("url")))
+                         .withColumn("__ct", F.lit(None).cast("string"))
+                         .withColumn("__xr", F.lit(None).cast("string")))
+                scan = (scan.filter(aug_member(F.xxhash64("url")))
+                        .join(aug, "url", "left")
+                        .unionByName(plain))
+            ext = (scan
                    .withColumn("__pg", self._extract_page_udf(
                        F.col("html"), F.col("__ct"),
                        F.col("url"), F.lit(True),
@@ -843,6 +858,13 @@ class CrawlEngine:
                              (F.col("__occ") > 1) | F.col("__known").isNotNull())
                  .drop("__known", "__occ"))
 
+        # processed = passes the known gate (eligible for events/enqueue;
+        # redirect children are always decision-checked). Computed HERE so
+        # downstream per-row Python (the robots UDF) can skip known rows —
+        # P16 narrows it further below.
+        links = links.withColumn(
+            "processed", (F.col("sub") == 0) | ~F.col("is_known"))
+
         # child construction (redirect children keep the page's depth and
         # carry redirected_from/position — WebCrawler.cs:730-736)
         roots = self.root_authorities
@@ -884,16 +906,23 @@ class CrawlEngine:
         links = links.withColumn("internal_gate", internal_ok)
 
         # robots P14 (dimension join on the link's own domain; broadcast
-        # while the robots table fits, shuffle join past the threshold)
+        # while the robots table fits, shuffle join past the threshold).
+        # The rules column is MASKED to NULL for rows whose decision is never
+        # read (already-known duplicates, external-gated rows) — the Arrow
+        # UDF takes its None fast path for them, so the per-row Python cost
+        # tracks the NEW-link count, not the raw extracted-link count (in a
+        # steady recrawl round most links are known).
         if self._robots_df is not None:
             links = links.join(
                 self._robots_dim(self._robots_df.select(
                     F.col("domain").alias("dst_domain"), "rules_flat")),
                 "dst_domain", "left")
+            need = F.col("processed") & F.col("internal_gate")
+            masked = F.when(need, F.col("rules_flat"))
             links = links.withColumn(
                 "robots_denied",
-                F.col("rules_flat").isNotNull()
-                & ~self._robots_allowed_udf(F.col("dst_url"), F.col("rules_flat")))
+                need & F.col("rules_flat").isNotNull()
+                & ~self._robots_allowed_udf(F.col("dst_url"), masked))
             links = links.drop("rules_flat")
         else:
             links = links.withColumn("robots_denied", F.lit(False))
@@ -972,12 +1001,10 @@ class CrawlEngine:
         else:
             links = links.withColumn("__sched_ok", F.lit(True))
 
-        # processed = passes the known gate and the P16 cut (marked known,
-        # eligible for events); redirect children (sub=0) are always
-        # decision-checked — their known gate applies at enqueue time only
-        # (Scheduler.Add/AddIfNew, WebCrawler.cs:745)
-        links = links.withColumn(
-            "processed", (F.col("sub") == 0) | ~F.col("is_known"))
+        # (processed was computed before the robots join; redirect children
+        # (sub=0) are always decision-checked — their known gate applies at
+        # enqueue time only, Scheduler.Add/AddIfNew, WebCrawler.cs:745.
+        # The P16 cut below narrows it.)
 
         # ---- P16 MaxLinksPerPage per-parent cut (links only) ---------------
         if cfg.max_links_per_page != 0:
@@ -1306,14 +1333,30 @@ class CrawlEngine:
         st.counters = self._counters()
 
     def _maybe_compact_seen(self, r: int) -> None:
-        """Compact per-round seen appends every 8 rounds so the union-read
-        stays O(1) directories (Iceberg would do this as snapshot compaction).
-        The union is materialized (localCheckpoint) before the source dirs are
-        replaced, so the rewrite never reads a dir it is deleting."""
-        if r % 8 != 0 or r == 0:
+        """Consolidate the last ``seen_compact_every`` per-round seen appends
+        into one directory. BOUNDED incremental merge: earlier consolidated
+        chunks are never re-read or rewritten, so per-compaction cost is
+        O(those rounds' appends) regardless of total seen size — at 10^10
+        rows a full-table rewrite would be a recurring full-table job.
+        The union-read stays O(rounds / interval) directories; Iceberg would
+        do the same as snapshot compaction. No distinct() needed: per-round
+        appends are anti-joined before write, so the dirs are disjoint.
+        The merge is materialized (localCheckpoint) before the source dirs
+        are deleted, so the rewrite never reads a dir it is removing."""
+        every = max(self.cfg.seen_compact_every, 0)
+        if every == 0 or r % every != 0 or r == 0:
             return
+        import os
         import shutil
-        seen_all = self._read_seen().distinct().localCheckpoint(eager=True)
-        for rr in range(r + 1):
-            shutil.rmtree(self.store._table_path("seen", rr), ignore_errors=True)
-        self.store.write_table("seen", seen_all, r)
+        base = os.path.join(self.store.root, "seen")
+        recent = [d for d in os.listdir(base)
+                  if d.startswith("round=")
+                  and r - every < int(d.split("=")[1]) <= r]
+        if len(recent) <= 1:
+            return
+        paths = [os.path.join(base, d) for d in sorted(recent)]
+        merged = self.spark.read.parquet(*paths).localCheckpoint(eager=True)
+        for d in recent:
+            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+        self.store.write_table("seen", merged.coalesce(
+            max(1, merged.rdd.getNumPartitions() // len(recent))), r)

@@ -217,18 +217,26 @@ def make_robots_parse_udf(user_agent: str) -> callable:
 def make_robots_allowed_udf(user_agent: str) -> callable:
     @pandas_udf(T.BooleanType())
     def robots_allowed_udf(url: pd.Series, rules_flat: pd.Series) -> pd.Series:
-        cache: dict[tuple, object] = {}
-        out = []
-        for u, flat in zip(url, rules_flat):
-            if flat is None or u is None:
-                out.append(True)
-                continue
-            key = tuple(flat)
-            rules = cache.get(key)
-            if rules is None:
-                rules = flat_to_rules(list(flat))
-                cache[key] = rules
-            out.append(rules.allowed_path(U.path_of(u), user_agent))
+        # rows with NULL rules are allowed by definition (no robots.txt, or
+        # masked out by the caller's gate) — touch only the non-null rows so
+        # batch cost tracks the checked-row count, not the batch size
+        import numpy as np
+        mask = rules_flat.notna().to_numpy()
+        out = np.ones(len(url), dtype=bool)
+        if mask.any():
+            cache: dict[tuple, object] = {}
+            urls = url.to_numpy(dtype=object)
+            flats = rules_flat.to_numpy(dtype=object)
+            for i in np.flatnonzero(mask):
+                u, flat = urls[i], flats[i]
+                if u is None:
+                    continue
+                key = tuple(flat)
+                rules = cache.get(key)
+                if rules is None:
+                    rules = flat_to_rules(list(flat))
+                    cache[key] = rules
+                out[i] = rules.allowed_path(U.path_of(u), user_agent)
         return pd.Series(out)
 
     return robots_allowed_udf

@@ -239,6 +239,22 @@ def main() -> None:
 
     total = round(sum(v for k, v in queries.items()
                       if not k.endswith("_urls_per_sec")), 3)
+
+    # the driver parses ONE stdout JSON line and truncates long output —
+    # keep the printed object small (no per-round arrays; full detail goes
+    # to .bench/BENCH_DETAIL.json for humans)
+    def slim(c: dict) -> dict:
+        return {k: v for k, v in c.items() if k not in ("per_round",
+                                                        "peak_round")}
+
+    detail_path = "/root/repo/.bench/BENCH_DETAIL.json"
+    try:
+        os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+        with open(detail_path, "w") as f:
+            json.dump({"queries": queries, "crawl": crawl, "cpus": cpus}, f,
+                      indent=1)
+    except OSError:
+        pass
     print(json.dumps({
         "metric": "headline suite wall time (incl. crawl rounds) at "
                   f"local[{cpus}]; crawl throughput in queries.crawl_urls_per_sec",
@@ -246,7 +262,7 @@ def main() -> None:
         "unit": "sec",
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "crawl": crawl,
+        "crawl": {k: slim(v) for k, v in crawl.items()},
         "cpus": cpus,
     }))
 

@@ -160,6 +160,15 @@ class TestParityHeaderCharset:
         eng, sim = run_custom_spec(spark, HDR_SPEC, cfg, tmp_path)
         assert_parity(spark, eng, sim)
 
+    def test_header_only_charset_bloom_fallback(self, spark, tmp_path):
+        """meta_broadcast_threshold=0 forces the pathological regime: the
+        header subset routes through the aug-bloom shuffle join — output
+        must still be identical."""
+        cfg = CrawlConfig(fetch_broadcast_threshold=0,
+                          meta_broadcast_threshold=0)
+        eng, sim = run_custom_spec(spark, HDR_SPEC, cfg, tmp_path)
+        assert_parity(spark, eng, sim)
+
 
 class TestParityXRobots:
     def test_x_robots_nofollow_both_paths(self, spark, tmp_path):
@@ -181,6 +190,21 @@ class TestParityXRobots:
         crawled_nf = [r for r in rows if r["url"] in nofollow_urls]
         assert crawled_nf and all(r["links_extracted"] == 0
                                   for r in crawled_nf)
+
+
+class TestParitySeenCompaction:
+    def test_compaction_preserves_seen_and_order(self, spark,
+                                                 tiny_corpus_dir, tmp_path):
+        """seen_compact_every=2 forces several incremental consolidations
+        mid-crawl; results must equal the reference simulator exactly and
+        the seen union-read must span fewer dirs than rounds."""
+        import os
+        cfg = CrawlConfig(seen_compact_every=2)
+        eng = run_engine(spark, cfg, tiny_corpus_dir, tmp_path)
+        assert_parity(spark, eng, simulator_result(CrawlConfig()))
+        seen_dirs = [d for d in os.listdir(
+            os.path.join(eng.store.root, "seen")) if d.startswith("round=")]
+        assert len(seen_dirs) < eng.round + 1
 
 
 class TestParityAngleSharp:
