@@ -1050,6 +1050,11 @@ class CrawlEngine:
                                   F.col("priority_seq").alias("parent_seq"),
                                   F.lit(0).alias("link_pos"),
                                   F.lit(2).alias("__sub"))))
+                    # TakeOrdered bounds the survivor set to cap+retries, so
+                    # the single-partition window below is over at most the
+                    # remaining BUDGET, not the stream. Caveat: a budget of
+                    # ~10^9 would serialize this window — at that size use
+                    # assign_global_seq over the stream instead.
                     topk = (stream.orderBy("parent_seq", "__sub", "link_pos")
                             .limit(cap + n_retries))
                     w_stream = W.orderBy("parent_seq", "__sub", "link_pos") \

@@ -99,7 +99,13 @@ def embedding_neardup_pairs(corpus: DataFrame, threshold: float = 0.9,
     """Embedding-cosine near-duplicate detection (the dedup-family variant of
     LSH search): candidate pairs share a band sub-signature, then the exact
     cosine gate keeps pairs >= threshold. At scale this is a self equi-join
-    on (band, sig) — bucket-mates shuffle, nothing else."""
+    on (band, sig) — bucket-mates shuffle, nothing else.
+
+    Sizing: the oracle-friendly defaults (8 planes / 2 bands = 4-bit band
+    signatures) give only 16 buckets per band — O(n^2/16) candidates at
+    corpus scale. Real runs should use >= 32 planes / 4 bands (>= 256
+    buckets per band); recall stays high for threshold >= 0.9 because a
+    near-dup pair agrees on most hyperplane signs."""
     planes = hyperplanes(dim, n_planes)
     c = banded_signatures(corpus, vec_col, planes, bands)
     a = c.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
