@@ -78,6 +78,11 @@ class CrawlConfig:
     # Consolidate the last N per-round seen appends into one directory every
     # N rounds (bounded incremental merge; 0 disables).
     seen_compact_every: int = 8
+    # Big-round scan-side extraction implementation: "arrow" (mapInArrow —
+    # html consumed row-by-row from the Arrow batch, links built columnarly;
+    # measured ~14% faster at contended core counts) or "pandas"
+    # (pandas_udf). Identical output; pinned by parity tests on both.
+    extract_impl: str = "arrow"
 
     def to_dict(self) -> dict:
         return asdict(self)

@@ -648,16 +648,28 @@ class CrawlEngine:
                 scan = (scan.filter(aug_member(F.xxhash64("url")))
                         .join(aug, "url", "left")
                         .unionByName(plain))
-            ext = (scan
-                   .withColumn("__pg", self._extract_page_udf(
-                       F.col("html"), F.col("__ct"),
-                       F.col("url"), F.lit(True),
-                       F.col("__xr")))
-                   .select("url",
-                           F.col("__pg.charset").alias("charset"),
-                           F.col("__pg.text_md5").alias("text_md5"),
-                           F.col("__pg.text_blank").alias("text_blank"),
-                           F.col("__pg.links").alias("__links")))
+            if cfg.extract_impl == "arrow":
+                # mapInArrow rides the same scan stage (no Exchange) and
+                # skips the pandas layer on both sides of the UDF
+                from .functions.arrow_extract import extract_pages_arrow
+                if "__ct" not in scan.columns:
+                    scan = (scan
+                            .withColumn("__ct", F.lit(None).cast("string"))
+                            .withColumn("__xr", F.lit(None).cast("string")))
+                ext = extract_pages_arrow(
+                    scan, cfg, clean_url=self.delegates.clean_url) \
+                    .withColumnRenamed("links", "__links")
+            else:
+                ext = (scan
+                       .withColumn("__pg", self._extract_page_udf(
+                           F.col("html"), F.col("__ct"),
+                           F.col("url"), F.lit(True),
+                           F.col("__xr")))
+                       .select("url",
+                               F.col("__pg.charset").alias("charset"),
+                               F.col("__pg.text_md5").alias("text_md5"),
+                               F.col("__pg.text_blank").alias("text_blank"),
+                               F.col("__pg.links").alias("__links")))
             downloadable = (dl.join(ext, "url", "left")
                             .withColumn("text_blank",
                                         F.coalesce(F.col("text_blank"),

@@ -109,13 +109,21 @@ class TestParityBigRoundPath:
         """fetch_broadcast_threshold=0 forces every round through the
         big-round Bloom scan-pushdown fetch (extraction on the corpus scan,
         narrow joins only) — results must be identical to the reference
-        simulator, like the broadcast path."""
+        simulator, like the broadcast path. Default extract_impl=arrow."""
         cfg = CrawlConfig(fetch_broadcast_threshold=0,
                           is_respect_robots_dot_text_enabled=True)
         eng = run_engine(spark, cfg, tiny_corpus_dir, tmp_path)
         assert_parity(spark, eng,
                       simulator_result(CrawlConfig(
                           is_respect_robots_dot_text_enabled=True)))
+
+    def test_bloom_scan_pushdown_pandas_impl(self, spark, tiny_corpus_dir,
+                                             tmp_path):
+        """The pandas_udf extraction alternative stays output-identical."""
+        cfg = CrawlConfig(fetch_broadcast_threshold=0,
+                          extract_impl="pandas")
+        eng = run_engine(spark, cfg, tiny_corpus_dir, tmp_path)
+        assert_parity(spark, eng, simulator_result(CrawlConfig()))
 
 
 def run_custom_spec(spark, spec, cfg, tmp_path, seed=SEED):

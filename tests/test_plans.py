@@ -81,3 +81,29 @@ class TestBigRoundFetchPlan:
         assert "Exchange" not in plan, plan
         assert "ArrowEvalPython" in plan or "EvalPython" in plan, plan
         assert "FileScan" in plan or "Scan parquet" in plan, plan
+
+    def test_arrow_extract_runs_on_scan_no_exchange(self, spark,
+                                                    tiny_corpus_dir):
+        """Same property for the mapInArrow implementation (the default
+        big-round extraction): Bloom filter + extraction in the scan stage,
+        zero Exchange."""
+        from pyspark.sql import functions as F
+        from abot_dotnet_core_spark.config import CrawlConfig
+        from abot_dotnet_core_spark.functions.arrow_extract import \
+            extract_pages_arrow
+        from abot_dotnet_core_spark.operators.seenfilter import (
+            build_hash_bloom, make_hash_bloom_member_udf)
+        from abot_dotnet_core_spark.plans.inspect import simple_plan
+
+        corpus = (spark.read.parquet(f"{tiny_corpus_dir}/corpus.parquet")
+                  .select("url", "html"))
+        m, k, bits = build_hash_bloom(
+            corpus.limit(10).select(F.xxhash64("url").alias("h")), "h",
+            capacity=1024)
+        member = make_hash_bloom_member_udf(spark, m, k, bits)
+        ext = extract_pages_arrow(
+            corpus.filter(member(F.xxhash64("url"))), CrawlConfig())
+        plan = simple_plan(ext)
+        assert "Exchange" not in plan, plan
+        assert "MapInArrow" in plan or "ArrowEvalPython" in plan, plan
+        assert "FileScan" in plan or "Scan parquet" in plan, plan
