@@ -600,6 +600,54 @@ FROM cand
 WHERE round(list_cosine_similarity(va::double[], vb::double[]), 6) >= 0.3"""
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN top-k: deterministic coarse quantizer (8 seed centroids from
+    the lowest-id vectors + one spherical-Lloyd refinement), each query
+    probes its 2 nearest inverted lists, exact cosine top-5 on candidates."""
+    from abot_dotnet_core_spark.functions.similarity import ivf_topk
+    emb = _read(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, _queries_df(spark, sf_dir), k=5,
+                    n_centroids=8, nprobe=2, lloyd_iters=1, dim=64)
+
+
+def sql_ivf_topk():
+    avg_list = ", ".join(f"round(avg(v[{i + 1}]), 6)" for i in range(64))
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::double[] AS v FROM embeddings),
+c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+       FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 8)),
+a0 AS (SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(e.v, c.v), 6) DESC,
+                        c.cid) AS rn
+    FROM emb e CROSS JOIN c0 c) WHERE rn = 1),
+m1 AS (SELECT cid, [{avg_list}] AS v FROM a0 GROUP BY cid),
+c1 AS (SELECT c0.cid, coalesce(m1.v, c0.v) AS v
+       FROM c0 LEFT JOIN m1 USING (cid)),
+a1 AS (SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(e.v, c.v), 6) DESC,
+                        c.cid) AS rn
+    FROM emb e CROSS JOIN c1 c) WHERE rn = 1),
+q AS (SELECT vec_id AS q_id, v AS q_vec FROM emb WHERE vec_id < 5),
+qp AS (SELECT q_id, q_vec, cid FROM (
+    SELECT q.q_id, q.q_vec, c.cid,
+           row_number() OVER (PARTITION BY q.q_id
+               ORDER BY round(list_cosine_similarity(q.q_vec, c.v), 6) DESC,
+                        c.cid) AS rn
+    FROM q CROSS JOIN c1 c) WHERE rn <= 2),
+scored AS (SELECT qp.q_id, a1.vec_id,
+                  round(list_cosine_similarity(a1.v, qp.q_vec), 6) AS cosine
+           FROM qp JOIN a1 USING (cid) WHERE a1.vec_id <> qp.q_id),
+ranked AS (SELECT q_id, vec_id, cosine,
+                  row_number() OVER (PARTITION BY q_id
+                      ORDER BY cosine DESC, vec_id) AS rank
+           FROM scored)
+SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5"""
+
+
 def q_cosine_topk_lsh(spark, sf_dir):
     """Random-hyperplane LSH-bucketed ANN top-k (the at-scale path):
     2 bands of 4 planes, candidate = same sub-signature in any band."""
@@ -1011,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "cosine_topk": q_cosine_topk,
         "cosine_topk_lsh": q_cosine_topk_lsh,
+        "ivf_topk": q_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         # text analysis
         "token_stats": q_token_stats,
@@ -1054,6 +1103,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": sql_simhash_pairs(),
         "cosine_topk": sql_cosine_topk(),
         "cosine_topk_lsh": sql_cosine_topk_lsh(),
+        "ivf_topk": sql_ivf_topk(),
         "embedding_neardup": sql_embedding_neardup(),
         "token_stats": sql_token_stats(),
         "quality_scores": sql_quality_scores(),

@@ -122,6 +122,93 @@ def embedding_neardup_pairs(corpus: DataFrame, threshold: float = 0.9,
             .select("id_a", "id_b", "cosine"))
 
 
+def ivf_fit_centroids(corpus: DataFrame, n_centroids: int,
+                      lloyd_iters: int = 1, dim: int = 64,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> list[list[float]]:
+    """Deterministic IVF coarse quantizer: seed centroids are the
+    ``n_centroids`` lowest-id corpus vectors, refined by ``lloyd_iters``
+    spherical-k-means steps (assign by max cosine, recenter by per-dimension
+    mean). Everything is reproducible on any engine: no RNG, assignment
+    tie-breaks on the rounded cosine then lowest centroid id, and recentered
+    coordinates are rounded to 6 decimals so an independent SQL engine
+    computes bit-identical centroids. Empty clusters keep their previous
+    centroid.
+
+    The centroid table is tiny (n_centroids x dim) by construction — it is
+    collected to the driver and re-broadcast as literals, which keeps every
+    per-row operation JVM-side (whole-stage codegen, no Python). At 100 TB
+    the fit runs over a sample; assignment cost is one O(n_centroids * dim)
+    expression per row, no row blowup and no shuffle."""
+    rows = (corpus.select(id_col, vec_col).orderBy(id_col)
+            .limit(n_centroids).collect())
+    cents = [[float(x) for x in r[vec_col]] for r in rows]
+    for _ in range(lloyd_iters):
+        assigned = ivf_assign(corpus, cents, vec_col)
+        means = (assigned.groupBy("cluster")
+                 .agg(*[F.round(F.avg(F.col(vec_col)[i].cast("double")), 6)
+                        .alias(f"c{i}") for i in range(dim)])
+                 .collect())
+        new = list(cents)
+        for r in means:
+            new[r["cluster"]] = [float(r[f"c{i}"]) for i in range(dim)]
+        cents = new
+    return cents
+
+
+def ivf_assign(df: DataFrame, cents: list[list[float]],
+               vec_col: str, out_col: str = "cluster") -> DataFrame:
+    """Nearest-centroid assignment, JVM-side: an array of rounded cosines to
+    each centroid, argmax with first-index (= lowest centroid id) tie-break."""
+    cos_arr = F.array(*[
+        F.round(cosine_col(F.col(vec_col),
+                           F.array(*[F.lit(x) for x in c])), 6)
+        for c in cents])
+    return (df.withColumn("__cos", cos_arr)
+            .withColumn(out_col,
+                        (F.array_position(F.col("__cos"),
+                                          F.array_max("__cos")) - 1)
+                        .cast("int"))
+            .drop("__cos"))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             n_centroids: int = 8, nprobe: int = 2, lloyd_iters: int = 1,
+             dim: int = 64, id_col: str = "vec_id", vec_col: str = "embedding",
+             q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
+    """IVF approximate top-k: partition the corpus into ``n_centroids``
+    inverted lists via the deterministic coarse quantizer, then each query
+    probes only its ``nprobe`` nearest lists and runs exact cosine top-k on
+    the candidates. The at-scale path next to LSH banding: candidate
+    generation is an equi-join on the cluster id, so only probed-list
+    members shuffle — ~nprobe/n_centroids of the corpus per query — and the
+    inverted file (cluster column) is computed once and reusable across
+    query batches."""
+    from pyspark.sql import Window as W
+    cents = ivf_fit_centroids(corpus, n_centroids, lloyd_iters, dim,
+                              id_col, vec_col)
+    inv = ivf_assign(corpus, cents, vec_col)
+    qcos = F.array(*[
+        F.round(cosine_col(F.col(q_vec_col),
+                           F.array(*[F.lit(x) for x in c])), 6)
+        for c in cents])
+    wq = W.partitionBy(q_id_col).orderBy(F.col("__qc").desc(), F.col("cluster"))
+    qprobe = (queries
+              .select(q_id_col, q_vec_col,
+                      F.posexplode(qcos).alias("cluster", "__qc"))
+              .withColumn("__pr", F.row_number().over(wq))
+              .filter(F.col("__pr") <= nprobe)
+              .select(q_id_col, q_vec_col, "cluster"))
+    cand = (inv.join(F.broadcast(qprobe), "cluster")
+            .filter(F.col(id_col) != F.col(q_id_col)))
+    scored = cand.withColumn(
+        "cosine", F.round(cosine_col(F.col(vec_col), F.col(q_vec_col)), 6))
+    w = W.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(q_id_col, "rank", id_col, "cosine"))
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_planes: int = 8, bands: int = 4, dim: int = 64,
              id_col: str = "vec_id", vec_col: str = "embedding",

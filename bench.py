@@ -78,7 +78,9 @@ def warmup_crawl(spark, workdir: str) -> None:
     cfg = CrawlConfig(max_pages_to_crawl=0,
                       is_external_page_crawling_enabled=True,
                       is_external_page_links_crawling_enabled=True,
-                      is_respect_robots_dot_text_enabled=True)
+                      is_respect_robots_dot_text_enabled=True,
+                      extract_impl=os.environ.get("BENCH_EXTRACT_IMPL",
+                                                  "arrow"))
     eng = CrawlEngine(spark, cfg,
                       corpus_path=f"{corpus_dir}/corpus.parquet",
                       corpus_meta_path=f"{corpus_dir}/corpus_meta.parquet",
@@ -120,7 +122,9 @@ def bench_crawl(spark, n_pages: int, workdir: str,
     cfg = CrawlConfig(max_pages_to_crawl=0,
                       is_external_page_crawling_enabled=True,
                       is_external_page_links_crawling_enabled=True,
-                      is_respect_robots_dot_text_enabled=True)
+                      is_respect_robots_dot_text_enabled=True,
+                      extract_impl=os.environ.get("BENCH_EXTRACT_IMPL",
+                                                  "arrow"))
     eng = CrawlEngine(spark, cfg,
                       corpus_path=f"{corpus_dir}/corpus.parquet",
                       corpus_meta_path=f"{corpus_dir}/corpus_meta.parquet",
@@ -183,7 +187,9 @@ def bench_crawl_mega(spark, n_pages: int, workdir: str,
     cfg = CrawlConfig(max_pages_to_crawl=0,
                       is_external_page_crawling_enabled=True,
                       is_external_page_links_crawling_enabled=True,
-                      is_respect_robots_dot_text_enabled=True)
+                      is_respect_robots_dot_text_enabled=True,
+                      extract_impl=os.environ.get("BENCH_EXTRACT_IMPL",
+                                                  "arrow"))
     eng = CrawlEngine(spark, cfg,
                       corpus_path=f"{corpus_dir}/corpus.parquet",
                       corpus_meta_path=f"{corpus_dir}/corpus_meta.parquet",

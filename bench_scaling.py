@@ -47,25 +47,42 @@ MEGA = os.environ.get("BENCH_MEGA", "1") == "1"
 
 def stage_bench(cpus: int) -> float:
     """Supplementary: the fetch+extract map stage alone (corpus scan ->
-    fused extraction UDF -> link count), the round's dominant compute.
-    Isolates scaling of the data-parallel work from per-round driver
-    turnaround and sandbox noise."""
+    fused extraction -> link count), the round's dominant compute, using
+    the same extraction implementation the engine is configured with
+    (BENCH_EXTRACT_IMPL, default arrow = CrawlConfig default). Isolates
+    scaling of the data-parallel work from per-round driver turnaround
+    and sandbox noise."""
+    impl = os.environ.get("BENCH_EXTRACT_IMPL", "arrow")
+    if impl == "arrow":
+        run_lines = (
+            "from abot_dotnet_core_spark.functions.arrow_extract import "
+            "extract_pages_arrow\n"
+            "def run(d):\n"
+            "    return (extract_pages_arrow(d, CrawlConfig())"
+            ".select(F.sum(F.size('links'))).collect())\n"
+        )
+    else:
+        run_lines = (
+            "from abot_dotnet_core_spark.functions import udfs\n"
+            "udf = udfs.make_extract_page_udf(CrawlConfig())\n"
+            "args = (F.col('html'), F.lit(None).cast('string'), "
+            "F.col('url'), F.lit(True), F.lit(None).cast('string'))\n"
+            "def run(d):\n"
+            "    return (d.withColumn('p', udf(*args))"
+            ".select(F.sum(F.size('p.links'))).collect())\n"
+        )
     code = (
         "import sys, time\n"
         "from pyspark.sql import functions as F\n"
         "from abot_dotnet_core_spark.session import get_spark\n"
         "from abot_dotnet_core_spark.config import CrawlConfig\n"
-        "from abot_dotnet_core_spark.functions import udfs\n"
         f"spark = get_spark('stage', cpus={cpus}, shuffle_partitions={max(cpus, 8)})\n"
-        "udf = udfs.make_extract_page_udf(CrawlConfig())\n"
         f"corpus = spark.read.parquet('/root/repo/.bench/corpus_{PAGES}_b{BODY_REPEAT}/corpus.parquet')\n"
         "df = corpus.select('url', 'html')\n"
-        "args = (F.col('html'), F.lit(None).cast('string'), F.col('url'), "
-        "F.lit(True), F.lit(None).cast('string'))\n"
-        "df.limit(2000).withColumn('p', udf(*args))"
-        ".select(F.sum(F.size('p.links'))).collect()\n"
+        + run_lines +
+        "run(df.limit(2000))\n"
         "t0 = time.time()\n"
-        "df.withColumn('p', udf(*args)).select(F.sum(F.size('p.links'))).collect()\n"
+        "run(df)\n"
         "print('STAGESEC', time.time() - t0)\n"
     )
     best = None
@@ -232,19 +249,23 @@ commits, one shared page cache/disk, and measured hypervisor CPU steal
 (~15-20% under full load, random across cores — on N separate executor
 hosts the steal is uncorrelated and AQE/speculation absorbs it).
 
-## What it took (optimization log, round 1)
+## What it took (optimization log)
 
 Steady-round efficiency progression on this workload family:
 0.05 (initial: corpus shuffled every round, 210 MB Arrow batches, unpinned
 baseline) -> 0.34 (pinning + JIT warmup + concurrent output writes + fewer
 driver jobs) -> 0.43 (mega-frontier regime) -> 0.60 (broadcast semi-join
 fetch) -> 0.71 (Bloom scan-pushdown: extraction runs on the corpus scan,
-html never shuffles; Arrow batches byte-capped at 16 MB) -> current.
-The remaining gap to the stage-level number is the per-round constant
-(snapshot commit + ~10 driver job barriers: 13-27 s at any core count),
-which shrinks relative to round size — efficiency across 0.6 M / 2.4 M /
-4.8 M-URL rounds is monotone up (0.60 / 0.71 / current), as it would be
-toward the 10^10-URL target.
+html never shuffles; Arrow batches byte-capped at 16 MB) -> 0.758
+(round 1 final) -> round 2: the non-extract phases' scaling rose from
+0.43 to ~0.73 (robots-allow UDF cost now tracks NEW links only; duplicate
+retry-count job removed; batch-meta join checkpointed once; header-meta
+subset broadcast instead of shuffling html) and the extraction stage moved
+to mapInArrow (html row-by-row off the Arrow batch, links built
+columnarly), which cut the 16-core stage 63.5 s -> 54.8 s and lifted the
+4-vs-16 stage scaling efficiency 0.73 -> 0.87 — the gain concentrates at
+contended core counts. Whole-round efficiency tracks the stage number now
+that the round is ~77% extraction stage.
 
 Raw JSON:
 ```json

@@ -177,6 +177,39 @@ class TestSimilarity:
         # approximate: same-bucket neighbors should recover a decent fraction
         assert len(exact & approx) >= len(exact) * 0.2
 
+    def test_ivf_partition_and_recall(self, spark):
+        from abot_dotnet_core_spark.functions.similarity import (
+            brute_force_topk, ivf_assign, ivf_fit_centroids, ivf_topk)
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        q = (emb.filter(F.col("vec_id") < 5)
+             .select(F.col("vec_id").alias("q_id"),
+                     F.col("embedding").alias("q_vec")))
+
+        cents = ivf_fit_centroids(emb, n_centroids=4, lloyd_iters=1, dim=64)
+        assert len(cents) == 4 and all(len(c) == 64 for c in cents)
+        # the quantizer is deterministic: refitting gives identical centroids
+        assert cents == ivf_fit_centroids(emb, n_centroids=4,
+                                          lloyd_iters=1, dim=64)
+        # the inverted file is a partition: every vector in exactly one list
+        inv = ivf_assign(emb, cents, "embedding")
+        n = emb.count()
+        assert inv.count() == n
+        by_cluster = dict(inv.groupBy("cluster").count().collect())
+        assert set(by_cluster) <= {0, 1, 2, 3} and sum(by_cluster.values()) == n
+
+        exact = {(r["q_id"], r["vec_id"])
+                 for r in brute_force_topk(emb, q, k=3).collect()}
+        approx = {(r["q_id"], r["vec_id"])
+                  for r in ivf_topk(emb, q, k=3, n_centroids=4, nprobe=2,
+                                    dim=64).collect()}
+        # probing half the lists should recover a decent fraction
+        assert len(exact & approx) >= len(exact) * 0.2
+        # nprobe = n_centroids degenerates to exact search
+        full = {(r["q_id"], r["vec_id"])
+                for r in ivf_topk(emb, q, k=3, n_centroids=4, nprobe=4,
+                                  dim=64).collect()}
+        assert full == exact
+
 
 class TestMultimodal:
     def test_meta_pass(self, spark):
