@@ -22,9 +22,14 @@ def get_spark(app: str = "abot_dotnet_core_spark", cpus: int | None = None,
         # CPU cost per byte is far above JVM relational work — byte-based AQE
         # coalescing alone would under-parallelize the UDF stages
         shuffle_partitions = max(cpus * 2, 16)
+    # SPARK_GRAFT_MASTER overrides the master URL — e.g.
+    # local-cluster[4,4,8192] runs 4 separate 4-core executor JVMs on this
+    # machine (own heap/GC/Arrow runners each), the faithful single-box
+    # rendition of "N executors"; local[N] folds all cores into one JVM.
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = (
         SparkSession.builder
-        .master(f"local[{cpus}]")
+        .master(master)
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cpus))
@@ -47,6 +52,10 @@ def get_spark(app: str = "abot_dotnet_core_spark", cpus: int | None = None,
         # G1 region keeps batch-sized broadcasts out of humongous territory
         .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.driver.extraJavaOptions",
+                "-XX:G1HeapRegionSize=32m -XX:MaxGCPauseMillis=300")
+        .config("spark.executor.memory",
+                os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "8g"))
+        .config("spark.executor.extraJavaOptions",
                 "-XX:G1HeapRegionSize=32m -XX:MaxGCPauseMillis=300")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
