@@ -1,10 +1,18 @@
 #!/usr/bin/env python
 """Scaling-efficiency evidence for the north_rule: the same crawl job at two
-parallelism levels (local[N] vs local[4N], separate JVMs), throughput at both
-and efficiency = (throughput@4N / throughput@N) / 4. Writes BENCH/BASELINE.md.
+parallelism levels — N vs 4N executors — throughput at both and
+efficiency = (throughput@4N / throughput@N) / 4. Writes BENCH/BASELINE.md.
 
-No real cluster exists in this sandbox; local[N] task slots are the stand-in
-for N executor cores. Two methodology controls make the comparison honest:
+No real multi-host cluster exists in this sandbox. BENCH_MODE=cluster (the
+official mode) renders "N executors" faithfully on one box: each level is
+local-cluster[k,CORES_PER_EXEC,mem] — k real executor JVMs with their own
+heap/GC/Arrow runners shuffling over netty — with the driver/master JVM on
+dedicated service cores at BOTH levels (constant infrastructure, like a
+real driver node). BENCH_MODE=local is the legacy one-JVM local[N] regime.
+Geometry note: all cores here share one DRAM bus (see
+scripts/ceiling_bench.py); run the comparison at bus-uncontended widths
+(e.g. 1 vs 4 two-core executors) — a real cluster's executors bring
+per-host buses. Further methodology controls:
 
 1. **Core pinning.** The machine has exactly 32 hardware cores. An unpinned
    local[N] run cheats: its N JVM task threads *plus* N Python UDF workers
