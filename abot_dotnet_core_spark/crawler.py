@@ -32,7 +32,10 @@ see tests/test_engine_parity.py):
 Scale posture: state tables are bucketed by pmod(xxhash64(domain), B); the
 seen anti-join keys on the 8-byte url_hash only; robots and seed authorities
 are broadcast; the html binary column is joined in only for rows that passed
-P10-P12; hot domains can be salted (cfg.skew_salt) in the politeness window.
+P10-P12; the politeness window is salted two-pass (cfg.skew_salt): sharded
+candidate ranking over the full frontier, then an exact per-domain top-B
+over the O(salt*budget)-bounded candidates — budget-exact and
+salt-invariant.
 """
 
 from __future__ import annotations
@@ -455,10 +458,17 @@ class CrawlEngine:
             frontier = frontier.filter(F.col("not_before_round") <= r + 1)
 
         # ---- S3 politeness: budgeted per-domain admission ------------------
-        # Hot-domain skew: the per-domain ranking window is salted — the rank
-        # runs within (domain, pmod(xxhash64(url), S)) shards and the domain
-        # budget is split across shards (floor(B/S) + remainder spread), so a
-        # domain holding 30% of the frontier never serializes one partition.
+        # Hot-domain skew, two-pass exact: the HEAVY ranking (full frontier)
+        # runs within (domain, pmod(xxhash64(url), S)) shards so a domain
+        # holding 30% of the frontier never serializes one partition; each
+        # shard forwards only its own top-B as candidates (the global
+        # top-B per domain is necessarily within its shard's top-B), then an
+        # exact per-domain window over the <= S*B candidate rows picks the B
+        # oldest in priority order — byte-equal to the reference's
+        # single-thread admission (WebCrawler.cs rate limiter) and invariant
+        # to the salt fan-out. B is bounded by round_length_ms over the
+        # 20 ms politeness fudge floor, so the second window's per-domain
+        # partition is O(S*B) rows, never frontier-sized.
         if politeness:
             state = self.store.read_table(spark, "domain_state", 0)
             budget = state.withColumn(
@@ -468,24 +478,24 @@ class CrawlEngine:
             s = max(cfg.skew_salt, 1)
             fr = frontier.join(F.broadcast(budget.select("domain", "budget")),
                                "domain", "left")
-            # effective shard count = min(budget, S): every shard keeps a
-            # budget >= 1, so low-budget domains can never stall on an
-            # unlucky hash (progress guarantee)
-            s_d = F.when(F.col("budget").isNull(), F.lit(1)) \
-                   .otherwise(F.greatest(F.least(F.col("budget"), F.lit(s)),
-                                         F.lit(1)))
-            fr = (fr.withColumn("__salt", F.pmod(F.xxhash64("url"), s_d))
-                  .withColumn(
-                      "__shard_budget",
-                      F.floor(F.col("budget") / s_d)
-                      + (F.col("__salt") < F.col("budget") % s_d).cast("long")))
-            w_dom = W.partitionBy("domain", "__salt").orderBy("priority_seq")
-            fr = fr.withColumn("__rk", F.row_number().over(w_dom))
-            admit = (F.col("budget").isNull()
-                     | (F.col("__rk") <= F.col("__shard_budget")))
-            drop_cols = ("__rk", "__salt", "__shard_budget", "budget")
-            batch = fr.filter(admit).drop(*drop_cols)
-            pending = fr.filter(~admit).drop(*drop_cols)
+            unlimited = fr.filter(F.col("budget").isNull()).drop("budget")
+            limited = fr.filter(F.col("budget").isNotNull())
+            w_shard = W.partitionBy("domain", "__salt").orderBy("priority_seq")
+            limited = (limited
+                       .withColumn("__salt", F.pmod(F.xxhash64("url"),
+                                                    F.lit(s)))
+                       .withColumn("__rk", F.row_number().over(w_shard)))
+            cand = limited.filter(F.col("__rk") <= F.col("budget"))
+            far = limited.filter(F.col("__rk") > F.col("budget"))
+            w_dom = W.partitionBy("domain").orderBy("priority_seq")
+            cand = cand.withColumn("__rk2", F.row_number().over(w_dom))
+            drop_cols = ("__rk", "__rk2", "__salt", "budget")
+            batch = (cand.filter(F.col("__rk2") <= F.col("budget"))
+                     .drop(*drop_cols)
+                     .unionByName(unlimited))
+            pending = (cand.filter(F.col("__rk2") > F.col("budget"))
+                       .drop(*drop_cols)
+                       .unionByName(far.drop(*drop_cols)))
         else:
             batch = frontier
             pending = None

@@ -80,3 +80,41 @@ def test_politeness_unlimited_without_delay(spark, tmp_path):
     stats = eng.run(max_rounds=10, politeness=True)
     assert len(stats) == 2  # root, then all 20 children in one round
     assert stats[1].fetched == 20
+
+
+def test_salted_admission_budget_exact_and_salt_invariant(spark, tmp_path):
+    """Hot-domain skew salting (crawler.py: the (domain, salt) ranking
+    window): shard budgets floor(B/s) + remainder must sum to EXACTLY the
+    domain budget while the backlog lasts, and the crawl outcome must be
+    independent of the salt fan-out (salting is a physical-plan choice, not
+    a semantic one)."""
+    # delay = clamp(20 s, 5 s) = 5000 ms; round 40_000 ms => budget 8/round
+    def run(salt, store):
+        cfg = CrawlConfig(is_respect_robots_dot_text_enabled=True,
+                          min_crawl_delay_per_domain_milli_seconds=1000,
+                          round_length_ms=40_000, skew_salt=salt)
+        base = tmp_path / f"c{salt}"
+        base.mkdir()
+        d = write_corpus(base, n_children=40)
+        eng = CrawlEngine(spark, cfg,
+                          corpus_path=f"{d}/corpus.parquet",
+                          corpus_meta_path=f"{d}/corpus_meta.parquet",
+                          store_root=str(tmp_path / store),
+                          robots_path=f"{d}/robots.parquet")
+        eng.seed([ROOT])
+        stats = eng.run(max_rounds=30, politeness=True)
+        crawled = sorted(r["url"] for r in
+                         eng.store.read_events(spark, "crawled").collect())
+        return [s.fetched for s in stats], crawled
+
+    fetched8, crawled8 = run(8, "s8")
+    fetched1, crawled1 = run(1, "s1")
+
+    # full-budget utilization: while the 40-leaf backlog lasts, the salted
+    # shards must admit exactly 8 (no under-admission from shard splits)
+    assert fetched8[0] == 1  # seed round
+    assert fetched8[1:6] == [8, 8, 8, 8, 8], fetched8
+    # salt fan-out never changes per-round counts or the final page set
+    assert fetched8 == fetched1
+    assert crawled8 == crawled1
+    assert len(crawled8) == 41
