@@ -490,6 +490,44 @@ WHERE round(coalesce(i.n_inter, 0)::double
             / (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)), 6) >= 0.2"""
 
 
+def q_neardup_components(spark, sf_dir):
+    """Near-dup cluster assignment: the verified LSH pairs (same pipeline as
+    neardup_pairs) fed through alternating large-star/small-star connected
+    components; every doc labeled with its component's min doc_id + cluster
+    size (singletons label themselves). Keep-one-per-cluster dedup is then
+    a filter on doc_id == comp_id."""
+    from abot_dotnet_core_spark.functions.dedup import (
+        jaccard_pairs, lsh_candidate_pairs, minhash_signatures,
+        neardup_components)
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(docs, k=4)
+    cand = lsh_candidate_pairs(sigs, k=4, bands=2)
+    pairs = jaccard_pairs(docs, cand, threshold=0.2).select("id_a", "id_b")
+    return neardup_components(docs, pairs)
+
+
+def sql_neardup_components():
+    # min-label propagation as a recursive CTE: the component's min id
+    # reaches every member along any path (the label is always < the
+    # receiving node), UNION dedup terminates the recursion
+    return f"""
+WITH RECURSIVE pairs AS ({sql_neardup_pairs()}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+lbl(id, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, l.comp FROM lbl l JOIN edges e ON e.u = l.id
+  WHERE l.comp < e.v),
+final AS (SELECT id AS doc_id, min(comp) AS comp_id FROM lbl GROUP BY id)
+SELECT f.doc_id, f.comp_id, s.cluster_size
+FROM final f
+JOIN (SELECT comp_id, count(*) AS cluster_size FROM final GROUP BY comp_id) s
+  USING (comp_id)"""
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (numpy pandas-UDF bit fold) with pigeonhole
     banding; recall-complete, so the exact O(n^2) DuckDB scan is its oracle."""
@@ -1055,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
         "neardup_pairs": q_neardup_pairs,
+        "neardup_components": q_neardup_components,
         "simhash_pairs": q_simhash_pairs,
         # similarity search
         "cosine_topk": q_cosine_topk,
@@ -1100,6 +1139,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": sql_exact_dedup(),
         "minhash_signatures": sql_minhash_signatures(),
         "neardup_pairs": sql_neardup_pairs(),
+        "neardup_components": sql_neardup_components(),
         "simhash_pairs": sql_simhash_pairs(),
         "cosine_topk": sql_cosine_topk(),
         "cosine_topk_lsh": sql_cosine_topk_lsh(),

@@ -15,6 +15,9 @@ no UDFs in the relational path):
                    an exploded shingle equi-join (set-based, skew-tolerant)
   simhash          64-bit SimHash over tokens (vectorized pandas UDF — the
                    64-way bit fold is numpy work, not relational work)
+  components       connected components over candidate pairs (alternating
+                   large-star/small-star — the O(log^2 n)-round MapReduce CC
+                   algorithm) -> per-doc cluster id for keep-one dedup
 
 Scale notes: shingling explodes ~|tokens| rows per doc; the minhash groupBy
 is a partial-aggregating shuffle on (doc_id). LSH bucket join shuffles on
@@ -145,6 +148,76 @@ def simhash64_udf(texts: pd.Series) -> pd.Series:
             sim |= np.uint64(1) << np.uint64(j)
         out[i] = np.int64(sim)
     return pd.Series(out)
+
+
+def connected_components(pairs: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", max_iter: int = 30) -> DataFrame:
+    """(node, comp) for every node appearing in ``pairs``; comp = the minimum
+    node id of its connected component.
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — each round is a groupBy(min) plus
+    a join, so a component is never materialized inside one task and the
+    round count is O(log^2 n), not O(diameter). Lineage is truncated per
+    round (localCheckpoint) so the plan does not grow with iterations;
+    convergence is detected with a (count, hash-sum) fingerprint — one small
+    agg job per round.
+    """
+    e = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .filter(F.col("u") != F.col("v")).distinct())
+    prev_fp = None
+    for _ in range(max_iter):
+        # large-star: attach each strictly-larger neighbor of u to
+        # m = min(N(u) ∪ {u})
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("mv"))
+                .select("u", F.least("mv", "u").alias("m")))
+        large = (sym.join(mins, "u")
+                 .filter(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .filter(F.col("u") != F.col("v"))
+                 .distinct())
+        # small-star: direct edges large->small, then attach every smaller
+        # neighbor of u (and u itself) to min(N<=(u))
+        dirset = (large.select(F.greatest("u", "v").alias("u"),
+                               F.least("u", "v").alias("v"))
+                  .distinct())
+        mins2 = dirset.groupBy("u").agg(F.min("v").alias("m"))
+        e = (dirset.join(mins2, "u")
+             .select(F.col("v").alias("u"), F.col("m").alias("v"))
+             .union(mins2.select(F.col("u"), F.col("m").alias("v")))
+             .filter(F.col("u") != F.col("v"))
+             .distinct()
+             .localCheckpoint(eager=True))
+        # decimal sum: exact and overflow-free under ANSI mode
+        fp = e.agg(F.count("*").alias("n"),
+                   F.sum(F.xxhash64("u", "v").cast("decimal(38,0)"))
+                   .alias("h")).collect()[0]
+        fp = (fp["n"], fp["h"])
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    # at the fixpoint e is a disjoint union of stars (node -> component min)
+    members = e.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    roots = (e.select(F.col("v").alias("node")).distinct()
+             .withColumn("comp", F.col("node")))
+    return members.union(roots)
+
+
+def neardup_components(docs: DataFrame, pairs: DataFrame,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Cluster assignment for near-dup dedup: every doc mapped to the min
+    doc-id of its connected component under ``pairs`` (docs without a pair
+    are their own singleton cluster), plus the cluster size. Downstream
+    keep-one-per-cluster dedup is ``filter(doc_id == comp_id)``."""
+    cc = connected_components(pairs)
+    labels = (docs.select(id_col)
+              .join(cc.withColumnRenamed("node", id_col), id_col, "left")
+              .select(id_col,
+                      F.coalesce("comp", F.col(id_col)).alias("comp_id")))
+    sizes = labels.groupBy("comp_id").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "comp_id").select(id_col, "comp_id",
+                                                "cluster_size")
 
 
 def simhash_hamming_pairs(df: DataFrame, id_col: str = "doc_id",

@@ -53,6 +53,42 @@ class TestMinhash:
         assert all(3 not in p for p in ids)
 
 
+class TestComponents:
+    def test_chain_and_islands(self, spark):
+        """Min-label must cross a chain (multiple star rounds) and leave
+        islands separate; singletons label themselves via the docs join."""
+        from abot_dotnet_core_spark.functions.dedup import neardup_components
+        docs = spark.createDataFrame([(i,) for i in (1, 3, 5, 9, 20, 21, 40)],
+                                     "doc_id long")
+        # chain 9-5-3-1 (decreasing through hops), island 20-21, singleton 40
+        pairs = spark.createDataFrame(
+            [(5, 9), (3, 5), (1, 3), (20, 21)], "id_a long, id_b long")
+        out = {r["doc_id"]: (r["comp_id"], r["cluster_size"])
+               for r in neardup_components(docs, pairs).collect()}
+        assert out == {1: (1, 4), 3: (1, 4), 5: (1, 4), 9: (1, 4),
+                       20: (20, 2), 21: (20, 2), 40: (40, 1)}
+
+    def test_min_propagates_through_larger_hub(self, spark):
+        """The component min must reach nodes whose only path runs through a
+        LARGER intermediate (star-contraction handles what one-directional
+        min-passing would miss)."""
+        from abot_dotnet_core_spark.functions.dedup import connected_components
+        # 2 and 4 connect only through hub 50; component min is 2
+        pairs = spark.createDataFrame(
+            [(2, 50), (4, 50), (4, 60), (60, 3)], "id_a long, id_b long")
+        comp = {r["node"]: r["comp"]
+                for r in connected_components(pairs).collect()}
+        assert comp == {2: 2, 3: 2, 4: 2, 50: 2, 60: 2}
+
+    def test_empty_pairs(self, spark):
+        from abot_dotnet_core_spark.functions.dedup import neardup_components
+        docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+        out = {r["doc_id"]: (r["comp_id"], r["cluster_size"])
+               for r in neardup_components(docs, pairs).collect()}
+        assert out == {1: (1, 1), 2: (2, 1)}
+
+
 class TestSimhash:
     def _py_simhash(self, text: str) -> int:
         toks = text.split()
