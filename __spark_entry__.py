@@ -815,6 +815,61 @@ SELECT doc_id,
 FROM best WHERE rn = 1"""
 
 
+# training-mix sampling + packing ------------------------------------------
+
+SAMPLE_FRACTIONS = {"en": 0.5, "es": 0.25, "de": 0.1}
+SAMPLE_DEFAULT = 0.05
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language training-mix sample: integer threshold on
+    a 32-bit md5 hash of (salt|doc_id) — no shuffle, nested across fraction
+    changes, bit-exact vs the DuckDB md5_number_upper oracle."""
+    from abot_dotnet_core_spark.functions.sampling import stratified_sample
+    return (stratified_sample(_docs(spark, sf_dir), SAMPLE_FRACTIONS,
+                              strata_col="lang",
+                              default_fraction=SAMPLE_DEFAULT)
+            .select("doc_id", "lang", "source", "n_chars"))
+
+
+def sql_stratified_sample():
+    whens = " ".join(
+        f"WHEN '{s}' THEN {int(f * (1 << 32))}"
+        for s, f in sorted(SAMPLE_FRACTIONS.items()))
+    return f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE md5_number_upper('s1|' || CAST(doc_id AS VARCHAR))::hugeint
+        % 4294967296
+      < CASE lang {whens} ELSE {int(SAMPLE_DEFAULT * (1 << 32))} END"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Token-budget sharding (the step before concat-and-split sequence
+    packing): per-source prefix token sums -> shard id + offset."""
+    from abot_dotnet_core_spark.functions.sampling import pack_sequences
+    return pack_sequences(_docs(spark, sf_dir), budget=512)
+
+
+def sql_pack_sequences():
+    return """
+WITH t AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+           AS n_tokens
+  FROM documents),
+p AS (
+  SELECT doc_id, source, n_tokens,
+         coalesce(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS prec
+  FROM t)
+SELECT doc_id, source, n_tokens,
+       prec // 512 AS shard_id, prec % 512 AS shard_offset
+FROM p"""
+
+
 def q_fingerprint(spark, sf_dir):
     from abot_dotnet_core_spark.functions.textfns import with_fingerprint
     return (with_fingerprint(_docs(spark, sf_dir))
@@ -1105,6 +1160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
         # multimodal plumbing
         "multimodal_meta": q_multimodal_meta,
         # streaming-shaped event analytics
@@ -1149,6 +1206,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": sql_quality_scores(),
         "lang_id": sql_lang_id(),
         "fingerprint": sql_fingerprint(),
+        "stratified_sample": sql_stratified_sample(),
+        "pack_sequences": sql_pack_sequences(),
         "multimodal_meta": sql_multimodal_meta(),
         "events_tumbling": sql_events_tumbling(),
         "events_sessions": sql_events_sessions(),

@@ -1,0 +1,78 @@
+"""Deterministic sampling + sequence-packing operators for training-data
+pipelines.
+
+Both are pure JVM-side column expressions (whole-stage codegen, no UDFs,
+no shuffle for sampling) with exact ANSI-SQL oracles:
+
+  stratified_sample  keep a per-stratum fraction of rows, decided by an
+                     integer threshold on a 32-bit md5 hash of (salt|id) —
+                     deterministic across runs/engines, embarrassingly
+                     parallel (a filter: no shuffle, survives predicate
+                     pushdown), and resample-stable: raising a stratum's
+                     fraction only ADDS rows (nested samples), the property
+                     you want when re-cutting a 100 TB training mix.
+  pack_sequences     assign docs to fixed token-budget shards by cumulative
+                     token count within a group (prefix-sum window) — the
+                     sharding step before tokenize-and-concat packing. Per-
+                     group windows shuffle on the group key only; a global
+                     packing at 100 TB would reuse the range-partition
+                     two-pass prefix sum in operators/ordering.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+from .textfns import tokens_col
+
+_U32 = 1 << 32
+
+
+def sample_hash_u32(key: Column) -> Column:
+    """Uniform 32-bit hash: the little-endian uint32 of the first 4 md5
+    bytes — equals DuckDB's ``md5_number_upper(key) % 2^32`` (DuckDB reads
+    the first 8 digest bytes little-endian), so the SQL oracle is
+    bit-exact. Built from hex-pair swaps + conv, all JVM-side."""
+    h = F.md5(key)
+    le = F.concat(F.substring(h, 7, 2), F.substring(h, 5, 2),
+                  F.substring(h, 3, 2), F.substring(h, 1, 2))
+    return F.conv(le, 16, 10).cast("long")
+
+
+def stratified_sample(df: DataFrame, fractions: dict[str, float],
+                      strata_col: str = "lang", id_col: str = "doc_id",
+                      default_fraction: float = 0.0,
+                      salt: str = "s1") -> DataFrame:
+    """Keep each row iff hash32(salt|id) < floor(fraction[stratum] * 2^32).
+
+    Integer-threshold comparison (no float boundary ambiguity); rows keep
+    their full schema. Strata missing from ``fractions`` use
+    ``default_fraction``."""
+    u = sample_hash_u32(F.concat(F.lit(f"{salt}|"),
+                                 F.col(id_col).cast("string")))
+    thr = F.lit(int(default_fraction * _U32))
+    expr = F.col(strata_col)
+    for stratum, frac in sorted(fractions.items()):
+        thr = F.when(expr == stratum, F.lit(int(frac * _U32))).otherwise(thr)
+    return df.filter(u < thr)
+
+
+def pack_sequences(df: DataFrame, budget: int, id_col: str = "doc_id",
+                   group_col: str = "source",
+                   text_col: str = "text") -> DataFrame:
+    """Shard docs into fixed token-budget bins by prefix token count.
+
+    Within each group (ordered by id), a doc whose preceding cumulative
+    token count is P lands in ``shard_id = floor(P / budget)`` at offset
+    ``P % budget`` — the deterministic sharding step before concat-and-split
+    sequence packing (docs may straddle a boundary; the tokenizer stage
+    splits them, which is why the offset is emitted)."""
+    w = (W.partitionBy(group_col).orderBy(id_col)
+         .rowsBetween(W.unboundedPreceding, -1))
+    out = (df.withColumn("n_tokens", F.size(tokens_col(F.col(text_col))))
+           .withColumn("__prec",
+                       F.coalesce(F.sum("n_tokens").over(w), F.lit(0))))
+    return (out.withColumn("shard_id", F.floor(F.col("__prec") / budget))
+            .withColumn("shard_offset", F.col("__prec") % budget)
+            .select(id_col, group_col, "n_tokens", "shard_id",
+                    "shard_offset"))

@@ -176,6 +176,45 @@ class TestSimhash:
         assert (3, 4) not in got
 
 
+class TestSamplingPacking:
+    def test_stratified_nested_and_deterministic(self, spark):
+        """Raising a stratum's fraction must only ADD rows (nested samples),
+        and the same fractions must reproduce the same set."""
+        from abot_dotnet_core_spark.functions.sampling import stratified_sample
+        df = spark.createDataFrame(
+            [(i, "en" if i % 2 == 0 else "es") for i in range(400)],
+            "doc_id long, lang string")
+        small = {r["doc_id"] for r in
+                 stratified_sample(df, {"en": 0.2, "es": 0.2}).collect()}
+        again = {r["doc_id"] for r in
+                 stratified_sample(df, {"en": 0.2, "es": 0.2}).collect()}
+        big = {r["doc_id"] for r in
+               stratified_sample(df, {"en": 0.6, "es": 0.2}).collect()}
+        assert small == again
+        assert small <= big
+        # rough rate sanity (hash-uniform): 20% of 400 within wide bounds
+        assert 40 <= len(small) <= 140
+
+    def test_stratified_default_fraction(self, spark):
+        from abot_dotnet_core_spark.functions.sampling import stratified_sample
+        df = spark.createDataFrame([(i, "xx") for i in range(100)],
+                                   "doc_id long, lang string")
+        assert stratified_sample(df, {"en": 1.0}).count() == 0
+        assert stratified_sample(df, {}, default_fraction=1.0).count() == 100
+
+    def test_pack_sequences_prefix_shards(self, spark):
+        from abot_dotnet_core_spark.functions.sampling import pack_sequences
+        df = spark.createDataFrame(
+            [(1, "w " * 5, "a"), (2, "w " * 4, "a"), (3, "w " * 3, "a"),
+             (4, "w " * 2, "b")],
+            "doc_id long, text string, source string")
+        out = {r["doc_id"]: (r["n_tokens"], r["shard_id"], r["shard_offset"])
+               for r in pack_sequences(df, budget=6).collect()}
+        # group a: prefix sums 0,5,9 -> shards 0,0,1; group b restarts at 0
+        assert out == {1: (5, 0, 0), 2: (4, 0, 5), 3: (3, 1, 3),
+                       4: (2, 0, 0)}
+
+
 class TestSimilarity:
     def test_brute_force_matches_numpy(self, spark):
         from abot_dotnet_core_spark.functions.similarity import brute_force_topk
