@@ -528,6 +528,40 @@ JOIN (SELECT comp_id, count(*) AS cluster_size FROM final GROUP BY comp_id) s
   USING (comp_id)"""
 
 
+def q_contamination(spark, sf_dir):
+    """Decontamination scan: every 50th doc plays the benchmark set; which
+    remaining corpus docs share >= 2 token 3-grams with a benchmark doc,
+    and what fraction of that benchmark doc they cover. Benchmark shingles
+    broadcast — corpus side never shuffles before the overlap count."""
+    from abot_dotnet_core_spark.functions.dedup import contamination_pairs
+    docs = _docs(spark, sf_dir)
+    bench = (docs.filter(F.col("doc_id") % 50 == 0)
+             .select(F.col("doc_id").alias("bench_id"), "text"))
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return contamination_pairs(corpus, bench, min_overlap=2)
+
+
+def sql_contamination():
+    shingle = ("list_transform(range(1, len(toks) - 1), "
+               "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3),
+sh AS (SELECT DISTINCT doc_id, unnest({shingle}) AS shingle FROM tok),
+bench AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 50 = 0),
+corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0),
+sizes AS (SELECT bench_id, count(*) AS n_sh_b FROM bench GROUP BY bench_id),
+ov AS (
+  SELECT c.doc_id, b.bench_id, count(*) AS n_overlap
+  FROM corpus c JOIN bench b USING (shingle)
+  GROUP BY c.doc_id, b.bench_id
+  HAVING count(*) >= 2)
+SELECT o.doc_id, o.bench_id, o.n_overlap,
+       round(o.n_overlap::double / s.n_sh_b, 6) AS bench_coverage
+FROM ov o JOIN sizes s USING (bench_id)"""
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (numpy pandas-UDF bit fold) with pigeonhole
     banding; recall-complete, so the exact O(n^2) DuckDB scan is its oracle."""
@@ -1149,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "neardup_pairs": q_neardup_pairs,
         "neardup_components": q_neardup_components,
+        "contamination": q_contamination,
         "simhash_pairs": q_simhash_pairs,
         # similarity search
         "cosine_topk": q_cosine_topk,
@@ -1197,6 +1232,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": sql_minhash_signatures(),
         "neardup_pairs": sql_neardup_pairs(),
         "neardup_components": sql_neardup_components(),
+        "contamination": sql_contamination(),
         "simhash_pairs": sql_simhash_pairs(),
         "cosine_topk": sql_cosine_topk(),
         "cosine_topk_lsh": sql_cosine_topk_lsh(),

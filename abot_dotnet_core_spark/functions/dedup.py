@@ -18,6 +18,9 @@ no UDFs in the relational path):
   components       connected components over candidate pairs (alternating
                    large-star/small-star — the O(log^2 n)-round MapReduce CC
                    algorithm) -> per-doc cluster id for keep-one dedup
+  contamination    train/test decontamination: corpus-vs-benchmark n-gram
+                   overlap via a broadcast shingle join (corpus side never
+                   shuffles)
 
 Scale notes: shingling explodes ~|tokens| rows per doc; the minhash groupBy
 is a partial-aggregating shuffle on (doc_id). LSH bucket join shuffles on
@@ -148,6 +151,42 @@ def simhash64_udf(texts: pd.Series) -> pd.Series:
             sim |= np.uint64(1) << np.uint64(j)
         out[i] = np.int64(sim)
     return pd.Series(out)
+
+
+def contamination_pairs(docs: DataFrame, bench: DataFrame,
+                        id_col: str = "doc_id", bench_id: str = "bench_id",
+                        text_col: str = "text", shingle_n: int = 3,
+                        min_overlap: int = 1) -> DataFrame:
+    """Train/test decontamination scan: which corpus docs share token
+    n-grams with a benchmark set, and how much of each benchmark doc they
+    cover.
+
+    The benchmark side is tiny relative to a 100 TB corpus, so its exploded
+    shingles are BROADCAST — the corpus-side shingle stream never shuffles
+    (map-side hash join), and the only shuffle is the (doc, bench) overlap
+    count, already reduced to matching rows. Shingles join on their 8-byte
+    xxhash64 (longs, not strings). Output: (doc_id, bench_id, n_overlap,
+    bench_coverage) for pairs with >= min_overlap shared shingles.
+    """
+    ex_d = (docs.select(id_col,
+                        F.explode(shingles_col(F.col(text_col), shingle_n))
+                        .alias("shingle"))
+            .select(id_col, F.xxhash64("shingle").alias("sh_h"))
+            .dropDuplicates([id_col, "sh_h"]))
+    ex_b = (bench.select(F.col(bench_id),
+                         F.explode(shingles_col(F.col(text_col), shingle_n))
+                         .alias("shingle"))
+            .select(bench_id, F.xxhash64("shingle").alias("sh_h"))
+            .dropDuplicates([bench_id, "sh_h"]))
+    sizes_b = ex_b.groupBy(bench_id).agg(F.count("*").alias("n_sh_b"))
+    overlap = (ex_d.join(F.broadcast(ex_b), "sh_h")
+               .groupBy(id_col, bench_id)
+               .agg(F.count("*").alias("n_overlap"))
+               .filter(F.col("n_overlap") >= min_overlap))
+    return (overlap.join(F.broadcast(sizes_b), bench_id)
+            .withColumn("bench_coverage",
+                        F.round(F.col("n_overlap") / F.col("n_sh_b"), 6))
+            .select(id_col, bench_id, "n_overlap", "bench_coverage"))
 
 
 def connected_components(pairs: DataFrame, src: str = "id_a",

@@ -176,6 +176,38 @@ class TestSimhash:
         assert (3, 4) not in got
 
 
+class TestContamination:
+    def test_overlap_counts_and_coverage(self, spark):
+        from abot_dotnet_core_spark.functions.dedup import contamination_pairs
+        bench = spark.createDataFrame(
+            [(100, "alpha beta gamma delta")],   # shingles: ab g, b g d -> 2
+            "bench_id long, text string")
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta extra"),   # shares both shingles
+             (2, "alpha beta gamma nothing else"),  # shares 1 (below min 2)
+             (3, "totally unrelated words here")],
+            "doc_id long, text string")
+        out = {(r["doc_id"], r["bench_id"]): (r["n_overlap"],
+                                              r["bench_coverage"])
+               for r in contamination_pairs(docs, bench,
+                                            min_overlap=2).collect()}
+        assert out == {(1, 100): (2, 1.0)}
+
+    def test_benchmark_side_broadcast(self, spark):
+        """The corpus-side shingle stream must hash-join a broadcast bench
+        side (no shuffle of the corpus before the overlap count)."""
+        from abot_dotnet_core_spark.functions.dedup import contamination_pairs
+        docs = spark.range(200).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("w x y z q"), F.col("id").cast("string"))
+            .alias("text"))
+        bench = spark.createDataFrame([(1, "w x y z")],
+                                      "bench_id long, text string")
+        plan = contamination_pairs(docs, bench)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+
 class TestSamplingPacking:
     def test_stratified_nested_and_deterministic(self, spark):
         """Raising a stratum's fraction must only ADD rows (nested samples),
