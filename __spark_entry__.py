@@ -866,16 +866,76 @@ def q_stratified_sample(spark, sf_dir):
             .select("doc_id", "lang", "source", "n_chars"))
 
 
-def sql_stratified_sample():
+def _sample_pred_sql():
+    """The stratified-sample keep predicate, shared by every oracle that
+    embeds the sampling stage (bit-exact vs sampling.sample_hash_u32)."""
     whens = " ".join(
         f"WHEN '{s}' THEN {int(f * (1 << 32))}"
         for s, f in sorted(SAMPLE_FRACTIONS.items()))
+    return (f"md5_number_upper('s1|' || CAST(doc_id AS VARCHAR))::hugeint"
+            f" % 4294967296"
+            f" < CASE lang {whens} ELSE {int(SAMPLE_DEFAULT * (1 << 32))} END")
+
+
+def sql_stratified_sample():
     return f"""
 SELECT doc_id, lang, source, n_chars
 FROM documents
-WHERE md5_number_upper('s1|' || CAST(doc_id AS VARCHAR))::hugeint
-        % 4294967296
-      < CASE lang {whens} ELSE {int(SAMPLE_DEFAULT * (1 << 32))} END"""
+WHERE {_sample_pred_sql()}"""
+
+
+def q_training_mix(spark, sf_dir):
+    """Flagship pipeline composition — the four training-data stages chained
+    as ONE declarative plan (Catalyst fuses the quality gate and fingerprint
+    into the scan projection): quality-gate (score >= 0.6) -> exact-dedup
+    keep-first-per-fingerprint -> deterministic stratified sample by lang ->
+    token-budget shard packing."""
+    from abot_dotnet_core_spark.functions.sampling import (
+        pack_sequences, stratified_sample)
+    from abot_dotnet_core_spark.functions.textfns import (
+        with_fingerprint, with_quality)
+    docs = _docs(spark, sf_dir)
+    gated = (with_quality(docs).filter(F.col("quality_score") >= 0.6)
+             .select("doc_id", "lang", "source", "text"))
+    fp = with_fingerprint(gated)
+    w = W.partitionBy("fingerprint").orderBy("doc_id")
+    kept = (fp.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "fingerprint", "fingerprint64"))
+    sampled = stratified_sample(kept, SAMPLE_FRACTIONS,
+                                default_fraction=SAMPLE_DEFAULT)
+    return pack_sequences(sampled, budget=512)
+
+
+def sql_training_mix():
+    return f"""
+WITH q AS ({sql_quality_scores()}),
+kept0 AS (
+  SELECT d.doc_id, d.lang, d.source, d.text,
+         md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents d JOIN q ON q.doc_id = d.doc_id
+  WHERE q.quality_score >= 0.6),
+kept AS (
+  SELECT doc_id, lang, source, text FROM (
+    SELECT kept0.*, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM kept0) WHERE rn = 1),
+samp AS (SELECT doc_id, lang, source, text FROM kept
+         WHERE {_sample_pred_sql()}),
+tok AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+           AS n_tokens
+  FROM samp),
+p AS (
+  SELECT doc_id, source, n_tokens,
+         coalesce(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS prec
+  FROM tok)
+SELECT doc_id, source, n_tokens,
+       prec // 512 AS shard_id, prec % 512 AS shard_offset
+FROM p"""
 
 
 def q_pack_sequences(spark, sf_dir):
@@ -1197,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
+        "training_mix": q_training_mix,
         # multimodal plumbing
         "multimodal_meta": q_multimodal_meta,
         # streaming-shaped event analytics
@@ -1244,6 +1305,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": sql_fingerprint(),
         "stratified_sample": sql_stratified_sample(),
         "pack_sequences": sql_pack_sequences(),
+        "training_mix": sql_training_mix(),
         "multimodal_meta": sql_multimodal_meta(),
         "events_tumbling": sql_events_tumbling(),
         "events_sessions": sql_events_sessions(),

@@ -36,7 +36,9 @@ import time
 HEADLINE = [
     "tpch_q1", "tpch_q3", "running_window", "rollup_agg",
     "exact_dedup", "minhash_signatures", "neardup_pairs",
+    "neardup_components", "contamination",
     "cosine_topk", "cosine_topk_lsh",
+    "stratified_sample", "pack_sequences", "training_mix",
     "token_stats", "quality_scores", "lang_id", "fingerprint",
     "events_tumbling", "events_sessions",
     "seen_antijoin", "url_hash64", "frontier_bfs",
