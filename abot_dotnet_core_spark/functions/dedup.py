@@ -233,7 +233,7 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
                    F.sum(F.xxhash64("u", "v").cast("decimal(38,0)"))
                    .alias("h")).collect()[0]
         fp = (fp["n"], fp["h"])
-        if fp == prev_fp:
+        if fp == prev_fp or fp[0] == 0:
             break
         prev_fp = fp
     # at the fixpoint e is a disjoint union of stars (node -> component min)
