@@ -342,6 +342,47 @@ def q_frontier_bfs(spark, sf_dir):
                       F.col("depth").cast("int").alias("depth"))
 
 
+def q_pagerank(spark, sf_dir):
+    """Iterative-algorithm coverage: 5 rounds of PageRank over the same
+    deterministic link graph frontier_bfs uses, in integer fixed-point
+    (bigint masses, floor division only) so Spark's partial-aggregate order
+    and the sequential DuckDB oracle agree bit-for-bit."""
+    from abot_dotnet_core_spark.functions.graph import pagerank_mass
+    docs = _docs(spark, sf_dir).select("doc_id")
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.array((F.col("doc_id") * 2 + 1) % N_DOCS,
+                          (F.col("doc_id") * 3 + 2) % N_DOCS)).alias("dst"))
+    return pagerank_mass(docs, edges, iterations=5)
+
+
+def sql_pagerank():
+    total = 10**12
+    iters = 5
+    parts = [f"""cnt AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT doc_id AS src, (doc_id * 2 + 1) % {N_DOCS} AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 3 + 2) % {N_DOCS} FROM documents),
+outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+r0 AS (SELECT doc_id AS node, ({total} // n)::bigint AS mass
+       FROM documents, cnt)"""]
+    for k in range(iters):
+        parts.append(f"""r{k + 1} AS (
+  SELECT d.doc_id AS node,
+         ((15 * ({total} // c.n) // 100)
+          + (85 * coalesce(s.m, 0)) // 100)::bigint AS mass
+  FROM documents d CROSS JOIN cnt c
+  LEFT JOIN (
+    SELECT e.dst, SUM(r.mass // o.od) AS m
+    FROM edges e
+    JOIN r{k} r ON r.node = e.src
+    JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst) s ON s.dst = d.doc_id)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, mass AS rank_mass FROM r{iters}")
+
+
 def sql_frontier_bfs():
     return f"""
 WITH RECURSIVE edges AS (
@@ -526,6 +567,37 @@ SELECT f.doc_id, f.comp_id, s.cluster_size
 FROM final f
 JOIN (SELECT comp_id, count(*) AS cluster_size FROM final GROUP BY comp_id) s
   USING (comp_id)"""
+
+
+def q_neardup_keep_best(spark, sf_dir):
+    """Cluster-aware dedup selection: for every near-dup component, keep the
+    member with the best quality score (ties -> min doc_id) — the selection
+    step practitioners run after clustering, here composed from
+    neardup_components + with_quality in one declarative plan."""
+    from abot_dotnet_core_spark.functions.dedup import (
+        jaccard_pairs, keep_best_representative, lsh_candidate_pairs,
+        minhash_signatures, neardup_components)
+    from abot_dotnet_core_spark.functions.textfns import with_quality
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(docs, k=4)
+    cand = lsh_candidate_pairs(sigs, k=4, bands=2)
+    pairs = jaccard_pairs(docs, cand, threshold=0.2).select("id_a", "id_b")
+    labels = neardup_components(docs, pairs)
+    scored = with_quality(docs)
+    return keep_best_representative(labels, scored)
+
+
+def sql_neardup_keep_best():
+    return f"""
+WITH comp AS ({sql_neardup_components()}),
+q AS ({sql_quality_scores()}),
+j AS (
+  SELECT c.comp_id, c.doc_id, c.cluster_size, q.quality_score,
+         row_number() OVER (PARTITION BY c.comp_id
+                            ORDER BY q.quality_score DESC, c.doc_id) AS rn
+  FROM comp c JOIN q USING (doc_id))
+SELECT comp_id, doc_id AS keep_id, quality_score AS best_score, cluster_size
+FROM j WHERE rn = 1"""
 
 
 def q_contamination(spark, sf_dir):
@@ -1243,7 +1315,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "neardup_pairs": q_neardup_pairs,
         "neardup_components": q_neardup_components,
+        "neardup_keep_best": q_neardup_keep_best,
         "contamination": q_contamination,
+        "pagerank": q_pagerank,
         "simhash_pairs": q_simhash_pairs,
         # similarity search
         "cosine_topk": q_cosine_topk,
@@ -1293,7 +1367,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": sql_minhash_signatures(),
         "neardup_pairs": sql_neardup_pairs(),
         "neardup_components": sql_neardup_components(),
+        "neardup_keep_best": sql_neardup_keep_best(),
         "contamination": sql_contamination(),
+        "pagerank": sql_pagerank(),
         "simhash_pairs": sql_simhash_pairs(),
         "cosine_topk": sql_cosine_topk(),
         "cosine_topk_lsh": sql_cosine_topk_lsh(),

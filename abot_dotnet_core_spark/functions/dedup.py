@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, Window as W, functions as F, types as T
 from pyspark.sql.functions import pandas_udf
 
 from .textfns import tokens_col
@@ -151,6 +151,25 @@ def simhash64_udf(texts: pd.Series) -> pd.Series:
             sim |= np.uint64(1) << np.uint64(j)
         out[i] = np.int64(sim)
     return pd.Series(out)
+
+
+def keep_best_representative(labels: DataFrame, scored: DataFrame,
+                             id_col: str = "doc_id",
+                             score_col: str = "quality_score") -> DataFrame:
+    """Pick each cluster's representative by score (ties -> min id).
+
+    ``labels``: (id, comp_id, cluster_size) from neardup_components;
+    ``scored``: (id, score). The window partitions on comp_id — cluster-
+    sized partitions, never corpus-sized (a boilerplate mega-cluster is the
+    skew case; its size is already bounded upstream by the LSH
+    boilerplate_cap)."""
+    j = labels.join(scored.select(id_col, score_col), id_col)
+    w = W.partitionBy("comp_id").orderBy(F.col(score_col).desc(),
+                                         F.col(id_col))
+    return (j.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("comp_id", F.col(id_col).alias("keep_id"),
+                    F.col(score_col).alias("best_score"), "cluster_size"))
 
 
 def contamination_pairs(docs: DataFrame, bench: DataFrame,

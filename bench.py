@@ -41,7 +41,7 @@ HEADLINE = [
     "stratified_sample", "pack_sequences", "training_mix",
     "token_stats", "quality_scores", "lang_id", "fingerprint",
     "events_tumbling", "events_sessions",
-    "seen_antijoin", "url_hash64", "frontier_bfs",
+    "seen_antijoin", "url_hash64", "frontier_bfs", "pagerank",
 ]
 
 

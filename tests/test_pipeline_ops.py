@@ -176,6 +176,36 @@ class TestSimhash:
         assert (3, 4) not in got
 
 
+class TestPagerank:
+    def test_matches_python_fixed_point(self, spark):
+        """The integer-mass recurrence must equal a sequential Python loop
+        exactly (that is the whole point of fixed-point: no FP divergence
+        between partial-aggregate orders)."""
+        from abot_dotnet_core_spark.functions.graph import pagerank_mass
+        edge_list = [(0, 1), (1, 2), (2, 0), (2, 1), (3, 0)]
+        n, total, damp, iters = 4, 10**12, 85, 5
+        base = total // n
+        tele = (100 - damp) * base // 100
+        outdeg = {}
+        for s, _ in edge_list:
+            outdeg[s] = outdeg.get(s, 0) + 1
+        mass = {v: base for v in range(n)}
+        for _ in range(iters):
+            inc = {v: 0 for v in range(n)}
+            for s, d in edge_list:
+                inc[d] += mass[s] // outdeg[s]
+            mass = {v: tele + damp * inc[v] // 100 for v in range(n)}
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        edges = spark.createDataFrame(edge_list, "src long, dst long")
+        got = {r["node"]: r["rank_mass"]
+               for r in pagerank_mass(nodes, edges, iterations=iters)
+               .collect()}
+        assert got == mass
+        # sink node 3 keeps only teleport mass; hub 0 ranks above it
+        assert got[3] == tele
+        assert got[0] > got[3]
+
+
 class TestContamination:
     def test_overlap_counts_and_coverage(self, spark):
         from abot_dotnet_core_spark.functions.dedup import contamination_pairs
