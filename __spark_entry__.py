@@ -1036,6 +1036,28 @@ SELECT doc_id, source, n_tokens,
 FROM p"""
 
 
+def q_length_profile(spark, sf_dir):
+    """Corpus profiling: exact discrete length percentiles per language
+    (percentile_disc == DuckDB quantile_disc, verified). Exact percentiles
+    are sort-based (not partially aggregatable) — right for profiling
+    slices; at full 100 TB scale swap in approx_percentile (t-digest,
+    partial-agg) which DuckDB can't mirror exactly."""
+    docs = _docs(spark, sf_dir)
+    aggs = [F.expr(f"CAST(percentile_disc({q}) WITHIN GROUP "
+                   f"(ORDER BY n_chars) AS BIGINT)").alias(f"p{int(q * 100)}")
+            for q in (0.25, 0.5, 0.9, 0.99)]
+    return docs.groupBy("lang").agg(F.count("*").alias("n_docs"), *aggs)
+
+
+def sql_length_profile():
+    cols = ", ".join(
+        f"quantile_disc(n_chars, {q})::bigint AS p{int(q * 100)}"
+        for q in (0.25, 0.5, 0.9, 0.99))
+    return f"""
+SELECT lang, count(*) AS n_docs, {cols}
+FROM documents GROUP BY lang"""
+
+
 def q_fingerprint(spark, sf_dir):
     from abot_dotnet_core_spark.functions.textfns import with_fingerprint
     return (with_fingerprint(_docs(spark, sf_dir))
@@ -1329,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "length_profile": q_length_profile,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
         "training_mix": q_training_mix,
@@ -1379,6 +1402,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": sql_quality_scores(),
         "lang_id": sql_lang_id(),
         "fingerprint": sql_fingerprint(),
+        "length_profile": sql_length_profile(),
         "stratified_sample": sql_stratified_sample(),
         "pack_sequences": sql_pack_sequences(),
         "training_mix": sql_training_mix(),
