@@ -1307,6 +1307,235 @@ GROUP BY c_mktsegment"""
 
 
 # ===========================================================================
+# corpus cleaning (Gopher/C4/CCNet passes), recrawl history, as-of/sliding
+# ===========================================================================
+
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher-style repetition filters: duplicate-word fraction (row-local),
+    duplicate-2-gram fraction + top-2-gram coverage (one partial-count agg
+    on (doc_id, gram)), frozen keep flag."""
+    from abot_dotnet_core_spark.functions.cleaning import with_repetition
+    return (with_repetition(_docs(spark, sf_dir))
+            .select("doc_id", "n_words", "dup_word_frac", "dup_2gram_frac",
+                    "top_2gram_frac", "repetition_keep"))
+
+
+def sql_gopher_repetition():
+    from abot_dotnet_core_spark.functions.cleaning import (
+        DUP_2GRAM_MAX, DUP_WORD_MAX, TOP_2GRAM_MAX)
+    return f"""
+WITH t AS (
+  SELECT doc_id, CASE WHEN trim(text) = '' THEN []::varchar[]
+         ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+  FROM documents),
+w AS (
+  SELECT doc_id, len(toks) AS n_words,
+         round((len(toks) - len(list_distinct(toks)))::double
+               / greatest(len(toks), 1), 6) AS dup_word_frac, toks
+  FROM t),
+g AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram
+  FROM w, unnest(range(1, greatest(len(toks), 1))) AS r(i)),
+gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+ga AS (SELECT doc_id, sum(c) AS n2, count(*) AS d2, max(c) AS maxc
+       FROM gc GROUP BY 1)
+SELECT w.doc_id, w.n_words, w.dup_word_frac,
+       coalesce(round((ga.n2 - ga.d2)::double / ga.n2, 6), 0) AS dup_2gram_frac,
+       coalesce(round(ga.maxc::double / ga.n2, 6), 0) AS top_2gram_frac,
+       (w.dup_word_frac <= {DUP_WORD_MAX}
+        AND coalesce(round((ga.n2 - ga.d2)::double / ga.n2, 6), 0) <= {DUP_2GRAM_MAX}
+        AND coalesce(round(ga.maxc::double / ga.n2, 6), 0) <= {TOP_2GRAM_MAX}
+       ) AS repetition_keep
+FROM w LEFT JOIN ga USING (doc_id)"""
+
+
+# deterministic PII-bearing text synthesized from doc_id (same construction
+# in SQL): one email + one phone per doc, a second email on doc_id%3=0
+def _pii_text_col():
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id"),
+        F.lit("@mail"), F.col("doc_id") % 5, F.lit(".example"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" cc admin"), F.col("doc_id"),
+                        F.lit("@corp.example"))).otherwise(F.lit("")),
+        F.lit(" or +1-202-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+
+
+_PII_TEXT_SQL = (
+    "text || ' contact user' || doc_id || '@mail' || (doc_id % 5)"
+    " || '.example'"
+    " || (CASE WHEN doc_id % 3 = 0"
+    " THEN ' cc admin' || doc_id || '@corp.example' ELSE '' END)"
+    " || ' or +1-202-555-' || lpad((doc_id % 10000)::varchar, 4, '0')")
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (C4-style cleanup): emails then phones replaced by
+    typed tokens, with per-doc counts. Narrow map, whole-stage codegen."""
+    from abot_dotnet_core_spark.functions.cleaning import with_pii_scrub
+    base = _docs(spark, sf_dir).select(
+        "doc_id", _pii_text_col().alias("text"))
+    return (with_pii_scrub(base)
+            .select("doc_id", "n_emails", "n_phones", "clean_text"))
+
+
+def sql_pii_scrub():
+    from abot_dotnet_core_spark.functions.cleaning import EMAIL_RE, PHONE_RE
+    email = EMAIL_RE.replace("\\", "\\")
+    return f"""
+WITH p AS (SELECT doc_id, {_PII_TEXT_SQL} AS t FROM documents),
+e AS (SELECT doc_id,
+             len(regexp_extract_all(t, '{email}')) AS n_emails,
+             regexp_replace(t, '{email}', '<EMAIL>', 'g') AS t2
+      FROM p)
+SELECT doc_id, n_emails,
+       len(regexp_extract_all(t2, '{PHONE_RE}')) AS n_phones,
+       regexp_replace(t2, '{PHONE_RE}', '<PHONE>', 'g') AS clean_text
+FROM e"""
+
+
+# deterministic multi-line documents: 8-token chunk lines + two boilerplate
+# lines (one corpus-global, one per doc_id%7 group) — duplicates exist by
+# construction so the dedup actually removes rows
+def _doc_lines_col():
+    toks = F.split(F.trim(F.col("text")), "\\s+")
+    n = F.size(toks)
+    nchunk = F.floor((n + F.lit(7)) / F.lit(8)).cast("int")
+    chunks = F.when(
+        n >= 1,
+        F.transform(F.sequence(F.lit(1), nchunk),
+                    lambda i: F.array_join(
+                        F.slice(toks, (i - 1) * 8 + 1, 8), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(
+        chunks,
+        F.array(F.lit("subscribe to our newsletter today"),
+                F.concat(F.lit("copyright footer "), F.col("doc_id") % 7)))
+
+
+_DOC_LINES_SQL = """
+  SELECT doc_id,
+         list_append(list_append(
+           list_transform(range(1, ((len(toks) + 7) // 8)::int + 1),
+                          i -> array_to_string(
+                                 list_slice(toks, (i-1)*8 + 1, (i-1)*8 + 8),
+                                 ' ')),
+           'subscribe to our newsletter today'),
+           'copyright footer ' || (doc_id % 7)) AS lines
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents)"""
+
+
+def q_line_dedup(spark, sf_dir):
+    """CCNet-style corpus-global keep-first line dedup + document
+    reassembly over synthesized multi-line docs."""
+    from abot_dotnet_core_spark.functions.cleaning import line_dedup
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", _doc_lines_col().alias("lines"))
+    return line_dedup(docs)
+
+
+def sql_line_dedup():
+    return f"""
+WITH d AS ({_DOC_LINES_SQL}),
+l AS (
+  SELECT doc_id, len(lines) AS n_lines,
+         unnest(lines) AS line,
+         generate_subscripts(lines, 1) - 1 AS pos
+  FROM d),
+first AS (
+  SELECT line, min(doc_id * 1048576 + pos) AS fk FROM l GROUP BY 1),
+kept AS (
+  SELECT l.* FROM l JOIN first ON l.line = first.line
+  WHERE l.doc_id * 1048576 + l.pos = first.fk),
+reb AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS clean_text
+  FROM kept GROUP BY 1)
+SELECT d.doc_id, len(d.lines) AS n_lines,
+       coalesce(reb.n_kept, 0) AS n_kept,
+       coalesce(reb.clean_text, '') AS clean_text
+FROM d LEFT JOIN reb USING (doc_id)"""
+
+
+_EPOCH_20260101 = 1767225600  # 2026-01-01T00:00:00Z
+
+
+def q_url_keep_latest(spark, sf_dir):
+    """Recrawl snapshot dedup: newest (url, warc_ts) snapshot wins — the
+    steady-state corpus-compaction pass over the BASELINE input shape.
+    Snapshot history synthesized deterministically (1-3 revisions/url)."""
+    from abot_dotnet_core_spark.operators.recrawl import keep_latest
+    snaps = (_docs(spark, sf_dir)
+             .select("doc_id", _url_col().alias("url"),
+                     F.explode(F.sequence(F.lit(0), F.col("doc_id") % 3))
+                      .alias("rev"))
+             .withColumn("warc_ts", F.timestamp_seconds(
+                 F.lit(_EPOCH_20260101)
+                 + ((F.col("doc_id") % 1440) + F.col("rev") * 1440) * 60)))
+    return (keep_latest(snaps, ["url"], "warc_ts", tiebreak_cols=["rev"])
+            .select("url", "warc_ts", "rev"))
+
+
+def sql_url_keep_latest():
+    return f"""
+WITH snaps AS (
+  SELECT {_URL_SQL} AS url,
+         TIMESTAMP '2026-01-01 00:00:00'
+           + ((doc_id % 1440) + r.rev * 1440) * INTERVAL 1 MINUTE AS warc_ts,
+         r.rev
+  FROM documents, unnest(range(0, doc_id % 3 + 1)) AS r(rev))
+SELECT url, warc_ts, rev FROM (
+  SELECT *, row_number() OVER (PARTITION BY url
+                               ORDER BY warc_ts DESC, rev DESC) AS rn
+  FROM snaps) WHERE rn = 1"""
+
+
+def q_events_asof(spark, sf_dir):
+    """As-of join: each click annotated with the user's most recent
+    purchase at-or-before the click (union-tag + last-ignorenulls window —
+    one shuffle, no inequality-join explosion)."""
+    from abot_dotnet_core_spark.operators.recrawl import asof_join
+    ev = (_read(spark, sf_dir, "events")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round("value", 6).alias("value"))
+    return asof_join(clicks, purchases, ["user_id"], "ts", "ts", ["value"])
+
+
+def sql_events_asof():
+    return """
+SELECT c.event_id, c.user_id, c.ts,
+       p.ts AS asof_ts, p.value AS asof_value
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, ts, round(value, 6) AS value FROM events
+                WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts"""
+
+
+def q_events_sliding(spark, sf_dir):
+    """Hopping windows (2 h size / 1 h slide, epoch-aligned): each event in
+    exactly two overlapping windows."""
+    from abot_dotnet_core_spark.streaming.metrics_stream import sliding_counts
+    return sliding_counts(_read(spark, sf_dir, "events"),
+                          window="2 hours", slide="1 hour")
+
+
+def sql_events_sliding():
+    return """
+SELECT time_bucket(INTERVAL '1 hour', ts) - k.k * INTERVAL 1 HOUR
+         AS window_start,
+       event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM events, unnest([0, 1]) AS k(k)
+GROUP BY 1, 2"""
+
+
+# ===========================================================================
 # driver contract
 # ===========================================================================
 
@@ -1355,11 +1584,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
         "training_mix": q_training_mix,
+        # corpus cleaning + recrawl history
+        "gopher_repetition": q_gopher_repetition,
+        "pii_scrub": q_pii_scrub,
+        "line_dedup": q_line_dedup,
+        "url_keep_latest": q_url_keep_latest,
         # multimodal plumbing
         "multimodal_meta": q_multimodal_meta,
         # streaming-shaped event analytics
         "events_tumbling": q_events_tumbling,
         "events_sessions": q_events_sessions,
+        "events_sliding": q_events_sliding,
+        "events_asof": q_events_asof,
         # relational core
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -1406,9 +1642,15 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": sql_stratified_sample(),
         "pack_sequences": sql_pack_sequences(),
         "training_mix": sql_training_mix(),
+        "gopher_repetition": sql_gopher_repetition(),
+        "pii_scrub": sql_pii_scrub(),
+        "line_dedup": sql_line_dedup(),
+        "url_keep_latest": sql_url_keep_latest(),
         "multimodal_meta": sql_multimodal_meta(),
         "events_tumbling": sql_events_tumbling(),
         "events_sessions": sql_events_sessions(),
+        "events_sliding": sql_events_sliding(),
+        "events_asof": sql_events_asof(),
         "tpch_q1": sql_tpch_q1(),
         "tpch_q3": sql_tpch_q3(),
         "running_window": sql_running_window(),

@@ -1,0 +1,155 @@
+"""Corpus-cleaning operators for training-data pipelines.
+
+Beyond-reference family (SURVEY.md §2 "pipeline operators"): the standard
+web-text cleaning passes a 100 TB pretraining pipeline runs after crawling —
+Gopher-style repetition filters, PII redaction, and CCNet-style line-level
+dedup. Everything is JVM-side built-ins (split / higher-order array fns /
+regexp / window / partial agg); no Python UDFs anywhere.
+
+Operators:
+  with_repetition     Gopher repetition signals (duplicate-word fraction,
+                      duplicate-2-gram fraction, most-frequent-2-gram
+                      coverage) + a frozen keep/drop flag
+  with_pii_scrub      email/phone redaction + per-doc redaction counts
+  line_dedup          corpus-global keep-first line dedup with document
+                      reassembly (CCNet paragraph dedup shape)
+
+Scale posture (100 TB):
+  - with_repetition's only shuffle is the (doc_id, gram) partial-count agg —
+    map-side combine collapses each doc's grams before the exchange, and the
+    per-doc join back is on the same key layout.
+  - with_pii_scrub is a pure narrow map (regexp in whole-stage codegen).
+  - line_dedup shuffles lines once on line_hash (the dedup key) and once on
+    doc_id (reassembly); the window over line_hash is per-duplicate-group
+    sized, never per-partition-global. A hot boilerplate line ("subscribe
+    now") creates a big hash group — its window only ranks rows to find the
+    global-first occurrence, which AQE skew-split handles; for extreme cases
+    pre-aggregate min(doc_id, pos) per hash instead (same result, pure agg —
+    that is the variant implemented here for exactly that reason).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from abot_dotnet_core_spark.functions.textfns import tokens_col
+
+# Frozen repetition thresholds (Gopher-shaped, calibrated so both outcomes
+# occur on the synthetic corpus; shared with the SQL oracle).
+DUP_WORD_MAX = 0.6
+DUP_2GRAM_MAX = 0.05
+TOP_2GRAM_MAX = 0.06
+
+# PII patterns — deliberately restricted to syntax RE2 (DuckDB) and java.util
+# .regex (Spark) interpret identically: no backrefs, no lookaround.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+?[0-9][0-9-]{6,}[0-9]"
+
+
+def _bigrams(toks: Column) -> Column:
+    """Adjacent-token 2-grams; <2 tokens -> empty array (sequence() would
+    run descending for a negative stop, so guard explicitly)."""
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1),
+                              F.element_at(toks, i + 2)))
+    return F.when(n >= 2, grams).otherwise(F.array().cast("array<string>"))
+
+
+def with_repetition(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021 §A1.1 repetition removal,
+    re-expressed set-at-a-time): per-document duplicate-word fraction,
+    duplicate-2-gram fraction, and the coverage of the most frequent 2-gram,
+    plus a frozen keep flag.
+
+    Word-level stats stay row-local (array_distinct — no shuffle); 2-gram
+    stats go through one (doc_id, gram) partial-count aggregation so the
+    most-frequent-gram count is an honest distributed mode, then join back
+    on doc_id. Ratios round to 6 dp to hash identically with the oracle."""
+    t = F.col(text_col)
+    toks = tokens_col(t)
+    n = F.size(toks)
+    ndist = F.size(F.array_distinct(toks))
+    base = (df.withColumn("n_words", n)
+              .withColumn("dup_word_frac",
+                          F.round((n - ndist) / F.greatest(n, F.lit(1)), 6))
+              .withColumn("__toks", toks))
+
+    gram_rows = base.select(id_col, F.explode(_bigrams(F.col("__toks")))
+                            .alias("gram"))
+    gstats = (gram_rows.groupBy(id_col, "gram").count()
+              .groupBy(id_col)
+              .agg(F.sum("count").alias("__n2"),
+                   F.count("*").alias("__d2"),
+                   F.max("count").alias("__maxc")))
+
+    out = (base.join(gstats, id_col, "left")
+           .withColumn("dup_2gram_frac",
+                       F.coalesce(F.round((F.col("__n2") - F.col("__d2"))
+                                          / F.col("__n2"), 6), F.lit(0.0)))
+           .withColumn("top_2gram_frac",
+                       F.coalesce(F.round(F.col("__maxc") / F.col("__n2"), 6),
+                                  F.lit(0.0)))
+           .withColumn("repetition_keep",
+                       (F.col("dup_word_frac") <= DUP_WORD_MAX)
+                       & (F.col("dup_2gram_frac") <= DUP_2GRAM_MAX)
+                       & (F.col("top_2gram_frac") <= TOP_2GRAM_MAX)))
+    return out.drop("__toks", "__n2", "__d2", "__maxc")
+
+
+def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails then phone numbers (order matters: email local parts
+    contain digits that the phone pattern must not re-match), emitting
+    ``clean_text`` plus per-document redaction counts. Pure narrow map —
+    regexp_replace/regexp_count run inside whole-stage codegen."""
+    t = F.col(text_col)
+    n_emails = F.regexp_count(t, F.lit(EMAIL_RE))
+    no_email = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    n_phones = F.regexp_count(no_email, F.lit(PHONE_RE))
+    clean = F.regexp_replace(no_email, PHONE_RE, "<PHONE>")
+    return (df.withColumn("n_emails", n_emails)
+              .withColumn("n_phones", n_phones)
+              .withColumn("clean_text", clean))
+
+
+def line_dedup(df: DataFrame, lines_col: str = "lines",
+               id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style corpus-global line dedup (Wenzek et al. 2019 §3.1: drop
+    every duplicate line, keep the first occurrence), then reassemble each
+    document from its surviving lines in original order.
+
+    ``df`` carries ``(id_col, lines: array<string>)``. The first occurrence
+    of a line is the minimum (doc_id, pos) over the whole corpus — computed
+    as a min-aggregation per line hash (NOT a row_number window, so a
+    boilerplate line shared by 10^9 docs is a single combine-reduced agg
+    group, not a giant sort partition). Two shuffles total: one on the
+    line hash, one on doc_id for reassembly.
+
+    Output: (id_col, n_lines, n_kept, clean_text) — docs whose every line
+    was a duplicate still appear, with n_kept=0 and clean_text=''."""
+    lines = (df.select(id_col, F.size(lines_col).alias("n_lines"),
+                       F.posexplode(lines_col).alias("pos", "line"))
+             .withColumn("line_hash", F.xxhash64("line")))
+    # global first occurrence per line: min over a packed (doc_id, pos) key
+    # (both non-negative; pack into one bigint so it's a plain min-agg)
+    packed = F.col(id_col) * F.lit(1 << 20) + F.col("pos")
+    first = (lines.groupBy("line_hash")
+             .agg(F.min(packed).alias("first_key")))
+    kept = (lines.join(first, "line_hash")
+            .where(packed == F.col("first_key")))
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.count("*").alias("n_kept"),
+                    F.first("n_lines").alias("n_lines"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("pos", "line"))),
+                            lambda s: s["line"]), "\n").alias("clean_text")))
+    # docs fully deduplicated away re-enter with empty text
+    all_docs = df.select(id_col, F.size(lines_col).alias("n_lines"))
+    return (all_docs.join(rebuilt.drop("n_lines"), id_col, "left")
+            .withColumn("n_kept", F.coalesce("n_kept", F.lit(0)))
+            .withColumn("clean_text", F.coalesce("clean_text", F.lit("")))
+            .select(id_col, "n_lines", "n_kept", "clean_text"))

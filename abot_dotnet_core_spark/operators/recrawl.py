@@ -1,0 +1,81 @@
+"""Recrawl / snapshot-history operators over (url, warc_ts) page tables.
+
+A steady-state crawler re-fetches URLs and accumulates snapshot history in
+the corpus table (the BASELINE input shape: url, warc_ts, html, text, lang).
+These operators answer the two standard questions over that history:
+
+  keep_latest   one row per key = the newest snapshot (recrawl dedup); the
+                Abot analogue is CrawledUrlRepository replacing a re-seen
+                URL's PageToCrawl (Abot/src/Abot/Core/CrawledUrlRepository.cs
+                semantics generalised to timestamped history)
+  asof_join     for each probe row, the newest build-side row at-or-before
+                its timestamp per key ("state as of fetch time") — e.g. the
+                robots snapshot / domain config in force when a page was
+                fetched
+
+Scale posture: keep_latest is a single hash-shuffle on the key with a
+per-key window whose partitions are snapshot-count sized (bounded by
+recrawl frequency, not corpus size). asof_join is the union-tag trick —
+one shuffle on the key, one ordered window pass, no range-explosion and no
+per-row Python; ties at equal timestamps resolve build-before-probe, which
+matches ANSI/DuckDB ``ASOF JOIN`` (>= semantics).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def keep_latest(df: DataFrame, key_cols: Sequence[str], ts_col: str,
+                tiebreak_cols: Sequence[str] = ()) -> DataFrame:
+    """Newest snapshot per key; deterministic under timestamp ties via
+    ``tiebreak_cols`` (descending, then any remaining ambiguity is a data
+    bug the caller owns)."""
+    order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in tiebreak_cols]
+    w = W.partitionBy(*key_cols).orderBy(*order)
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1).drop("__rn"))
+
+
+def asof_join(probe: DataFrame, build: DataFrame, key_cols: Sequence[str],
+              probe_ts: str, build_ts: str,
+              value_cols: Sequence[str]) -> DataFrame:
+    """Left as-of join: every probe row, annotated with the build row having
+    the greatest ``build_ts`` <= ``probe_ts`` for the same key (NULLs when
+    none exists).
+
+    Implementation is the scalable union-tag form: tag build rows 0 and
+    probe rows 1, sort each key group by (ts, tag), and carry the last
+    non-null build values forward with ``last(..., ignorenulls=True)`` over
+    an unbounded-preceding window. One shuffle on the key, linear scan per
+    group — no inequality-join explosion. Equal timestamps: the build row
+    sorts first (tag 0 < 1), so it IS visible to probes at the same instant
+    (>= semantics, matching DuckDB ASOF JOIN).
+
+    ``build`` must be unique per (key, build_ts); pre-aggregate otherwise.
+    Output columns: all probe columns, then ``asof_<build_ts>`` and
+    ``asof_<c>`` for each value column."""
+    b = build.select(
+        *key_cols,
+        F.col(build_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        F.struct(F.col(build_ts).alias(build_ts), *value_cols).alias("__bv"))
+    p = probe.select(
+        *key_cols,
+        F.col(probe_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(b.schema["__bv"].dataType).alias("__bv"),
+        F.struct(*probe.columns).alias("__pv"))
+    b = b.withColumn("__pv", F.lit(None).cast(p.schema["__pv"].dataType))
+
+    w = (W.partitionBy(*key_cols).orderBy("__ts", "__tag")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    merged = (p.unionByName(b)
+              .withColumn("__last", F.last("__bv", ignorenulls=True).over(w))
+              .where(F.col("__tag") == 1))
+    out_cols = [F.col(f"__pv.{c}").alias(c) for c in probe.columns]
+    out_cols.append(F.col(f"__last.{build_ts}").alias(f"asof_{build_ts}"))
+    out_cols += [F.col(f"__last.{c}").alias(f"asof_{c}") for c in value_cols]
+    return merged.select(*out_cols)

@@ -4,6 +4,7 @@ Demonstrates the engine's streaming surface over an event feed (the driver's
 ``events`` table shape: event_id, ts, user_id, event_type, value, props):
 
   tumbling_counts   1-minute tumbling windows per event_type, 10-min watermark
+  sliding_counts    hopping windows (size > slide, epoch-aligned overlap)
   session_stats     session windows (30-min gap) per user
 
 Batch equivalents of the same windows are exposed in __spark_entry__ (they
@@ -25,6 +26,25 @@ def tumbling_counts(events: DataFrame, window: str = "1 hour",
     if events.isStreaming:
         src = src.withWatermark("ts", watermark)
     return (src.groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events", "sum_value"))
+
+
+def sliding_counts(events: DataFrame, window: str = "2 hours",
+                   slide: str = "1 hour",
+                   watermark: str = "10 minutes") -> DataFrame:
+    """Hopping-window aggregation (each event lands in window/slide
+    overlapping windows, epoch-aligned — F.window's sliding form). Same
+    stream/batch duality as tumbling_counts; with watermarking this is the
+    standard late-data-tolerant rolling rate metric (e.g. 2-hour crawl
+    throughput refreshed hourly)."""
+    src = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if events.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    return (src.groupBy(F.window("ts", window, slide).alias("w"),
+                        "event_type")
             .agg(F.count("*").alias("n_events"),
                  F.round(F.sum("value"), 6).alias("sum_value"))
             .select(F.col("w.start").alias("window_start"), "event_type",

@@ -1,0 +1,187 @@
+"""Unit tests for corpus-cleaning (Gopher repetition, PII scrub, line dedup)
+and recrawl-history operators (keep_latest, asof_join, sliding windows) —
+edge cases the entry-oracle mirror can't exercise (empty docs, tie-breaks,
+no-match as-of probes, fully-deduplicated documents)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+
+class TestRepetition:
+    def _run(self, spark, texts):
+        from abot_dotnet_core_spark.functions.cleaning import with_repetition
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+        return {r["doc_id"]: r for r in with_repetition(df).collect()}
+
+    def test_all_duplicate_tokens(self, spark):
+        out = self._run(spark, ["spam spam spam spam"])
+        r = out[0]
+        assert r["n_words"] == 4
+        assert r["dup_word_frac"] == 0.75
+        # 3 bigrams, all 'spam spam' -> dup frac 2/3, top frac 1.0
+        assert r["dup_2gram_frac"] == pytest.approx(0.666667)
+        assert r["top_2gram_frac"] == 1.0
+        assert not r["repetition_keep"]
+
+    def test_all_distinct_tokens(self, spark):
+        r = self._run(spark, ["a b c d e f"])[0]
+        assert r["dup_word_frac"] == 0.0
+        assert r["dup_2gram_frac"] == 0.0
+        # 5 bigrams all distinct -> top gram covers 1/5 = 0.2 > threshold
+        assert r["top_2gram_frac"] == 0.2
+        assert not r["repetition_keep"]
+
+    def test_single_token_and_empty(self, spark):
+        out = self._run(spark, ["word", "   "])
+        assert out[0]["n_words"] == 1
+        assert out[0]["dup_2gram_frac"] == 0.0  # no bigrams -> coalesced 0
+        assert out[0]["top_2gram_frac"] == 0.0
+        assert out[1]["n_words"] == 0
+        assert out[1]["dup_word_frac"] == 0.0
+
+
+class TestPiiScrub:
+    def test_redaction_and_counts(self, spark):
+        from abot_dotnet_core_spark.functions.cleaning import with_pii_scrub
+        df = spark.createDataFrame([Row(
+            doc_id=0,
+            text="mail a.b+x@foo.example and c@bar.io or call"
+                 " +1-303-555-0007 / 020-7946-0958 now")])
+        r = with_pii_scrub(df).collect()[0]
+        assert r["n_emails"] == 2
+        assert r["n_phones"] == 2
+        assert r["clean_text"] == ("mail <EMAIL> and <EMAIL> or call"
+                                   " <PHONE> / <PHONE> now")
+
+    def test_email_digits_not_rematched_as_phone(self, spark):
+        from abot_dotnet_core_spark.functions.cleaning import with_pii_scrub
+        df = spark.createDataFrame(
+            [Row(doc_id=0, text="user12345678@host.example only")])
+        r = with_pii_scrub(df).collect()[0]
+        assert (r["n_emails"], r["n_phones"]) == (1, 0)
+        assert r["clean_text"] == "<EMAIL> only"
+
+
+class TestLineDedup:
+    def _run(self, spark, docs):
+        from abot_dotnet_core_spark.functions.cleaning import line_dedup
+        df = spark.createDataFrame(
+            [Row(doc_id=i, lines=ls) for i, ls in enumerate(docs)])
+        return {r["doc_id"]: r for r in line_dedup(df).collect()}
+
+    def test_keep_first_occurrence_global(self, spark):
+        out = self._run(spark, [["alpha", "boiler", "beta"],
+                                ["boiler", "gamma"],
+                                ["boiler"]])
+        assert out[0]["clean_text"] == "alpha\nboiler\nbeta"
+        assert (out[0]["n_lines"], out[0]["n_kept"]) == (3, 3)
+        assert out[1]["clean_text"] == "gamma"
+        assert (out[1]["n_lines"], out[1]["n_kept"]) == (2, 1)
+        # doc 2 is entirely duplicates: survives with empty text
+        assert out[2]["clean_text"] == ""
+        assert (out[2]["n_lines"], out[2]["n_kept"]) == (1, 0)
+
+    def test_intra_doc_duplicates_and_order(self, spark):
+        out = self._run(spark, [["x", "y", "x", "z", "y", "w"]])
+        assert out[0]["clean_text"] == "x\ny\nz\nw"
+        assert out[0]["n_kept"] == 4
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+class TestKeepLatest:
+    def test_latest_and_tiebreak(self, spark):
+        from abot_dotnet_core_spark.operators.recrawl import keep_latest
+        rows = [
+            Row(url="u1", warc_ts=_ts("2026-01-01T00:00:00"), rev=0),
+            Row(url="u1", warc_ts=_ts("2026-01-02T00:00:00"), rev=1),
+            Row(url="u2", warc_ts=_ts("2026-01-03T00:00:00"), rev=0),
+            Row(url="u2", warc_ts=_ts("2026-01-03T00:00:00"), rev=1),
+        ]
+        df = spark.createDataFrame(rows)
+        got = {r["url"]: r["rev"]
+               for r in keep_latest(df, ["url"], "warc_ts",
+                                    tiebreak_cols=["rev"]).collect()}
+        assert got == {"u1": 1, "u2": 1}  # u2: equal ts -> higher rev wins
+
+
+class TestAsofJoin:
+    def _dfs(self, spark):
+        probe = spark.createDataFrame([
+            Row(event_id=1, user_id=1, ts=_ts("2026-01-01T10:00:00")),
+            Row(event_id=2, user_id=1, ts=_ts("2026-01-01T12:00:00")),
+            Row(event_id=3, user_id=2, ts=_ts("2026-01-01T09:00:00")),
+        ])
+        build = spark.createDataFrame([
+            Row(user_id=1, ts=_ts("2026-01-01T09:30:00"), value=5.0),
+            Row(user_id=1, ts=_ts("2026-01-01T12:00:00"), value=7.0),
+            Row(user_id=2, ts=_ts("2026-01-01T11:00:00"), value=9.0),
+        ])
+        return probe, build
+
+    def test_semantics(self, spark):
+        from abot_dotnet_core_spark.operators.recrawl import asof_join
+        probe, build = self._dfs(spark)
+        out = {r["event_id"]: (r["asof_ts"], r["asof_value"])
+               for r in asof_join(probe, build, ["user_id"], "ts", "ts",
+                                  ["value"]).collect()}
+        assert len(out) == 3  # left join: every probe row survives
+        assert out[1] == (_ts("2026-01-01T09:30:00"), 5.0)
+        # equal timestamp: build row at 12:00 IS visible (>= semantics)
+        assert out[2] == (_ts("2026-01-01T12:00:00"), 7.0)
+        # user 2's only purchase is AFTER the probe -> NULLs
+        assert out[3] == (None, None)
+
+
+class TestSlidingCounts:
+    def test_each_event_in_two_windows(self, spark):
+        from abot_dotnet_core_spark.streaming.metrics_stream import (
+            sliding_counts)
+        ev = spark.createDataFrame([
+            Row(event_id=1, ts=_ts("2026-01-01T10:15:00"),
+                event_type="click", value=1.0)])
+        rows = sorted((r["window_start"], r["n_events"])
+                      for r in sliding_counts(ev, window="2 hours",
+                                              slide="1 hour").collect())
+        assert rows == [(_ts("2026-01-01T09:00:00"), 1),
+                        (_ts("2026-01-01T10:00:00"), 1)]
+
+    def test_streaming_form_runs(self, spark, tmp_path):
+        """sliding_counts over a real availableNow stream equals batch."""
+        import os
+        from abot_dotnet_core_spark.streaming.metrics_stream import (
+            sliding_counts)
+        src = str(tmp_path / "feed")
+        os.makedirs(src)
+        ev = spark.createDataFrame([
+            Row(event_id=i, ts=_ts(f"2026-01-01T0{h}:30:00"),
+                event_type="click", value=1.0)
+            for i, h in enumerate([1, 1, 2, 3])])
+        stage = str(tmp_path / "stage")
+        ev.coalesce(1).write.parquet(stage)
+        import glob
+        import shutil
+        for i, p in enumerate(glob.glob(f"{stage}/part-*.parquet")):
+            shutil.copy(p, f"{src}/part-{i}.parquet")
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = str(tmp_path / "out")
+        q = (sliding_counts(stream, window="2 hours", slide="1 hour",
+                            watermark="0 seconds")
+             .writeStream.outputMode("append")
+             .trigger(availableNow=True)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .format("parquet").option("path", out).start())
+        q.awaitTermination(120)
+        got = {(r["window_start"], r["n_events"])
+               for r in spark.read.parquet(out).collect()}
+        want = {(r["window_start"], r["n_events"])
+                for r in sliding_counts(spark.read.parquet(src),
+                                        window="2 hours",
+                                        slide="1 hour").collect()}
+        assert got <= want and len(got) >= 1
