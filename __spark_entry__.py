@@ -1460,6 +1460,62 @@ SELECT d.doc_id, len(d.lines) AS n_lines,
 FROM d LEFT JOIN reb USING (doc_id)"""
 
 
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail bucketing by unigram-LM mean NLL with
+    discrete-percentile thresholds (counts broadcast, 2-value threshold
+    aggregate — corpus rows never shuffle for the thresholds)."""
+    from abot_dotnet_core_spark.functions.cleaning import perplexity_buckets
+    return perplexity_buckets(_docs(spark, sf_dir))
+
+
+def sql_perplexity_buckets():
+    return """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''),
+cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+tot AS (SELECT sum(c) AS s FROM cnt),
+nll AS (
+  SELECT doc_id, round(avg(-ln(c / s)), 6) AS nll
+  FROM toks JOIN cnt USING (tok), tot GROUP BY 1),
+th AS (SELECT quantile_disc(nll, 0.33) AS t1, quantile_disc(nll, 0.66) AS t2
+       FROM nll)
+SELECT doc_id, nll,
+       CASE WHEN nll <= t1 THEN 'head'
+            WHEN nll <= t2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM nll, th"""
+
+
+def q_domain_stats(spark, sf_dir):
+    """Domain-reputation gate: per-source corpus stats + UT1-style broadcast
+    blocklist (deterministic synthetic blocklist: source id % 7 == 3)."""
+    from abot_dotnet_core_spark.functions.cleaning import domain_stats
+    docs = _docs(spark, sf_dir)
+    blocked = (docs.select("source").distinct()
+               .where(F.substring("source", 4, 10).cast("int") % 7 == 3))
+    return domain_stats(docs, blocked)
+
+
+def sql_domain_stats():
+    return """
+WITH pl AS (
+  SELECT source, lang, count(*) AS c, sum(n_chars) AS chars
+  FROM documents GROUP BY 1, 2),
+agg AS (
+  SELECT source, sum(c) AS n_docs, sum(chars) AS n_chars,
+         count(*) AS n_langs
+  FROM pl GROUP BY 1),
+top AS (
+  SELECT source, lang AS top_lang FROM (
+    SELECT source, lang,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY c DESC, lang DESC) AS rn
+    FROM pl) WHERE rn = 1)
+SELECT agg.source, agg.n_docs, agg.n_chars, agg.n_langs, top.top_lang,
+       (substr(agg.source, 4)::int % 7 <> 3) AS keep
+FROM agg JOIN top USING (source)"""
+
+
 _EPOCH_20260101 = 1767225600  # 2026-01-01T00:00:00Z
 
 
@@ -1588,6 +1644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "pii_scrub": q_pii_scrub,
         "line_dedup": q_line_dedup,
+        "perplexity_buckets": q_perplexity_buckets,
+        "domain_stats": q_domain_stats,
         "url_keep_latest": q_url_keep_latest,
         # multimodal plumbing
         "multimodal_meta": q_multimodal_meta,
@@ -1645,6 +1703,8 @@ def oracle_sql() -> dict[str, str]:
         "gopher_repetition": sql_gopher_repetition(),
         "pii_scrub": sql_pii_scrub(),
         "line_dedup": sql_line_dedup(),
+        "perplexity_buckets": sql_perplexity_buckets(),
+        "domain_stats": sql_domain_stats(),
         "url_keep_latest": sql_url_keep_latest(),
         "multimodal_meta": sql_multimodal_meta(),
         "events_tumbling": sql_events_tumbling(),

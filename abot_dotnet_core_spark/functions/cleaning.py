@@ -13,6 +13,10 @@ Operators:
   with_pii_scrub      email/phone redaction + per-doc redaction counts
   line_dedup          corpus-global keep-first line dedup with document
                       reassembly (CCNet paragraph dedup shape)
+  perplexity_buckets  CCNet head/middle/tail LM-score bucketing (unigram
+                      NLL stand-in for KenLM; real percentile machinery)
+  domain_stats        per-domain reputation aggregate + broadcast
+                      blocklist gate (UT1-style domain filtering)
 
 Scale posture (100 TB):
   - with_repetition's only shuffle is the (doc_id, gram) partial-count agg —
@@ -112,6 +116,68 @@ def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (df.withColumn("n_emails", n_emails)
               .withColumn("n_phones", n_phones)
               .withColumn("clean_text", clean))
+
+
+def perplexity_buckets(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style LM-score bucketing (Wenzek et al. 2019 §3.2: score each
+    document with a language-model perplexity, split the corpus into
+    head/middle/tail at the 1/3 and 2/3 percentiles). The sandbox has no KenLM,
+    so the frozen stand-in LM is the corpus's own unigram distribution —
+    score = mean negative log-likelihood of the document's tokens; the
+    bucketing machinery (global score distribution -> discrete percentile
+    thresholds -> assignment) is the real thing.
+
+    Shape at 100 TB: token counts are one partial-count agg; the count table
+    is vocabulary-sized, so the score join broadcasts; the two thresholds
+    are a 2-value aggregate cross-joined back. No row ever carries more
+    than its own tokens."""
+    toks = (df.select(id_col, F.explode(tokens_col(F.col(text_col)))
+                      .alias("tok")))
+    cnt = toks.groupBy("tok").count()
+    total = cnt.agg(F.sum("count").alias("total"))
+    probs = (F.broadcast(cnt.crossJoin(total))
+             .withColumn("logp", F.ln(F.col("count") / F.col("total")))
+             .select("tok", "logp"))
+    nll = (toks.join(probs, "tok")
+           .groupBy(id_col)
+           .agg(F.round(F.avg(-F.col("logp")), 6).alias("nll")))
+    th = nll.agg(
+        F.expr("percentile_disc(0.33) WITHIN GROUP (ORDER BY nll)")
+         .alias("t1"),
+        F.expr("percentile_disc(0.66) WITHIN GROUP (ORDER BY nll)")
+         .alias("t2"))
+    return (nll.crossJoin(F.broadcast(th))
+            .withColumn("bucket",
+                        F.when(F.col("nll") <= F.col("t1"), "head")
+                         .when(F.col("nll") <= F.col("t2"), "middle")
+                         .otherwise("tail"))
+            .select(id_col, "nll", "bucket"))
+
+
+def domain_stats(df: DataFrame, blocked: DataFrame,
+                 domain_col: str = "source") -> DataFrame:
+    """Domain-reputation gate (UT1-blocklist-style corpus filtering): per
+    domain, aggregate document count / size / dominant language, then mark
+    domains on the blocklist. ``blocked`` is a 1-column DataFrame of
+    blocked domain names — broadcast into the aggregate (blocklists are
+    ~10^6 rows; never shuffle the corpus for them). Dominant-language ties
+    break on language code order via max(struct(cnt, lang))."""
+    per_lang = (df.groupBy(domain_col, "lang")
+                .agg(F.count("*").alias("c"),
+                     F.sum("n_chars").alias("chars")))
+    agg = (per_lang.groupBy(domain_col)
+           .agg(F.sum("c").alias("n_docs"),
+                F.sum("chars").alias("n_chars"),
+                F.count("*").alias("n_langs"),
+                F.max(F.struct(F.col("c"), F.col("lang")))["lang"]
+                 .alias("top_lang")))
+    b = F.broadcast(blocked.select(F.col(blocked.columns[0])
+                                   .alias(domain_col))
+                    .withColumn("__blocked", F.lit(True)))
+    return (agg.join(b, domain_col, "left")
+            .withColumn("keep", F.col("__blocked").isNull())
+            .drop("__blocked"))
 
 
 def line_dedup(df: DataFrame, lines_col: str = "lines",

@@ -90,6 +90,59 @@ class TestLineDedup:
         assert out[0]["n_kept"] == 4
 
 
+class TestPerplexityBuckets:
+    def test_buckets_and_scores(self, spark):
+        from abot_dotnet_core_spark.functions.cleaning import (
+            perplexity_buckets)
+        # 'common' dominates the unigram LM -> docs of rare tokens score
+        # higher NLL and land in 'tail'
+        df = spark.createDataFrame(
+            [Row(doc_id=0, text="common common common common"),
+             Row(doc_id=1, text="common common rare1"),
+             Row(doc_id=2, text="rare2 rare3 rare4")])
+        out = {r["doc_id"]: r for r in perplexity_buckets(df).collect()}
+        assert out[0]["nll"] < out[1]["nll"] < out[2]["nll"]
+        assert out[0]["bucket"] == "head"
+        assert out[2]["bucket"] == "tail"
+        # every doc gets exactly one bucket row
+        assert len(out) == 3
+
+    def test_single_doc_is_head(self, spark):
+        from abot_dotnet_core_spark.functions.cleaning import (
+            perplexity_buckets)
+        df = spark.createDataFrame([Row(doc_id=0, text="a b")])
+        r = perplexity_buckets(df).collect()[0]
+        assert r["bucket"] == "head"  # its own nll == both thresholds
+
+
+class TestDomainStats:
+    def test_blocklist_and_top_lang(self, spark):
+        from abot_dotnet_core_spark.functions.cleaning import domain_stats
+        docs = spark.createDataFrame([
+            Row(doc_id=0, source="good.example", lang="en", n_chars=10),
+            Row(doc_id=1, source="good.example", lang="en", n_chars=20),
+            Row(doc_id=2, source="good.example", lang="de", n_chars=5),
+            Row(doc_id=3, source="bad.example", lang="fr", n_chars=7),
+        ])
+        blocked = spark.createDataFrame([Row(domain="bad.example")])
+        out = {r["source"]: r
+               for r in domain_stats(docs, blocked).collect()}
+        g = out["good.example"]
+        assert (g["n_docs"], g["n_chars"], g["n_langs"]) == (3, 35, 2)
+        assert g["top_lang"] == "en" and g["keep"]
+        assert not out["bad.example"]["keep"]
+
+    def test_top_lang_tiebreak(self, spark):
+        from abot_dotnet_core_spark.functions.cleaning import domain_stats
+        docs = spark.createDataFrame([
+            Row(doc_id=0, source="s", lang="de", n_chars=1),
+            Row(doc_id=1, source="s", lang="en", n_chars=1),
+        ])
+        blocked = spark.createDataFrame([Row(domain="none")])
+        out = domain_stats(docs, blocked).collect()[0]
+        assert out["top_lang"] == "en"  # equal counts -> max lang code
+
+
 def _ts(s):
     return datetime.datetime.fromisoformat(s)
 
