@@ -119,6 +119,30 @@ def stream_domain_counts(spark, source_path: str, checkpoint: str,
                           df.write.mode("append").parquet(out_path)))
 
 
+def stream_url_dedup(spark, source_path: str, checkpoint: str,
+                     out_path: str, watermark: str = "1 hour"):
+    """Streaming URL seen-filter: the frontier dedup (S2) as a structured-
+    streaming operator. A parquet feed of discovered links (url, ts) is
+    deduplicated on the kernel's int64 url hash with
+    ``dropDuplicatesWithinWatermark`` — state for a url is retained until
+    the watermark passes its event time + delay, so re-discoveries inside
+    the politeness horizon are dropped exactly once-per-url while state
+    stays bounded (the streaming analogue of the batch engine's seen
+    anti-join + bloom filter; Abot's CrawledUrlRepository.AddIfNew).
+    State survives availableNow restarts via the checkpoint."""
+    from abot_dotnet_core_spark.functions.udfs import url_hash64_udf
+    schema = spark.read.parquet(source_path).schema
+    stream = (spark.readStream.schema(schema).parquet(source_path)
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+              .withColumn("url_hash", url_hash64_udf(F.col("url")))
+              .withWatermark("ts", watermark)
+              .dropDuplicatesWithinWatermark(["url_hash"]))
+    return (stream.writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", checkpoint)
+            .format("parquet").option("path", out_path))
+
+
 def stream_tumbling_counts(spark, source_path: str, checkpoint: str,
                            out_path: str, window: str = "1 hour"):
     """availableNow streaming job over a parquet directory feed — the real

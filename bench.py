@@ -40,6 +40,8 @@ HEADLINE = [
     "cosine_topk", "cosine_topk_lsh",
     "stratified_sample", "pack_sequences", "training_mix",
     "token_stats", "quality_scores", "lang_id", "fingerprint",
+    "gopher_repetition", "line_dedup", "perplexity_buckets",
+    "url_keep_latest", "events_asof",
     "events_tumbling", "events_sessions",
     "seen_antijoin", "url_hash64", "frontier_bfs", "pagerank",
 ]

@@ -191,6 +191,43 @@ class TestAsofJoin:
         assert out[3] == (None, None)
 
 
+class TestStreamUrlDedup:
+    def test_dedup_across_restarts(self, spark, tmp_path):
+        """dropDuplicatesWithinWatermark keeps one row per url across two
+        availableNow runs sharing a checkpoint (streaming seen-filter)."""
+        import os
+        import pandas as pd
+        from abot_dotnet_core_spark.streaming.metrics_stream import (
+            stream_url_dedup)
+        src = str(tmp_path / "feed")
+        os.makedirs(src)
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        t0 = datetime.datetime(2026, 1, 1, 10, 0, 0)
+
+        pd.DataFrame({
+            "url": ["http://a.test/", "http://b.test/", "http://a.test/"],
+            "ts": [t0, t0, t0 + datetime.timedelta(minutes=1)],
+        }).to_parquet(f"{src}/part-0.parquet", index=False,
+              coerce_timestamps="us",
+              allow_truncated_timestamps=True)
+        q = stream_url_dedup(spark, src, ckpt, out).start()
+        q.awaitTermination(120)
+
+        # second run: b re-discovered (must be dropped), c is new
+        pd.DataFrame({
+            "url": ["http://b.test/", "http://c.test/"],
+            "ts": [t0 + datetime.timedelta(minutes=5)] * 2,
+        }).to_parquet(f"{src}/part-1.parquet", index=False,
+              coerce_timestamps="us",
+              allow_truncated_timestamps=True)
+        q = stream_url_dedup(spark, src, ckpt, out).start()
+        q.awaitTermination(120)
+
+        got = sorted(r["url"] for r in spark.read.parquet(out).collect())
+        assert got == ["http://a.test/", "http://b.test/", "http://c.test/"]
+
+
 class TestSlidingCounts:
     def test_each_event_in_two_windows(self, spark):
         from abot_dotnet_core_spark.streaming.metrics_stream import (
