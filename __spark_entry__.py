@@ -1383,12 +1383,11 @@ def q_pii_scrub(spark, sf_dir):
 
 def sql_pii_scrub():
     from abot_dotnet_core_spark.functions.cleaning import EMAIL_RE, PHONE_RE
-    email = EMAIL_RE.replace("\\", "\\")
     return f"""
 WITH p AS (SELECT doc_id, {_PII_TEXT_SQL} AS t FROM documents),
 e AS (SELECT doc_id,
-             len(regexp_extract_all(t, '{email}')) AS n_emails,
-             regexp_replace(t, '{email}', '<EMAIL>', 'g') AS t2
+             len(regexp_extract_all(t, '{EMAIL_RE}')) AS n_emails,
+             regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g') AS t2
       FROM p)
 SELECT doc_id, n_emails,
        len(regexp_extract_all(t2, '{PHONE_RE}')) AS n_phones,

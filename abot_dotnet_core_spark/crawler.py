@@ -385,6 +385,7 @@ class CrawlEngine:
                                      if row["blob"] is not None else None)
                 for _, row in pdf.iterrows()}
         eng._robots_df = eng._load_robots()
+        eng._repair_seen_compaction(last)
         eng.store.drop_uncommitted()
         return eng
 
@@ -1357,6 +1358,7 @@ class CrawlEngine:
         self.round = r
         self._maybe_compact_seen(r)
         self.store.commit_round(r, self._counters())
+        self._finalize_seen_compaction()
         st.counters = self._counters()
 
     def _maybe_compact_seen(self, r: int) -> None:
@@ -1368,8 +1370,14 @@ class CrawlEngine:
         The union-read stays O(rounds / interval) directories; Iceberg would
         do the same as snapshot compaction. No distinct() needed: per-round
         appends are anti-joined before write, so the dirs are disjoint.
-        The merge is materialized (localCheckpoint) before the source dirs
-        are deleted, so the rewrite never reads a dir it is removing."""
+
+        Crash safety: this only STAGES the merged dir (a dot-dir that
+        ``_read_seen`` ignores); committed source dirs are deleted AFTER
+        ``commit_round`` in ``_finalize_seen_compaction``, and a swap
+        interrupted mid-way is completed idempotently by
+        ``_repair_seen_compaction`` on resume — so no window exists in
+        which committed seen state lives only in an uncommitted dir
+        (Iceberg gets the same guarantee from snapshot-pointer commits)."""
         every = max(self.cfg.seen_compact_every, 0)
         if every == 0 or r % every != 0 or r == 0:
             return
@@ -1381,9 +1389,50 @@ class CrawlEngine:
                   and r - every < int(d.split("=")[1]) <= r]
         if len(recent) <= 1:
             return
+        lo = min(int(d.split("=")[1]) for d in recent)
+        staging = os.path.join(base, f".compact-{lo}-{r}")
+        shutil.rmtree(staging, ignore_errors=True)
         paths = [os.path.join(base, d) for d in sorted(recent)]
-        merged = self.spark.read.parquet(*paths).localCheckpoint(eager=True)
-        for d in recent:
-            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
-        self.store.write_table("seen", merged.coalesce(
-            max(1, merged.rdd.getNumPartitions() // len(recent))), r)
+        merged = self.spark.read.parquet(*paths)
+        (merged.coalesce(max(1, merged.rdd.getNumPartitions() // len(recent)))
+         .write.mode("overwrite").parquet(staging))
+        self._compact_staged = (base, staging, lo, r)
+
+    def _finalize_seen_compaction(self) -> None:
+        staged = getattr(self, "_compact_staged", None)
+        if staged is None:
+            return
+        self._compact_staged = None
+        _swap_compacted_seen(*staged)
+
+    def _repair_seen_compaction(self, last: int) -> None:
+        """Finish (or discard) a compaction swap interrupted by a crash: a
+        staged dir for a committed round is swapped in (idempotent — the
+        staging dir holds the full union, so partially-deleted sources are
+        fine); one for an uncommitted round is discarded (its committed
+        sources are still intact and the round replays)."""
+        import os
+        import shutil
+        base = os.path.join(self.store.root, "seen")
+        if not os.path.isdir(base):
+            return
+        for d in os.listdir(base):
+            if not d.startswith(".compact-"):
+                continue
+            lo, hi = (int(x) for x in d[len(".compact-"):].split("-"))
+            staging = os.path.join(base, d)
+            if hi <= last:
+                _swap_compacted_seen(base, staging, lo, hi)
+            else:
+                shutil.rmtree(staging, ignore_errors=True)
+
+
+def _swap_compacted_seen(base: str, staging: str, lo: int, hi: int) -> None:
+    """Replace seen round dirs lo..hi with the staged merged dir (renamed to
+    round=hi). Idempotent: staging holds the full union of the sources, so
+    re-running after a crash at any point converges to the same layout."""
+    import os
+    import shutil
+    for k in range(lo, hi + 1):
+        shutil.rmtree(os.path.join(base, f"round={k}"), ignore_errors=True)
+    os.rename(staging, os.path.join(base, f"round={hi}"))

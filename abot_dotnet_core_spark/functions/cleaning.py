@@ -188,23 +188,23 @@ def line_dedup(df: DataFrame, lines_col: str = "lines",
 
     ``df`` carries ``(id_col, lines: array<string>)``. The first occurrence
     of a line is the minimum (doc_id, pos) over the whole corpus — computed
-    as a min-aggregation per line hash (NOT a row_number window, so a
+    as a struct min-aggregation per line hash (NOT a row_number window, so a
     boilerplate line shared by 10^9 docs is a single combine-reduced agg
-    group, not a giant sort partition). Two shuffles total: one on the
-    line hash, one on doc_id for reassembly.
+    group, not a giant sort partition; and no packed-bigint key, so there is
+    no line-count-per-doc limit or overflow). Two shuffles total: one on
+    the line hash, one on doc_id for reassembly.
 
     Output: (id_col, n_lines, n_kept, clean_text) — docs whose every line
     was a duplicate still appear, with n_kept=0 and clean_text=''."""
     lines = (df.select(id_col, F.size(lines_col).alias("n_lines"),
                        F.posexplode(lines_col).alias("pos", "line"))
              .withColumn("line_hash", F.xxhash64("line")))
-    # global first occurrence per line: min over a packed (doc_id, pos) key
-    # (both non-negative; pack into one bigint so it's a plain min-agg)
-    packed = F.col(id_col) * F.lit(1 << 20) + F.col("pos")
+    # global first occurrence per line: lexicographic struct min
     first = (lines.groupBy("line_hash")
-             .agg(F.min(packed).alias("first_key")))
+             .agg(F.min(F.struct(id_col, "pos")).alias("first_key")))
     kept = (lines.join(first, "line_hash")
-            .where(packed == F.col("first_key")))
+            .where((F.col(id_col) == F.col(f"first_key.{id_col}"))
+                   & (F.col("pos") == F.col("first_key.pos"))))
     rebuilt = (kept.groupBy(id_col)
                .agg(F.count("*").alias("n_kept"),
                     F.first("n_lines").alias("n_lines"),

@@ -183,20 +183,23 @@ def contamination_pairs(docs: DataFrame, bench: DataFrame,
     The benchmark side is tiny relative to a 100 TB corpus, so its exploded
     shingles are BROADCAST — the corpus-side shingle stream never shuffles
     (map-side hash join), and the only shuffle is the (doc, bench) overlap
-    count, already reduced to matching rows. Shingles join on their 8-byte
-    xxhash64 (longs, not strings). Output: (doc_id, bench_id, n_overlap,
-    bench_coverage) for pairs with >= min_overlap shared shingles.
+    count, already reduced to matching rows. Per-document shingle dedup is
+    row-local (``array_distinct`` before the explode — equivalent to a
+    dropDuplicates on (doc, shingle) but with no exchange). Shingles join
+    on their 8-byte xxhash64 (longs, not strings). Output: (doc_id,
+    bench_id, n_overlap, bench_coverage) for pairs with >= min_overlap
+    shared shingles.
     """
     ex_d = (docs.select(id_col,
-                        F.explode(shingles_col(F.col(text_col), shingle_n))
+                        F.explode(F.array_distinct(
+                            shingles_col(F.col(text_col), shingle_n)))
                         .alias("shingle"))
-            .select(id_col, F.xxhash64("shingle").alias("sh_h"))
-            .dropDuplicates([id_col, "sh_h"]))
+            .select(id_col, F.xxhash64("shingle").alias("sh_h")))
     ex_b = (bench.select(F.col(bench_id),
-                         F.explode(shingles_col(F.col(text_col), shingle_n))
+                         F.explode(F.array_distinct(
+                             shingles_col(F.col(text_col), shingle_n)))
                          .alias("shingle"))
-            .select(bench_id, F.xxhash64("shingle").alias("sh_h"))
-            .dropDuplicates([bench_id, "sh_h"]))
+            .select(bench_id, F.xxhash64("shingle").alias("sh_h")))
     sizes_b = ex_b.groupBy(bench_id).agg(F.count("*").alias("n_sh_b"))
     overlap = (ex_d.join(F.broadcast(ex_b), "sh_h")
                .groupBy(id_col, bench_id)

@@ -146,11 +146,21 @@ def merge_bloom_sidecar(sidecar: DataFrame, new_hashes: DataFrame,
     compaction)."""
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         bucket = int(pdf["bucket"].iloc[0])
-        blob_rows = pdf[pdf["blob"].notna()]
-        keys = pdf.loc[pdf["blob"].isna(), "new_hash"]
-        if len(blob_rows):
-            bf = BloomFilter.from_bytes(bytes(blob_rows["blob"].iloc[0]))
-            n = int(blob_rows["n_keys"].iloc[0]) + len(keys)
+        # sidecar rows always carry n_keys (build/merge emit it); new-hash
+        # rows never do. Discriminating on blob alone would misread a
+        # SATURATED sidecar row (blob=None) as a new-hash row.
+        is_sidecar = pdf["n_keys"].notna()
+        side = pdf[is_sidecar]
+        keys = pdf.loc[~is_sidecar, "new_hash"].dropna()
+        if len(side):
+            n = int(side["n_keys"].iloc[0]) + len(keys)
+            prev_blob = side["blob"].iloc[0]
+            if prev_blob is None:
+                # already saturated: stays always-maybe (the exact anti-join
+                # owns the bucket); never rebuilt from a partial key set
+                return pd.DataFrame({"bucket": [bucket], "n_keys": [n],
+                                     "blob": [None]})
+            bf = BloomFilter.from_bytes(bytes(prev_blob))
         else:
             bf = BloomFilter(max(len(keys) * 2, min_capacity), error_rate)
             n = len(keys)

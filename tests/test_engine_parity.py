@@ -214,6 +214,45 @@ class TestParitySeenCompaction:
             os.path.join(eng.store.root, "seen")) if d.startswith("round=")]
         assert len(seen_dirs) < eng.round + 1
 
+    def test_interrupted_swap_repaired_on_resume(self, spark,
+                                                 tiny_corpus_dir, tmp_path):
+        """Crash-safety: committed seen state must survive a crash at ANY
+        point of the compaction swap. Simulate the worst window — sources
+        already deleted, staged dir not yet renamed — and resume()."""
+        import os
+        import shutil
+        cfg = CrawlConfig(seen_compact_every=2)
+        eng = run_engine(spark, cfg, tiny_corpus_dir, tmp_path)
+        seen_before = sorted(
+            r["url_hash"] for r in eng._read_seen().collect())
+        base = os.path.join(eng.store.root, "seen")
+        last = eng.store.latest_round()
+
+        # reconstruct a mid-swap crash at the last committed round: move the
+        # newest round dirs into a staging dir and delete the sources, as if
+        # the process died between rmtree and os.rename
+        dirs = sorted((int(d.split("=")[1]) for d in os.listdir(base)
+                       if d.startswith("round=")))
+        lo, hi = dirs[-2], dirs[-1]
+        staging = os.path.join(base, f".compact-{lo}-{hi}")
+        (spark.read.parquet(os.path.join(base, f"round={lo}"),
+                            os.path.join(base, f"round={hi}"))
+         .write.parquet(staging))
+        shutil.rmtree(os.path.join(base, f"round={lo}"))
+        shutil.rmtree(os.path.join(base, f"round={hi}"))
+
+        eng2 = CrawlEngine.resume(
+            spark, CrawlConfig(seen_compact_every=2),
+            f"{tiny_corpus_dir}/corpus.parquet",
+            f"{tiny_corpus_dir}/corpus_meta.parquet",
+            str(tmp_path / "state"),
+            robots_path=f"{tiny_corpus_dir}/robots.parquet")
+        assert not any(d.startswith(".compact-") for d in os.listdir(base))
+        seen_after = sorted(
+            r["url_hash"] for r in eng2._read_seen().collect())
+        assert seen_after == seen_before
+        assert eng2.round == last
+
 
 class TestParityAngleSharp:
     def test_anglesharp_parser_config(self, spark, tiny_corpus_dir, tmp_path):

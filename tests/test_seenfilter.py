@@ -96,6 +96,49 @@ class TestSidecarSpark:
         assert not (ids & set(range(1000)))       # all seen dropped
         assert len(ids) > 900                      # most new kept
 
+    def test_merge_incremental_and_saturation_lifecycle(self, spark):
+        """merge_bloom_sidecar: (1) incremental merge finds both old and new
+        keys; (2) a bucket saturated to blob=None STAYS saturated through a
+        further merge (regression: the None-blob sidecar row used to be
+        misread as a new-hash row and crash on int(NaN))."""
+        from abot_dotnet_core_spark.operators.seenfilter import (
+            merge_bloom_sidecar)
+        seen0 = spark.range(0, 200).select(F.col("id").alias("url_hash"))
+        # tiny min_capacity so adding many keys saturates the bitset
+        sidecar = build_bloom_sidecar(seen0, buckets=1, min_capacity=64)
+        new1 = spark.range(200, 3000).select(F.col("id").alias("url_hash"))
+        m1 = merge_bloom_sidecar(sidecar, new1, buckets=1, min_capacity=64)
+        rows1 = m1.collect()
+        assert len(rows1) == 1 and rows1[0]["n_keys"] == 3000
+        assert rows1[0]["blob"] is None  # 3000 keys >> capacity: saturated
+        # re-merge on the already-saturated sidecar must not crash and must
+        # stay saturated with an accumulating key count
+        new2 = spark.range(3000, 3100).select(F.col("id").alias("url_hash"))
+        rows2 = merge_bloom_sidecar(m1, new2, buckets=1,
+                                    min_capacity=64).collect()
+        assert len(rows2) == 1 and rows2[0]["n_keys"] == 3100
+        assert rows2[0]["blob"] is None
+        # saturated bucket: prefilter reports maybe_seen for everything
+        cands = spark.range(0, 50).select(F.col("id").alias("url_hash"))
+        flagged = bloom_prefilter(cands, spark.createDataFrame(
+            rows2, schema=m1.schema), buckets=1)
+        assert all(r["maybe_seen"] for r in flagged.collect())
+
+    def test_merge_unsaturated_keeps_blob(self, spark):
+        from abot_dotnet_core_spark.operators.seenfilter import (
+            merge_bloom_sidecar)
+        seen0 = spark.range(0, 500).select(F.col("id").alias("url_hash"))
+        sidecar = build_bloom_sidecar(seen0, buckets=2)
+        new = spark.range(500, 600).select(F.col("id").alias("url_hash"))
+        merged = merge_bloom_sidecar(sidecar, new, buckets=2)
+        rows = merged.collect()
+        assert sum(r["n_keys"] for r in rows) == 600
+        assert all(r["blob"] is not None for r in rows)
+        flagged = bloom_prefilter(
+            spark.range(0, 600).select(F.col("id").alias("url_hash")),
+            merged, buckets=2)
+        assert all(r["maybe_seen"] for r in flagged.collect())
+
     def test_cuckoo_sidecar_build(self, spark):
         seen = spark.range(0, 2000).select(F.col("id").alias("url_hash"))
         sidecar = build_cuckoo_sidecar(seen, buckets=4).collect()
