@@ -236,6 +236,12 @@ class TestContamination:
         plan = contamination_pairs(docs, bench)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+        # per-doc shingle dedup is row-local (array_distinct), so the
+        # exploded shingle stream itself must never shuffle — the old
+        # dropDuplicates([doc_id, sh_h]) form showed up here as an
+        # Exchange hashpartitioning(..., sh_h, ...)
+        import re
+        assert not re.search(r"Exchange hashpartitioning\([^)]*sh_h", plan)
 
 
 class TestSamplingPacking:
