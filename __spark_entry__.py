@@ -1594,6 +1594,116 @@ GROUP BY 1, 2"""
 # driver contract
 # ===========================================================================
 
+# ===========================================================================
+# round-2 additions: exact substring dedup, DSIR importance weights,
+# stream-stream interval join
+# ===========================================================================
+
+SPAN_W = 8  # duplicated-substring window width (tokens), shared with oracle
+
+
+def q_substring_dedup(spark, sf_dir):
+    """Exact duplicated-substring dedup (Lee et al. 2022) at fixed 8-token
+    window granularity: per doc, how many tokens sit inside a window whose
+    text repeats anywhere in the corpus, and the md5 of the text that
+    survives removing them."""
+    from abot_dotnet_core_spark.functions.dedup import duplicated_span_stats
+    return duplicated_span_stats(_docs(spark, sf_dir), window=SPAN_W)
+
+
+def sql_substring_dedup():
+    w = SPAN_W
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+  FROM documents),
+pos AS (
+  SELECT doc_id, t,
+         unnest(range(0, greatest(len(t) - {w} + 1, 0))) AS i
+  FROM toks),
+wins AS (
+  SELECT doc_id, i AS pos,
+         substr(md5(array_to_string(t[i+1:i+{w}], ' ')), 1, 15) AS h
+  FROM pos),
+dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+covp AS (
+  SELECT DISTINCT w.doc_id, w.pos + o.j AS tpos
+  FROM wins w JOIN dup USING (h)
+  CROSS JOIN (SELECT unnest(range(0, {w})) AS j) o),
+cova AS (SELECT doc_id, list(tpos) AS cov FROM covp GROUP BY doc_id)
+SELECT t.doc_id,
+       len(t.t)::BIGINT AS n_tokens,
+       coalesce(len(c.cov), 0)::BIGINT AS n_dup_tokens,
+       round(coalesce(len(c.cov), 0) / greatest(len(t.t), 1), 6) AS dup_ratio,
+       md5(coalesce(array_to_string(
+         list_transform(
+           list_filter(range(0, len(t.t)),
+                       j -> NOT list_contains(coalesce(c.cov, []::BIGINT[]), j)),
+           j -> t.t[(j+1)::int]),
+         ' '), '')) AS kept_md5
+FROM toks t LEFT JOIN cova c USING (doc_id)"""
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR-style importance weights (target slice = lang 'en') in integer
+    fixed-point — order-independent distributed sums, bit-exact oracle."""
+    from abot_dotnet_core_spark.functions.sampling import dsir_weights
+    return dsir_weights(_docs(spark, sf_dir), target=F.col("lang") == "en",
+                        n_buckets=1024)
+
+
+def sql_dsir_weights():
+    return """
+WITH tok AS (
+  SELECT doc_id, (lang = 'en')::INT AS is_tgt,
+         unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                     ELSE regexp_split_to_array(trim(text), '\\s+') END) AS tok
+  FROM documents),
+b AS (
+  SELECT doc_id, is_tgt,
+         (md5_number_upper(tok) % 4294967296) % 1024 AS bucket
+  FROM tok),
+dim AS (
+  SELECT bucket, count(*) AS raw_c, sum(is_tgt) AS tgt_c
+  FROM b GROUP BY bucket),
+scored AS (
+  SELECT bucket, ((tgt_c + 1) * 1000000) // (raw_c + 1) AS score_micro
+  FROM dim),
+per AS (
+  SELECT doc_id, count(*) AS n_tokens, sum(score_micro) AS w
+  FROM b JOIN scored USING (bucket) GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(p.w, 0)::BIGINT AS dsir_weight_micro,
+       (coalesce(p.w, 0) // greatest(coalesce(p.n_tokens, 0), 1))::BIGINT
+         AS dsir_avg_micro
+FROM documents d LEFT JOIN per p USING (doc_id)"""
+
+
+def q_events_interval(spark, sf_dir):
+    """Stream-stream event-time interval join, batch form: every view→click
+    pair by the same user within a 2-hour lookback (the watermark-bounded
+    attribution join in streaming/metrics_stream.interval_join)."""
+    from abot_dotnet_core_spark.streaming.metrics_stream import interval_join
+    ev = _read(spark, sf_dir, "events")
+    return interval_join(ev.where(F.col("event_type") == "view"),
+                         ev.where(F.col("event_type") == "click"),
+                         lookback="2 hours")
+
+
+def sql_events_interval():
+    return """
+SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+       (epoch_us(c.ts) // 1000000 - epoch_us(v.ts) // 1000000)::BIGINT
+         AS gap_sec
+FROM events v JOIN events c
+  ON v.user_id = c.user_id
+ AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 2 HOUR
+WHERE v.event_type = 'view' AND c.event_type = 'click'"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the crawl-frontier BFS kernel (iterative expansion with
     seen-set anti-join dedup — one crawl round per iteration) on sf0.001."""
@@ -1622,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_pairs": q_neardup_pairs,
         "neardup_components": q_neardup_components,
         "neardup_keep_best": q_neardup_keep_best,
+        "substring_dedup": q_substring_dedup,
         "contamination": q_contamination,
         "pagerank": q_pagerank,
         "simhash_pairs": q_simhash_pairs,
@@ -1638,6 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_profile": q_length_profile,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
+        "dsir_weights": q_dsir_weights,
         "training_mix": q_training_mix,
         # corpus cleaning + recrawl history
         "gopher_repetition": q_gopher_repetition,
@@ -1653,6 +1765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_sliding": q_events_sliding,
         "events_asof": q_events_asof,
+        "events_interval": q_events_interval,
         # relational core
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -1684,6 +1797,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_pairs": sql_neardup_pairs(),
         "neardup_components": sql_neardup_components(),
         "neardup_keep_best": sql_neardup_keep_best(),
+        "substring_dedup": sql_substring_dedup(),
         "contamination": sql_contamination(),
         "pagerank": sql_pagerank(),
         "simhash_pairs": sql_simhash_pairs(),
@@ -1698,6 +1812,7 @@ def oracle_sql() -> dict[str, str]:
         "length_profile": sql_length_profile(),
         "stratified_sample": sql_stratified_sample(),
         "pack_sequences": sql_pack_sequences(),
+        "dsir_weights": sql_dsir_weights(),
         "training_mix": sql_training_mix(),
         "gopher_repetition": sql_gopher_repetition(),
         "pii_scrub": sql_pii_scrub(),
@@ -1710,6 +1825,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": sql_events_sessions(),
         "events_sliding": sql_events_sliding(),
         "events_asof": sql_events_asof(),
+        "events_interval": sql_events_interval(),
         "tpch_q1": sql_tpch_q1(),
         "tpch_q3": sql_tpch_q3(),
         "running_window": sql_running_window(),

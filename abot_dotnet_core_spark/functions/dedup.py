@@ -281,6 +281,72 @@ def neardup_components(docs: DataFrame, pairs: DataFrame,
                                                 "cluster_size")
 
 
+def duplicated_span_stats(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          window: int = 8) -> DataFrame:
+    """Exact duplicated-substring dedup at fixed token-window granularity.
+
+    The fixed-W rolling-window reformulation of exact substring dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): a W-token window is *duplicated* when its text occurs >= 2
+    times anywhere in the corpus (across or within documents); every token
+    covered by a duplicated window is removed. The paper's suffix array is
+    inherently sequential — the rolling window is the shuffle-friendly
+    equivalent (explode W-grams -> partial-agg count -> join back ->
+    positional coverage), entirely JVM built-ins.
+
+    Per doc: token count, duplicated-token count/ratio, and the md5 of the
+    surviving text (`kept_md5`) so the output stays narrow no matter how
+    wide the documents are.
+
+    Scale posture: the W-gram stream is |tokens| rows (not |tokens|*W — the
+    window text is hashed inside the projection, never materialized as W
+    copies). It shuffles twice on an 8-byte key: once for the global count
+    (map-side combine collapses each partition to its distinct windows) and
+    once to join the duplicated-hash set back (AQE broadcasts that set when
+    small, the common case). Coverage marking and text reassembly are
+    row-local array ops — the corpus text itself never shuffles. The
+    60-bit md5-prefix key is the oracle-portable stand-in for xxhash64;
+    collision odds at 10^12 windows are ~1e-13 per pair and a collision
+    only ever *over*-removes one window.
+    """
+    h64 = lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    toks = tokens_col(F.col(text_col))
+    base = (df.select(id_col, toks.alias("toks"))
+            .withColumn("n_tokens", F.size("toks")))
+    wins = (base.filter(F.col("n_tokens") >= window)
+            .select(id_col, F.posexplode(F.transform(
+                F.sequence(F.lit(0), F.col("n_tokens") - window),
+                lambda i: h64(F.concat_ws(
+                    " ", F.slice("toks", i + 1, F.lit(window))))))
+                .alias("pos", "h")))
+    dup = (wins.groupBy("h").agg(F.count("*").alias("c"))
+           .filter(F.col("c") > 1).select("h"))
+    covered = (wins.join(dup, "h")
+               .select(id_col, F.explode(F.sequence(
+                   F.col("pos"), F.col("pos") + window - 1)).alias("tpos"))
+               .distinct())
+    cov_arr = covered.groupBy(id_col).agg(
+        F.collect_list("tpos").alias("cov"))
+    joined = (base.join(cov_arr, id_col, "left")
+              .withColumn("cov", F.coalesce(
+                  "cov", F.array().cast("array<int>"))))
+    kept_toks = F.transform(
+        F.filter(F.transform("toks",
+                             lambda x, i: F.struct(x.alias("t"),
+                                                   i.alias("i"))),
+                 lambda s: ~F.array_contains(F.col("cov"), s["i"])),
+        lambda s: s["t"])
+    n_dup = F.size("cov")
+    return (joined
+            .withColumn("n_dup_tokens", n_dup.cast("long"))
+            .withColumn("dup_ratio", F.round(
+                n_dup / F.greatest(F.col("n_tokens"), F.lit(1)), 6))
+            .withColumn("kept_md5", F.md5(F.concat_ws(" ", kept_toks)))
+            .select(id_col, F.col("n_tokens").cast("long").alias("n_tokens"),
+                    "n_dup_tokens", "dup_ratio", "kept_md5"))
+
+
 def simhash_hamming_pairs(df: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text",
                           max_hamming: int = 3) -> DataFrame:

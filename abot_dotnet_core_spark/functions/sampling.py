@@ -17,6 +17,13 @@ no shuffle for sampling) with exact ANSI-SQL oracles:
                      group windows shuffle on the group key only; a global
                      packing at 100 TB would reuse the range-partition
                      two-pass prefix sum in operators/ordering.py.
+  dsir_weights       DSIR-style importance weights (Xie et al. 2023, "Data
+                     Selection for Language Models via Importance
+                     Resampling"): hashed unigram bucket counts for a
+                     target slice vs the raw corpus, per-document weight =
+                     sum over its tokens of the target/raw bucket ratio —
+                     in integer fixed-point so distributed partial-agg
+                     order can't perturb the result (bit-exact oracle).
 """
 
 from __future__ import annotations
@@ -76,3 +83,55 @@ def pack_sequences(df: DataFrame, budget: int, id_col: str = "doc_id",
             .withColumn("shard_offset", F.col("__prec") % budget)
             .select(id_col, group_col, "n_tokens", "shard_id",
                     "shard_offset"))
+
+
+def dsir_weights(df: DataFrame, target: Column, id_col: str = "doc_id",
+                 text_col: str = "text", n_buckets: int = 1024) -> DataFrame:
+    """Hashed-n-gram importance weights for data selection (DSIR-style).
+
+    Xie et al. 2023 ("Data Selection for Language Models via Importance
+    Resampling") score each raw document by the likelihood ratio of a
+    target distribution vs the raw distribution over hashed n-gram
+    features. This is the unigram variant in integer fixed-point:
+
+      bucket(tok)  = md5-u32(tok) % n_buckets       (engine-portable hash)
+      score[b]     = (tgt_count[b] + 1) * 10^6 div (raw_count[b] + 1)
+      weight(doc)  = sum over token occurrences of score[bucket(tok)]
+
+    ``score`` is the add-one-smoothed target/raw count ratio in millionths;
+    the paper's global normalization constant (raw_total/target_total) is
+    dropped — it scales every document identically, so ranking and
+    resampling are unchanged — which keeps every intermediate inside int64
+    and the arithmetic associative: Spark's partial-agg order cannot
+    perturb the result, so a sequential SQL oracle matches bit-for-bit
+    (same trick as the fixed-point PageRank).
+
+    Plan shape: one explode of the token stream, one partial-agg shuffle to
+    the <= n_buckets dimension, a broadcast join of that dimension back
+    onto the stream, one per-doc sum. The corpus text never shuffles.
+    ``target`` is a boolean Column over ``df``'s rows selecting the target
+    slice (e.g. ``F.col("lang") == "en"``).
+    """
+    tok = (df.withColumn("__is_tgt", target.cast("int"))
+           .select(id_col, "__is_tgt",
+                   F.explode(tokens_col(F.col(text_col))).alias("tok"))
+           .select(id_col, "__is_tgt",
+                   (sample_hash_u32(F.col("tok")) % n_buckets)
+                   .alias("bucket")))
+    dim = (tok.groupBy("bucket")
+           .agg(F.count("*").alias("raw_c"),
+                F.sum("__is_tgt").alias("tgt_c"))
+           .select("bucket",
+                   F.expr("(tgt_c + 1) * 1000000 div (raw_c + 1)")
+                   .alias("score_micro")))
+    per_doc = (tok.join(F.broadcast(dim), "bucket")
+               .groupBy(id_col)
+               .agg(F.count("*").alias("n_tokens"),
+                    F.sum("score_micro").alias("dsir_weight_micro")))
+    return (df.select(id_col).join(per_doc, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                    F.coalesce("dsir_weight_micro", F.lit(0))
+                    .alias("dsir_weight_micro"))
+            .withColumn("dsir_avg_micro", F.expr(
+                "dsir_weight_micro div greatest(n_tokens, 1)")))

@@ -76,6 +76,55 @@ def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                  F.round(F.sum("value"), 6).alias("sum_value")))
 
 
+def interval_join(views: DataFrame, clicks: DataFrame,
+                  lookback: str = "2 hours",
+                  watermark: str = "10 minutes") -> DataFrame:
+    """Stream-stream (or batch) event-time interval join: each click pairs
+    with every view by the same user whose timestamp falls in
+    ``[click_ts - lookback, click_ts]`` — the attribution join (view→click
+    conversion within a lookback horizon).
+
+    In streaming mode both sides carry watermarks and the join condition
+    bounds view_ts by click_ts on both ends, so Spark can expire join state
+    once the watermark passes ``click_ts`` (bounded state — the requirement
+    for a stream-stream inner join). The batch form is the identical plan
+    minus watermarks, which is what the SQL oracle diffs.
+    """
+    v = views.select(F.col("event_id").alias("view_id"), "user_id",
+                     F.col("ts").cast("timestamp").alias("view_ts"))
+    c = clicks.select(F.col("event_id").alias("click_id"),
+                      F.col("user_id").alias("click_user"),
+                      F.col("ts").cast("timestamp").alias("click_ts"))
+    if views.isStreaming:
+        v = v.withWatermark("view_ts", watermark)
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    cond = ((v["user_id"] == c["click_user"])
+            & (v["view_ts"] <= c["click_ts"])
+            & (v["view_ts"] >= c["click_ts"] - F.expr(f"INTERVAL {lookback}")))
+    return (v.join(c, cond)
+            .select("user_id", "view_id", "click_id",
+                    (F.col("click_ts").cast("long")
+                     - F.col("view_ts").cast("long")).alias("gap_sec")))
+
+
+def stream_interval_join(spark, source_path: str, checkpoint: str,
+                         out_path: str, lookback: str = "2 hours"):
+    """availableNow wiring for interval_join over one parquet event feed
+    (view rows join click rows read from the same stream)."""
+    schema = spark.read.parquet(source_path).schema
+
+    def side(event_type):
+        return (spark.readStream.schema(schema).parquet(source_path)
+                .filter(F.col("event_type") == event_type))
+
+    joined = interval_join(side("view"), side("click"), lookback=lookback)
+    return (joined.writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", checkpoint)
+            .format("parquet").option("path", out_path))
+
+
 DOMAIN_COUNTS_OUT = "domain string, crawled_total bigint"
 DOMAIN_COUNTS_STATE = "cnt bigint"
 

@@ -36,12 +36,12 @@ import time
 HEADLINE = [
     "tpch_q1", "tpch_q3", "running_window", "rollup_agg",
     "exact_dedup", "minhash_signatures", "neardup_pairs",
-    "neardup_components", "contamination",
+    "neardup_components", "contamination", "substring_dedup",
     "cosine_topk", "cosine_topk_lsh",
-    "stratified_sample", "pack_sequences", "training_mix",
+    "stratified_sample", "pack_sequences", "training_mix", "dsir_weights",
     "token_stats", "quality_scores", "lang_id", "fingerprint",
     "gopher_repetition", "line_dedup", "perplexity_buckets",
-    "url_keep_latest", "events_asof",
+    "url_keep_latest", "events_asof", "events_interval",
     "events_tumbling", "events_sessions",
     "seen_antijoin", "url_hash64", "frontier_bfs", "pagerank",
 ]

@@ -275,3 +275,70 @@ class TestSlidingCounts:
                                         window="2 hours",
                                         slide="1 hour").collect()}
         assert got <= want and len(got) >= 1
+
+
+class TestIntervalJoin:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            [Row(event_id=i, ts=ts, user_id=u, event_type=et)
+             for i, (ts, u, et) in enumerate(rows)])
+
+    def test_boundary_semantics(self, spark):
+        from abot_dotnet_core_spark.streaming.metrics_stream import (
+            interval_join)
+        t0 = datetime.datetime(2026, 1, 1, 10, 0, 0)
+
+        def m(minutes):
+            return t0 + datetime.timedelta(minutes=minutes)
+
+        ev = self._ev(spark, [
+            (m(0), 1, "view"),     # 0: exactly lookback before click -> in
+            (m(55), 1, "view"),    # 1: inside window -> in
+            (m(60), 1, "view"),    # 2: equal ts -> in
+            (m(61), 1, "view"),    # 3: after the click -> out
+            (m(59), 2, "view"),    # 4: other user -> out
+            (m(60), 1, "click"),   # 5
+        ])
+        got = sorted(
+            (r["view_id"], r["click_id"], r["gap_sec"])
+            for r in interval_join(
+                ev.where(F.col("event_type") == "view"),
+                ev.where(F.col("event_type") == "click"),
+                lookback="1 hour").collect())
+        assert got == [(0, 5, 3600), (1, 5, 300), (2, 5, 0)]
+
+    def test_streaming_equals_batch(self, spark, tmp_path):
+        """stream_interval_join (availableNow, watermarked both sides)
+        emits exactly the batch join's pairs."""
+        import os
+        import pandas as pd
+        from abot_dotnet_core_spark.streaming.metrics_stream import (
+            interval_join, stream_interval_join)
+        src = str(tmp_path / "feed")
+        os.makedirs(src)
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        t0 = datetime.datetime(2026, 1, 1, 10, 0, 0)
+        rows = []
+        for i in range(40):
+            rows.append((i, t0 + datetime.timedelta(minutes=7 * i),
+                         i % 3, "view" if i % 2 == 0 else "click", 1.0, ""))
+        pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                    "event_type", "value", "props"]) \
+            .to_parquet(f"{src}/part-0.parquet", index=False,
+                        coerce_timestamps="us",
+                        allow_truncated_timestamps=True)
+        q = stream_interval_join(spark, src, ckpt, out,
+                                 lookback="30 minutes").start()
+        q.awaitTermination(120)
+
+        ev = spark.read.parquet(src)
+        want = sorted(
+            (r["view_id"], r["click_id"], r["gap_sec"])
+            for r in interval_join(
+                ev.where(F.col("event_type") == "view"),
+                ev.where(F.col("event_type") == "click"),
+                lookback="30 minutes").collect())
+        got = sorted((r["view_id"], r["click_id"], r["gap_sec"])
+                     for r in spark.read.parquet(out).collect())
+        assert want and got == want

@@ -471,3 +471,86 @@ class TestStreaming:
             latest[r["domain"]] = max(latest.get(r["domain"], 0),
                                       r["crawled_total"])
         assert latest == {"a.test": 4, "b.test": 2, "c.test": 1}
+
+
+class TestSubstringDedup:
+    def _run(self, spark, docs, window=3):
+        from abot_dotnet_core_spark.functions.dedup import (
+            duplicated_span_stats)
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        return {r["doc_id"]: r
+                for r in duplicated_span_stats(df, window=window).collect()}
+
+    @staticmethod
+    def _md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    def test_cross_doc_window_removed(self, spark):
+        out = self._run(spark, [(1, "a b x y z c"), (2, "q x y z r")])
+        r1, r2 = out[1], out[2]
+        # "x y z" occurs in both docs -> its 3 tokens are covered in each
+        assert (r1["n_tokens"], r1["n_dup_tokens"]) == (6, 3)
+        assert r1["kept_md5"] == self._md5("a b c")
+        assert (r2["n_tokens"], r2["n_dup_tokens"]) == (5, 3)
+        assert r2["kept_md5"] == self._md5("q r")
+
+    def test_self_repeat_within_doc(self, spark):
+        # windows [m n m] and [n m n] each occur twice inside the one doc
+        r = self._run(spark, [(1, "m n m n m n")])[1]
+        assert (r["n_tokens"], r["n_dup_tokens"]) == (6, 6)
+        assert r["dup_ratio"] == 1.0
+        assert r["kept_md5"] == self._md5("")
+
+    def test_short_and_empty_docs_survive(self, spark):
+        out = self._run(spark, [(1, "just two"), (2, "")])
+        assert (out[1]["n_dup_tokens"], out[1]["kept_md5"]) == (
+            0, self._md5("just two"))
+        assert (out[2]["n_tokens"], out[2]["kept_md5"]) == (0, self._md5(""))
+
+    def test_unique_corpus_untouched(self, spark):
+        out = self._run(spark, [(1, "a b c d"), (2, "e f g h")])
+        assert all(r["n_dup_tokens"] == 0 for r in out.values())
+
+
+class TestDsirWeights:
+    @staticmethod
+    def _bucket(tok, n=1024):
+        # sample_hash_u32 = md5_number_upper % 2^32 = first 4 md5 bytes LE
+        return int.from_bytes(
+            hashlib.md5(tok.encode()).digest()[:4], "little") % n
+
+    def test_matches_python_oracle(self, spark):
+        from abot_dotnet_core_spark.functions.sampling import dsir_weights
+        docs = [(1, "a b", "en"), (2, "a c", "fr"), (3, "", "en"),
+                (4, "a a b", "en")]
+        df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+        got = {r["doc_id"]: r for r in dsir_weights(
+            df, target=F.col("lang") == "en").collect()}
+
+        raw, tgt = {}, {}
+        for _, text, lang in docs:
+            for tok in text.split():
+                b = self._bucket(tok)
+                raw[b] = raw.get(b, 0) + 1
+                if lang == "en":
+                    tgt[b] = tgt.get(b, 0) + 1
+        score = {b: (tgt.get(b, 0) + 1) * 1_000_000 // (raw[b] + 1)
+                 for b in raw}
+        for doc_id, text, _ in docs:
+            toks = text.split()
+            w = sum(score[self._bucket(t)] for t in toks)
+            assert got[doc_id]["dsir_weight_micro"] == w
+            assert got[doc_id]["n_tokens"] == len(toks)
+            assert got[doc_id]["dsir_avg_micro"] == w // max(len(toks), 1)
+
+    def test_target_docs_rank_higher(self, spark):
+        """Docs made of target-heavy tokens outrank raw-only docs."""
+        from abot_dotnet_core_spark.functions.sampling import dsir_weights
+        rows = ([(i, "alpha beta gamma", "en") for i in range(5)]
+                + [(i + 5, "zeta eta theta", "fr") for i in range(5)]
+                + [(10, "alpha beta gamma", "fr"), (11, "zeta eta theta", "en")])
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string")
+        got = {r["doc_id"]: r["dsir_avg_micro"] for r in dsir_weights(
+            df, target=F.col("lang") == "en").collect()}
+        assert got[10] > got[5]  # target-like text scores above raw-only
