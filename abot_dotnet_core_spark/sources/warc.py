@@ -1,0 +1,252 @@
+"""WARC source: read Common-Crawl-style WARC(.gz) segments into the
+``input_hint`` corpus table shape, plus a deterministic fixture writer.
+
+The engine's input table ``(url, warc_ts, html, text, lang)`` is
+"Common-Crawl-style web pages"; Common Crawl's native container is WARC/1.0
+(ISO 28500): a file is a sequence of records
+
+    WARC/1.0\\r\\n <warc-headers> \\r\\n\\r\\n <Content-Length block> \\r\\n\\r\\n
+
+and in the ``.warc.gz`` convention every record is its own gzip *member*, so
+the concatenated file is still one valid gzip stream. A ``response`` record's
+block is a full HTTP message (status line + headers + payload).
+
+Scale posture: one Spark task per WARC file — ``spark.read.format
+("binaryFile")`` yields whole-file rows (binary files are not splittable),
+parsed in an Arrow-batched ``mapInPandas`` generator. That is exactly how
+Common Crawl is processed in practice (a crawl is ~64k segment files of
+~1 GB; per-file tasks keep a cluster dense with ZERO shuffle — parallelism
+comes from file count, not intra-file splits). The parse is the unavoidable
+Python step for a binary container format; everything downstream (text
+extraction, lang-id, dedup, the crawl join) stays on the existing
+JVM/Arrow paths.
+
+Reference anchor: replaces the live-HTTP fetch surface
+(/root/reference/Abot/src/Abot/Core/PageRequester.cs:64-119) for archived
+crawls — status / content-type / payload come out of the stored HTTP
+message instead of a socket, feeding the same decision cascade (P10-P12).
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+import os
+from datetime import datetime, timezone
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+_CRLF2 = b"\r\n\r\n"
+_MAGIC = b"WARC/"
+
+WARC_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_ts", T.TimestampType()),
+    T.StructField("status", T.IntegerType()),
+    T.StructField("content_type", T.StringType()),
+    T.StructField("html", T.BinaryType()),
+    T.StructField("warc_file", T.StringType()),
+])
+
+
+# ---------------------------------------------------------------------------
+# record-level parsing (pure bytes -> dicts; exercised directly by tests)
+# ---------------------------------------------------------------------------
+
+def _parse_headers(blob: bytes) -> dict[str, str]:
+    """Parse ``Name: value`` CRLF header lines (case-insensitive names)."""
+    out: dict[str, str] = {}
+    for line in blob.split(b"\r\n"):
+        if b":" in line:
+            k, v = line.split(b":", 1)
+            out[k.strip().lower().decode("latin-1")] = \
+                v.strip().decode("latin-1")
+    return out
+
+
+def _parse_http_block(block: bytes) -> tuple[int | None, str | None, bytes]:
+    """Split an ``application/http; msgtype=response`` block into
+    (status, content_type header, payload bytes)."""
+    head_end = block.find(_CRLF2)
+    if head_end < 0:
+        return None, None, block
+    head, payload = block[:head_end], block[head_end + 4:]
+    first, _, rest = head.partition(b"\r\n")
+    status = None
+    parts = first.split(None, 2)
+    if len(parts) >= 2 and parts[0].startswith(b"HTTP/"):
+        try:
+            status = int(parts[1])
+        except ValueError:
+            status = None
+    return status, _parse_headers(rest).get("content-type"), payload
+
+
+def iter_warc_records(data: bytes):
+    """Yield dicts for the ``response``/``resource`` records in one WARC
+    file's bytes (plain or gzip; multi-member gzip handled by GzipFile).
+
+    Malformed tails are tolerated: a record that can't be framed (no header
+    terminator / short block) is skipped by re-scanning for the next
+    ``WARC/`` magic — a truncated upload costs its last record, not the
+    whole segment.
+    """
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        start = data.find(_MAGIC, pos)
+        if start < 0:
+            return
+        head_end = data.find(_CRLF2, start)
+        if head_end < 0:
+            return
+        headers = _parse_headers(data[start:head_end])
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            pos = start + len(_MAGIC)
+            continue
+        block_start = head_end + 4
+        block_end = block_start + length
+        if block_end > n:     # truncated final record
+            return
+        pos = block_end       # next scan resumes after the block
+        rtype = headers.get("warc-type", "").lower()
+        if rtype not in ("response", "resource"):
+            continue
+        url = headers.get("warc-target-uri")
+        if not url:
+            continue
+        block = data[block_start:block_end]
+        if rtype == "response" and "application/http" in \
+                headers.get("content-type", ""):
+            status, ctype, payload = _parse_http_block(block)
+        else:                 # resource record: the block IS the payload
+            status, ctype, payload = 200, headers.get("content-type"), block
+        ts = None
+        raw_ts = headers.get("warc-date")
+        if raw_ts:
+            try:
+                ts = datetime.strptime(raw_ts, "%Y-%m-%dT%H:%M:%SZ")
+            except ValueError:
+                ts = None
+        yield {"url": url, "warc_ts": ts, "status": status,
+               "content_type": ctype, "html": payload}
+
+
+# ---------------------------------------------------------------------------
+# Spark reader
+# ---------------------------------------------------------------------------
+
+def read_warc(spark, path: str) -> DataFrame:
+    """Read a directory/glob of ``.warc`` / ``.warc.gz`` files into
+    ``(url, warc_ts, status, content_type, html, warc_file)``.
+
+    One task per file (binaryFile rows are whole files); the Arrow batch
+    carries file bytes in, record rows out — no shuffle anywhere.
+    """
+    files = (spark.read.format("binaryFile").load(path)
+             .select("path", "content"))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                for rec in iter_warc_records(bytes(blob)):
+                    rec["warc_file"] = os.path.basename(fpath)
+                    rows.append(rec)
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              WARC_SCHEMA.fields])
+
+    return files.mapInPandas(gen, schema=WARC_SCHEMA)
+
+
+def warc_to_corpus(spark, path: str) -> DataFrame:
+    """Project WARC records into the exact ``input_hint`` table
+    ``(url, warc_ts, html, text, lang)``: charset-cascade text extraction
+    (the same T5 kernel the crawl engine uses, so text is byte-identical to
+    a live crawl of the same pages) + the set-based stopword lang-id."""
+    from ..functions.textfns import with_lang_id
+    from ..functions.udfs import extract_text_udf
+    w = read_warc(spark, path)
+    txt = w.withColumn("__t", extract_text_udf(F.col("html"),
+                                               F.col("content_type")))
+    corpus = txt.select("url", "warc_ts", "html",
+                        F.col("__t.text").alias("text"))
+    return (with_lang_id(corpus, "text")
+            .select("url", "warc_ts", "html", "text",
+                    F.col("lang_pred").alias("lang")))
+
+
+# ---------------------------------------------------------------------------
+# fixture writer (tests / synthetic segments — no external data)
+# ---------------------------------------------------------------------------
+
+def _record_id(url: str, ts: str) -> str:
+    h = hashlib.md5(f"{url}:{ts}".encode()).hexdigest()
+    return (f"<urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}>")
+
+
+def write_warc(records, path: str, compress: bool | None = None) -> int:
+    """Write ``response`` records to one WARC file; returns record count.
+
+    ``records``: iterable of dicts with keys url, warc_ts (datetime),
+    status, content_type, html (bytes). ``compress`` defaults from the
+    filename (``.gz``); gzip output is one member per record, the Common
+    Crawl layout. Deterministic: record ids derive from (url, ts); no
+    wall-clock or RNG.
+    """
+    if compress is None:
+        compress = path.endswith(".gz")
+    n = 0
+    with open(path, "wb") as f:
+        for rec in records:
+            ts = rec["warc_ts"]
+            if ts.tzinfo is not None:
+                ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
+            ts_s = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+            payload = bytes(rec.get("html") or b"")
+            http = (f"HTTP/1.1 {rec.get('status', 200)} \r\n"
+                    f"Content-Type: {rec.get('content_type') or ''}\r\n"
+                    f"Content-Length: {len(payload)}\r\n\r\n"
+                    ).encode("latin-1") + payload
+            head = ("WARC/1.0\r\n"
+                    "WARC-Type: response\r\n"
+                    f"WARC-Target-URI: {rec['url']}\r\n"
+                    f"WARC-Date: {ts_s}\r\n"
+                    f"WARC-Record-ID: {_record_id(rec['url'], ts_s)}\r\n"
+                    "Content-Type: application/http; msgtype=response\r\n"
+                    f"Content-Length: {len(http)}\r\n\r\n").encode("latin-1")
+            raw = head + http + _CRLF2
+            if compress:
+                gz = io.BytesIO()
+                # mtime pinned for byte-determinism across runs
+                with gzip.GzipFile(fileobj=gz, mode="wb", mtime=0) as g:
+                    g.write(raw)
+                raw = gz.getvalue()
+            f.write(raw)
+            n += 1
+    return n
+
+
+def write_warc_segments(records, outdir: str, n_segments: int = 4,
+                        compress: bool = True) -> list[str]:
+    """Shard records across ``n_segments`` WARC files (hash of url) — the
+    many-files layout read_warc parallelizes over."""
+    os.makedirs(outdir, exist_ok=True)
+    buckets: list[list] = [[] for _ in range(n_segments)]
+    for rec in records:
+        b = int(hashlib.md5(rec["url"].encode()).hexdigest()[:8], 16) \
+            % n_segments
+        buckets[b].append(rec)
+    ext = ".warc.gz" if compress else ".warc"
+    paths = []
+    for i, bucket in enumerate(buckets):
+        p = os.path.join(outdir, f"segment-{i:05d}{ext}")
+        write_warc(bucket, p, compress=compress)
+        paths.append(p)
+    return paths

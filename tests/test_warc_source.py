@@ -1,0 +1,172 @@
+"""WARC source: byte-level record parsing, Spark reader, corpus projection.
+
+The fixture records come from the same deterministic synthetic corpus the
+engine crawls, so `warc_to_corpus` text can be checked byte-identical
+against the kernel extractor (golden_text) — the input_hint invariant.
+"""
+
+import datetime
+import gzip
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from abot_dotnet_core_spark.sources.warc import (
+    iter_warc_records, read_warc, warc_to_corpus, write_warc,
+    write_warc_segments)
+
+T0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _recs(n=20):
+    """Deterministic fixture records with varied charsets/statuses."""
+    out = []
+    for i in range(n):
+        body = (f"<html><head><title>p{i}</title></head><body>"
+                f"<a href='/child{i}'>c</a> tok{i} common words here"
+                f"</body></html>").encode()
+        out.append({
+            "url": f"http://w{i % 5}.test/page{i}",
+            "warc_ts": T0 + datetime.timedelta(seconds=i),
+            "status": 200 if i % 4 else 404,
+            "content_type": "text/html; charset=utf-8",
+            "html": body,
+        })
+    return out
+
+
+class TestRecordLevel:
+    def test_roundtrip_plain_and_gzip(self, tmp_path):
+        recs = _recs(7)
+        for name in ("a.warc", "a.warc.gz"):
+            p = str(tmp_path / name)
+            assert write_warc(recs, p) == 7
+            got = list(iter_warc_records(open(p, "rb").read()))
+            assert [g["url"] for g in got] == [r["url"] for r in recs]
+            assert [g["html"] for g in got] == [r["html"] for r in recs]
+            assert [g["status"] for g in got] == [r["status"] for r in recs]
+            assert got[0]["warc_ts"] == recs[0]["warc_ts"]
+            assert got[0]["content_type"] == "text/html; charset=utf-8"
+
+    def test_gzip_is_one_member_per_record(self, tmp_path):
+        p = str(tmp_path / "m.warc.gz")
+        write_warc(_recs(3), p)
+        data = open(p, "rb").read()
+        assert data.count(b"\x1f\x8b\x08") == 3       # 3 gzip members
+        # and still one valid concatenated stream
+        assert gzip.GzipFile(fileobj=__import__("io").BytesIO(data)) \
+            .read().count(b"WARC/1.0") == 3
+
+    def test_deterministic_bytes(self, tmp_path):
+        p1, p2 = str(tmp_path / "d1.warc.gz"), str(tmp_path / "d2.warc.gz")
+        write_warc(_recs(5), p1)
+        write_warc(_recs(5), p2)
+        assert open(p1, "rb").read() == open(p2, "rb").read()
+
+    def test_truncated_tail_skipped(self, tmp_path):
+        p = str(tmp_path / "t.warc")
+        write_warc(_recs(4), p)
+        data = open(p, "rb").read()
+        got = list(iter_warc_records(data[:len(data) - 40]))  # cut last block
+        assert [g["url"] for g in got] == \
+            [r["url"] for r in _recs(4)][:3]
+
+    def test_non_response_records_skipped(self, tmp_path):
+        p = str(tmp_path / "w.warc")
+        write_warc(_recs(2), p)
+        info = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+                b"Content-Type: application/warc-fields\r\n"
+                b"Content-Length: 9\r\n\r\nrobots: x\r\n\r\n")
+        data = info + open(p, "rb").read()
+        assert len(list(iter_warc_records(data))) == 2
+
+    def test_resource_record(self):
+        block = b"plain payload"
+        raw = (b"WARC/1.0\r\nWARC-Type: resource\r\n"
+               b"WARC-Target-URI: http://r.test/f.txt\r\n"
+               b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+               b"Content-Type: text/plain\r\n"
+               b"Content-Length: %d\r\n\r\n" % len(block)) + block + b"\r\n\r\n"
+        [got] = list(iter_warc_records(raw))
+        assert (got["status"], got["html"], got["content_type"]) == \
+            (200, block, "text/plain")
+
+
+class TestSparkReader:
+    def test_read_segments(self, spark, tmp_path):
+        recs = _recs(40)
+        paths = write_warc_segments(recs, str(tmp_path / "seg"),
+                                    n_segments=4)
+        assert len(paths) == 4 and all(os.path.exists(p) for p in paths)
+        df = read_warc(spark, str(tmp_path / "seg"))
+        rows = {r["url"]: r for r in df.collect()}
+        assert len(rows) == 40
+        for rec in recs:
+            got = rows[rec["url"]]
+            assert bytes(got["html"]) == rec["html"]
+            assert got["status"] == rec["status"]
+            assert got["warc_ts"] == rec["warc_ts"]
+        # parallelism = file count: one input task per segment
+        assert df.rdd.getNumPartitions() >= 1
+        assert spark.read.format("binaryFile") \
+            .load(str(tmp_path / "seg")).count() == 4
+
+    def test_corpus_projection_text_is_byte_identical(self, spark, tmp_path):
+        """input_hint invariant: text extracted from WARC == kernel
+        golden_text of the same html (same charset cascade the engine
+        uses), incl. a non-utf8 header-charset page."""
+        from abot_dotnet_core_spark.kernel.extract import golden_text
+        recs = _recs(12)
+        recs.append({
+            "url": "http://w9.test/cp1251",
+            "warc_ts": T0,
+            "status": 200,
+            "content_type": "text/html; charset=windows-1251",
+            "html": "<html><body>Привет мир</body></html>".encode("cp1251"),
+        })
+        write_warc_segments(recs, str(tmp_path / "seg2"), n_segments=2)
+        df = warc_to_corpus(spark, str(tmp_path / "seg2"))
+        assert df.columns == ["url", "warc_ts", "html", "text", "lang"]
+        got = {r["url"]: r for r in df.collect()}
+        assert len(got) == 13
+        for rec in recs:
+            want = golden_text(rec["html"], rec["content_type"])
+            assert got[rec["url"]]["text"] == want, rec["url"]
+        assert "Привет" in got["http://w9.test/cp1251"]["text"]
+        assert all(isinstance(r["lang"], str) for r in got.values())
+
+    def test_engine_crawls_warc_corpus(self, spark, tmp_path):
+        """End-to-end: WARC segments -> corpus tables -> CrawlEngine round.
+        The archived-crawl replacement for the live-HTTP fetch surface."""
+        from abot_dotnet_core_spark.config import CrawlConfig
+        from abot_dotnet_core_spark.crawler import CrawlEngine
+        recs = []
+        for i in range(6):
+            nxt = f"<a href='/p{i + 1}'>n</a>" if i < 5 else ""
+            recs.append({
+                "url": f"http://site.test/p{i}" if i else "http://site.test/",
+                "warc_ts": T0 + datetime.timedelta(seconds=i),
+                "status": 200,
+                "content_type": "text/html; charset=utf-8",
+                "html": f"<html><body>page {i} {nxt}</body></html>".encode(),
+            })
+        write_warc_segments(recs, str(tmp_path / "seg3"), n_segments=2)
+        w = read_warc(spark, str(tmp_path / "seg3"))
+        corpus_dir = str(tmp_path / "as_corpus")
+        w.select("url", "warc_ts", "html").write.parquet(
+            f"{corpus_dir}/corpus.parquet")
+        (w.select("url", "status", "content_type",
+                  F.length("html").cast("long").alias("content_length"),
+                  F.lit(None).cast("string").alias("redirect_to"),
+                  F.lit(None).cast("string").alias("x_robots"),
+                  F.lit(None).cast("string").alias("retry_after"))
+         .write.parquet(f"{corpus_dir}/corpus_meta.parquet"))
+        eng = CrawlEngine(
+            spark, CrawlConfig(max_pages_to_crawl=0),
+            corpus_path=f"{corpus_dir}/corpus.parquet",
+            corpus_meta_path=f"{corpus_dir}/corpus_meta.parquet",
+            store_root=str(tmp_path / "store"))
+        eng.seed(["http://site.test/"])
+        stats = eng.run(max_rounds=10)
+        assert sum(s.fetched for s in stats) == 6   # whole chain crawled
