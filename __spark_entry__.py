@@ -467,11 +467,21 @@ def q_minhash_signatures(spark, sf_dir):
     return minhash_signatures(_docs(spark, sf_dir), k=4)
 
 
+# the 4 signature lanes are the LE uint32 words of ONE md5 per shingle:
+# words 0/1 = md5_number_upper (first 8 digest bytes LE) split, words 2/3 =
+# md5_number_lower — bit-exact vs the engine's hex-pair-swap extraction
+_MH_LANES = ", ".join(
+    f"min(({src} {op} 4294967296))::BIGINT AS mh_{i}"
+    for i, (src, op) in enumerate([("md5_number_upper(shingle)", "%"),
+                                   ("md5_number_upper(shingle)", "//"),
+                                   ("md5_number_lower(shingle)", "%"),
+                                   ("md5_number_lower(shingle)", "//")]))
+
+
 def sql_minhash_signatures():
     shingle = ("list_transform(range(1, len(toks) - 1), "
                "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])")
-    mins = ", ".join(
-        f"min(md5('{i}|' || shingle)) AS mh_{i}" for i in range(4))
+    mins = _MH_LANES
     return f"""
 WITH tok AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
@@ -501,14 +511,13 @@ WITH tok AS (
   FROM documents WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3),
 sh AS (SELECT DISTINCT doc_id, unnest({shingle}) AS shingle FROM tok),
 sig AS (
-  SELECT doc_id,
-         min(md5('0|' || shingle)) AS mh_0, min(md5('1|' || shingle)) AS mh_1,
-         min(md5('2|' || shingle)) AS mh_2, min(md5('3|' || shingle)) AS mh_3
+  SELECT doc_id, {_MH_LANES}
   FROM sh GROUP BY doc_id),
 buckets AS (
-  SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS bucket FROM sig
+  SELECT doc_id, 0 AS band,
+         md5(mh_0::VARCHAR || '|' || mh_1::VARCHAR) AS bucket FROM sig
   UNION ALL
-  SELECT doc_id, 1, md5(mh_2 || '|' || mh_3) FROM sig),
+  SELECT doc_id, 1, md5(mh_2::VARCHAR || '|' || mh_3::VARCHAR) FROM sig),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket

@@ -39,12 +39,21 @@ from .textfns import tokens_col
 
 
 def shingles_col(text, n: int = 3):
-    """Token n-gram shingles as an array column (JVM-side transform)."""
+    """Token n-gram shingles as an array column (JVM-side).
+
+    Built by zipping n shifted slices of the token array and joining each
+    zipped struct — the lambda touches ONLY its own element. The obvious
+    ``transform(sequence(...), i -> element_at(toks, i+j))`` form embeds
+    the tokenizer inside the lambda body, and interpreted higher-order
+    functions re-evaluate it PER ELEMENT (an O(tokens * n) regexp-split
+    blow-up measured at ~5x the cost of the whole minhash pass)."""
     toks = tokens_col(text)
-    k = F.size(toks)
-    return F.when(k < n, F.array().cast("array<string>")).otherwise(
-        F.transform(F.sequence(F.lit(0), k - n),
-                    lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1)
+    m = F.size(toks) - (n - 1)          # shingle count when positive
+    parts = [F.slice(toks, j + 1, F.greatest(m, F.lit(0)))
+             for j in range(n)]
+    return F.when(m <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(F.arrays_zip(*parts),
+                    lambda s: F.concat_ws(" ", *[s[str(j)]
                                                  for j in range(n)])))
 
 
@@ -61,13 +70,41 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", k: int = 8,
                        shingle_n: int = 3) -> DataFrame:
-    """(id, minhash_0..minhash_{k-1}) — min over md5(i|shingle) hex strings."""
-    ex = (df.select(id_col, F.explode(shingles_col(F.col(text_col), shingle_n))
-                    .alias("shingle"))
-          .dropDuplicates([id_col, "shingle"]))
-    aggs = [F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))))
-            .alias(f"mh_{i}") for i in range(k)]
-    return ex.groupBy(id_col).agg(*aggs)
+    """(id, minhash_0..minhash_{k-1}) — u32 lane mins of per-shingle md5.
+
+    One md5 evaluation yields FOUR signature lanes: the digest's four
+    little-endian uint32 words (the classic one-hash-many-lanes MinHash —
+    k independent md5('i|'||s) passes would cost k times the hashing for
+    no extra recall). Lane i uses word i%4 of digest group i//4, where
+    group 0 hashes the bare shingle and group g>0 hashes 'g|'||shingle.
+    The LE-word split is exactly DuckDB's md5_number_upper/_lower words,
+    so the SQL oracle is bit-exact.
+
+    Plan shape: explode shingles -> one md5 -> groupBy(id) min per lane.
+    The min agg is partial (map-side combine), so only n_docs x k longs
+    ever shuffle, and the whole pipeline stays inside whole-stage codegen
+    (a row-local array_min/transform variant was measured SLOWER — Spark
+    runs higher-order functions interpreted, outside codegen). No dedup
+    pass: min over the multiset equals min over the set. Docs with no
+    shingles (< shingle_n tokens) are dropped, matching the set-based
+    definition (empty set has no min)."""
+    ex = (df.filter(F.size(tokens_col(F.col(text_col))) >= shingle_n)
+          .select(id_col,
+                  F.explode(shingles_col(F.col(text_col), shingle_n))
+                  .alias("shingle")))
+
+    def lane(g, j):
+        # j-th LE uint32 word of the group-g hex digest = byte-swapped hex
+        # chars [8j+1, 8j+8]
+        h = F.md5(F.col("shingle")) if g == 0 else \
+            F.md5(F.concat(F.lit(f"{g}|"), F.col("shingle")))
+        o = 8 * j
+        le = F.concat(F.substring(h, o + 7, 2), F.substring(h, o + 5, 2),
+                      F.substring(h, o + 3, 2), F.substring(h, o + 1, 2))
+        return F.conv(le, 16, 10).cast("long")
+
+    return ex.groupBy(id_col).agg(
+        *[F.min(lane(i // 4, i % 4)).alias(f"mh_{i}") for i in range(k)])
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
@@ -82,7 +119,11 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
                                   F.md5(F.concat_ws("|", *cols)).alias("bucket")))
     buckets = (sigs.select(id_col, F.explode(F.array(*band_cols)).alias("bb"))
                .select(id_col, F.col("bb.band").alias("band"),
-                       F.col("bb.bucket").alias("bucket")))
+                       F.col("bb.bucket").alias("bucket"))
+               # materialize ONCE (narrow: n_docs x bands rows): the bucket
+               # table is referenced three times below (sizes, self-join a/b)
+               # and the signature computation under it is md5-heavy
+               .localCheckpoint(eager=True))
     # skew guard: drop boilerplate buckets that would quadratically explode
     sizes = buckets.groupBy("band", "bucket").agg(F.count("*").alias("n"))
     buckets = (buckets.join(sizes, ["band", "bucket"])
@@ -102,8 +143,18 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     # join on the 8-byte xxhash of the shingle, not the string — the
     # intersection shuffle moves longs instead of ~20-byte strings
     # (collision probability ~ n^2/2^64, immaterial at corpus scale)
-    ex = (df.select(id_col, F.explode(shingles_col(F.col(text_col), shingle_n))
-                    .alias("shingle"))
+    pairs = pairs.localCheckpoint(eager=True)  # small; referenced 3x below
+    # only docs that appear in a candidate pair need their shingle sets:
+    # semi-join BEFORE the explode/dedup shuffle, so the shuffled volume
+    # tracks |candidate docs|, not |corpus| (AQE broadcasts the id set when
+    # it fits; at billions of candidates it falls back to a shuffled semi —
+    # still strictly cheaper than shingling the whole corpus)
+    pair_ids = (pairs.select(F.col("id_a").alias(id_col))
+                .union(pairs.select(F.col("id_b").alias(id_col)))
+                .distinct())
+    ex = (df.join(pair_ids, id_col, "left_semi")
+          .select(id_col, F.explode(shingles_col(F.col(text_col), shingle_n))
+                  .alias("shingle"))
           .select(id_col, F.xxhash64("shingle").alias("sh_h"))
           .dropDuplicates([id_col, "sh_h"]))
     sizes = ex.groupBy(id_col).agg(F.count("*").alias("n_sh"))
@@ -225,7 +276,11 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     agg job per round.
     """
     e = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-         .filter(F.col("u") != F.col("v")).distinct())
+         .filter(F.col("u") != F.col("v")).distinct()
+         # materialize ONCE: the input is typically an expensive candidate
+         # pipeline (MinHash -> LSH -> Jaccard verify); without this the
+         # first round's several jobs (sym/mins/fp) each recompute it
+         .localCheckpoint(eager=True))
     prev_fp = None
     for _ in range(max_iter):
         # large-star: attach each strictly-larger neighbor of u to
