@@ -51,13 +51,17 @@ PHONE_RE = "\\+?[0-9][0-9-]{6,}[0-9]"
 
 
 def _bigrams(toks: Column) -> Column:
-    """Adjacent-token 2-grams; <2 tokens -> empty array (sequence() would
-    run descending for a negative stop, so guard explicitly)."""
+    """Adjacent-token 2-grams; <2 tokens -> empty array.
+
+    Zip of two shifted slices, NOT ``transform(sequence, i ->
+    element_at(toks, i))`` — interpreted higher-order functions re-evaluate
+    the ``toks`` expression per element, which turns a derived token array
+    into O(tokens^2) tokenizer work."""
     n = F.size(toks)
+    m = F.greatest(n - 1, F.lit(0))
     grams = F.transform(
-        F.sequence(F.lit(0), n - 2),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1),
-                              F.element_at(toks, i + 2)))
+        F.arrays_zip(F.slice(toks, 1, m), F.slice(toks, 2, m)),
+        lambda s: F.concat_ws(" ", s["0"], s["1"]))
     return F.when(n >= 2, grams).otherwise(F.array().cast("array<string>"))
 
 

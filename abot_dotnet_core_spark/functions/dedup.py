@@ -369,12 +369,13 @@ def duplicated_span_stats(df: DataFrame, id_col: str = "doc_id",
     toks = tokens_col(F.col(text_col))
     base = (df.select(id_col, toks.alias("toks"))
             .withColumn("n_tokens", F.size("toks")))
-    wins = (base.filter(F.col("n_tokens") >= window)
-            .select(id_col, F.posexplode(F.transform(
-                F.sequence(F.lit(0), F.col("n_tokens") - window),
-                lambda i: h64(F.concat_ws(
-                    " ", F.slice("toks", i + 1, F.lit(window))))))
-                .alias("pos", "h")))
+    # windows via shingles_col (zip of shifted slices) with the hash applied
+    # AFTER the explode: an `i -> h64(slice(toks, i+1, W))` lambda would
+    # re-evaluate the tokenizer per element (interpreted HOF), an
+    # O(tokens * W) regexp blow-up
+    wins = (df.select(id_col, F.posexplode(
+                shingles_col(F.col(text_col), window)).alias("pos", "w"))
+            .select(id_col, "pos", h64(F.col("w")).alias("h")))
     dup = (wins.groupBy("h").agg(F.count("*").alias("c"))
            .filter(F.col("c") > 1).select("h"))
     covered = (wins.join(dup, "h")
