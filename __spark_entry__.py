@@ -1557,6 +1557,57 @@ SELECT url, warc_ts, rev FROM (
   FROM snaps) WHERE rn = 1"""
 
 
+def q_recrawl_schedule(spark, sf_dir):
+    """Change-rate recrawl scheduling (Cho & Garcia-Molina freshness model,
+    integer-exact): per-url change interval from consecutive-fingerprint
+    history, clamped, with next-fetch time and age/interval priority at a
+    fixed 'now'. History synthesized deterministically: 1-3 snapshots/url,
+    fingerprint flips at rev 2 (so 3-snapshot urls have exactly 1 change)."""
+    from abot_dotnet_core_spark.operators.recrawl import recrawl_schedule
+    snaps = (_docs(spark, sf_dir)
+             .select("doc_id", _url_col().alias("url"),
+                     F.explode(F.sequence(F.lit(0), F.col("doc_id") % 3))
+                      .alias("rev"))
+             .withColumn("warc_ts", F.timestamp_seconds(
+                 F.lit(_EPOCH_20260101)
+                 + ((F.col("doc_id") % 1440) + F.col("rev") * 1440) * 60))
+             .withColumn("fingerprint", F.md5(F.concat_ws(
+                 "|", "url", F.expr("rev DIV 2")))))
+    return recrawl_schedule(snaps, now_epoch=_EPOCH_20260101 + 4 * 86400)
+
+
+def sql_recrawl_schedule():
+    now = _EPOCH_20260101 + 4 * 86400
+    return f"""
+WITH snaps AS (
+  SELECT {_URL_SQL} AS url,
+         {_EPOCH_20260101} + ((doc_id % 1440) + r.rev * 1440) * 60 AS ts_e,
+         md5({_URL_SQL} || '|' || (r.rev // 2)) AS fp
+  FROM documents, unnest(range(0, doc_id % 3 + 1)) AS r(rev)),
+chg AS (
+  SELECT url, ts_e, fp,
+         lag(fp) OVER (PARTITION BY url ORDER BY ts_e) AS prev_fp
+  FROM snaps),
+agg AS (
+  SELECT url, count(*) AS n_snaps,
+         sum(CASE WHEN prev_fp IS NOT NULL AND fp <> prev_fp
+                  THEN 1 ELSE 0 END) AS n_changes,
+         min(ts_e) AS f, max(ts_e) AS l
+  FROM chg GROUP BY url),
+sched AS (
+  SELECT url, n_snaps, n_changes,
+         least(greatest(CASE WHEN n_changes > 0 THEN (l - f) // n_changes
+                             ELSE 2592000 END, 3600), 2592000) AS interval_s,
+         l
+  FROM agg)
+SELECT url, n_snaps::BIGINT AS n_snaps, n_changes::BIGINT AS n_changes,
+       interval_s::BIGINT AS interval_s,
+       (l + interval_s)::BIGINT AS next_fetch_epoch,
+       ((({now} - l) * 1000000) // interval_s)::BIGINT AS priority_micro,
+       ((({now} - l) * 1000000) // interval_s) >= 1000000 AS due
+FROM sched"""
+
+
 def q_events_asof(spark, sf_dir):
     """As-of join: each click annotated with the user's most recent
     purchase at-or-before the click (union-tag + last-ignorenulls window —
@@ -1767,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": q_perplexity_buckets,
         "domain_stats": q_domain_stats,
         "url_keep_latest": q_url_keep_latest,
+        "recrawl_schedule": q_recrawl_schedule,
         # multimodal plumbing
         "multimodal_meta": q_multimodal_meta,
         # streaming-shaped event analytics
@@ -1829,6 +1881,7 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_buckets": sql_perplexity_buckets(),
         "domain_stats": sql_domain_stats(),
         "url_keep_latest": sql_url_keep_latest(),
+        "recrawl_schedule": sql_recrawl_schedule(),
         "multimodal_meta": sql_multimodal_meta(),
         "events_tumbling": sql_events_tumbling(),
         "events_sessions": sql_events_sessions(),

@@ -342,3 +342,49 @@ class TestIntervalJoin:
         got = sorted((r["view_id"], r["click_id"], r["gap_sec"])
                      for r in spark.read.parquet(out).collect())
         assert want and got == want
+
+
+class TestRecrawlSchedule:
+    def _run(self, spark, rows, now, **kw):
+        from abot_dotnet_core_spark.operators.recrawl import recrawl_schedule
+        df = spark.createDataFrame(
+            [Row(url=u, warc_ts=datetime.datetime.utcfromtimestamp(e),
+                 fingerprint=fp) for u, e, fp in rows])
+        return {r["url"]: r
+                for r in recrawl_schedule(df, now_epoch=now, **kw).collect()}
+
+    def test_interval_and_priority(self, spark):
+        day = 86400
+        t0 = 1767225600
+        rows = [
+            # a: changes every snapshot -> interval = span/2 = 1 day
+            ("a", t0, "f1"), ("a", t0 + day, "f2"), ("a", t0 + 2 * day, "f3"),
+            # b: two snapshots, same fp -> no change -> max interval
+            ("b", t0, "g1"), ("b", t0 + day, "g1"),
+            # c: single snapshot -> max interval
+            ("c", t0, "h1"),
+        ]
+        now = t0 + 4 * day
+        out = self._run(spark, rows, now)
+        a = out["a"]
+        assert (a["n_snaps"], a["n_changes"], a["interval_s"]) == (3, 2, day)
+        assert a["next_fetch_epoch"] == t0 + 3 * day
+        assert a["priority_micro"] == 2 * 10**6 and a["due"]
+        assert out["b"]["interval_s"] == 30 * day and not out["b"]["due"]
+        assert out["c"]["n_changes"] == 0
+        assert out["c"]["interval_s"] == 30 * day
+
+    def test_clamps(self, spark):
+        t0 = 1767225600
+        # changes 10 s apart -> raw interval 10 s -> clamped up to min
+        rows = [("fast", t0, "x1"), ("fast", t0 + 10, "x2"),
+                ("fast", t0 + 20, "x3")]
+        out = self._run(spark, rows, t0 + 100, min_interval_s=3600)
+        assert out["fast"]["interval_s"] == 3600
+        assert not out["fast"]["due"]
+        # one change over 100 days -> clamped down to max
+        day = 86400
+        rows = [("slow", t0, "y1"), ("slow", t0 + 100 * day, "y2")]
+        out = self._run(spark, rows, t0 + 131 * day, max_interval_s=30 * day)
+        assert out["slow"]["interval_s"] == 30 * day
+        assert out["slow"]["due"]   # age 31 d > 30 d

@@ -4,6 +4,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from abot_dotnet_core_spark.plans import inspect as P
+from abot_dotnet_core_spark.plans.inspect import formatted_plan, simple_plan
 
 SF = "/root/testdata/sf0.01"
 
@@ -107,3 +108,38 @@ class TestBigRoundFetchPlan:
         assert "Exchange" not in plan, plan
         assert "MapInArrow" in plan or "ArrowEvalPython" in plan, plan
         assert "FileScan" in plan or "Scan parquet" in plan, plan
+
+
+class TestDedupFamilyPlans:
+    """Scale posture of the dedup pipeline, pinned at plan level."""
+
+    def test_minhash_single_shuffle_all_jvm(self, spark):
+        """Signatures: explode -> md5 lanes -> partial agg; exactly ONE
+        Exchange (the groupBy) and zero Python in the plan."""
+        import __spark_entry__ as e
+        plan = simple_plan(e.q_minhash_signatures(spark, SF))
+        assert plan.count("Exchange") == 1, plan
+        assert "Python" not in plan and "MapInArrow" not in plan, plan
+
+    def test_jaccard_shingles_only_for_candidate_docs(self, spark):
+        """The exact-verify stage must semi-join docs down to candidate ids
+        BEFORE shingling, so shuffled volume tracks |candidates| not
+        |corpus| (LeftSemi below the Generate in the plan)."""
+        import __spark_entry__ as e
+        plan = simple_plan(e.q_neardup_pairs(spark, SF))
+        assert "LeftSemi" in plan, plan
+        assert "Python" not in plan, plan
+
+    def test_substring_dedup_text_never_shuffles(self, spark):
+        """Window-hash counting shuffles 8-byte keys; the only operators
+        that see the full text/token arrays are scan-side projections.
+        Pinned: every Exchange in the plan carries narrow columns only."""
+        import __spark_entry__ as e
+        df = e.q_substring_dedup(spark, SF)
+        fplan = formatted_plan(df)
+        import re
+        for m in re.finditer(r"Exchange (hashpartitioning|SinglePartition)"
+                             r"[^\n]*", fplan):
+            assert "toks" not in m.group(0) and "text" not in m.group(0), \
+                m.group(0)
+        assert "Python" not in simple_plan(df), fplan[:500]
