@@ -61,8 +61,10 @@ def _parse_headers(blob: bytes) -> dict[str, str]:
     for line in blob.split(b"\r\n"):
         if b":" in line:
             k, v = line.split(b":", 1)
-            out[k.strip().lower().decode("latin-1")] = \
-                v.strip().decode("latin-1")
+            # utf-8 with replacement: round-trips the writer's utf-8
+            # headers; never raises on arbitrary archive bytes
+            out[k.strip().lower().decode("utf-8", "replace")] = \
+                v.strip().decode("utf-8", "replace")
     return out
 
 
@@ -213,14 +215,14 @@ def write_warc(records, path: str, compress: bool | None = None) -> int:
             http = (f"HTTP/1.1 {rec.get('status', 200)} \r\n"
                     f"Content-Type: {rec.get('content_type') or ''}\r\n"
                     f"Content-Length: {len(payload)}\r\n\r\n"
-                    ).encode("latin-1") + payload
+                    ).encode("utf-8") + payload
             head = ("WARC/1.0\r\n"
                     "WARC-Type: response\r\n"
                     f"WARC-Target-URI: {rec['url']}\r\n"
                     f"WARC-Date: {ts_s}\r\n"
                     f"WARC-Record-ID: {_record_id(rec['url'], ts_s)}\r\n"
                     "Content-Type: application/http; msgtype=response\r\n"
-                    f"Content-Length: {len(http)}\r\n\r\n").encode("latin-1")
+                    f"Content-Length: {len(http)}\r\n\r\n").encode("utf-8")
             raw = head + http + _CRLF2
             if compress:
                 gz = io.BytesIO()
@@ -250,3 +252,73 @@ def write_warc_segments(records, outdir: str, n_segments: int = 4,
         write_warc(bucket, p, compress=compress)
         paths.append(p)
     return paths
+
+
+# ---------------------------------------------------------------------------
+# Spark sink (distributed writer)
+# ---------------------------------------------------------------------------
+
+def write_warc_df(df: DataFrame, outdir: str,
+                  compress: bool = True) -> DataFrame:
+    """Distributed WARC sink: write ``(url, warc_ts, status, content_type,
+    html)`` rows as one WARC segment per partition and return the manifest
+    (``warc_file, n_records, n_bytes`` — one row per non-empty partition).
+
+    The inverse of :func:`read_warc` — archives a crawl round (or a whole
+    corpus table) in Common Crawl's own container. Executors write their
+    own partition locally and never shuffle the html payloads; file names
+    come from the partition id, so the layout is deterministic under a
+    deterministic upstream partitioning (e.g. ``repartition(n, "url")``).
+    ``outdir`` must be a path every executor can reach (local-mode dir,
+    NFS, or a fuse-mounted object store) — the same contract as any
+    foreachPartition-style sink.
+    """
+    os.makedirs(outdir, exist_ok=True)
+    ext = ".warc.gz" if compress else ".warc"
+    cols = ["url", "warc_ts", "status", "content_type", "html"]
+    out_schema = T.StructType([
+        T.StructField("warc_file", T.StringType()),
+        T.StructField("n_records", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ])
+
+    def gen(batches):
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(outdir, f"segment-{pid:05d}{ext}")
+        part = path + ".part"
+        n = 0
+        for pdf in batches:
+            recs = ({"url": r.url,
+                     "warc_ts": r.warc_ts.to_pydatetime(),
+                     "status": int(r.status),
+                     "content_type": r.content_type,
+                     "html": bytes(r.html) if r.html is not None else b""}
+                    for r in pdf.itertuples(index=False))
+            if n == 0:
+                n = write_warc(recs, part, compress=compress)
+            else:
+                n += _append_warc(recs, part, compress)
+        if n == 0:
+            yield pd.DataFrame(columns=[f.name for f in out_schema.fields])
+            return
+        os.replace(part, path)   # atomic publish per partition
+        yield pd.DataFrame([{"warc_file": os.path.basename(path),
+                             "n_records": n,
+                             "n_bytes": os.path.getsize(path)}])
+
+    return df.select(*cols).mapInPandas(gen, schema=out_schema)
+
+
+def _append_warc(records, path: str, compress: bool) -> int:
+    """Append records to an existing (part) WARC file — later Arrow batches
+    of the same partition."""
+    import tempfile
+    n = 0
+    with tempfile.NamedTemporaryFile(delete=False) as tmp:
+        tmp_path = tmp.name
+    n = write_warc(records, tmp_path, compress=compress)
+    with open(path, "ab") as f, open(tmp_path, "rb") as t:
+        f.write(t.read())
+    os.unlink(tmp_path)
+    return n

@@ -170,3 +170,41 @@ class TestSparkReader:
         eng.seed(["http://site.test/"])
         stats = eng.run(max_rounds=10)
         assert sum(s.fetched for s in stats) == 6   # whole chain crawled
+
+
+class TestSparkSink:
+    def test_write_read_roundtrip(self, spark, tmp_path):
+        """Distributed sink: df -> WARC segments -> read_warc recovers every
+        record; manifest counts match."""
+        recs = _recs(30)
+        src = spark.createDataFrame(
+            [(r["url"], r["warc_ts"], r["status"], r["content_type"],
+              bytearray(r["html"])) for r in recs],
+            "url string, warc_ts timestamp, status int,"
+            " content_type string, html binary")
+        from abot_dotnet_core_spark.sources.warc import (read_warc,
+                                                         write_warc_df)
+        out = str(tmp_path / "sink")
+        manifest = write_warc_df(src.repartition(3, "url"), out).collect()
+        assert sum(m["n_records"] for m in manifest) == 30
+        assert all(m["n_bytes"] > 0 for m in manifest)
+        back = {r["url"]: r for r in read_warc(spark, out).collect()}
+        assert len(back) == 30
+        for rec in recs:
+            got = back[rec["url"]]
+            assert bytes(got["html"]) == rec["html"]
+            assert got["status"] == rec["status"]
+            assert got["warc_ts"] == rec["warc_ts"]
+
+    def test_unicode_url_roundtrip(self, spark, tmp_path):
+        import io as _io
+        from abot_dotnet_core_spark.sources.warc import (iter_warc_records,
+                                                         write_warc)
+        rec = {"url": "http://пример.test/страница",
+               "warc_ts": T0, "status": 200,
+               "content_type": "text/html; charset=utf-8",
+               "html": b"<html>ok</html>"}
+        p = str(tmp_path / "u.warc.gz")
+        write_warc([rec], p)
+        [got] = list(iter_warc_records(open(p, "rb").read()))
+        assert got["url"] == rec["url"]
