@@ -1586,7 +1586,7 @@ WITH snaps AS (
   FROM documents, unnest(range(0, doc_id % 3 + 1)) AS r(rev)),
 chg AS (
   SELECT url, ts_e, fp,
-         lag(fp) OVER (PARTITION BY url ORDER BY ts_e) AS prev_fp
+         lag(fp) OVER (PARTITION BY url ORDER BY ts_e, fp) AS prev_fp
   FROM snaps),
 agg AS (
   SELECT url, count(*) AS n_snaps,

@@ -4,10 +4,11 @@ Four families, each a composition of built-in DataFrame ops (shuffle-aware,
 no UDFs in the relational path):
 
   exact_dedup      hash-groupBy on the normalized-text fingerprint
-  minhash          k-permutation MinHash signatures over token shingles
-                   (permutation_i = md5(i || '|' || shingle) — string-min is a
-                   valid random permutation proxy and is reproducible in any
-                   engine with md5, which keeps the DuckDB oracle exact)
+  minhash          k-permutation MinHash signatures over token shingles —
+                   4 lanes per md5 (the digest's LE uint32 words, matching
+                   DuckDB's md5_number_upper/_lower, which keeps the oracle
+                   bit-exact); integer-min per lane is a valid random
+                   permutation proxy
   lsh_candidates   banding: group signature bands into buckets, join within
                    buckets -> candidate pairs (the at-scale path: avoids the
                    O(n^2) cross join; only bucket-mates shuffle together)
@@ -26,6 +27,15 @@ Scale notes: shingling explodes ~|tokens| rows per doc; the minhash groupBy
 is a partial-aggregating shuffle on (doc_id). LSH bucket join shuffles on
 (band, bucket) — hot buckets (boilerplate) are the skew risk; cap bucket
 size with a count filter before the self-join (boilerplate_cap).
+
+Materialization: multi-referenced narrow intermediates (LSH buckets,
+candidate pairs, the CC edge set) are pinned with eager
+``localCheckpoint`` — re-deriving them would re-run the md5-heavy
+signature pipeline per reference. Two costs to know about: construction
+becomes eager (building the DataFrame runs a job even if never collected),
+and localCheckpoint blocks live only on executors — on a preemptible /
+dynamic-allocation cluster swap these call sites for ``checkpoint()`` to
+reliable storage (same call shape, slower, survives executor loss).
 """
 
 from __future__ import annotations
@@ -88,10 +98,12 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     pass: min over the multiset equals min over the set. Docs with no
     shingles (< shingle_n tokens) are dropped, matching the set-based
     definition (empty set has no min)."""
-    ex = (df.filter(F.size(tokens_col(F.col(text_col))) >= shingle_n)
-          .select(id_col,
-                  F.explode(shingles_col(F.col(text_col), shingle_n))
-                  .alias("shingle")))
+    # no pre-filter needed: shingles_col yields [] below shingle_n tokens
+    # and a non-outer explode emits no rows for it (an explicit size filter
+    # would re-run the tokenizer over every document)
+    ex = df.select(id_col,
+                   F.explode(shingles_col(F.col(text_col), shingle_n))
+                   .alias("shingle"))
 
     def lane(g, j):
         # j-th LE uint32 word of the group-g hex digest = byte-swapped hex

@@ -110,7 +110,9 @@ def recrawl_schedule(snaps: DataFrame, now_epoch: int,
     partitioning, so the agg adds no second shuffle.
     """
     keys = list(key_cols)
-    w = W.partitionBy(*keys).orderBy(ts_col)
+    # fingerprint tiebreak: equal-timestamp snapshots would otherwise make
+    # the lag order (and so n_changes) depend on partition layout
+    w = W.partitionBy(*keys).orderBy(ts_col, fp_col)
     marked = snaps.withColumn(
         "__chg",
         F.coalesce((F.col(fp_col) != F.lag(fp_col).over(w)).cast("int"),

@@ -86,17 +86,42 @@ def _parse_http_block(block: bytes) -> tuple[int | None, str | None, bytes]:
     return status, _parse_headers(rest).get("content-type"), payload
 
 
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress a (multi-member) gzip stream, tolerating a truncated or
+    corrupt final member: everything that decompressed cleanly is kept.
+    ``gzip.GzipFile.read`` would instead raise EOFError and lose the whole
+    segment."""
+    import zlib
+    out = []
+    pos, n = 0, len(data)
+    while pos < n:
+        d = zlib.decompressobj(wbits=47)        # gzip wrapper
+        try:
+            out.append(d.decompress(data[pos:]))
+            out.append(d.flush())
+        except zlib.error:
+            break
+        if not d.eof:                           # cut mid-member
+            break
+        consumed = (n - pos) - len(d.unused_data)
+        if consumed <= 0:
+            break
+        pos += consumed
+    return b"".join(out)
+
+
 def iter_warc_records(data: bytes):
     """Yield dicts for the ``response``/``resource`` records in one WARC
     file's bytes (plain or gzip; multi-member gzip handled by GzipFile).
 
     Malformed tails are tolerated: a record that can't be framed (no header
     terminator / short block) is skipped by re-scanning for the next
-    ``WARC/`` magic — a truncated upload costs its last record, not the
-    whole segment.
+    ``WARC/`` magic, and a gzip stream cut mid-member keeps every fully
+    decompressed byte — a truncated upload costs its last record, not the
+    whole segment (and not the whole Spark task).
     """
     if data[:2] == b"\x1f\x8b":
-        data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
+        data = _gunzip_members(data)
     pos = 0
     n = len(data)
     while pos < n:
@@ -155,14 +180,17 @@ def read_warc(spark, path: str) -> DataFrame:
              .select("path", "content"))
 
     def gen(batches):
+        # one output frame PER FILE: holding one segment's records at a time
+        # caps worker memory at a single decompressed file, not the whole
+        # Arrow batch (binaryFile can pack several files into one batch)
         for pdf in batches:
-            rows = []
             for fpath, blob in zip(pdf["path"], pdf["content"]):
+                rows = []
                 for rec in iter_warc_records(bytes(blob)):
                     rec["warc_file"] = os.path.basename(fpath)
                     rows.append(rec)
-            yield pd.DataFrame(rows, columns=[f.name for f in
-                                              WARC_SCHEMA.fields])
+                yield pd.DataFrame(rows, columns=[f.name for f in
+                                                  WARC_SCHEMA.fields])
 
     return files.mapInPandas(gen, schema=WARC_SCHEMA)
 
@@ -193,6 +221,45 @@ def _record_id(url: str, ts: str) -> str:
     return (f"<urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}>")
 
 
+def _write_records(f, records, compress: bool) -> int:
+    """Stream ``response`` records onto an open binary file object.
+
+    NULL tolerance (the reader legitimately produces these): a missing
+    warc_ts becomes the epoch, a missing status is written as ``0`` —
+    round-tripping back to 0, an honest unknown — and a missing
+    content_type as an empty header."""
+    n = 0
+    for rec in records:
+        ts = rec.get("warc_ts") or datetime(1970, 1, 1)
+        if ts.tzinfo is not None:
+            ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
+        ts_s = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+        status = rec.get("status")
+        status = 0 if status is None else int(status)
+        payload = bytes(rec.get("html") or b"")
+        http = (f"HTTP/1.1 {status} \r\n"
+                f"Content-Type: {rec.get('content_type') or ''}\r\n"
+                f"Content-Length: {len(payload)}\r\n\r\n"
+                ).encode("utf-8") + payload
+        head = ("WARC/1.0\r\n"
+                "WARC-Type: response\r\n"
+                f"WARC-Target-URI: {rec['url']}\r\n"
+                f"WARC-Date: {ts_s}\r\n"
+                f"WARC-Record-ID: {_record_id(rec['url'], ts_s)}\r\n"
+                "Content-Type: application/http; msgtype=response\r\n"
+                f"Content-Length: {len(http)}\r\n\r\n").encode("utf-8")
+        raw = head + http + _CRLF2
+        if compress:
+            gz = io.BytesIO()
+            # mtime pinned for byte-determinism across runs
+            with gzip.GzipFile(fileobj=gz, mode="wb", mtime=0) as g:
+                g.write(raw)
+            raw = gz.getvalue()
+        f.write(raw)
+        n += 1
+    return n
+
+
 def write_warc(records, path: str, compress: bool | None = None) -> int:
     """Write ``response`` records to one WARC file; returns record count.
 
@@ -204,35 +271,8 @@ def write_warc(records, path: str, compress: bool | None = None) -> int:
     """
     if compress is None:
         compress = path.endswith(".gz")
-    n = 0
     with open(path, "wb") as f:
-        for rec in records:
-            ts = rec["warc_ts"]
-            if ts.tzinfo is not None:
-                ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
-            ts_s = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
-            payload = bytes(rec.get("html") or b"")
-            http = (f"HTTP/1.1 {rec.get('status', 200)} \r\n"
-                    f"Content-Type: {rec.get('content_type') or ''}\r\n"
-                    f"Content-Length: {len(payload)}\r\n\r\n"
-                    ).encode("utf-8") + payload
-            head = ("WARC/1.0\r\n"
-                    "WARC-Type: response\r\n"
-                    f"WARC-Target-URI: {rec['url']}\r\n"
-                    f"WARC-Date: {ts_s}\r\n"
-                    f"WARC-Record-ID: {_record_id(rec['url'], ts_s)}\r\n"
-                    "Content-Type: application/http; msgtype=response\r\n"
-                    f"Content-Length: {len(http)}\r\n\r\n").encode("utf-8")
-            raw = head + http + _CRLF2
-            if compress:
-                gz = io.BytesIO()
-                # mtime pinned for byte-determinism across runs
-                with gzip.GzipFile(fileobj=gz, mode="wb", mtime=0) as g:
-                    g.write(raw)
-                raw = gz.getvalue()
-            f.write(raw)
-            n += 1
-    return n
+        return _write_records(f, records, compress)
 
 
 def write_warc_segments(records, outdir: str, n_segments: int = 4,
@@ -285,40 +325,32 @@ def write_warc_df(df: DataFrame, outdir: str,
     def gen(batches):
         from pyspark import TaskContext
         pid = TaskContext.get().partitionId()
-        path = os.path.join(outdir, f"segment-{pid:05d}{ext}")
-        part = path + ".part"
+        name = f"segment-{pid:05d}{ext}"
+        path = os.path.join(outdir, name)
+        # dot-prefixed scratch name: Spark's file listings (binaryFile
+        # included) skip hidden files, so a .part orphaned by a killed task
+        # can never be re-ingested as duplicate records by read_warc
+        part = os.path.join(outdir, f".{name}.part")
         n = 0
-        for pdf in batches:
-            recs = ({"url": r.url,
-                     "warc_ts": r.warc_ts.to_pydatetime(),
-                     "status": int(r.status),
-                     "content_type": r.content_type,
-                     "html": bytes(r.html) if r.html is not None else b""}
-                    for r in pdf.itertuples(index=False))
-            if n == 0:
-                n = write_warc(recs, part, compress=compress)
-            else:
-                n += _append_warc(recs, part, compress)
+        with open(part, "wb") as f:
+            for pdf in batches:
+                recs = ({"url": r.url,
+                         "warc_ts": None if pd.isna(r.warc_ts)
+                         else r.warc_ts.to_pydatetime(),
+                         "status": None if pd.isna(r.status)
+                         else int(r.status),
+                         "content_type": r.content_type,
+                         "html": bytes(r.html) if r.html is not None
+                         else b""}
+                        for r in pdf.itertuples(index=False))
+                n += _write_records(f, recs, compress)
         if n == 0:
+            os.unlink(part)
             yield pd.DataFrame(columns=[f.name for f in out_schema.fields])
             return
         os.replace(part, path)   # atomic publish per partition
-        yield pd.DataFrame([{"warc_file": os.path.basename(path),
+        yield pd.DataFrame([{"warc_file": name,
                              "n_records": n,
                              "n_bytes": os.path.getsize(path)}])
 
     return df.select(*cols).mapInPandas(gen, schema=out_schema)
-
-
-def _append_warc(records, path: str, compress: bool) -> int:
-    """Append records to an existing (part) WARC file — later Arrow batches
-    of the same partition."""
-    import tempfile
-    n = 0
-    with tempfile.NamedTemporaryFile(delete=False) as tmp:
-        tmp_path = tmp.name
-    n = write_warc(records, tmp_path, compress=compress)
-    with open(path, "ab") as f, open(tmp_path, "rb") as t:
-        f.write(t.read())
-    os.unlink(tmp_path)
-    return n

@@ -388,3 +388,12 @@ class TestRecrawlSchedule:
         out = self._run(spark, rows, t0 + 131 * day, max_interval_s=30 * day)
         assert out["slow"]["interval_s"] == 30 * day
         assert out["slow"]["due"]   # age 31 d > 30 d
+
+    def test_equal_timestamp_ties_deterministic(self, spark):
+        """Equal-ts snapshots order by fingerprint (deterministic lag), so
+        n_changes cannot depend on partition layout."""
+        t0 = 1767225600
+        rows = [("t", t0, "b"), ("t", t0, "a"), ("t", t0 + 100, "a")]
+        # sorted: (t0,a),(t0,b),(t0+100,a) -> a->b, b->a = 2 changes
+        out = self._run(spark, rows, t0 + 200)
+        assert out["t"]["n_changes"] == 2

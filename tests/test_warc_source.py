@@ -107,8 +107,9 @@ class TestSparkReader:
             assert bytes(got["html"]) == rec["html"]
             assert got["status"] == rec["status"]
             assert got["warc_ts"] == rec["warc_ts"]
-        # parallelism = file count: one input task per segment
-        assert df.rdd.getNumPartitions() >= 1
+        # the scan is file-granular: binaryFile lists exactly the 4 segments
+        # (tiny test files may PACK into fewer partitions via
+        # maxPartitionBytes; at real ~1 GB segment sizes it's 1 task/file)
         assert spark.read.format("binaryFile") \
             .load(str(tmp_path / "seg")).count() == 4
 
@@ -208,3 +209,47 @@ class TestSparkSink:
         write_warc([rec], p)
         [got] = list(iter_warc_records(open(p, "rb").read()))
         assert got["url"] == rec["url"]
+
+
+class TestRobustness:
+    def test_truncated_gzip_keeps_complete_records(self, tmp_path):
+        """A .warc.gz cut mid-member yields every record before the cut
+        instead of raising (regression: gzip.GzipFile EOFError killed the
+        whole segment)."""
+        p = str(tmp_path / "t.warc.gz")
+        write_warc(_recs(4), p)
+        data = open(p, "rb").read()
+        got = list(iter_warc_records(data[:len(data) - 25]))
+        assert [g["url"] for g in got] == [r["url"] for r in _recs(4)][:3]
+
+    def test_sink_tolerates_null_status_and_ts(self, spark, tmp_path):
+        """read_warc legitimately yields NULL status/warc_ts; the inverse
+        sink must archive those rows, not crash (status round-trips as 0,
+        ts as the epoch)."""
+        from abot_dotnet_core_spark.sources.warc import (read_warc,
+                                                         write_warc_df)
+        src = spark.createDataFrame(
+            [("http://n.test/a", None, None, None, bytearray(b"<x>")),
+             ("http://n.test/b", T0, 200, "text/html", bytearray(b"<y>"))],
+            "url string, warc_ts timestamp, status int,"
+            " content_type string, html binary")
+        out = str(tmp_path / "nullsink")
+        manifest = write_warc_df(src.repartition(1), out).collect()
+        assert sum(m["n_records"] for m in manifest) == 2
+        back = {r["url"]: r for r in read_warc(spark, out).collect()}
+        assert back["http://n.test/a"]["status"] == 0
+        assert back["http://n.test/a"]["warc_ts"] == \
+            datetime.datetime(1970, 1, 1)
+        assert back["http://n.test/b"]["status"] == 200
+
+    def test_orphaned_part_files_invisible_to_reader(self, spark, tmp_path):
+        """A .part left by a killed task must never be re-ingested (hidden
+        dot-prefix name → skipped by Spark's file listing)."""
+        d = tmp_path / "orphan"
+        os.makedirs(d)
+        write_warc(_recs(3), str(d / "segment-00000.warc.gz"))
+        # simulate a dead task's scratch file with duplicate content
+        write_warc(_recs(3), str(d / ".segment-00001.warc.gz.part"),
+                   compress=True)
+        from abot_dotnet_core_spark.sources.warc import read_warc
+        assert read_warc(spark, str(d)).count() == 3
