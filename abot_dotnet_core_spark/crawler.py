@@ -200,17 +200,28 @@ class CrawlEngine:
         from .kernel import decisions as KD
         from .kernel.robots import flat_to_rules, is_url_allowed
         seen_hashes: set[int] = set()
+        ignored_robots_domains: set[str] = set()
         for u in normalized:
             if url_hash64(u) in seen_hashes:
                 continue                 # AddIfNew: duplicate seed dropped
             # PoliteWebCrawler robots-first gate for the root
             if robots_pd is not None and authority(u) in robots_pd.index:
                 flat = robots_pd.loc[authority(u), "rules_flat"]
+                rules = flat_to_rules(list(flat))
                 root = f"{scheme_of(u)}://{authority(u)}/"
-                if not is_url_allowed(flat_to_rules(list(flat)), root, u,
-                                      self.cfg.robots_dot_text_user_agent_string):
-                    if not self.cfg.is_ignore_robots_dot_text_if_root_disallowed_enabled:
-                        continue
+                ua = self.cfg.robots_dot_text_user_agent_string
+                allowed = is_url_allowed(rules, root, u, ua)
+                if self.cfg.is_ignore_robots_dot_text_if_root_disallowed_enabled:
+                    # PoliteWebCrawler.cs:111-133 — a disallowed root (or an
+                    # all-below-root disallow, probed with '/aaaaa') drops
+                    # robots for the WHOLE site: rules AND crawl-delay stop
+                    # applying to every later link of the domain
+                    probe = u + ("aaaaa" if u.endswith("/") else "/aaaaa")
+                    if not allowed or not is_url_allowed(rules, root, probe,
+                                                         ua):
+                        ignored_robots_domains.add(authority(u))
+                elif not allowed:
+                    continue
             d = KD.should_crawl_page(
                 cfg=self.cfg, depth=0, scheme=scheme_of(u), domain=authority(u),
                 is_internal=True, crawled_count=0, scheduled_count=seq)
@@ -226,6 +237,20 @@ class CrawlEngine:
             seen_rows.append((url_hash64(u),))
             seen_hashes.add(url_hash64(u))
             seq += 1
+
+        if self.cfg.is_ignore_robots_dot_text_if_root_disallowed_enabled:
+            # persist the overridden sites so resume() re-applies the drop
+            # (robots reload fresh from parquet on resume)
+            self.store.write_table(
+                "robots_overridden",
+                self.spark.createDataFrame(
+                    [(d,) for d in sorted(ignored_robots_domains)],
+                    "domain string"), 0)
+        if ignored_robots_domains and self._robots_df is not None:
+            # drop the overridden sites' rules before domain_state is built:
+            # P14 joins and the crawl-delay both derive from _robots_df
+            self._robots_df = self._robots_df.filter(
+                ~F.col("domain").isin(sorted(ignored_robots_domains)))
 
         self.pending_total = len(rows)
         self.pending_non_retry = len(rows)
@@ -292,6 +317,24 @@ class CrawlEngine:
         root_domains = fr.select("domain").distinct().localCheckpoint(eager=True)
         self.n_root_domains = root_domains.count()
         self._root_domains_df = root_domains
+        if (self._robots_df is not None
+                and self.cfg.is_ignore_robots_dot_text_if_root_disallowed_enabled):
+            # distributed root-disallow override (PoliteWebCrawler.cs:111-133)
+            # at domain granularity: every seeded domain whose root (or the
+            # '/aaaaa' all-below-root probe — http scheme assumed for the
+            # domain-level probe) is disallowed drops its robots entirely
+            dim = (self._robots_df.select("domain", "rules_flat")
+                   .join(root_domains, "domain", "left_semi"))
+            root_u = F.concat(F.lit("http://"), F.col("domain"), F.lit("/"))
+            probe_u = F.concat(F.lit("http://"), F.col("domain"),
+                               F.lit("/aaaaa"))
+            bad = (dim.filter(
+                ~self._robots_allowed_udf(root_u, F.col("rules_flat"))
+                | ~self._robots_allowed_udf(probe_u, F.col("rules_flat")))
+                .select("domain").localCheckpoint(eager=True))
+            self.store.write_table("robots_overridden", bad, 0)
+            self._robots_df = self._robots_df.join(bad, "domain",
+                                                   "left_anti")
         self.pending_total = n
         self.pending_non_retry = n
         self.next_seq = n
@@ -347,9 +390,23 @@ class CrawlEngine:
     @classmethod
     def resume(cls, spark: SparkSession, cfg: CrawlConfig, corpus_path: str,
                corpus_meta_path: str, store_root: str,
-               robots_path: str | None = None) -> "CrawlEngine":
-        """Rebuild engine state from the latest committed snapshot."""
-        eng = cls(spark, cfg, corpus_path, corpus_meta_path, store_root, robots_path)
+               robots_path: str | None = None,
+               bloom_prefilter: bool = False,
+               delegates=None) -> "CrawlEngine":
+        """Rebuild engine state from the latest committed snapshot.
+
+        ``bloom_prefilter`` and ``delegates`` are constructor passthroughs —
+        delegates are code, not state, so the caller must re-supply the same
+        ones the original crawl ran with (same contract as the reference's
+        ShouldCrawlPage delegates, which are not serialized either). The
+        persisted sidecar is only loaded when ``bloom_prefilter`` is set; it
+        was merged through the last committed round, so it is exact for a
+        crawl that ran with the flag on throughout. Toggling the flag ON for
+        a store whose earlier rounds ran without it is unsupported (the
+        sidecar would be missing those rounds' hashes)."""
+        eng = cls(spark, cfg, corpus_path, corpus_meta_path, store_root,
+                  robots_path, bloom_prefilter=bloom_prefilter,
+                  delegates=delegates)
         last = eng.store.latest_round()
         if last is None:
             raise ValueError("nothing to resume — no committed rounds")
@@ -385,6 +442,12 @@ class CrawlEngine:
                                      if row["blob"] is not None else None)
                 for _, row in pdf.iterrows()}
         eng._robots_df = eng._load_robots()
+        ov_path = os.path.join(store_root, "robots_overridden", "round=0")
+        if eng._robots_df is not None and os.path.isdir(ov_path):
+            # re-apply the root-disallow override recorded at seed time
+            eng._robots_df = eng._robots_df.join(
+                spark.read.parquet(ov_path).select("domain"),
+                "domain", "left_anti")
         eng._repair_seen_compaction(last)
         eng.store.drop_uncommitted()
         return eng
@@ -472,13 +535,32 @@ class CrawlEngine:
         # partition is O(S*B) rows, never frontier-sized.
         if politeness:
             state = self.store.read_table(spark, "domain_state", 0)
-            budget = state.withColumn(
-                "budget",
-                F.when(F.col("delay_ms") <= 0, F.lit(None).cast("long"))
-                 .otherwise(F.floor(F.lit(cfg.round_length_ms) / F.col("delay_ms"))))
             s = max(cfg.skew_salt, 1)
-            fr = frontier.join(F.broadcast(budget.select("domain", "budget")),
-                               "domain", "left")
+            w_ms = cfg.round_length_ms
+            min_ms = cfg.min_crawl_delay_per_domain_milli_seconds
+            # domains with no robots row (or robots disabled) still get the
+            # config minimum + 20 ms fudge — DomainRateLimiter paces EVERY
+            # domain, not just robots-covered ones (DomainRateLimiter.cs:46)
+            default_ms = min_ms + 20 if min_ms > 0 else 0
+            fr = frontier.join(
+                F.broadcast(state.select("domain", "delay_ms")),
+                "domain", "left")
+            delay = F.coalesce(F.col("delay_ms"), F.lit(default_ms))
+            # delay > round window: floor(W/delay) = 0 would starve the
+            # domain forever (empty rounds to max_rounds); instead admit 1
+            # page every ceil(delay/W) rounds — the same average rate the
+            # reference's rate limiter enforces — phase-spread by domain
+            # hash so slow domains don't all wake on the same round
+            k = F.floor((delay + w_ms - 1) / F.lit(w_ms))
+            slow_slot = (F.pmod(F.lit(r + 1), k)
+                         == F.pmod(F.xxhash64("domain"), k))
+            fr = fr.withColumn(
+                "budget",
+                F.when(delay <= 0, F.lit(None).cast("long"))
+                 .when(delay <= w_ms, F.floor(F.lit(w_ms) / delay))
+                 .otherwise(F.when(slow_slot, F.lit(1))
+                             .otherwise(F.lit(0)).cast("long"))
+            ).drop("delay_ms")
             unlimited = fr.filter(F.col("budget").isNull()).drop("budget")
             limited = fr.filter(F.col("budget").isNotNull())
             w_shard = W.partitionBy("domain", "__salt").orderBy("priority_seq")
@@ -1029,22 +1111,6 @@ class CrawlEngine:
         # enqueue time only, Scheduler.Add/AddIfNew, WebCrawler.cs:745.
         # The P16 cut below narrows it.)
 
-        # ---- P16 MaxLinksPerPage per-parent cut (links only) ---------------
-        if cfg.max_links_per_page != 0:
-            is_link = F.col("sub") == 1
-            admit0 = (is_link & F.col("processed") & F.col("internal_gate")
-                      & F.col("__sched_ok") & F.col("pre_reason").isNull())
-            w_par = (W.partitionBy("parent_seq").orderBy("sub", "link_pos")
-                     .rowsBetween(W.unboundedPreceding, W.currentRow))
-            links = links.withColumn(
-                "__cum_adm", F.sum(admit0.cast("int")).over(w_par))
-            prev_adm = F.col("__cum_adm") - admit0.cast("int")
-            links = (links.withColumn(
-                "processed",
-                F.col("processed")
-                & (~is_link | (prev_adm < cfg.max_links_per_page)))
-                .drop("__cum_adm"))
-
         # a known redirect child is decision-checked (events can fire) but
         # never enqueued and consumes no budget slot (Add/AddIfNew no-ops)
         enqueueable = (F.col("sub") == 1) | ~F.col("is_known")
@@ -1053,60 +1119,108 @@ class CrawlEngine:
             F.col("processed") & F.col("internal_gate") & F.col("__sched_ok")
             & F.col("pre_reason").isNull())
 
+        # ---- P16 rank among eligible links (cut applied AFTER P4) ----------
+        # The reference breaks the per-parent loop at the M-th SCHEDULED
+        # link (WebCrawler.cs:935-971): a budget-denied link increments
+        # nothing (it still gets its event and is marked known), so the cut
+        # position depends on P4 admission — the two are computed jointly:
+        # only a parent's first M eligible links can ever consume budget,
+        # and the cut lands after M of them were actually admitted.
+        mlp = cfg.max_links_per_page
+        is_link = F.col("sub") == 1
+        if mlp != 0:
+            w_epar = (W.partitionBy("parent_seq").orderBy("sub", "link_pos")
+                      .rowsBetween(W.unboundedPreceding, W.currentRow))
+            links = links.withColumn(
+                "__e_rank",
+                F.sum((F.col("eligible") & is_link).cast("int")).over(w_epar))
+            consumes = (F.col("eligible") & enqueueable
+                        & (~is_link | (F.col("__e_rank") <= mlp)))
+        else:
+            consumes = F.col("eligible") & enqueueable
+        links = links.withColumn("__consumes", consumes)
+        # known redirect child: probed against the running backlog (its
+        # denial event can fire) but occupies no slot (Scheduler.AddIfNew
+        # no-op, WebCrawler.cs:745)
+        probe = F.col("eligible") & ~enqueueable
+
         # ---- P4 global budget over the canonical enqueue stream ------------
-        # stream = eligible redirect children (sub=0) ∪ eligible links (sub=1)
-        # ∪ retries (sub=2), ordered (parent_seq, sub, link_pos)
-        links = links.withColumn("budget_denied", F.lit(False))
+        # stream = consuming redirect children (sub=0) ∪ first-M-per-parent
+        # eligible links (sub=1) ∪ known-redirect probes ∪ retries (sub=2),
+        # ordered (parent_seq, sub, link_pos)
+        links = links.withColumn("__adm", F.lit(True))
         if cfg.max_pages_to_crawl > 0:
             cap = cfg.max_pages_to_crawl - c0 - f0
-            eligible_n = links.filter(F.col("eligible") & enqueueable).count()
-            if eligible_n > max(cap, 0):
+            cnt = links.agg(
+                F.sum(F.col("__consumes").cast("int")).alias("c"),
+                F.sum(probe.cast("int")).alias("p")).collect()[0]
+            consume_n, probe_n = (cnt["c"] or 0), (cnt["p"] or 0)
+            # retries occupy stream slots in the backlog count; a probe can
+            # only be denied once consume_n + n_retries reaches the cap
+            if consume_n + n_retries + (1 if probe_n else 0) > max(cap, 0):
                 if cap <= 0:
-                    links = links.withColumn(
-                        "budget_denied", F.col("eligible"))
+                    links = links.withColumn("__adm", F.lit(False))
                 else:
-                    stream = (links.filter(F.col("eligible") & enqueueable)
+                    stream = (links.filter(F.col("__consumes") | probe)
                               .select("dst_hash", "parent_seq", "link_pos",
-                                      F.col("sub").alias("__sub"))
+                                      F.col("sub").alias("__sub"),
+                                      F.col("__consumes").cast("int")
+                                      .alias("__inc"))
                               .unionByName(retries.select(
                                   F.col("url_hash").alias("dst_hash"),
                                   F.col("priority_seq").alias("parent_seq"),
                                   F.lit(0).alias("link_pos"),
-                                  F.lit(2).alias("__sub"))))
-                    # TakeOrdered bounds the survivor set to cap+retries, so
-                    # the single-partition window below is over at most the
-                    # remaining BUDGET, not the stream. Caveat: a budget of
-                    # ~10^9 would serialize this window — at that size use
-                    # assign_global_seq over the stream instead.
+                                  F.lit(2).alias("__sub"),
+                                  F.lit(1).alias("__inc"))))
+                    # TakeOrdered bounds the survivor set to cap + retries +
+                    # probes, so the single-partition window below is over at
+                    # most the remaining BUDGET, not the stream. Caveat: a
+                    # budget of ~10^9 would serialize this window — at that
+                    # size use assign_global_seq over the stream instead.
                     topk = (stream.orderBy("parent_seq", "__sub", "link_pos")
-                            .limit(cap + n_retries))
+                            .limit(cap + n_retries + probe_n))
                     w_stream = W.orderBy("parent_seq", "__sub", "link_pos") \
                         .rowsBetween(W.unboundedPreceding, W.currentRow)
                     topk = topk.withColumn(
-                        "__pos", F.count("*").over(w_stream))  # 1-based
-                    topk = topk.withColumn(
-                        "__retries_before",
-                        F.sum((F.col("__sub") == 2).cast("int")).over(w_stream))
-                    # non-retry element admitted iff c0+f0+(k + r)+1 <= max,
-                    # k = non-retry order before it (0-based), r = retries before
+                        "__cum", F.sum("__inc").over(w_stream))
+                    # consuming row (inc 1, __cum counts itself) admitted iff
+                    # c0+f0+__cum <= max — the c0+f0+k+r+1 invariant; a probe
+                    # (inc 0) tests one hypothetical slot at its position:
+                    # c0+f0+__cum+1 <= max (crawled + queue + 1, the
+                    # simulator's exact check)
                     admitted_mark = (topk.filter(F.col("__sub") != 2)
                                      .withColumn(
-                                         "__k", F.col("__pos") - F.col("__retries_before") - 1)
-                                     .withColumn(
                                          "__adm",
-                                         (F.lit(c0 + f0) + F.col("__k")
-                                          + F.col("__retries_before") + 1)
+                                         (F.lit(c0 + f0) + F.col("__cum")
+                                          + (1 - F.col("__inc")))
                                          <= cfg.max_pages_to_crawl)
                                      .select("dst_hash", "parent_seq",
                                              "link_pos", "__adm"))
-                    links = (links.join(admitted_mark,
-                                        ["dst_hash", "parent_seq", "link_pos"],
-                                        "left")
-                             .withColumn(
-                                 "budget_denied",
-                                 F.col("eligible")
-                                 & ~F.coalesce(F.col("__adm"), F.lit(False)))
-                             .drop("__adm"))
+                    links = (links.drop("__adm")
+                             .join(admitted_mark,
+                                   ["dst_hash", "parent_seq", "link_pos"],
+                                   "left")
+                             .withColumn("__adm", F.coalesce(
+                                 F.col("__adm"), F.lit(False))))
+
+        # ---- P16 cut: everything after the parent's M-th scheduled link ----
+        # (the reference's loop `break` — later links of that parent get no
+        # events and are NOT marked known)
+        if mlp != 0:
+            w_before = (W.partitionBy("parent_seq").orderBy("sub", "link_pos")
+                        .rowsBetween(W.unboundedPreceding, -1))
+            sched = (F.col("__adm") & F.col("__consumes")
+                     & is_link).cast("int")
+            cut = is_link & (F.coalesce(F.sum(sched).over(w_before),
+                                        F.lit(0)) >= mlp)
+            links = (links.withColumn("processed",
+                                      F.col("processed") & ~cut)
+                     .withColumn("eligible", F.col("eligible") & ~cut)
+                     .drop("__e_rank"))
+        links = (links
+                 .withColumn("budget_denied",
+                             F.col("eligible") & ~F.col("__adm"))
+                 .drop("__adm", "__consumes"))
 
         links = links.withColumn(
             "reason",
@@ -1194,6 +1308,7 @@ class CrawlEngine:
         st.links_extracted = _s("links_seen")
         st.deduped = _s("deduped")
         st.robots_denied = _s("robots_denied")
+        st.depth_pruned = _s("depth_pruned")
         st.budget_denied = _s("budget_denied")
         st.admitted = _s("admitted")
 

@@ -108,6 +108,8 @@ def parse_robots(content: str | None) -> RobotsRules:
                 current.crawl_delay = int(float(value))
             except ValueError:
                 current.crawl_delay = 0
+            except OverflowError:      # hostile input: 'Crawl-delay: inf'
+                current.crawl_delay = 0
     return rules
 
 

@@ -171,7 +171,7 @@ class CrawlSimulator:
 
     # --- main loop ----------------------------------------------------------
 
-    def crawl(self, seed_url: str, max_rounds: int | None = None) -> CrawlResultState:
+    def crawl(self, seed_url: str) -> CrawlResultState:
         cfg = self.cfg
         state = CrawlResultState()
         queue: deque[_Page] = deque()

@@ -104,6 +104,105 @@ class TestParityRobots:
         assert_parity(spark, eng, simulator_result(cfg))
 
 
+class TestParityRootDisallowOverride:
+    """is_ignore_robots_dot_text_if_root_disallowed_enabled
+    (PoliteWebCrawler.cs:111-133): a disallowed root — or an all-below-root
+    disallow caught by the '/aaaaa' probe — drops robots for the WHOLE site
+    (rules and crawl-delay), not just the seed row."""
+
+    ROOT = "http://rd.test/"
+
+    def _write(self, spark, tmp_path, robots_txt):
+        import pandas as pd
+        from abot_dotnet_core_spark.kernel.simulator import PageRecord
+
+        def link(*hs):
+            return "".join(f'<a href="{h}">x</a>' for h in hs)
+
+        pages = {
+            self.ROOT: PageRecord(html=link("/a", "/b") + "root"),
+            self.ROOT + "a": PageRecord(html=link("/blocked/c") + "pa"),
+            self.ROOT + "b": PageRecord(html="pb"),
+            self.ROOT + "blocked/c": PageRecord(html="pc"),
+        }
+        rows = []
+        for url, rec in pages.items():
+            raw = rec.html.encode()
+            rows.append({"url": url, "warc_ts": pd.Timestamp("2024-01-01"),
+                         "html": raw, "text": rec.html, "lang": "en",
+                         "status": rec.status,
+                         "content_type": rec.content_type,
+                         "content_length": len(raw), "redirect_to": None})
+        pdf = pd.DataFrame(rows)
+        d = tmp_path / "rdcorpus"
+        d.mkdir(exist_ok=True)
+        pdf[["url", "warc_ts", "html", "text", "lang"]].to_parquet(
+            f"{d}/corpus.parquet", index=False, coerce_timestamps="us",
+            allow_truncated_timestamps=True)
+        pdf[["url", "status", "content_type", "content_length",
+             "redirect_to"]].to_parquet(f"{d}/corpus_meta.parquet",
+                                        index=False)
+        pd.DataFrame([{"domain": "rd.test", "robots_txt": robots_txt}]) \
+            .to_parquet(f"{d}/robots.parquet", index=False)
+        return str(d), pages
+
+    def _run_both(self, spark, tmp_path, robots_txt, cfg, resume_after=None):
+        d, pages = self._write(spark, tmp_path, robots_txt)
+        sim = CrawlSimulator(pages, cfg,
+                             {self.ROOT: parse_robots(robots_txt)}) \
+            .crawl(self.ROOT)
+        kw = dict(corpus_path=f"{d}/corpus.parquet",
+                  corpus_meta_path=f"{d}/corpus_meta.parquet",
+                  store_root=str(tmp_path / "rdstate"),
+                  robots_path=f"{d}/robots.parquet")
+        eng = CrawlEngine(spark, cfg, **kw)
+        eng.seed([self.ROOT])
+        if resume_after is not None:
+            eng.run(max_rounds=resume_after)
+            eng = CrawlEngine.resume(spark, cfg, **kw)
+        eng.run(max_rounds=20)
+        return eng, sim
+
+    def test_root_disallowed_crawls_whole_site(self, spark, tmp_path):
+        cfg = CrawlConfig(
+            is_respect_robots_dot_text_enabled=True,
+            is_ignore_robots_dot_text_if_root_disallowed_enabled=True)
+        eng, sim = self._run_both(spark, tmp_path,
+                                  "User-agent: *\nDisallow: /\n", cfg)
+        assert_parity(spark, eng, sim, check_text=False)
+        assert len(sim.crawled) == 4        # override really crawled it all
+
+    def test_probe_all_below_root_disallowed(self, spark, tmp_path):
+        # root itself allowed; '/aaaaa' probe hits 'Disallow: /a' -> override
+        cfg = CrawlConfig(
+            is_respect_robots_dot_text_enabled=True,
+            is_ignore_robots_dot_text_if_root_disallowed_enabled=True)
+        eng, sim = self._run_both(
+            spark, tmp_path,
+            "User-agent: *\nDisallow: /a\nDisallow: /b\nDisallow: /blocked\n",
+            cfg)
+        assert_parity(spark, eng, sim, check_text=False)
+        assert len(sim.crawled) == 4
+
+    def test_without_flag_robots_still_applies(self, spark, tmp_path):
+        cfg = CrawlConfig(is_respect_robots_dot_text_enabled=True)
+        eng, sim = self._run_both(
+            spark, tmp_path,
+            "User-agent: *\nDisallow: /blocked\n", cfg)
+        assert_parity(spark, eng, sim, check_text=False)
+        assert len(sim.crawled) == 3        # /blocked/c denied
+
+    def test_override_survives_resume(self, spark, tmp_path):
+        cfg = CrawlConfig(
+            is_respect_robots_dot_text_enabled=True,
+            is_ignore_robots_dot_text_if_root_disallowed_enabled=True)
+        eng, sim = self._run_both(spark, tmp_path,
+                                  "User-agent: *\nDisallow: /\n", cfg,
+                                  resume_after=1)
+        assert_parity(spark, eng, sim, check_text=False)
+        assert len(sim.crawled) == 4
+
+
 class TestParityBigRoundPath:
     def test_bloom_scan_pushdown_path(self, spark, tiny_corpus_dir, tmp_path):
         """fetch_broadcast_threshold=0 forces every round through the
@@ -295,6 +394,155 @@ class TestParityRetries:
     def test_retries_with_budget(self, spark, tiny_corpus_dir, tmp_path):
         cfg = CrawlConfig(max_retry_count=1, max_pages_to_crawl=15)
         eng = run_engine(spark, cfg, tiny_corpus_dir, tmp_path)
+        assert_parity(spark, eng, simulator_result(cfg))
+
+    def test_retry_occupies_budget_slot(self, spark, tmp_path):
+        """Handcrafted boundary: with max_pages=5, the queued retry of /a
+        must count against the backlog when /b's links are scheduled — /c
+        fits (3 crawled + 1 queued + 1 = 5) but /d must be denied
+        (3 + 2 + 1 = 6 > 5). Regression for the enforcement gate skipping
+        rounds where eligible_n <= cap < eligible_n + n_retries."""
+        import pandas as pd
+        from abot_dotnet_core_spark.kernel.simulator import PageRecord
+
+        def link(*hrefs):
+            return "".join(f'<a href="{h}">x</a>' for h in hrefs)
+
+        root = "http://q.test/"
+        pages = {
+            root: PageRecord(html=link("/a", "/b") + "root"),
+            root + "a": PageRecord(status=503, html=""),
+            root + "b": PageRecord(html=link("/c", "/d") + "page b"),
+            root + "c": PageRecord(html="page c"),
+            root + "d": PageRecord(html="page d"),
+        }
+        rows = []
+        for url, rec in pages.items():
+            raw = rec.html.encode("utf-8")
+            rows.append({"url": url, "warc_ts": pd.Timestamp("2024-01-01"),
+                         "html": raw, "text": rec.html, "lang": "en",
+                         "status": rec.status,
+                         "content_type": rec.content_type,
+                         "content_length": len(raw),
+                         "redirect_to": rec.redirect_to})
+        pdf = pd.DataFrame(rows)
+        d = tmp_path / "qcorpus"
+        d.mkdir()
+        pdf[["url", "warc_ts", "html", "text", "lang"]].to_parquet(
+            f"{d}/corpus.parquet", index=False, coerce_timestamps="us",
+            allow_truncated_timestamps=True)
+        pdf[["url", "status", "content_type", "content_length",
+             "redirect_to"]].to_parquet(f"{d}/corpus_meta.parquet",
+                                        index=False)
+
+        cfg = CrawlConfig(max_retry_count=1, max_pages_to_crawl=5)
+        sim = CrawlSimulator(pages, cfg).crawl(root)
+        assert any("MaxPagesToCrawl" in e.reason for e in sim.disallowed)
+
+        eng = CrawlEngine(spark, cfg,
+                          corpus_path=f"{d}/corpus.parquet",
+                          corpus_meta_path=f"{d}/corpus_meta.parquet",
+                          store_root=str(tmp_path / "qstate"))
+        eng.seed([root])
+        eng.run(max_rounds=20)
+        assert_parity(spark, eng, sim, check_text=False)
+
+    @staticmethod
+    def _write_micro(tmp_path, pages, name):
+        import pandas as pd
+        rows = []
+        for url, rec in pages.items():
+            raw = rec.html.encode()
+            rows.append({"url": url, "warc_ts": pd.Timestamp("2024-01-01"),
+                         "html": raw, "text": rec.html, "lang": "en",
+                         "status": rec.status,
+                         "content_type": rec.content_type,
+                         "content_length": len(raw),
+                         "redirect_to": rec.redirect_to})
+        pdf = pd.DataFrame(rows)
+        d = tmp_path / name
+        d.mkdir()
+        pdf[["url", "warc_ts", "html", "text", "lang"]].to_parquet(
+            f"{d}/corpus.parquet", index=False, coerce_timestamps="us",
+            allow_truncated_timestamps=True)
+        pdf[["url", "status", "content_type", "content_length",
+             "redirect_to"]].to_parquet(f"{d}/corpus_meta.parquet",
+                                        index=False)
+        return str(d)
+
+    @pytest.mark.parametrize("max_pages", [1, 2])
+    def test_links_cut_interacts_with_budget(self, spark, tmp_path,
+                                             max_pages):
+        """P16 x P4: the reference breaks at the M-th SCHEDULED link —
+        budget-denied links don't advance the cut (max_pages=1: ALL of the
+        root's links get denial events and are marked known), while an
+        admitted M-th link cuts the rest silently (max_pages=2: B and C get
+        no events and stay unknown)."""
+        from abot_dotnet_core_spark.kernel.simulator import PageRecord
+        root = "http://m.test/"
+        link = "".join(f'<a href="/{c}">x</a>' for c in "abc")
+        pages = {
+            root: PageRecord(html=link + "root"),
+            root + "a": PageRecord(html="pa"),
+            root + "b": PageRecord(html="pb"),
+            root + "c": PageRecord(html="pc"),
+        }
+        cfg = CrawlConfig(max_links_per_page=1,
+                          max_pages_to_crawl=max_pages)
+        sim = CrawlSimulator(pages, cfg).crawl(root)
+        if max_pages == 1:
+            assert sorted(e.url for e in sim.disallowed) == \
+                [root + c for c in "abc"]      # all three denied, none cut
+        else:
+            assert len(sim.crawled) == 2 and not sim.disallowed
+        d = self._write_micro(tmp_path, pages, "mcorpus")
+        eng = CrawlEngine(spark, cfg,
+                          corpus_path=f"{d}/corpus.parquet",
+                          corpus_meta_path=f"{d}/corpus_meta.parquet",
+                          store_root=str(tmp_path / "mstate"))
+        eng.seed([root])
+        eng.run(max_rounds=10)
+        assert_parity(spark, eng, sim, check_text=False)
+
+    @pytest.mark.parametrize("max_pages", [3, 4])
+    def test_known_redirect_probe_event(self, spark, tmp_path, max_pages):
+        """A redirect child that is already known occupies no budget slot
+        but IS probed against the running backlog: at max_pages=3 the
+        reference fires a MaxPagesToCrawl denial for it, at max_pages=4 it
+        passes silently (AddIfNew no-op) — no spurious event either way."""
+        from abot_dotnet_core_spark.kernel.simulator import PageRecord
+        root = "http://k.test/"
+        pages = {
+            root: PageRecord(html='<a href="/a">x</a><a href="/b">x</a>r'),
+            root + "a": PageRecord(status=301, redirect_to=root + "b",
+                                   html=""),
+            root + "b": PageRecord(html="pb"),
+        }
+        cfg = CrawlConfig(max_pages_to_crawl=max_pages,
+                          is_http_request_auto_redirects_enabled=False)
+        sim = CrawlSimulator(pages, cfg).crawl(root)
+        n_budget_events = sum("MaxPagesToCrawl" in e.reason
+                              for e in sim.disallowed)
+        assert n_budget_events == (1 if max_pages == 3 else 0)
+        d = self._write_micro(tmp_path, pages, "kcorpus")
+        eng = CrawlEngine(spark, cfg,
+                          corpus_path=f"{d}/corpus.parquet",
+                          corpus_meta_path=f"{d}/corpus_meta.parquet",
+                          store_root=str(tmp_path / "kstate"))
+        eng.seed([root])
+        eng.run(max_rounds=10)
+        assert_parity(spark, eng, sim, check_text=False)
+
+    @pytest.mark.parametrize("budget", [9, 13, 17, 21])
+    def test_retries_at_budget_boundary(self, spark, tiny_corpus_dir,
+                                        tmp_path, budget):
+        """P4 must charge queued retries against the backlog even when the
+        round's eligible links alone fit the remaining cap (the
+        eligible_n <= cap < eligible_n + n_retries gate): sweep budgets so
+        retries interleave at the boundary."""
+        cfg = CrawlConfig(max_retry_count=2, max_pages_to_crawl=budget)
+        eng = run_engine(spark, cfg, tiny_corpus_dir,
+                         tmp_path / f"b{budget}")
         assert_parity(spark, eng, simulator_result(cfg))
 
 

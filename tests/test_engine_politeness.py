@@ -118,3 +118,45 @@ def test_salted_admission_budget_exact_and_salt_invariant(spark, tmp_path):
     assert fetched8 == fetched1
     assert crawled8 == crawled1
     assert len(crawled8) == 41
+
+
+def test_config_min_delay_applies_without_robots(spark, tmp_path):
+    """A domain with NO robots row (robots disabled entirely here) must
+    still be paced by min_crawl_delay_per_domain_milli_seconds + 20 ms —
+    DomainRateLimiter covers every domain, not just robots-covered ones."""
+    d = write_corpus(tmp_path)
+    # no robots_path at all; delay = 4980+20 = 5000 ms; W=20 s => budget 4
+    cfg = CrawlConfig(min_crawl_delay_per_domain_milli_seconds=4980,
+                      round_length_ms=20_000)
+    eng = CrawlEngine(spark, cfg,
+                      corpus_path=f"{d}/corpus.parquet",
+                      corpus_meta_path=f"{d}/corpus_meta.parquet",
+                      store_root=str(tmp_path / "state_norobots"))
+    eng.seed([ROOT])
+    stats = eng.run(max_rounds=30, politeness=True)
+    assert all(s.fetched <= 4 for s in stats), [s.fetched for s in stats]
+    assert sum(s.fetched for s in stats) == 21   # converges to full set
+
+
+def test_slow_domain_paces_instead_of_starving(spark, tmp_path):
+    """Effective delay > round window: the old floor(W/delay)=0 budget
+    starved the domain forever (empty rounds to max_rounds); now it gets 1
+    page every ceil(delay/W) rounds."""
+    d = write_corpus(tmp_path, n_children=4)
+    # robots Crawl-delay 20 s unclamped (max=0 disables the clamp),
+    # W = 10 s => k = 2: one fetch every 2 rounds
+    cfg = CrawlConfig(is_respect_robots_dot_text_enabled=True,
+                      max_robots_dot_text_crawl_delay_in_seconds=0,
+                      round_length_ms=10_000)
+    eng = CrawlEngine(spark, cfg,
+                      corpus_path=f"{d}/corpus.parquet",
+                      corpus_meta_path=f"{d}/corpus_meta.parquet",
+                      store_root=str(tmp_path / "state_slow"),
+                      robots_path=f"{d}/robots.parquet")
+    eng.seed([ROOT])
+    stats = eng.run(max_rounds=30, politeness=True)
+    assert all(s.fetched <= 1 for s in stats), [s.fetched for s in stats]
+    assert sum(s.fetched for s in stats) == 5    # root + 4 leaves, all done
+    # paced, not starved: finished well before max_rounds but took >= 2x
+    # the page count in rounds (1 fetch per k=2 rounds)
+    assert 9 <= len(stats) <= 12, len(stats)
