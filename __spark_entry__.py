@@ -1764,6 +1764,109 @@ FROM events v JOIN events c
 WHERE v.event_type = 'view' AND c.event_type = 'click'"""
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings (8
+    deterministic centroids + 1 Lloyd step — the same quantizer as ivf_topk)
+    and drop every vector with a lower-id cluster-mate at cosine >= 0.3
+    (testdata embeddings are random, so 0.3 exercises a non-trivial drop
+    set). Output: every vector with its cluster and kept flag."""
+    from abot_dotnet_core_spark.functions.similarity import semdedup
+    emb = _read(spark, sf_dir, "embeddings")
+    return semdedup(emb, n_clusters=8, threshold=0.3, lloyd_iters=1, dim=64)
+
+
+def sql_semdedup():
+    avg_list = ", ".join(f"round(avg(v[{i + 1}]), 6)" for i in range(64))
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::double[] AS v FROM embeddings),
+c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+       FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 8)),
+a0 AS (SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(e.v, c.v), 6) DESC,
+                        c.cid) AS rn
+    FROM emb e CROSS JOIN c0 c) WHERE rn = 1),
+m1 AS (SELECT cid, [{avg_list}] AS v FROM a0 GROUP BY cid),
+c1 AS (SELECT c0.cid, coalesce(m1.v, c0.v) AS v
+       FROM c0 LEFT JOIN m1 USING (cid)),
+a1 AS (SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(e.v, c.v), 6) DESC,
+                        c.cid) AS rn
+    FROM emb e CROSS JOIN c1 c) WHERE rn = 1),
+d AS (SELECT DISTINCT y.vec_id
+      FROM a1 x JOIN a1 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.3)
+SELECT a1.vec_id, a1.cid::int AS cluster, (d.vec_id IS NULL) AS kept
+FROM a1 LEFT JOIN d ON a1.vec_id = d.vec_id"""
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary: lowercase whitespace tokens, top-100 by frequency
+    (ties -> term asc) with rank — the first step of tokenizer training."""
+    from abot_dotnet_core_spark.functions.textfns import vocab_topk
+    return vocab_topk(_docs(spark, sf_dir), k=100)
+
+
+def sql_vocab_topk():
+    return """
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''),
+counts AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term)
+SELECT term, cnt,
+       row_number() OVER (ORDER BY cnt DESC, term)::int AS rank
+FROM counts ORDER BY cnt DESC, term LIMIT 100"""
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Fixed-size character chunking with overlap (512-char windows, stride
+    384): the long-document -> training-example transform. Emits the digest
+    per chunk, not the text, to keep the verification output narrow."""
+    from abot_dotnet_core_spark.functions.textfns import chunk_documents
+    return chunk_documents(_docs(spark, sf_dir), chunk_size=512, stride=384)
+
+
+def sql_chunk_documents():
+    return """
+WITH d AS (SELECT doc_id, text,
+                  (1 + ceil(greatest(length(text) - 512, 0) / 384.0))::int
+                    AS n_chunks
+           FROM documents),
+c AS (SELECT doc_id, text,
+             unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+      FROM d)
+SELECT doc_id, chunk_idx::int AS chunk_idx,
+       length(substr(text, chunk_idx * 384 + 1, 512))::int AS chunk_len,
+       md5(substr(text, chunk_idx * 384 + 1, 512)) AS chunk_md5
+FROM c"""
+
+
+def q_mixture_weights(spark, sf_dir):
+    """Temperature-flattened training-mix weights (q_i ∝ p_i^0.5): per-source
+    corpus shares flattened with alpha=0.5 and sized to a 1000-doc mix."""
+    from abot_dotnet_core_spark.functions.sampling import mixture_weights
+    return mixture_weights(_docs(spark, sf_dir), alpha=0.5, budget=1000,
+                           stratum_col="source")
+
+
+def sql_mixture_weights():
+    return """
+WITH counts AS (SELECT source AS stratum, count(*) AS n_docs
+                FROM documents GROUP BY source),
+tot AS (SELECT sum(n_docs)::double AS total FROM counts),
+flat AS (SELECT stratum, n_docs, pow(n_docs / total, 0.5) AS f, total
+         FROM counts, tot),
+z AS (SELECT sum(f) AS zz FROM flat)
+SELECT stratum, n_docs,
+       round(n_docs / total, 6) AS share,
+       round(f / zz, 6) AS weight,
+       round(f / zz * 1000)::bigint AS target_docs
+FROM flat, z"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the crawl-frontier BFS kernel (iterative expansion with
     seen-set anti-join dedup — one crawl round per iteration) on sf0.001."""
@@ -1801,8 +1904,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "ivf_topk": q_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
+        "semdedup": q_semdedup,
         # text analysis
         "token_stats": q_token_stats,
+        "vocab_topk": q_vocab_topk,
+        "chunk_documents": q_chunk_documents,
+        "mixture_weights": q_mixture_weights,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -1866,7 +1973,11 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk_lsh": sql_cosine_topk_lsh(),
         "ivf_topk": sql_ivf_topk(),
         "embedding_neardup": sql_embedding_neardup(),
+        "semdedup": sql_semdedup(),
         "token_stats": sql_token_stats(),
+        "vocab_topk": sql_vocab_topk(),
+        "chunk_documents": sql_chunk_documents(),
+        "mixture_weights": sql_mixture_weights(),
         "quality_scores": sql_quality_scores(),
         "lang_id": sql_lang_id(),
         "fingerprint": sql_fingerprint(),

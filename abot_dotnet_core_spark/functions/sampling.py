@@ -135,3 +135,32 @@ def dsir_weights(df: DataFrame, target: Column, id_col: str = "doc_id",
                     .alias("dsir_weight_micro"))
             .withColumn("dsir_avg_micro", F.expr(
                 "dsir_weight_micro div greatest(n_tokens, 1)")))
+
+
+def mixture_weights(df: DataFrame, alpha: float = 0.5, budget: int = 1000,
+                    stratum_col: str = "source") -> DataFrame:
+    """Temperature-flattened mixture weights (the multilingual-LM sampling
+    rule, e.g. Conneau & Lample 2019: q_i ∝ p_i^alpha): compute each
+    stratum's share p_i of the corpus, flatten with exponent ``alpha`` < 1
+    (upweights tails, downweights heads), renormalize, and size a
+    ``budget``-document training mix. round() everywhere so any engine
+    reproduces the numbers bit-for-bit.
+
+    Returns (stratum, n_docs, share, weight, target_docs).
+
+    Scale posture: one hash-agg over the corpus (map-side combine; the
+    result is #strata rows) plus arithmetic over that tiny aggregate — the
+    heavy input is touched exactly once."""
+    counts = (df.groupBy(F.col(stratum_col).alias("stratum"))
+              .agg(F.count("*").alias("n_docs")))
+    total = counts.agg(F.sum("n_docs")).collect()[0][0] or 1
+    flat = F.pow(F.col("n_docs") / F.lit(float(total)), F.lit(alpha))
+    counts = counts.withColumn("__flat", flat)
+    z = counts.agg(F.sum("__flat")).collect()[0][0] or 1.0
+    return (counts
+            .withColumn("share", F.round(F.col("n_docs") / F.lit(float(total)), 6))
+            .withColumn("weight", F.round(F.col("__flat") / F.lit(float(z)), 6))
+            .withColumn("target_docs",
+                        F.round(F.col("__flat") / F.lit(float(z)) * budget)
+                        .cast("long"))
+            .select("stratum", "n_docs", "share", "weight", "target_docs"))

@@ -100,3 +100,58 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (df.withColumn("fingerprint", fp)
               .withColumn("fingerprint64",
                           F.conv(F.substring(fp, 1, 15), 16, 10).cast("long")))
+
+
+def vocab_topk(df: DataFrame, k: int = 100,
+               text_col: str = "text") -> DataFrame:
+    """Corpus-level vocabulary: lowercase whitespace tokens counted across
+    every document, top-``k`` by frequency (ties broken by term asc) with a
+    dense 1-based rank. The first step of tokenizer/BPE training over a
+    crawl corpus.
+
+    Scale posture: explode + hash-agg with map-side partial aggregation (the
+    classic word-count shape — combiners shrink the shuffle to the distinct
+    vocabulary per partition), then a TakeOrdered top-k; no global sort of
+    the vocabulary. The final rank window runs over k rows only."""
+    from pyspark.sql import Window as W
+    toks = (df.select(F.explode(tokens_col(F.lower(F.col(text_col))))
+                      .alias("term"))
+            .groupBy("term").agg(F.count("*").alias("cnt")))
+    top = toks.orderBy(F.col("cnt").desc(), "term").limit(k)
+    w = W.orderBy(F.col("cnt").desc(), "term")
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def chunk_documents(df: DataFrame, chunk_size: int = 512, stride: int = 384,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Split each document into fixed-size character windows with overlap
+    (``stride`` < ``chunk_size`` overlaps adjacent chunks) — the standard
+    long-document -> training-example transform. A document of length L
+    yields 1 + ceil(max(L - chunk_size, 0) / stride) chunks (every char is
+    covered; the last chunk may be short); empty docs yield one empty chunk
+    so no document silently vanishes.
+
+    Returns (id, chunk_idx, chunk_len, chunk_md5) — the digest, not the
+    chunk text, so the output stays narrow for verification pipelines.
+
+    Scale posture: pure JVM row expansion (sequence + posexplode +
+    substring), no shuffle at all — chunking pipelines into whatever
+    follows. Expansion factor is bounded by L/stride; substring on a
+    one-pass projection never copies the document more than once per
+    chunk."""
+    t = F.col(text_col)
+    n_chunks = (F.lit(1) + F.ceil(
+        F.greatest(F.length(t) - chunk_size, F.lit(0)) / stride)).cast("int")
+    chunked = (df.select(
+        F.col(id_col),
+        t.alias("__t"),
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1))
+         .alias("chunk_idx", "__start")))
+    chunk = F.substring(F.col("__t"), F.col("__start") * stride + 1,
+                        chunk_size)
+    return (chunked.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.length(chunk).alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5")))

@@ -41,6 +41,7 @@ HEADLINE = [
     "stratified_sample", "pack_sequences", "training_mix", "dsir_weights",
     "token_stats", "quality_scores", "lang_id", "fingerprint",
     "gopher_repetition", "line_dedup", "perplexity_buckets",
+    "semdedup", "vocab_topk", "chunk_documents", "mixture_weights",
     "url_keep_latest", "recrawl_schedule", "events_asof", "events_interval",
     "events_tumbling", "events_sessions",
     "seen_antijoin", "url_hash64", "frontier_bfs", "pagerank",

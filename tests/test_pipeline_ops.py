@@ -554,3 +554,98 @@ class TestDsirWeights:
         got = {r["doc_id"]: r["dsir_avg_micro"] for r in dsir_weights(
             df, target=F.col("lang") == "en").collect()}
         assert got[10] > got[5]  # target-like text scores above raw-only
+
+
+class TestSemDedup:
+    def _emb(self, spark, vecs):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>")
+
+    def test_identical_vectors_drop_higher_id(self, spark):
+        from abot_dotnet_core_spark.functions.similarity import semdedup
+        # 0/1 identical (cos=1), 2 orthogonal-ish: with 2 clusters the dup
+        # pair co-clusters; only the higher id of the pair is dropped
+        v = [1.0] + [0.0] * 63
+        w = [0.0, 1.0] + [0.0] * 62
+        df = self._emb(spark, [v, v, w])
+        rows = {r["vec_id"]: r for r in
+                semdedup(df, n_clusters=2, threshold=0.95, dim=64).collect()}
+        assert rows[0]["kept"] and not rows[1]["kept"] and rows[2]["kept"]
+        assert rows[0]["cluster"] == rows[1]["cluster"] != rows[2]["cluster"]
+
+    def test_cross_cluster_dups_not_compared(self, spark):
+        from abot_dotnet_core_spark.functions.similarity import semdedup
+        # the SemDeDup approximation: near-dups split across clusters are
+        # NOT compared — both kept (the recall/cost trade the paper makes)
+        a = [1.0] + [0.0] * 63
+        b = [0.0, 1.0] + [0.0] * 62
+        df = self._emb(spark, [a, b])          # seeds ARE the 2 centroids
+        out = semdedup(df, n_clusters=2, threshold=0.0, dim=64).collect()
+        assert all(r["kept"] for r in out)
+
+    def test_transitive_chain_keeps_lowest_only(self, spark):
+        from abot_dotnet_core_spark.functions.similarity import semdedup
+        # three copies in one cluster: 1 and 2 both have a lower-id dup
+        v = [0.5] * 64
+        w = [-1.0] + [0.0] * 63
+        df = self._emb(spark, [v, v, v, w])
+        rows = {r["vec_id"]: r["kept"] for r in
+                semdedup(df, n_clusters=2, threshold=0.99, dim=64).collect()}
+        assert rows == {0: True, 1: False, 2: False, 3: True}
+
+
+class TestVocabChunksMixture:
+    def test_vocab_counts_and_tie_rank(self, spark):
+        from abot_dotnet_core_spark.functions.textfns import vocab_topk
+        df = spark.createDataFrame(
+            [(1, "The cat and the dog"), (2, "a CAT"), (3, "   ")],
+            "doc_id long, text string")
+        rows = [(r["term"], r["cnt"], r["rank"])
+                for r in vocab_topk(df, k=3).orderBy("rank").collect()]
+        # tie the/cat at 2 -> 'cat' first alphabetically; then a/and/dog
+        assert rows == [("cat", 2, 1), ("the", 2, 2), ("a", 1, 3)]
+
+    def test_chunk_boundaries_and_overlap(self, spark):
+        from abot_dotnet_core_spark.functions.textfns import chunk_documents
+        text_512 = "x" * 512
+        text_513 = "x" * 513
+        df = spark.createDataFrame(
+            [(1, text_512), (2, text_513), (3, "")],
+            "doc_id long, text string")
+        out = chunk_documents(df, chunk_size=512, stride=384)
+        got = {(r["doc_id"], r["chunk_idx"]): r["chunk_len"]
+               for r in out.collect()}
+        # L=512 -> one full chunk; L=513 -> second chunk covers [384:513)
+        assert got == {(1, 0): 512, (2, 0): 512, (2, 1): 129, (3, 0): 0}
+
+    def test_chunk_digest_matches_overlap_content(self, spark):
+        from abot_dotnet_core_spark.functions.textfns import chunk_documents
+        import hashlib as h
+        text = "".join(chr(97 + i % 26) for i in range(1000))
+        df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+        rows = {r["chunk_idx"]: r["chunk_md5"]
+                for r in chunk_documents(df, chunk_size=512,
+                                         stride=384).collect()}
+        for i, md in rows.items():
+            want = h.md5(text[i * 384:i * 384 + 512].encode()).hexdigest()
+            assert md == want
+        assert len(rows) == 1 + (1000 - 512 + 383) // 384
+
+    def test_mixture_flattens_toward_tail(self, spark):
+        from abot_dotnet_core_spark.functions.sampling import mixture_weights
+        df = spark.createDataFrame(
+            [(i, "head" if i < 900 else "tail") for i in range(1000)],
+            "doc_id long, source string")
+        rows = {r["stratum"]: r for r in
+                mixture_weights(df, alpha=0.5, budget=1000,
+                                stratum_col="source").collect()}
+        import math
+        z = math.sqrt(0.9) + math.sqrt(0.1)
+        assert rows["head"]["n_docs"] == 900
+        assert abs(rows["head"]["weight"] - math.sqrt(0.9) / z) < 1e-6
+        assert abs(rows["tail"]["weight"] - math.sqrt(0.1) / z) < 1e-6
+        # alpha<1 upweights the tail above its raw share
+        assert rows["tail"]["weight"] > rows["tail"]["share"]
+        assert rows["head"]["target_docs"] + rows["tail"]["target_docs"] \
+            in (999, 1000, 1001)
