@@ -143,3 +143,31 @@ class TestDedupFamilyPlans:
             assert "toks" not in m.group(0) and "text" not in m.group(0), \
                 m.group(0)
         assert "Python" not in simple_plan(df), fplan[:500]
+
+
+class TestNewPipelinePlans:
+    def test_semdedup_cluster_join_no_cartesian_no_python(self, spark):
+        """SemDeDup's pair stage must be an equi-join on the cluster id
+        (bucket-mates shuffle, nothing else) — never a cartesian product —
+        and all vector math stays JVM-side."""
+        import __spark_entry__ as e
+        plan = simple_plan(e.q_semdedup(spark, SF))
+        assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+        assert "Python" not in plan and "MapInArrow" not in plan, plan
+
+    def test_chunk_documents_zero_shuffle(self, spark):
+        """Chunking is pure row expansion — sequence/posexplode/substring on
+        the scan, no Exchange anywhere."""
+        import __spark_entry__ as e
+        plan = simple_plan(e.q_chunk_documents(spark, SF))
+        assert "Exchange" not in plan, plan
+        assert "Generate" in plan, plan
+        assert "Python" not in plan, plan
+
+    def test_vocab_topk_partial_agg_takeordered(self, spark):
+        """Vocabulary: ONE shuffle (the term groupBy, map-side combined) and
+        a TakeOrdered top-k — no global sort of the vocabulary."""
+        import __spark_entry__ as e
+        plan = simple_plan(e.q_vocab_topk(spark, SF))
+        assert "TakeOrdered" in plan, plan
+        assert "partial_count" in plan or "partial" in plan.lower(), plan
