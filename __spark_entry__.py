@@ -1867,6 +1867,103 @@ SELECT stratum, n_docs,
 FROM flat, z"""
 
 
+def q_inverted_index(spark, sf_dir):
+    """Inverted index over the corpus (search-engine posting lists): one row
+    per lowercase whitespace term with document frequency, total term
+    frequency, and the md5 of the sorted posting list."""
+    from abot_dotnet_core_spark.functions.textfns import inverted_index
+    return inverted_index(_docs(spark, sf_dir), min_df=2)
+
+
+def sql_inverted_index():
+    return """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id)
+SELECT term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS total_tf,
+       md5(array_to_string(list_sort(list(doc_id)), ',')) AS postings_md5
+FROM tf GROUP BY term HAVING count(*) >= 2"""
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Per-document top-5 keywords by integer fixed-point tf/df score
+    (score_micro = tf * 1e6 // df) — tf-idf-shaped keyword extraction with
+    a bit-exact oracle (no float log)."""
+    from abot_dotnet_core_spark.functions.textfns import tfidf_topk
+    return tfidf_topk(_docs(spark, sf_dir), k=5)
+
+
+def sql_tfidf_topk():
+    return """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         ((t.tf * 1000000) // d.df)::BIGINT AS score_micro
+  FROM tf t JOIN dfq d USING (term)),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+          ORDER BY score_micro DESC, tf DESC, term) AS rnk
+      FROM scored)
+SELECT doc_id, term, tf, df, score_micro, rnk::int AS rank
+FROM r WHERE rnk <= 5"""
+
+
+def q_bigram_lm(spark, sf_dir):
+    """Bigram language-model table (KenLM-prep): fixed-point conditional
+    probability per bigram with the context count, min_count=2 pruning."""
+    from abot_dotnet_core_spark.functions.textfns import bigram_lm
+    return bigram_lm(_docs(spark, sf_dir), min_count=2)
+
+
+def sql_bigram_lm():
+    return """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t
+  FROM documents),
+bg AS (SELECT t[i] AS w1, t[(i+1)::int] AS w2
+       FROM toks, unnest(range(1, len(t))) AS u(i)
+       WHERE len(t) >= 2),
+cnt AS (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(cnt)::BIGINT AS ctx_cnt FROM cnt GROUP BY w1)
+SELECT c.w1, c.w2, c.cnt, x.ctx_cnt,
+       ((c.cnt * 1000000) // x.ctx_cnt)::BIGINT AS p_micro
+FROM cnt c JOIN ctx x USING (w1)
+WHERE c.cnt >= 2"""
+
+
+def q_events_json_agg(spark, sf_dir):
+    """Semi-structured JSON extraction over the events `props` column
+    (get_json_object stays JVM-side / codegen) aggregated per event type —
+    the crawl-metadata-sidecar shape (CDX-style JSON payloads)."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (ev.select("event_type", k.alias("k"), "user_id")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum("k").alias("sum_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k"),
+                 F.count_distinct("user_id").alias("n_users")))
+
+
+def sql_events_json_agg():
+    return """
+SELECT event_type, count(*)::BIGINT AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS max_k,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY event_type"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the crawl-frontier BFS kernel (iterative expansion with
     seen-set anti-join dedup — one crawl round per iteration) on sf0.001."""
@@ -1908,6 +2005,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis
         "token_stats": q_token_stats,
         "vocab_topk": q_vocab_topk,
+        "inverted_index": q_inverted_index,
+        "tfidf_topk": q_tfidf_topk,
+        "bigram_lm": q_bigram_lm,
         "chunk_documents": q_chunk_documents,
         "mixture_weights": q_mixture_weights,
         "quality_scores": q_quality_scores,
@@ -1934,6 +2034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": q_events_sliding,
         "events_asof": q_events_asof,
         "events_interval": q_events_interval,
+        "events_json_agg": q_events_json_agg,
         # relational core
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -1976,6 +2077,9 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": sql_semdedup(),
         "token_stats": sql_token_stats(),
         "vocab_topk": sql_vocab_topk(),
+        "inverted_index": sql_inverted_index(),
+        "tfidf_topk": sql_tfidf_topk(),
+        "bigram_lm": sql_bigram_lm(),
         "chunk_documents": sql_chunk_documents(),
         "mixture_weights": sql_mixture_weights(),
         "quality_scores": sql_quality_scores(),
@@ -1999,6 +2103,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding": sql_events_sliding(),
         "events_asof": sql_events_asof(),
         "events_interval": sql_events_interval(),
+        "events_json_agg": sql_events_json_agg(),
         "tpch_q1": sql_tpch_q1(),
         "tpch_q3": sql_tpch_q3(),
         "running_window": sql_running_window(),

@@ -155,3 +155,103 @@ def chunk_documents(df: DataFrame, chunk_size: int = 512, stride: int = 384,
         F.col("chunk_idx").cast("int").alias("chunk_idx"),
         F.length(chunk).alias("chunk_len"),
         F.md5(chunk).alias("chunk_md5")))
+
+
+def inverted_index(df: DataFrame, min_df: int = 1,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Inverted index over lowercase whitespace tokens: one row per term
+    with document frequency, total term frequency, and an md5 digest of the
+    sorted posting list (the digest, not the list, keeps verification output
+    narrow; the posting list itself is the intermediate `collect_list`).
+
+    Scale posture: explode -> (term, doc) hash-agg with map-side combine
+    (shuffle volume = distinct (term, doc) pairs, not token occurrences),
+    then one more hash-agg keyed by term. The posting-list collect is the
+    inherent cost of an inverted index; hot stopword terms produce large
+    single-key lists, which is why real deployments segment postings —
+    `min_df` here plus a downstream segment writer would shard them. No
+    windows, no sort except the per-term array sort (row-local)."""
+    toks = (df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(tokens_col(F.lower(F.col(text_col))))
+                       .alias("term"))
+            .groupBy("term", "doc_id").agg(F.count("*").alias("tf")))
+    idx = (toks.groupBy("term")
+           .agg(F.count("*").alias("doc_freq"),
+                F.sum("tf").alias("total_tf"),
+                F.md5(F.concat_ws(",", F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda d: d.cast("string")))).alias("postings_md5")))
+    if min_df > 1:
+        idx = idx.where(F.col("doc_freq") >= min_df)
+    return idx.select("term", "doc_freq", "total_tf", "postings_md5")
+
+
+def tfidf_topk(df: DataFrame, k: int = 5,
+               id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Per-document top-``k`` terms by an integer fixed-point tf/df score
+    (score_micro = tf * 1e6 // df) — tf-idf-shaped keyword extraction that
+    stays bit-exact across Spark partial-agg order and the DuckDB oracle
+    (no float log). Ranking ties break by tf desc then term asc.
+
+    Scale posture: two hash-aggs (tf per (doc, term), df per term) joined on
+    term — both sides share the term partitioning so the join reuses the
+    agg shuffle; then a per-doc row_number window whose partition size is
+    bounded by the document's distinct-term count (document length), never
+    by corpus size."""
+    from pyspark.sql import Window as W
+    toks = df.select(F.col(id_col).alias("doc_id"),
+                     F.explode(tokens_col(F.lower(F.col(text_col))))
+                      .alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = (toks.groupBy("term")
+             .agg(F.count_distinct("doc_id").alias("df")))
+    scored = (tf.join(dfreq, "term")
+              .withColumn("score_micro",
+                          F.floor((F.col("tf") * F.lit(1_000_000))
+                                  .cast("bigint") / F.col("df"))
+                          .cast("bigint")))
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("tf").desc(), F.col("term"))
+    return (scored
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k)
+            .select("doc_id", "term", "tf", "df", "score_micro", "rank"))
+
+
+def bigram_lm(df: DataFrame, min_count: int = 2,
+              text_col: str = "text") -> DataFrame:
+    """Bigram language-model counts (KenLM-prep shape): conditional
+    probability of each bigram in integer fixed-point, p_micro =
+    count(w1,w2) * 1e6 // count(w1-as-context). The context count is the
+    number of bigram occurrences starting with w1 (so probabilities per
+    context sum to ~1e6 exactly); bigrams below ``min_count`` are pruned,
+    the usual LM count cutoff.
+
+    Scale posture: bigrams are built row-locally by zipping the token array
+    against its shifted self (arrays_zip of two slices — NOT a positional
+    HOF closing over the tokenizer, which Spark would re-evaluate per
+    element; see BENCH/BASELINE.md round-2 log), then two hash-aggs with
+    map-side combine. The context count is a second agg over the already
+    aggregated bigram table (|distinct bigrams| rows, not token volume),
+    joined back on w1."""
+    toks = tokens_col(F.lower(F.col(text_col)))
+    bg = (df
+          .withColumn("__t", toks)
+          .select(F.explode(F.arrays_zip(
+              F.slice(F.col("__t"), 1,
+                      F.greatest(F.size("__t") - 1, F.lit(0))).alias("w1"),
+              F.slice(F.col("__t"), 2,
+                      F.greatest(F.size("__t") - 1, F.lit(0))).alias("w2")))
+              .alias("p"))
+          .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")))
+    cnt = bg.groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
+    ctx = cnt.groupBy("w1").agg(F.sum("cnt").alias("ctx_cnt"))
+    return (cnt.join(ctx, "w1")
+            .where(F.col("cnt") >= min_count)
+            .withColumn("p_micro",
+                        F.floor((F.col("cnt") * F.lit(1_000_000))
+                                .cast("bigint") / F.col("ctx_cnt"))
+                        .cast("bigint"))
+            .select("w1", "w2", "cnt", "ctx_cnt", "p_micro"))

@@ -649,3 +649,67 @@ class TestVocabChunksMixture:
         assert rows["tail"]["weight"] > rows["tail"]["share"]
         assert rows["head"]["target_docs"] + rows["tail"]["target_docs"] \
             in (999, 1000, 1001)
+
+
+class TestIndexingLM:
+    def test_inverted_index_postings_and_counts(self, spark):
+        from abot_dotnet_core_spark.functions.textfns import inverted_index
+        df = spark.createDataFrame(
+            [(5, "cat dog cat"), (2, "Cat fish"), (9, "dog"), (4, "  ")],
+            "doc_id long, text string")
+        rows = {r["term"]: r for r in inverted_index(df, min_df=1).collect()}
+        assert rows["cat"]["doc_freq"] == 2
+        assert rows["cat"]["total_tf"] == 3          # 2 in doc5, 1 in doc2
+        # posting list digest is over the SORTED ids: "2,5"
+        assert rows["cat"]["postings_md5"] == hashlib.md5(b"2,5").hexdigest()
+        assert rows["dog"]["doc_freq"] == 2
+        assert rows["fish"]["doc_freq"] == 1
+        assert set(rows) == {"cat", "dog", "fish"}   # empty doc contributes 0
+
+    def test_inverted_index_min_df_prunes(self, spark):
+        from abot_dotnet_core_spark.functions.textfns import inverted_index
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "a c")], "doc_id long, text string")
+        terms = {r["term"] for r in inverted_index(df, min_df=2).collect()}
+        assert terms == {"a"}
+
+    def test_tfidf_rank_and_fixed_point(self, spark):
+        from abot_dotnet_core_spark.functions.textfns import tfidf_topk
+        # 'rare' appears only in doc1 (df=1), 'common' in both (df=2):
+        # doc1 scores rare=2e6/1, common=1e6/2 -> rare ranks first.
+        df = spark.createDataFrame(
+            [(1, "rare rare common"), (2, "common other")],
+            "doc_id long, text string")
+        rows = {(r["doc_id"], r["term"]): r
+                for r in tfidf_topk(df, k=5).collect()}
+        assert rows[(1, "rare")]["score_micro"] == 2_000_000
+        assert rows[(1, "rare")]["rank"] == 1
+        assert rows[(1, "common")]["score_micro"] == 500_000
+        assert rows[(1, "common")]["rank"] == 2
+        # k cutoff: only top-1 survives with k=1
+        top1 = tfidf_topk(df, k=1)
+        assert {(r["doc_id"], r["term"]) for r in top1.collect()} == \
+            {(1, "rare"), (2, "other")}  # doc2 tie other/common -> df 1 < 2
+
+    def test_bigram_lm_conditional_probs(self, spark):
+        from abot_dotnet_core_spark.functions.textfns import bigram_lm
+        # context 'the': the->cat x2, the->dog x1 (across docs) -> 666666/333333
+        df = spark.createDataFrame(
+            [(1, "the cat the dog"), (2, "the cat"), (3, "solo")],
+            "doc_id long, text string")
+        rows = {(r["w1"], r["w2"]): r
+                for r in bigram_lm(df, min_count=1).collect()}
+        assert rows[("the", "cat")]["cnt"] == 2
+        assert rows[("the", "cat")]["ctx_cnt"] == 3
+        assert rows[("the", "cat")]["p_micro"] == 666_666
+        assert rows[("the", "dog")]["p_micro"] == 333_333
+        # 'cat the' and 'dog'-terminal: doc ends break bigrams per doc
+        assert ("cat", "the") in rows and rows[("cat", "the")]["cnt"] == 1
+        assert not any(w1 == "solo" for w1, _ in rows)
+
+    def test_bigram_min_count_prunes(self, spark):
+        from abot_dotnet_core_spark.functions.textfns import bigram_lm
+        df = spark.createDataFrame(
+            [(1, "a b a b c")], "doc_id long, text string")
+        rows = {(r["w1"], r["w2"]) for r in bigram_lm(df, min_count=2).collect()}
+        assert rows == {("a", "b")}
