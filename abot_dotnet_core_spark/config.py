@@ -3,6 +3,14 @@
 Reference: /root/reference/Abot/src/Abot/Poco/CrawlConfiguration.cs:8-23
 (defaults) and :26-241 (knobs). Names are snake_cased 1:1 so pytest oracles
 read across. The frozen dataclass is broadcast-safe (pickled once per round).
+
+Deliberately NOT mirrored (process-local HTTP-client/memory knobs with no
+analogue in the corpus-join fetch model): HttpServicePointConnectionLimit,
+IsSendingCookiesEnabled, IsSslCertificateValidationEnabled,
+IsHttpRequestAutomaticDecompressionEnabled, IsAlwaysLogin/LoginUser/
+LoginPassword, MaxMemoryUsageInMb/MaxMemoryUsageCacheTimeInSeconds/
+MinAvailableMemoryRequiredInMb (executor memory is Spark's concern).
+Every crawl-semantics knob in the reference has a field here.
 """
 
 from __future__ import annotations

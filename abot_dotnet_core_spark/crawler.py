@@ -234,7 +234,12 @@ class CrawlEngine:
                     continue
             rows.append((u, url_hash64(u), authority(u), scheme_of(u), None, 0,
                          True, False, 0, None, 0, seq, 0))
-            seen_rows.append((url_hash64(u),))
+            if not self.cfg.is_uri_recrawling_enabled:
+                # Scheduler.Add -> AddIfNew (Scheduler.cs:78-87); recrawling
+                # bypasses the crawled repo, so seeds stay out of the seen
+                # table and one later link back to a seed re-schedules it
+                # once (then the mark-all append makes it known)
+                seen_rows.append((url_hash64(u),))
             seen_hashes.add(url_hash64(u))
             seq += 1
 
@@ -347,7 +352,13 @@ class CrawlEngine:
             fr.repartition(buckets,
                            F.pmod(F.xxhash64("domain"),
                                   F.lit(self.cfg.state_buckets))), 0)
-        self.store.write_table("seen", fr.select("url_hash"), 0)
+        self.store.write_table(
+            "seen",
+            # recrawling bypasses AddIfNew at Scheduler.Add (Scheduler.cs:78):
+            # seeded rows stay unknown until a page links to them
+            fr.select("url_hash").limit(0)
+            if self.cfg.is_uri_recrawling_enabled else fr.select("url_hash"),
+            0)
         self.store.write_table("root_domains", root_domains, 0)
         self.store.write_table(
             "domain_counts", self.spark.createDataFrame([], "domain string, cnt long"), 0)
@@ -668,6 +679,11 @@ class CrawlEngine:
         want_links = ((F.col("is_internal")
                        | F.lit(cfg.is_external_page_links_crawling_enabled))
                       & (F.col("depth") < cfg.max_crawl_depth))
+        # IsForcedLinkParsingEnabled (WebCrawler.cs:688-690): links are
+        # PARSED (reported on the crawled event) even when the links gate
+        # denies — but never scheduled (SchedulePageLinks still requires
+        # shouldCrawlPageLinks; the explode below filters on links_reason)
+        parse_links = want_links | F.lit(cfg.is_forced_link_parsing_enabled)
         corpus = spark.read.parquet(self.corpus_path).select("url", "html")
         dl = fetched.filter(F.col("download_reason").isNull())
         links_t = ("array<struct<url:string,hash:bigint,"
@@ -680,7 +696,7 @@ class CrawlEngine:
                             .join(corpus, "url", "left")
                             .withColumn("__pg", self._extract_page_udf(
                                 F.col("html"), F.col("content_type"), F.col("url"),
-                                want_links, F.col("x_robots")))
+                                parse_links, F.col("x_robots")))
                             .withColumn("charset", F.col("__pg.charset"))
                             .withColumn("text_md5", F.col("__pg.text_md5"))
                             .withColumn("text_blank", F.col("__pg.text_blank"))
@@ -769,7 +785,7 @@ class CrawlEngine:
                                                    F.lit(True)))
                             .withColumn(
                                 "parsed_links",
-                                F.when(want_links & ~F.col("text_blank"),
+                                F.when(parse_links & ~F.col("text_blank"),
                                        F.col("__links"))
                                  .otherwise(F.array().cast(links_t)))
                             .withColumn("parsed_links",
@@ -796,8 +812,11 @@ class CrawlEngine:
                 F.coalesce(F.col("links_reason"),
                            F.when(~ok, F.lit(REASON_CUSTOM))))
                 # a custom links denial suppresses the page's links entirely
+                # (unless forced parsing keeps them on the event; the
+                # links_reason filter below still blocks scheduling)
                 .withColumn("parsed_links",
-                            F.when(F.col("links_reason").isNotNull(),
+                            F.when(F.col("links_reason").isNotNull()
+                                   & ~F.lit(cfg.is_forced_link_parsing_enabled),
                                    F.array().cast(links_t))
                             .otherwise(F.col("parsed_links"))))
         fetched = fetched.localCheckpoint(eager=True)
@@ -830,6 +849,10 @@ class CrawlEngine:
                         set(self.root_authorities) | new_auths)
 
         links = (fetched
+                 # SchedulePageLinks runs only when shouldCrawlPageLinks
+                 # allowed (WebCrawler.cs:695-696) — forced-parsed links are
+                 # reported but never scheduled or marked known
+                 .filter(F.col("links_reason").isNull())
                  .select("url", "crawl_order", "priority_seq", "depth", "domain",
                          F.posexplode_outer("parsed_links").alias("link_pos", "__link"))
                  .filter(F.col("__link").isNotNull())

@@ -188,7 +188,12 @@ class CrawlSimulator:
         root = _Page(url=seed, is_root=True, is_internal=True)
         decision = self._should_crawl_page(root, state, len(queue))
         if decision.allow:
-            state.seen.add(seed)       # Scheduler.Add -> AddIfNew
+            if not self.cfg.is_uri_recrawling_enabled:
+                # Scheduler.Add -> AddIfNew (Scheduler.cs:78-87); with
+                # recrawling enabled Add bypasses the crawled repo, so the
+                # seed stays unknown until some page links to it (AddKnownUri)
+                # — one link back to the root re-schedules it exactly once.
+                state.seen.add(seed)
             queue.append(root)
         else:
             state.disallowed.append(DisallowedEvent(seed, decision.reason, "page"))
@@ -233,8 +238,11 @@ class CrawlSimulator:
                     page.is_internal):
                 from ..operators.delegates import REASON_CUSTOM
                 links_decision = D.Decision(False, REASON_CUSTOM)
-            if links_decision.allow:
-                links = extract_links(
+            parsed_n = 0
+            if links_decision.allow or cfg.is_forced_link_parsing_enabled:
+                # ParsePageLinks runs when allowed OR forced
+                # (WebCrawler.cs:688-690); SchedulePageLinks only when allowed
+                parsed = extract_links(
                     text, page.url,
                     x_robots_tag=rec.x_robots if rec is not None else None,
                     respect_meta_robots_nofollow=cfg.is_respect_meta_robots_no_follow_enabled,
@@ -244,14 +252,17 @@ class CrawlSimulator:
                     clean_url=self.delegates.clean_url,
                     parser=cfg.hyperlink_parser,
                 )
-            else:
+                parsed_n = len(parsed)
+                if links_decision.allow:
+                    links = parsed
+            if not links_decision.allow:
                 state.disallowed.append(
                     DisallowedEvent(page.url, links_decision.reason, "links"))
 
             state.crawled.append(CrawledEvent(
                 order=order, url=page.url, status=status, depth=page.depth,
                 parent_url=page.parent_url, is_retry=page.is_retry,
-                retry_count=page.retry_count, links_extracted=len(links)))
+                retry_count=page.retry_count, links_extracted=parsed_n))
             order += 1
 
             # root-redirect rebinding — ValidateRootUriForRedirection

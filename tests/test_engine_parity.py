@@ -584,3 +584,114 @@ class TestResume:
         assert full == resumed
         assert ({r["url_hash"] for r in eng_full._read_seen().collect()}
                 == {r["url_hash"] for r in eng_b._read_seen().collect()})
+
+
+class TestParityUriRecrawling:
+    """IsUriRecrawlingEnabled (Scheduler.cs:78-87): Scheduler.Add bypasses
+    AddIfNew, so directly-added pages (seeds) stay out of the crawled repo
+    until AddKnownUri marks them — one link back to the root re-crawls it
+    exactly once. With the flag off the seed is test-and-set at Add time and
+    the back-link is deduped."""
+
+    ROOT = "http://rc.test/"
+
+    def _write(self, spark, tmp_path):
+        import pandas as pd
+        from abot_dotnet_core_spark.kernel.simulator import PageRecord
+
+        def link(*hs):
+            return "".join(f'<a href="{h}">x</a>' for h in hs)
+
+        pages = {
+            self.ROOT: PageRecord(html=link("/a", "/b") + "root"),
+            self.ROOT + "a": PageRecord(html=link("/", "/c") + "pa"),
+            self.ROOT + "b": PageRecord(html="pb"),
+            self.ROOT + "c": PageRecord(html="pc"),
+        }
+        rows = []
+        for url, rec in pages.items():
+            raw = rec.html.encode()
+            rows.append({"url": url, "warc_ts": pd.Timestamp("2024-01-01"),
+                         "html": raw, "text": rec.html, "lang": "en",
+                         "status": rec.status,
+                         "content_type": rec.content_type,
+                         "content_length": len(raw), "redirect_to": None})
+        pdf = pd.DataFrame(rows)
+        d = tmp_path / "rccorpus"
+        d.mkdir(exist_ok=True)
+        pdf[["url", "warc_ts", "html", "text", "lang"]].to_parquet(
+            f"{d}/corpus.parquet", index=False, coerce_timestamps="us",
+            allow_truncated_timestamps=True)
+        pdf[["url", "status", "content_type", "content_length",
+             "redirect_to"]].to_parquet(f"{d}/corpus_meta.parquet",
+                                        index=False)
+        return str(d), pages
+
+    def _run_both(self, spark, tmp_path, cfg):
+        d, pages = self._write(spark, tmp_path)
+        sim = CrawlSimulator(pages, cfg).crawl(self.ROOT)
+        eng = CrawlEngine(
+            spark, cfg,
+            corpus_path=f"{d}/corpus.parquet",
+            corpus_meta_path=f"{d}/corpus_meta.parquet",
+            store_root=str(tmp_path / "rcstate"))
+        eng.seed([self.ROOT])
+        eng.run(max_rounds=20)
+        return eng, sim
+
+    def test_recrawling_recrawls_linked_seed_once(self, spark, tmp_path):
+        cfg = CrawlConfig(is_uri_recrawling_enabled=True)
+        eng, sim = self._run_both(spark, tmp_path, cfg)
+        assert_parity(spark, eng, sim, check_text=False)
+        urls = [c.url for c in sim.crawled]
+        assert urls.count(self.ROOT) == 2          # re-crawled exactly once
+        assert len(urls) == 5                      # root, a, b, root@d2, c
+
+    def test_recrawling_off_dedups_seed_backlink(self, spark, tmp_path):
+        cfg = CrawlConfig()
+        eng, sim = self._run_both(spark, tmp_path, cfg)
+        assert_parity(spark, eng, sim, check_text=False)
+        urls = [c.url for c in sim.crawled]
+        assert urls.count(self.ROOT) == 1
+        assert len(urls) == 4
+
+
+class TestParityForcedLinkParsing:
+    """IsForcedLinkParsingEnabled (WebCrawler.cs:688-690): links are parsed
+    (ParsedLinks populated, reported on the crawled event) even when
+    ShouldCrawlPageLinks denies — but SchedulePageLinks still requires the
+    gate, so nothing extra is scheduled or marked known."""
+
+    def _cfg(self, thresh):
+        return CrawlConfig(max_crawl_depth=1,
+                           is_forced_link_parsing_enabled=True,
+                           fetch_broadcast_threshold=thresh)
+
+    def test_forced_parsing_both_paths(self, spark, tiny_corpus_dir,
+                                       tmp_path):
+        for thresh, sub in ((0, "big"), (200_000, "small")):
+            cfg = self._cfg(thresh)
+            sim = simulator_result(cfg)
+            eng = run_engine(spark, cfg, tiny_corpus_dir, tmp_path / sub)
+            assert_parity(spark, eng, sim, check_text=False)
+            # per-url links_extracted equality, incl. gate-denied pages
+            got = [(r["url"], r["links_extracted"])
+                   for r in engine_crawled(spark, eng)]
+            want = [(c.url, c.links_extracted) for c in sim.crawled]
+            assert got == want
+            # the flag actually bit: some depth-1 page (links gate denied by
+            # max_crawl_depth=1) still reports parsed links
+            denied_with_links = [c for c in sim.crawled
+                                 if c.depth == 1 and c.links_extracted > 0]
+            assert denied_with_links
+            # ...but none of its links were scheduled (crawl stops at d1)
+            assert all(c.depth <= 1 for c in sim.crawled)
+
+    def test_without_flag_denied_pages_report_zero(self, spark,
+                                                   tiny_corpus_dir, tmp_path):
+        cfg = CrawlConfig(max_crawl_depth=1)
+        sim = simulator_result(cfg)
+        eng = run_engine(spark, cfg, tiny_corpus_dir, tmp_path)
+        assert_parity(spark, eng, sim, check_text=False)
+        assert all(c.links_extracted == 0
+                   for c in sim.crawled if c.depth == 1)

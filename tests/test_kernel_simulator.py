@@ -154,7 +154,9 @@ class TestSeenSet:
         # Scheduler.Add bypasses AddIfNew when recrawling is enabled
         # (Scheduler.cs:78-82), but WebCrawler's IsUriKnown gate + AddKnownUri
         # (WebCrawler.cs:940-969) still dedup every parsed link, so the crawl
-        # set is unchanged — the bypass is only observable for retries.
+        # set is unchanged here (no page links back to the seed) — the bypass
+        # is observable only for retries and links back to directly-Added
+        # pages (see test_engine_parity.py::TestParityUriRecrawling).
         cfg = CrawlConfig(is_uri_recrawling_enabled=True, max_pages_to_crawl=8)
         res = CrawlSimulator(small_corpus(), cfg).crawl(ROOT)
         urls = [c.url for c in res.crawled]
