@@ -142,17 +142,20 @@ import subprocess as sp, time
 def repin_executors(k, mask):
     # Wait for all k executor backends to register, then move every thread
     # of each executor JVM onto the advertised executor cores. Forked
-    # pyspark daemons/workers inherit the mask.
+    # pyspark daemons/workers inherit the mask. The pattern is assembled at
+    # runtime so pgrep -f does not match THIS python driver process (whose
+    # cmdline embeds this source): only the executor JVMs get re-pinned,
+    # and the py4j relay stays on the service cores with the driver JVM.
+    pat = "CoarseGrained" + "Executor" + "Backend"
     deadline = time.time() + 120
     pids = []
     while time.time() < deadline:
-        out = sp.run(["pgrep", "-f", "CoarseGrainedExecutorBackend"],
-                     capture_output=True, text=True)
+        out = sp.run(["pgrep", "-f", pat], capture_output=True, text=True)
         pids = [p for p in out.stdout.split() if p]
         if len(pids) >= k:
             break
         time.sleep(1)
-    assert len(pids) >= k, f"only {len(pids)} executors registered"
+    assert k > 0 and len(pids) >= k, f"only {len(pids)} executors registered (k={k})"
     for p in pids:
         sp.run(["taskset", "-a", "-pc", mask, p], capture_output=True)
     return pids
@@ -245,7 +248,8 @@ def pregenerate() -> None:
         f"spec = CorpusSpec(n_pages={PAGES}, n_domains=max({PAGES} // 100, 4), "
         f"hot_domain_share=0.3, body_repeat={BODY_REPEAT}, error_rate=0.12, branching=8)\n"
         f"d = '/root/repo/.bench/corpus_{PAGES}_b{BODY_REPEAT}'\n"
-        "if not os.path.exists(d + '/corpus.parquet'):\n"
+        "if not os.path.exists(d + '/corpus.parquet/_SUCCESS'):\n"
+        "    import shutil; shutil.rmtree(d, ignore_errors=True)\n"
         "    spark = get_spark('gen', cpus=32)\n"
         "    generate_spark(spark, spec, d, partitions=64)\n"
         "print('CORPUS READY')\n"
