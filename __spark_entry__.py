@@ -1831,9 +1831,9 @@ def q_chunk_documents(spark, sf_dir):
 
 def sql_chunk_documents():
     return """
-WITH d AS (SELECT doc_id, text,
-                  (1 + ceil(greatest(length(text) - 512, 0) / 384.0))::int
-                    AS n_chunks
+WITH d AS (SELECT doc_id, coalesce(text, '') AS text,
+                  (1 + ceil(greatest(length(coalesce(text, '')) - 512, 0)
+                            / 384.0))::int AS n_chunks
            FROM documents),
 c AS (SELECT doc_id, text,
              unnest(generate_series(0, n_chunks - 1)) AS chunk_idx

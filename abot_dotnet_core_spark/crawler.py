@@ -203,7 +203,17 @@ class CrawlEngine:
         ignored_robots_domains: set[str] = set()
         for u in normalized:
             if url_hash64(u) in seen_hashes:
-                continue                 # AddIfNew: duplicate seed dropped
+                # AddIfNew: duplicate seed dropped. DOCUMENTED DIVERGENCE:
+                # the reference's Scheduler.Add with allowUriRecrawling
+                # bypasses AddIfNew, so two simultaneous Adds of the SAME
+                # URL would each crawl (Scheduler.cs:78-87). This engine's
+                # rounds are set-at-a-time — the frontier is url-unique
+                # within a round (fetch/extract joins key on url) — so
+                # identical seeds passed in ONE seed() call collapse even
+                # under the flag. The flag's real semantics (a URL directly
+                # re-added across rounds re-crawls; back-links re-crawl
+                # seeds) hold and are parity-tested.
+                continue
             # PoliteWebCrawler robots-first gate for the root
             if robots_pd is not None and authority(u) in robots_pd.index:
                 flat = robots_pd.loc[authority(u), "rules_flat"]

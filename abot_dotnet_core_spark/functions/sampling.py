@@ -152,7 +152,12 @@ def mixture_weights(df: DataFrame, alpha: float = 0.5, budget: int = 1000,
     result is #strata rows) plus arithmetic over that tiny aggregate — the
     heavy input is touched exactly once."""
     counts = (df.groupBy(F.col(stratum_col).alias("stratum"))
-              .agg(F.count("*").alias("n_docs")))
+              .agg(F.count("*").alias("n_docs"))
+              # materialize the #strata-row aggregate ONCE: total, z, and
+              # the returned frame all derive from it, and without this the
+              # two driver reductions plus the final evaluation would each
+              # rescan the full corpus
+              .localCheckpoint(eager=True))
     total = counts.agg(F.sum("n_docs")).collect()[0][0] or 1
     flat = F.pow(F.col("n_docs") / F.lit(float(total)), F.lit(alpha))
     counts = counts.withColumn("__flat", flat)

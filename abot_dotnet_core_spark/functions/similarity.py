@@ -258,7 +258,11 @@ def semdedup(corpus: DataFrame, n_clusters: int = 8, threshold: float = 0.95,
     """
     cents = ivf_fit_centroids(corpus, n_clusters, lloyd_iters, dim,
                               id_col, vec_col)
-    assigned = ivf_assign(corpus.select(id_col, vec_col), cents, vec_col)
+    # materialize the assignment once: it feeds BOTH sides of the self-join
+    # and the final left join, and the per-row n_clusters x dim quantization
+    # is the dominant cost — without this the plan re-derives it three times
+    assigned = (ivf_assign(corpus.select(id_col, vec_col), cents, vec_col)
+                .localCheckpoint(eager=True))
     a = assigned.select(F.col(id_col).alias("id_a"), "cluster",
                         F.col(vec_col).alias("vec_a"))
     b = assigned.select(F.col(id_col).alias("id_b"), "cluster",

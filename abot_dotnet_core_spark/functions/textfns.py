@@ -140,7 +140,10 @@ def chunk_documents(df: DataFrame, chunk_size: int = 512, stride: int = 384,
     follows. Expansion factor is bounded by L/stride; substring on a
     one-pass projection never copies the document more than once per
     chunk."""
-    t = F.col(text_col)
+    # NULL text counts as empty: it still yields the one empty chunk the
+    # docstring promises (a null length would null the sequence and the
+    # posexplode would silently drop the document)
+    t = F.coalesce(F.col(text_col), F.lit(""))
     n_chunks = (F.lit(1) + F.ceil(
         F.greatest(F.length(t) - chunk_size, F.lit(0)) / stride)).cast("int")
     chunked = (df.select(
@@ -209,9 +212,10 @@ def tfidf_topk(df: DataFrame, k: int = 5,
              .agg(F.count_distinct("doc_id").alias("df")))
     scored = (tf.join(dfreq, "term")
               .withColumn("score_micro",
-                          F.floor((F.col("tf") * F.lit(1_000_000))
-                                  .cast("bigint") / F.col("df"))
-                          .cast("bigint")))
+                          # integer `div`, not floor(double /): a double
+                          # quotient loses exactness past 2^53 and can
+                          # diverge from the oracle's BIGINT //
+                          F.expr("tf * CAST(1000000 AS BIGINT) div df")))
     w = W.partitionBy("doc_id").orderBy(
         F.col("score_micro").desc(), F.col("tf").desc(), F.col("term"))
     return (scored
@@ -251,7 +255,7 @@ def bigram_lm(df: DataFrame, min_count: int = 2,
     return (cnt.join(ctx, "w1")
             .where(F.col("cnt") >= min_count)
             .withColumn("p_micro",
-                        F.floor((F.col("cnt") * F.lit(1_000_000))
-                                .cast("bigint") / F.col("ctx_cnt"))
-                        .cast("bigint"))
+                        # integer `div` keeps bit-exactness vs the oracle's
+                        # BIGINT // even when cnt*1e6 exceeds 2^53
+                        F.expr("cnt * CAST(1000000 AS BIGINT) div ctx_cnt"))
             .select("w1", "w2", "cnt", "ctx_cnt", "p_micro"))

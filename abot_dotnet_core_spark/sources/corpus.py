@@ -347,6 +347,11 @@ def generate_spark(spark, spec: CorpusSpec, outdir: str, partitions: int = 64) -
     os.makedirs(outdir, exist_ok=True)
     robots.to_parquet(f"{outdir}/robots.parquet", index=False)
     seeds.to_parquet(f"{outdir}/seeds.parquet", index=False)
+    # written LAST: cache-validity sentinel — a killed run leaves no sentinel
+    # and the whole directory is regenerated (corpus.parquet/_SUCCESS alone
+    # does not cover the meta/robots/seeds files written after it)
+    with open(f"{outdir}/_GENERATED", "w") as fh:
+        fh.write("ok")
 
 
 TINY = CorpusSpec(n_pages=70, n_domains=4)

@@ -76,8 +76,10 @@ def warmup_crawl(spark, workdir: str) -> None:
     spec = CorpusSpec(n_pages=20_000, n_domains=50, hot_domain_share=0.3,
                       body_repeat=2, error_rate=0.12, branching=8)
     corpus_dir = os.path.join(workdir, "warmup_corpus")
-    if not os.path.exists(os.path.join(corpus_dir, "corpus.parquet",
-                                   "_SUCCESS")):  # a killed run can leave a partial dir
+    if not os.path.exists(os.path.join(corpus_dir, "_GENERATED")):
+        # sentinel written last by generate_spark; a killed run leaves a
+        # partial dir (possibly with corpus.parquet/_SUCCESS but missing
+        # meta/robots/seeds) which must be regenerated wholesale
         shutil.rmtree(corpus_dir, ignore_errors=True)
         generate_spark(spark, spec, corpus_dir,
                        partitions=spark.sparkContext.defaultParallelism)
@@ -121,8 +123,10 @@ def bench_crawl(spark, n_pages: int, workdir: str,
                       hot_domain_share=0.3, body_repeat=body_repeat,
                       error_rate=0.12, branching=8)
     corpus_dir = os.path.join(workdir, f"corpus_{n_pages}_b{body_repeat}")
-    if not os.path.exists(os.path.join(corpus_dir, "corpus.parquet",
-                                   "_SUCCESS")):  # a killed run can leave a partial dir
+    if not os.path.exists(os.path.join(corpus_dir, "_GENERATED")):
+        # sentinel written last by generate_spark; a killed run leaves a
+        # partial dir (possibly with corpus.parquet/_SUCCESS but missing
+        # meta/robots/seeds) which must be regenerated wholesale
         shutil.rmtree(corpus_dir, ignore_errors=True)
         generate_spark(spark, spec, corpus_dir,
                        partitions=spark.sparkContext.defaultParallelism * 2)
@@ -189,8 +193,10 @@ def bench_crawl_mega(spark, n_pages: int, workdir: str,
                       hot_domain_share=0.3, body_repeat=body_repeat,
                       error_rate=0.12, branching=8)
     corpus_dir = os.path.join(workdir, f"corpus_{n_pages}_b{body_repeat}")
-    if not os.path.exists(os.path.join(corpus_dir, "corpus.parquet",
-                                   "_SUCCESS")):  # a killed run can leave a partial dir
+    if not os.path.exists(os.path.join(corpus_dir, "_GENERATED")):
+        # sentinel written last by generate_spark; a killed run leaves a
+        # partial dir (possibly with corpus.parquet/_SUCCESS but missing
+        # meta/robots/seeds) which must be regenerated wholesale
         shutil.rmtree(corpus_dir, ignore_errors=True)
         generate_spark(spark, spec, corpus_dir,
                        partitions=spark.sparkContext.defaultParallelism * 2)

@@ -248,7 +248,7 @@ def pregenerate() -> None:
         f"spec = CorpusSpec(n_pages={PAGES}, n_domains=max({PAGES} // 100, 4), "
         f"hot_domain_share=0.3, body_repeat={BODY_REPEAT}, error_rate=0.12, branching=8)\n"
         f"d = '/root/repo/.bench/corpus_{PAGES}_b{BODY_REPEAT}'\n"
-        "if not os.path.exists(d + '/corpus.parquet/_SUCCESS'):\n"
+        "if not os.path.exists(d + '/_GENERATED'):\n"
         "    import shutil; shutil.rmtree(d, ignore_errors=True)\n"
         "    spark = get_spark('gen', cpus=32)\n"
         "    generate_spark(spark, spec, d, partitions=64)\n"

@@ -639,6 +639,28 @@ class TestParityUriRecrawling:
         eng.run(max_rounds=20)
         return eng, sim
 
+    def test_duplicate_seeds_collapse_documented(self, spark, tmp_path):
+        """Pins a DOCUMENTED divergence (crawler.py seed loop): the
+        reference's Scheduler.Add under allowUriRecrawling bypasses AddIfNew
+        so two simultaneous Adds of the same URL would each crawl
+        (Scheduler.cs:78-87); this engine's frontier is url-unique within a
+        round, so identical seeds in one seed() call collapse even with the
+        flag on. The flag's meaningful semantics (back-link re-crawls a
+        seed) are covered by test_recrawling_recrawls_linked_seed_once."""
+        d, _ = self._write(spark, tmp_path)
+        cfg = CrawlConfig(is_uri_recrawling_enabled=True)
+        eng = CrawlEngine(
+            spark, cfg,
+            corpus_path=f"{d}/corpus.parquet",
+            corpus_meta_path=f"{d}/corpus_meta.parquet",
+            store_root=str(tmp_path / "rcdup"))
+        eng.seed([self.ROOT, self.ROOT])
+        eng.run(max_rounds=20)
+        urls = [r["url"] for r in engine_crawled(spark, eng)]
+        # depth-0 crawl once (collapsed) + one back-link re-crawl from /a
+        assert urls.count(self.ROOT) == 2
+        assert len(urls) == len(set((u, i) for i, u in enumerate(urls)))
+
     def test_recrawling_recrawls_linked_seed_once(self, spark, tmp_path):
         cfg = CrawlConfig(is_uri_recrawling_enabled=True)
         eng, sim = self._run_both(spark, tmp_path, cfg)
