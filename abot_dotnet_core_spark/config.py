@@ -86,6 +86,12 @@ class CrawlConfig:
     # Consolidate the last N per-round seen appends into one directory every
     # N rounds (bounded incremental merge; 0 disables).
     seen_compact_every: int = 8
+    # P4 survivor-set size (remaining budget + retries + probes) above which
+    # the budget predicate switches from TakeOrdered + single-partition
+    # window to the two-pass range-partitioned running sum
+    # (assign_global_cumsum) — the single window would serialize a ~10^9
+    # budget on one task.
+    budget_topk_threshold: int = 4_000_000
     # Big-round scan-side extraction implementation: "arrow" (mapInArrow —
     # html consumed row-by-row from the Arrow batch, links built columnarly;
     # measured ~14% faster at contended core counts) or "pandas"

@@ -48,7 +48,7 @@ from .config import CrawlConfig
 from .functions import udfs
 from .kernel.decisions import effective_domain_delay_ms
 from .operators import decisions as DX
-from .operators.ordering import assign_global_seq
+from .operators.ordering import assign_global_cumsum, assign_global_seq
 from .sources.statestore import StateStore
 
 FRONTIER_SCHEMA = T.StructType([
@@ -525,6 +525,11 @@ class CrawlEngine:
         spark, cfg = self.spark, self.cfg
         r = self.round
         st = RoundStats(round=r + 1)
+        # intermediate localCheckpoints registered here are unpersisted at
+        # round end with the named ones — otherwise their blocks outlive the
+        # round and accumulate in the block manager (the final rebinding of
+        # a name releases only the LAST checkpoint)
+        self._round_ckpts: list[DataFrame] = []
 
         frontier = self.store.read_table(spark, "frontier", r)
         if "not_before_round" not in frontier.columns:
@@ -557,7 +562,9 @@ class CrawlEngine:
         if politeness:
             state = self.store.read_table(spark, "domain_state", 0)
             s = max(cfg.skew_salt, 1)
-            w_ms = cfg.round_length_ms
+            # clamp like _retry_rows: w_ms=0 would make both divisions below
+            # NULL (non-ANSI /0) and zero every budget forever
+            w_ms = max(cfg.round_length_ms, 1)
             min_ms = cfg.min_crawl_delay_per_domain_milli_seconds
             # domains with no robots row (or robots disabled) still get the
             # config minimum + 20 ms fudge — DomainRateLimiter paces EVERY
@@ -626,6 +633,12 @@ class CrawlEngine:
             batch_n = self.pending_total
             non_retry_n = self.pending_non_retry
         st.fetched = batch_n
+        # batch ∪ pending ∪ deferred exactly partition the frontier, whose
+        # totals are already on the driver — the left-behind counts are
+        # arithmetic, not a Spark job (the old count job re-ran the salted
+        # politeness windows, the round's heaviest shuffle, a second time)
+        self._pending_left = (max(self.pending_total - batch_n, 0),
+                              max(self.pending_non_retry - non_retry_n, 0))
 
         c0 = self.crawled_count
         self.crawled_count += non_retry_n    # AddPageToContext (batch form)
@@ -683,6 +696,7 @@ class CrawlEngine:
             # fetch bloom build, the header-meta bloom build, the final
             # left join) — materialize it once instead of re-shuffling thrice
             fetched = fetched.localCheckpoint(eager=True)
+            self._round_ckpts.append(fetched)
 
         # P8/P9 are row-local and known pre-UDF; P7 (blank text) is checked
         # inside the fused UDF right after decoding — one Arrow pass total
@@ -918,11 +932,13 @@ class CrawlEngine:
                                   _mark)
         # release this round's checkpoint blocks — otherwise they accumulate
         # in the block manager across rounds and late rounds pay GC/eviction
-        for df in (batch, fetched, links_flagged):
+        for df in (batch, fetched, links_flagged,
+                   *getattr(self, "_round_ckpts", ())):
             try:
                 df.unpersist()
             except Exception:
                 pass
+        self._round_ckpts = []
         return st
 
     # ------------------------------------------------------------------ #
@@ -1183,6 +1199,11 @@ class CrawlEngine:
         # ordered (parent_seq, sub, link_pos)
         links = links.withColumn("__adm", F.lit(True))
         if cfg.max_pages_to_crawl > 0:
+            # materialize once: the count agg below, the topk stream branch,
+            # and the final checkpoint would each re-run the whole links
+            # lineage (dedup window, seen anti-join, robots UDF, P5 windows)
+            links = links.localCheckpoint(eager=True)
+            self._round_ckpts.append(links)
             cap = cfg.max_pages_to_crawl - c0 - f0
             cnt = links.agg(
                 F.sum(F.col("__consumes").cast("int")).alias("c"),
@@ -1205,17 +1226,31 @@ class CrawlEngine:
                                   F.lit(0).alias("link_pos"),
                                   F.lit(2).alias("__sub"),
                                   F.lit(1).alias("__inc"))))
-                    # TakeOrdered bounds the survivor set to cap + retries +
-                    # probes, so the single-partition window below is over at
-                    # most the remaining BUDGET, not the stream. Caveat: a
-                    # budget of ~10^9 would serialize this window — at that
-                    # size use assign_global_seq over the stream instead.
-                    topk = (stream.orderBy("parent_seq", "__sub", "link_pos")
-                            .limit(cap + n_retries + probe_n))
-                    w_stream = W.orderBy("parent_seq", "__sub", "link_pos") \
-                        .rowsBetween(W.unboundedPreceding, W.currentRow)
-                    topk = topk.withColumn(
-                        "__cum", F.sum("__inc").over(w_stream))
+                    survivors = cap + n_retries + probe_n
+                    if survivors <= cfg.budget_topk_threshold:
+                        # TakeOrdered bounds the survivor set to cap +
+                        # retries + probes, so the single-partition window
+                        # below is over at most the remaining BUDGET, not
+                        # the stream
+                        topk = (stream
+                                .orderBy("parent_seq", "__sub", "link_pos")
+                                .limit(survivors))
+                        w_stream = W.orderBy("parent_seq", "__sub",
+                                             "link_pos") \
+                            .rowsBetween(W.unboundedPreceding, W.currentRow)
+                        topk = topk.withColumn(
+                            "__cum", F.sum("__inc").over(w_stream))
+                    else:
+                        # huge remaining budget (~10^9): a single-partition
+                        # window over the survivor set would serialize one
+                        # task — compute the running backlog with the
+                        # two-pass range-partitioned cumulative sum instead
+                        # (rows past the cap fail the __adm predicate, so no
+                        # pre-limit is needed)
+                        topk = assign_global_cumsum(
+                            stream, ["parent_seq", "__sub", "link_pos"],
+                            "__inc", "__cum",
+                            register_ckpt=self._round_ckpts)
                     # consuming row (inc 1, __cum counts itself) admitted iff
                     # c0+f0+__cum <= max — the c0+f0+k+r+1 invariant; a probe
                     # (inc 0) tests one hypothetical slot at its position:
@@ -1446,17 +1481,12 @@ class CrawlEngine:
             "domain_counts": lambda: self.store.write_table(
                 "domain_counts", merged.coalesce(buckets), r),
         }
-        if pending is not None:
-            def _pending_counts():
-                row = pending.agg(
-                    F.count("*").alias("n"),
-                    F.sum((~F.col("is_retry")).cast("long")).alias("nr")).collect()[0]
-                return row["n"], row["nr"] or 0
-            jobs["pending"] = _pending_counts
         with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
-            futures = {k: pool.submit(fn) for k, fn in jobs.items()}
-            results = {k: f.result() for k, f in futures.items()}
-        n_pending_left, n_pending_left_nonretry = results.get("pending", (0, 0))
+            futures = [pool.submit(fn) for fn in jobs.values()]
+            for f in futures:
+                f.result()
+        n_pending_left, n_pending_left_nonretry = (
+            self._pending_left if pending is not None else (0, 0))
         _mark("write_outputs")
 
         # -- incremental Bloom sidecar merge: fold THIS round's new hashes

@@ -59,3 +59,66 @@ def assign_global_seq(df: DataFrame, sort_cols: list[str], out_col: str,
             yield pdf[out_names]
 
     return ranged.mapInPandas(add_seq, schema=schema).drop("__pid")
+
+
+def assign_global_cumsum(df: DataFrame, sort_cols: list[str], inc_col: str,
+                         out_col: str,
+                         num_partitions: int | None = None,
+                         register_ckpt: list | None = None) -> DataFrame:
+    """Add ``out_col``: inclusive running sum of ``inc_col`` in global
+    ``sort_cols`` order — the distributed form of
+    ``sum(inc) OVER (ORDER BY sort_cols ROWS UNBOUNDED PRECEDING)``.
+
+    Same two-pass range-partition scheme as :func:`assign_global_seq`:
+    pass 1 sums ``inc_col`` per range partition (O(#partitions) driver
+    state), pass 2 adds each partition's prefix offset to its local
+    cumulative sum. Used by the P4 budget predicate when the remaining
+    budget is too large for a TakeOrdered + single-partition window
+    (WebCrawler.cs:739-755 evaluates the same running backlog count
+    sequentially; this is its scalable batch equivalent).
+    """
+    if df.isEmpty():
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    if num_partitions is None:
+        num_partitions = max(df.sparkSession.sparkContext.defaultParallelism, 4)
+
+    ranged = (df.repartitionByRange(num_partitions, *[F.col(c) for c in sort_cols])
+                .sortWithinPartitions(*sort_cols))
+    ranged = ranged.withColumn("__pid", F.spark_partition_id())
+    # the checkpoint pins shuffle output so pass 1 (sums) and pass 2
+    # (offsets) see identical partitioning; callers that invoke this
+    # per-round pass register_ckpt so the blocks are released at round end
+    ranged = ranged.localCheckpoint(eager=True)
+    if register_ckpt is not None:
+        register_ckpt.append(ranged)
+
+    sums = {r["__pid"]: r["s"] for r in
+            ranged.groupBy("__pid")
+                  .agg(F.sum(F.col(inc_col).cast("long")).alias("s"))
+                  .collect()}
+    offsets = {}
+    acc = 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid] or 0
+
+    schema = T.StructType(ranged.schema.fields + [T.StructField(out_col, T.LongType())])
+    out_names = [f.name for f in schema.fields]
+
+    def add_cumsum(batches):
+        carry = 0
+        started = False
+        base = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if not started:
+                base = offsets[int(pdf["__pid"].iloc[0])]
+                started = True
+            pdf = pdf.copy()
+            run = pdf[inc_col].astype("int64").cumsum() + (base + carry)
+            pdf[out_col] = run
+            carry = int(run.iloc[-1]) - base
+            yield pdf[out_names]
+
+    return ranged.mapInPandas(add_cumsum, schema=schema).drop("__pid")

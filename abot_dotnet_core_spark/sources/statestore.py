@@ -94,11 +94,24 @@ class StateStore:
 
     def read_events(self, spark: SparkSession, name: str,
                     upto_round: int | None = None) -> DataFrame:
-        """Union of all committed per-round event partitions."""
-        base = os.path.join(self.root, name)
+        """Union of all committed per-round event partitions.
+
+        Raises a descriptive error on a store with no committed rounds or
+        no partitions for ``name`` (instead of a TypeError on ``None + 1``
+        / Spark's path-resolution crash on an empty parquet list — the
+        event schemas are column-pruned per round, so there is no static
+        schema to synthesize an empty frame from)."""
         last = self.latest_round() if upto_round is None else upto_round
+        if last is None:
+            raise ValueError(
+                f"no committed rounds in {self.root!r} — nothing to read "
+                f"for event table {name!r}")
         paths = [self._table_path(name, r) for r in range(last + 1)
                  if os.path.isdir(self._table_path(name, r))]
+        if not paths:
+            raise ValueError(
+                f"event table {name!r} has no partitions through round "
+                f"{last} in {self.root!r}")
         return spark.read.parquet(*paths)
 
     def drop_uncommitted(self) -> None:

@@ -368,6 +368,16 @@ class TestParityBudgets:
         eng = run_engine(spark, cfg, tiny_corpus_dir, tmp_path)
         assert_parity(spark, eng, simulator_result(cfg))
 
+    def test_max_pages_distributed_cumsum(self, spark, tiny_corpus_dir,
+                                           tmp_path):
+        """budget_topk_threshold=0 forces P4 onto the two-pass
+        range-partitioned running sum (assign_global_cumsum) instead of
+        TakeOrdered + single-partition window — results must be identical."""
+        cfg = CrawlConfig(max_pages_to_crawl=11, budget_topk_threshold=0)
+        eng = run_engine(spark, cfg, tiny_corpus_dir, tmp_path)
+        assert_parity(spark, eng, simulator_result(
+            CrawlConfig(max_pages_to_crawl=11)))
+
     def test_max_depth(self, spark, tiny_corpus_dir, tmp_path):
         cfg = CrawlConfig(max_crawl_depth=2)
         eng = run_engine(spark, cfg, tiny_corpus_dir, tmp_path)
@@ -395,6 +405,16 @@ class TestParityRetries:
         cfg = CrawlConfig(max_retry_count=1, max_pages_to_crawl=15)
         eng = run_engine(spark, cfg, tiny_corpus_dir, tmp_path)
         assert_parity(spark, eng, simulator_result(cfg))
+
+    def test_retries_budget_distributed_cumsum(self, spark, tiny_corpus_dir,
+                                                tmp_path):
+        """Retries occupy running-backlog slots (__sub=2 stream rows) on the
+        assign_global_cumsum P4 path too."""
+        cfg = CrawlConfig(max_retry_count=1, max_pages_to_crawl=15,
+                          budget_topk_threshold=0)
+        eng = run_engine(spark, cfg, tiny_corpus_dir, tmp_path)
+        assert_parity(spark, eng, simulator_result(
+            CrawlConfig(max_retry_count=1, max_pages_to_crawl=15)))
 
     def test_retry_occupies_budget_slot(self, spark, tmp_path):
         """Handcrafted boundary: with max_pages=5, the queued retry of /a
