@@ -14,6 +14,8 @@ the same rows exist on both sides of the diff without external files.
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
@@ -1608,6 +1610,45 @@ SELECT url, n_snaps::BIGINT AS n_snaps, n_changes::BIGINT AS n_changes,
 FROM sched"""
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC source/sink end-to-end through the registered Python DataSource
+    (sources/warc_datasource.py): archive the documents table as gzip WARC
+    response segments via ``df.write.format("warc")`` (executor-staged,
+    driver-committed atomic publish), read them back with
+    ``spark.read.format("warc")``, and project record identity + payload
+    digest. The oracle computes the same projection straight from the
+    table — equality proves the container round-trip is lossless (url,
+    second-granular timestamp, status, byte-exact payload)."""
+    from abot_dotnet_core_spark.sources.warc_datasource import register
+    register(spark)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(tempfile.gettempdir(), f"abot_warc_roundtrip_{sf_tag}")
+    recs = _docs(spark, sf_dir).select(
+        _url_col().alias("url"),
+        F.timestamp_seconds(F.lit(_EPOCH_20260101)
+                            + F.col("doc_id") % 86400).alias("warc_ts"),
+        F.lit(200).alias("status"),
+        F.lit("text/html; charset=utf-8").alias("content_type"),
+        F.encode("text", "utf-8").alias("html"))
+    recs.write.format("warc").mode("overwrite").save(out)
+    return (spark.read.format("warc").load(out)
+            .select("url", "warc_ts",
+                    F.col("status").cast("long").alias("status"),
+                    F.length("html").cast("long").alias("n_bytes"),
+                    F.md5("html").alias("body_md5")))
+
+
+def sql_warc_roundtrip():
+    return f"""
+SELECT {_URL_SQL} AS url,
+       TIMESTAMP '2026-01-01 00:00:00'
+         + (doc_id % 86400) * INTERVAL 1 SECOND AS warc_ts,
+       200::BIGINT AS status,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       md5(text) AS body_md5
+FROM documents"""
+
+
 def q_events_asof(spark, sf_dir):
     """As-of join: each click annotated with the user's most recent
     purchase at-or-before the click (union-tag + last-ignorenulls window —
@@ -2026,6 +2067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "url_keep_latest": q_url_keep_latest,
         "recrawl_schedule": q_recrawl_schedule,
+        # container formats
+        "warc_roundtrip": q_warc_roundtrip,
         # multimodal plumbing
         "multimodal_meta": q_multimodal_meta,
         # streaming-shaped event analytics
@@ -2097,6 +2140,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": sql_domain_stats(),
         "url_keep_latest": sql_url_keep_latest(),
         "recrawl_schedule": sql_recrawl_schedule(),
+        "warc_roundtrip": sql_warc_roundtrip(),
         "multimodal_meta": sql_multimodal_meta(),
         "events_tumbling": sql_events_tumbling(),
         "events_sessions": sql_events_sessions(),

@@ -535,6 +535,17 @@ class CrawlEngine:
         if "not_before_round" not in frontier.columns:
             # checkpoint from before the S4 retry-delay column existed
             frontier = frontier.withColumn("not_before_round", F.lit(0))
+        # P4 backlog corrections: f0 (pending_total) counts every frontier
+        # row, but the reference never adds a popped RETRY to CrawledCount
+        # (AddPageToContext, WebCrawler.cs:918-928) — once the stream passes
+        # a retry's queue position it must leave the running backlog, else
+        # links scheduled after it are denied one slot early. One -1 row per
+        # frontier retry, keyed by its priority_seq (see _schedule_links).
+        n_frontier_retries = max(
+            self.pending_total - self.pending_non_retry, 0)
+        frontier_retry_seqs = (
+            frontier.filter(F.col("is_retry")).select("priority_seq")
+            if n_frontier_retries > 0 else None)
         seen = self._read_seen()
         domain_counts = self.store.read_table(spark, "domain_counts", r)
 
@@ -923,7 +934,9 @@ class CrawlEngine:
         links_flagged = self._schedule_links(links, batch, fetched, seen,
                                              domain_counts, c0, f0, st,
                                              retries, n_retries,
-                                             redirect_children)
+                                             redirect_children,
+                                             frontier_retry_seqs,
+                                             n_frontier_retries)
         _mark("schedule_links_ckpt")
 
         # ---- outputs -------------------------------------------------------
@@ -949,7 +962,9 @@ class CrawlEngine:
                         fetched: DataFrame, seen: DataFrame,
                         domain_counts: DataFrame, c0: int, f0: int,
                         st: RoundStats, retries: DataFrame, n_retries: int,
-                        redirect_children: DataFrame | None = None) -> DataFrame:
+                        redirect_children: DataFrame | None = None,
+                        frontier_retry_seqs: DataFrame | None = None,
+                        n_frontier_retries: int = 0) -> DataFrame:
         spark, cfg = self.spark, self.cfg
 
         links = (links
@@ -1211,8 +1226,11 @@ class CrawlEngine:
             consume_n, probe_n = (cnt["c"] or 0), (cnt["p"] or 0)
             # retries occupy stream slots in the backlog count; a probe can
             # only be denied once consume_n + n_retries reaches the cap
+            r_f = n_frontier_retries
             if consume_n + n_retries + (1 if probe_n else 0) > max(cap, 0):
-                if cap <= 0:
+                if cap + r_f < 1:
+                    # even with every frontier-retry correction applied, the
+                    # minimum running backlog (1 - r_f) exceeds the cap
                     links = links.withColumn("__adm", F.lit(False))
                 else:
                     stream = (links.filter(F.col("__consumes") | probe)
@@ -1226,7 +1244,22 @@ class CrawlEngine:
                                   F.lit(0).alias("link_pos"),
                                   F.lit(2).alias("__sub"),
                                   F.lit(1).alias("__inc"))))
-                    survivors = cap + n_retries + probe_n
+                    if frontier_retry_seqs is not None:
+                        # -1 at each frontier retry's queue position: the
+                        # simulator pops it without incrementing
+                        # CrawledCount, so rows streamed past it see one
+                        # fewer backlog slot than f0 claims (sub=-1 sorts
+                        # before the retry-parent's own links and probes)
+                        stream = stream.unionByName(frontier_retry_seqs.select(
+                            F.lit(None).cast("long").alias("dst_hash"),
+                            F.col("priority_seq").alias("parent_seq"),
+                            F.lit(0).alias("link_pos"),
+                            F.lit(-1).alias("__sub"),
+                            F.lit(-1).alias("__inc")))
+                    # corrections both occupy stream slots and lower the
+                    # running sum — widen the survivor bound by 2x their
+                    # count so no admissible row falls past the limit
+                    survivors = cap + n_retries + probe_n + 2 * r_f
                     if survivors <= cfg.budget_topk_threshold:
                         # TakeOrdered bounds the survivor set to cap +
                         # retries + probes, so the single-partition window
@@ -1256,7 +1289,7 @@ class CrawlEngine:
                     # (inc 0) tests one hypothetical slot at its position:
                     # c0+f0+__cum+1 <= max (crawled + queue + 1, the
                     # simulator's exact check)
-                    admitted_mark = (topk.filter(F.col("__sub") != 2)
+                    admitted_mark = (topk.filter(~F.col("__sub").isin(-1, 2))
                                      .withColumn(
                                          "__adm",
                                          (F.lit(c0 + f0) + F.col("__cum")

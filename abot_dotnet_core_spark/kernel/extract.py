@@ -79,7 +79,9 @@ class _LinkCollector(HTMLParser):
 
 
 def _nofollow(value: str | None) -> bool:
-    if value is None:
+    # total over Arrow-batch cells: a NULL string column reaches the pandas
+    # UDF as None OR float NaN depending on the batch's null layout
+    if not isinstance(value, str):
         return False
     v = value.lower()
     return "nofollow" in v or "none" in v

@@ -249,7 +249,8 @@ def generate_tables(spec: CorpusSpec, with_edges: bool = True) -> dict[str, pd.D
     robots = pd.DataFrame([
         {"domain": domain_name(i), "robots_txt": robots_txt_for(spec, i)}
         for i in range(spec.n_domains)
-        if robots_txt_for(spec, i) is not None])
+        if robots_txt_for(spec, i) is not None],
+        columns=["domain", "robots_txt"])
     seeds = pd.DataFrame([{"url": page_url(0, 0), "round": 0}])
     out = {"corpus": corpus, "corpus_meta": meta, "robots": robots, "seeds": seeds}
     if with_edges:
@@ -340,7 +341,8 @@ def generate_spark(spark, spec: CorpusSpec, outdir: str, partitions: int = 64) -
     robots = pd.DataFrame([
         {"domain": domain_name(i), "robots_txt": robots_txt_for(spec, i)}
         for i in range(spec.n_domains)
-        if robots_txt_for(spec, i) is not None])
+        if robots_txt_for(spec, i) is not None],
+        columns=["domain", "robots_txt"])
     seeds = pd.DataFrame([{"url": page_url(i, 0), "round": 0}
                           for i in range(spec.n_domains)])
     import os

@@ -1,0 +1,266 @@
+"""Registered ``warc`` data source (PySpark 4 Python DataSource API).
+
+Wraps the same record-level kernel as :mod:`.warc` (``iter_warc_records`` /
+``_write_records``) behind Spark's native source/sink surface, so WARC
+segments compose with the rest of the session like any built-in format:
+
+    spark.dataSource.register(WarcDataSource)
+    df = spark.read.format("warc").load("/data/segments")         # batch
+    df.write.format("warc").mode("overwrite").save("/out/warc")   # sink
+    s = spark.readStream.format("warc").load("/data/landing")     # stream
+
+Why this beats the helper-function surface at scale:
+
+* **Reader** — one InputPartition per segment file (Common Crawl's layout:
+  a crawl is ~64k ~1 GB files; parallelism comes from file count, zero
+  shuffle), records shipped back as Arrow batches. File pruning is via
+  glob load paths (see the in-class note on why pushFilters-based pruning
+  was measured to be unsafe in this Spark version and removed).
+* **Writer** — per-task scratch files with a driver-side atomic job commit:
+  ``write()`` (executor) stages ``.<name>.part`` files, ``commit()``
+  (driver, runs once, only if every task succeeded) renames them into
+  place and writes ``_MANIFEST.json`` + ``_SUCCESS``; ``abort()`` deletes
+  the scratch. A failed/speculated task can never publish a segment —
+  stronger than the per-partition publish of ``write_warc_df`` (which
+  stays, for manifest-as-DataFrame use).
+* **Stream reader** — incremental ingestion of a growing segment
+  directory: offsets are positions in the lexicographically-sorted file
+  list (Common Crawl segment names are time-ordered, so new files always
+  sort after committed ones — documented contract), each micro-batch gets
+  one partition per new file and is executor-parsed, nothing flows
+  through the driver but file NAMES.
+
+Reference anchor: the archived-crawl replacement for the live fetch
+surface (/root/reference/Abot/src/Abot/Core/PageRequester.cs:64-119),
+same as sources/warc.py.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource, DataSourceReader, DataSourceStreamReader, DataSourceWriter,
+    InputPartition, WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+from .warc import WARC_SCHEMA, _write_records, iter_warc_records
+
+
+def _list_segments(path: str) -> list[str]:
+    """Expand a dir / glob / single file into a sorted list of WARC files.
+
+    Hidden (dot-prefixed) names are skipped — scratch files staged by the
+    writer must never be readable as data, matching Spark's own file-index
+    convention.
+    """
+    if os.path.isdir(path):
+        names = [os.path.join(path, n) for n in os.listdir(path)
+                 if not n.startswith((".", "_"))
+                 and (n.endswith(".warc") or n.endswith(".warc.gz"))]
+    elif any(c in path for c in "*?["):
+        names = [p for p in _glob.glob(path)
+                 if not os.path.basename(p).startswith((".", "_"))]
+    elif os.path.exists(path):
+        names = [path]
+    else:
+        raise FileNotFoundError(f"warc source: no such path {path!r}")
+    return sorted(names)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+def _read_file_batches(path: str, column_names: list[str]):
+    """Parse one segment file and yield Arrow record batches.
+
+    Projection is honored: only the columns Spark asked for are built
+    (dropping ``html`` from a count/metadata query skips materializing the
+    payload arrays entirely — the parse itself is unavoidable because WARC
+    has no column layout).
+    """
+    import pyarrow as pa
+
+    with open(path, "rb") as f:
+        data = f.read()
+    base = os.path.basename(path)
+    rows = []
+    for rec in iter_warc_records(data):
+        rec["warc_file"] = base
+        rows.append(rec)
+    if not rows:
+        return
+    arrow_schema = pa.schema(
+        [(n, {"url": pa.string(), "warc_ts": pa.timestamp("us"),
+              "status": pa.int32(), "content_type": pa.string(),
+              "html": pa.binary(), "warc_file": pa.string()}[n])
+         for n in column_names])
+    arrays = [pa.array([r[n] for r in rows], type=arrow_schema.field(i).type)
+              for i, n in enumerate(column_names)]
+    yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+
+class WarcReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self._columns = [f.name for f in schema.fields]
+        path = options.get("path")
+        if not path:
+            raise ValueError("warc source requires a path: "
+                             ".format('warc').load('/dir/of/segments')")
+        self._files = _list_segments(path)
+
+    # NOTE — deliberately NO pushFilters(): file pruning via pushed
+    # ``warc_file`` predicates was implemented and then removed after an
+    # empirical finding (traced with a by-value-pickled reader subclass):
+    # Spark 4.1 caches the last-planned Python scan (partitions + read
+    # function) on the shared relation and REUSES it for later filterless
+    # queries over the same DataFrame — df.filter(f).count() followed by
+    # df.count() returns the filtered count, because the filterless query
+    # never re-plans and no post-scan filter remains to correct the
+    # under-read. Stateful pushdown pruning is therefore unsafe in this
+    # API version. Segment pruning is instead explicit and safe via glob
+    # load paths: .load("/dir/segment-000[01]*.warc.gz").
+    def partitions(self):
+        return [_FilePartition(p) for p in self._files]
+
+    def read(self, partition: _FilePartition):
+        yield from _read_file_batches(partition.path, self._columns)
+
+
+class _WarcCommit(WriterCommitMessage):
+    def __init__(self, part_path: str, final_name: str,
+                 n_records: int, n_bytes: int):
+        self.part_path = part_path
+        self.final_name = final_name
+        self.n_records = n_records
+        self.n_bytes = n_bytes
+
+
+class WarcWriter(DataSourceWriter):
+    """Executor-staged, driver-committed WARC sink.
+
+    ``outdir`` must be reachable from every executor AND the driver (local
+    mode, NFS, fuse-mounted object store) — the standard contract for a
+    rename-based committer.
+    """
+
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("warc sink requires a path: "
+                             ".format('warc').save('/out/dir')")
+        self._compress = str(options.get("compress", "true")).lower() \
+            not in ("false", "0", "no")
+        self._overwrite = overwrite
+        names = {f.name for f in schema.fields}
+        need = {"url", "warc_ts", "status", "content_type", "html"}
+        missing = need - names
+        if missing:
+            raise ValueError(f"warc sink: missing columns {sorted(missing)}")
+
+    def write(self, iterator) -> _WarcCommit:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid, attempt = ctx.partitionId(), ctx.taskAttemptId()
+        ext = ".warc.gz" if self._compress else ".warc"
+        final_name = f"segment-{pid:05d}{ext}"
+        os.makedirs(self._path, exist_ok=True)
+        # attempt id in the scratch name: speculative/retried attempts of
+        # the same partition never collide; only the attempt whose commit
+        # message reaches the driver gets renamed into place
+        part = os.path.join(self._path, f".{final_name}.{attempt}.part")
+        recs = ({"url": r.url, "warc_ts": r.warc_ts, "status": r.status,
+                 "content_type": r.content_type,
+                 "html": bytes(r.html) if r.html is not None else b""}
+                for r in iterator)
+        with open(part, "wb") as f:
+            n = _write_records(f, recs, self._compress)
+        if n == 0:
+            os.unlink(part)
+            return _WarcCommit("", final_name, 0, 0)
+        return _WarcCommit(part, final_name, n, os.path.getsize(part))
+
+    def commit(self, messages) -> None:
+        if self._overwrite:
+            for p in _list_segments(self._path):
+                os.unlink(p)
+        manifest = []
+        for m in messages:
+            if m is None or not m.part_path:
+                continue
+            os.replace(m.part_path, os.path.join(self._path, m.final_name))
+            manifest.append({"warc_file": m.final_name,
+                             "n_records": m.n_records,
+                             "n_bytes": m.n_bytes})
+        with open(os.path.join(self._path, "_MANIFEST.json"), "w") as f:
+            json.dump(sorted(manifest, key=lambda r: r["warc_file"]), f,
+                      indent=1)
+        with open(os.path.join(self._path, "_SUCCESS"), "w") as f:
+            f.write("")
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and m.part_path and os.path.exists(m.part_path):
+                os.unlink(m.part_path)
+
+
+class WarcStreamReader(DataSourceStreamReader):
+    """Micro-batch reader over a growing directory of WARC segments.
+
+    Offset = index into the lexicographically-sorted file list. Contract
+    (documented, matches Common Crawl naming): new segments sort AFTER
+    every already-committed name — true for timestamped/sequence-numbered
+    segment names. Files are parsed on executors (one partition each);
+    the driver only ever lists names.
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        self._columns = [f.name for f in schema.fields]
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("warc stream requires a directory path")
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def latestOffset(self) -> dict:
+        return {"idx": len(_list_segments(self._path))}
+
+    def partitions(self, start: dict, end: dict):
+        files = _list_segments(self._path)[start["idx"]:end["idx"]]
+        return [_FilePartition(p) for p in files]
+
+    def read(self, partition: _FilePartition):
+        yield from _read_file_batches(partition.path, self._columns)
+
+    def commit(self, end: dict) -> None:
+        pass       # offsets live in the checkpoint; nothing to clean up
+
+
+class WarcDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "warc"
+
+    def schema(self) -> StructType:
+        return WARC_SCHEMA
+
+    def reader(self, schema: StructType) -> WarcReader:
+        return WarcReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> WarcWriter:
+        return WarcWriter(schema, self.options, overwrite)
+
+    def streamReader(self, schema: StructType) -> WarcStreamReader:
+        return WarcStreamReader(schema, self.options)
+
+
+def register(spark) -> None:
+    """Idempotent ``spark.dataSource.register(WarcDataSource)``."""
+    spark.dataSource.register(WarcDataSource)
