@@ -82,6 +82,41 @@ def simulator_result(spec: CorpusSpec, cfg: CrawlConfig):
     return CrawlSimulator(corpus, cfg, robots_map).crawl(SEED_URL)
 
 
+def draw_polite_case(case_seed: int) -> tuple[CorpusSpec, CrawlConfig]:
+    """Politeness-mode draw: budget caps and per-parent link cuts are OFF
+    because they are legitimately order-sensitive (politeness reorders
+    admission, which changes which link hits a cap first) — with them off,
+    the crawled SET, seen set and disallowed multiset are order-invariant
+    and the FIFO simulator remains a valid oracle for all three."""
+    rng = random.Random(0xB017E + case_seed)
+    spec = CorpusSpec(
+        n_pages=rng.randrange(40, 90),
+        n_domains=rng.randrange(2, 6),
+        branching=rng.randrange(2, 6),
+        dup_link_rate=rng.choice([0.0, 0.4]),
+        cross_link_rate=rng.choice([0.0, 0.3]),
+        header_only_1251_rate=rng.choice([0.0, 0.2]),
+        x_robots_nofollow_rate=rng.choice([0.0, 0.25]),
+        retry_after_rate=rng.choice([0.0, 0.5]),
+        error_rate=rng.choice([0.3, 1.0]),
+        body_repeat=2,
+        seed=2000 + case_seed,
+    )
+    cfg = CrawlConfig(
+        max_pages_to_crawl=100_000,
+        max_retry_count=rng.choice([0, 2]),
+        min_crawl_delay_per_domain_milli_seconds=rng.choice([0, 700, 2000]),
+        round_length_ms=15_000,
+        is_external_page_crawling_enabled=True,
+        is_external_page_links_crawling_enabled=True,
+        is_respect_robots_dot_text_enabled=rng.random() < 0.6,
+        is_respect_meta_robots_no_follow_enabled=rng.random() < 0.4,
+        is_respect_http_x_robots_tag_header_no_follow_enabled=rng.random() < 0.4,
+        is_respect_anchor_rel_no_follow_enabled=rng.random() < 0.4,
+    )
+    return spec, cfg
+
+
 @pytest.mark.parametrize("case_seed", range(14))
 def test_fuzz_parity(spark, tmp_path, case_seed):
     spec, cfg = draw_case(case_seed)
@@ -109,6 +144,48 @@ def test_fuzz_parity(spark, tmp_path, case_seed):
         f"case {case_seed}: crawl order mismatch\n"
         f"spec={spec}\ncfg={cfg}\n got={got[:12]}\nwant={want[:12]}\n"
         f"len got={len(got)} want={len(want)}")
+
+    eng_seen = {r["url_hash"] for r in eng._read_seen().collect()}
+    assert eng_seen == sim.seen_hashes(), f"case {case_seed}: seen-set"
+
+    dis = eng.store.read_events(spark, "disallowed").collect()
+    got_dis = sorted((r["url"], r["reason"]) for r in dis)
+    want_dis = sorted((e.url, e.reason) for e in sim.disallowed
+                      if e.stage in ("links", "schedule"))
+    assert got_dis == want_dis, f"case {case_seed}: disallowed multiset"
+
+
+@pytest.mark.parametrize("case_seed", range(6))
+def test_fuzz_politeness_invariants(spark, tmp_path, case_seed):
+    """Politeness-mode sweep: admission order changes, the crawl's OUTCOME
+    must not. Crawled (url, status, is_retry, retry_count) multiset, seen
+    set and disallowed multiset all equal the FIFO simulator's (depth is
+    excluded: the first-discovery parent can legitimately differ when
+    admission is deferred)."""
+    spec, cfg = draw_polite_case(case_seed)
+    d = tmp_path / "corpus"
+    write_parquet(spec, str(d), with_edges=False)
+    sim = simulator_result(spec, cfg)
+
+    eng = CrawlEngine(
+        spark, cfg,
+        corpus_path=f"{d}/corpus.parquet",
+        corpus_meta_path=f"{d}/corpus_meta.parquet",
+        store_root=str(tmp_path / "state"),
+        robots_path=f"{d}/robots.parquet",
+    )
+    eng.seed([SEED_URL])
+    eng.run(max_rounds=300, politeness=True)
+
+    rows = eng.store.read_events(spark, "crawled").collect()
+    got = sorted((r["url"], r["status"], r["is_retry"], r["retry_count"])
+                 for r in rows)
+    want = sorted((c.url, c.status, c.is_retry, c.retry_count)
+                  for c in sim.crawled)
+    assert got == want, (
+        f"case {case_seed}: crawled multiset\nspec={spec}\ncfg={cfg}\n"
+        f"only got={sorted(set(got) - set(want))[:8]}\n"
+        f"only want={sorted(set(want) - set(got))[:8]}")
 
     eng_seen = {r["url_hash"] for r in eng._read_seen().collect()}
     assert eng_seen == sim.seen_hashes(), f"case {case_seed}: seen-set"
