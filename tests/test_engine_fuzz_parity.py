@@ -67,6 +67,10 @@ def draw_case(case_seed: int) -> tuple[CorpusSpec, CrawlConfig]:
         is_uri_recrawling_enabled=rng.random() < 0.2,
         is_forced_link_parsing_enabled=rng.random() < 0.2,
         is_respect_url_named_anchor_or_hashbang_enabled=rng.random() < 0.2,
+        # drawn LAST (keeps earlier cases' draws stable): threshold 1 forces
+        # the range-partitioned cumulative-sum P4 path instead of
+        # TakeOrdered+window whenever the budget cut fires
+        budget_topk_threshold=rng.choice([1, 4_000_000, 4_000_000]),
     )
     return spec, cfg
 
