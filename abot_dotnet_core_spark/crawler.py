@@ -48,7 +48,8 @@ from .config import CrawlConfig
 from .functions import udfs
 from .kernel.decisions import effective_domain_delay_ms
 from .operators import decisions as DX
-from .operators.ordering import assign_global_cumsum, assign_global_seq
+from .operators.ordering import (assign_global_cumsum, assign_global_cumsums,
+                                 assign_global_seq)
 from .sources.statestore import StateStore
 
 FRONTIER_SCHEMA = T.StructType([
@@ -1147,6 +1148,17 @@ class CrawlEngine:
                 cfg, budget_denied=None,
                 domain_budget_denied=F.col("domain_budget_denied"),
                 robots_denied=F.col("robots_denied")))
+        # the cascade PREFIX strictly before P4 (robots, redirect limit,
+        # depth, scheme): rows clean here reach the reference's
+        # MaxPagesToCrawl check even when P5 / the custom delegate deny
+        # them later — they must probe the budget stream so a binding P4
+        # wins the reason (CrawlDecisionMaker evaluates P4 before P5;
+        # custom runs only after the whole built-in cascade allows)
+        links = links.withColumn(
+            "pre_p4_reason",
+            DX.should_crawl_page_reason(
+                cfg, budget_denied=None, domain_budget_denied=None,
+                robots_denied=F.col("robots_denied")))
         if "should_crawl_page" in self._dg:
             # custom ShouldCrawlPage: runs only where built-ins allowed,
             # fires the disallowed event with the custom reason
@@ -1182,6 +1194,12 @@ class CrawlEngine:
             "eligible",
             F.col("processed") & F.col("internal_gate") & F.col("__sched_ok")
             & F.col("pre_reason").isNull())
+        # clean through the pre-P4 cascade prefix: these rows are evaluated
+        # against MaxPagesToCrawl in the reference regardless of how P5 or
+        # the custom delegate rule afterwards (eligible ⊆ reaches_p4)
+        reaches_p4 = (F.col("processed") & F.col("internal_gate")
+                      & F.col("__sched_ok")
+                      & F.col("pre_p4_reason").isNull())
 
         # ---- P16 rank among eligible links (cut applied AFTER P4) ----------
         # The reference breaks the per-parent loop at the M-th SCHEDULED
@@ -1203,15 +1221,17 @@ class CrawlEngine:
         else:
             consumes = F.col("eligible") & enqueueable
         links = links.withColumn("__consumes", consumes)
-        # known redirect child: probed against the running backlog (its
-        # denial event can fire) but occupies no slot (Scheduler.AddIfNew
-        # no-op, WebCrawler.cs:745)
-        probe = F.col("eligible") & ~enqueueable
+        # non-consuming rows that still face the reference's P4 check at
+        # their position: known redirect children (Scheduler.AddIfNew no-op,
+        # WebCrawler.cs:745), P5-denied links and custom-delegate-denied
+        # links (P4 is evaluated before either; if it binds, ITS reason
+        # wins). Probes test one hypothetical slot, occupy none.
+        probe = reaches_p4 & ~F.col("__consumes")
 
         # ---- P4 global budget over the canonical enqueue stream ------------
         # stream = consuming redirect children (sub=0) ∪ first-M-per-parent
-        # eligible links (sub=1) ∪ known-redirect probes ∪ retries (sub=2),
-        # ordered (parent_seq, sub, link_pos)
+        # eligible links (sub=1) ∪ probes ∪ retries (sub=2) ∪ frontier-retry
+        # corrections (sub=-1), ordered (parent_seq, sub, link_pos)
         links = links.withColumn("__adm", F.lit(True))
         if cfg.max_pages_to_crawl > 0:
             # materialize once: the count agg below, the topk stream branch,
@@ -1229,10 +1249,13 @@ class CrawlEngine:
             r_f = n_frontier_retries
             if consume_n + n_retries + (1 if probe_n else 0) > max(cap, 0):
                 if cap + r_f < 1:
-                    # even with every frontier-retry correction applied, the
+                    # even with every frontier-retry pop applied, the
                     # minimum running backlog (1 - r_f) exceeds the cap
                     links = links.withColumn("__adm", F.lit(False))
-                else:
+                elif r_f == 0:
+                    # no frontier retries: denials are FINAL (the backlog
+                    # never shrinks mid-stream), so the inclusive prefix sum
+                    # is the exact admission predicate
                     stream = (links.filter(F.col("__consumes") | probe)
                               .select("dst_hash", "parent_seq", "link_pos",
                                       F.col("sub").alias("__sub"),
@@ -1244,22 +1267,7 @@ class CrawlEngine:
                                   F.lit(0).alias("link_pos"),
                                   F.lit(2).alias("__sub"),
                                   F.lit(1).alias("__inc"))))
-                    if frontier_retry_seqs is not None:
-                        # -1 at each frontier retry's queue position: the
-                        # simulator pops it without incrementing
-                        # CrawledCount, so rows streamed past it see one
-                        # fewer backlog slot than f0 claims (sub=-1 sorts
-                        # before the retry-parent's own links and probes)
-                        stream = stream.unionByName(frontier_retry_seqs.select(
-                            F.lit(None).cast("long").alias("dst_hash"),
-                            F.col("priority_seq").alias("parent_seq"),
-                            F.lit(0).alias("link_pos"),
-                            F.lit(-1).alias("__sub"),
-                            F.lit(-1).alias("__inc")))
-                    # corrections both occupy stream slots and lower the
-                    # running sum — widen the survivor bound by 2x their
-                    # count so no admissible row falls past the limit
-                    survivors = cap + n_retries + probe_n + 2 * r_f
+                    survivors = cap + n_retries + probe_n
                     if survivors <= cfg.budget_topk_threshold:
                         # TakeOrdered bounds the survivor set to cap +
                         # retries + probes, so the single-partition window
@@ -1289,7 +1297,7 @@ class CrawlEngine:
                     # (inc 0) tests one hypothetical slot at its position:
                     # c0+f0+__cum+1 <= max (crawled + queue + 1, the
                     # simulator's exact check)
-                    admitted_mark = (topk.filter(~F.col("__sub").isin(-1, 2))
+                    admitted_mark = (topk.filter(F.col("__sub") != 2)
                                      .withColumn(
                                          "__adm",
                                          (F.lit(c0 + f0) + F.col("__cum")
@@ -1303,6 +1311,10 @@ class CrawlEngine:
                                    "left")
                              .withColumn("__adm", F.coalesce(
                                  F.col("__adm"), F.lit(False))))
+                else:
+                    links = self._budget_admit_with_retry_pops(
+                        links, probe, retries, frontier_retry_seqs, cap,
+                        stream_n=consume_n + probe_n + n_retries + r_f)
 
         # ---- P16 cut: everything after the parent's M-th scheduled link ----
         # (the reference's loop `break` — later links of that parent get no
@@ -1321,20 +1333,139 @@ class CrawlEngine:
         links = (links
                  .withColumn("budget_denied",
                              F.col("eligible") & ~F.col("__adm"))
+                 # P4 fires for every row that reached it and failed its
+                 # probe/consume test — including rows P5 or the custom
+                 # delegate would also deny (reaches_p4 re-evaluates against
+                 # post-cut `processed`, so P16-cut rows stay silent)
+                 .withColumn("p4_denied", reaches_p4 & ~F.col("__adm"))
                  .drop("__adm", "__consumes"))
 
+        # reason precedence = the reference cascade order: pre-P4 checks
+        # (robots/redirect/depth/scheme), then MaxPagesToCrawl, then the
+        # rest (P5 per-domain, custom delegate) — CrawlDecisionMaker returns
+        # at the FIRST failing check
         links = links.withColumn(
             "reason",
             F.when(~F.col("processed") | ~F.col("internal_gate")
                    | ~F.col("__sched_ok"), F.lit(None))
-             .when(F.col("pre_reason").isNotNull(), F.col("pre_reason"))
-             .when(F.col("budget_denied"),
+             .when(F.col("pre_p4_reason").isNotNull(), F.col("pre_p4_reason"))
+             .when(F.col("p4_denied"),
                    F.lit(f"MaxPagesToCrawl limit of [{cfg.max_pages_to_crawl}] has been reached"))
+             .when(F.col("pre_reason").isNotNull(), F.col("pre_reason"))
              .otherwise(F.lit(None)))
         links = links.withColumn(
             "admitted",
             F.col("eligible") & ~F.col("budget_denied") & enqueueable)
         return links.localCheckpoint(eager=True)
+
+    def _budget_admit_with_retry_pops(self, links: DataFrame, probe,
+                                      retries: DataFrame,
+                                      frontier_retry_seqs: DataFrame,
+                                      cap: int, stream_n: int) -> DataFrame:
+        """Exact P4 admission when the frontier holds RETRY rows.
+
+        A retry pop frees a backlog slot mid-stream (the reference pops it
+        from the queue without adding to CrawledCount, WebCrawler.cs:918-928)
+        so admission can RESUME after earlier denials — a prefix sum over
+        the stream (which keeps denied links' +1s) under-admits there. The
+        exact sequential recurrence decomposes by SEGMENTS between
+        non-link stream rows (retries entering, retry pops): within a
+        segment the backlog changes only by admissions, so each segment has
+        a closed-form quota
+
+            quota_s = clamp(cap + pops_before_s - retries_before_s
+                            - admitted_before_s, 0, links_in_s)
+
+        and a link is admitted iff its within-segment rank <= quota. The
+        three prefix counts come from one ranged shuffle
+        (assign_global_cumsums), segment aggregates are O(#segments) on the
+        driver, and the quota map broadcast-joins back — fully distributed,
+        no TakeOrdered limit (a pre-limit is UNSAFE here: a slot freed by a
+        late pop can admit a link arbitrarily deep in the stream).
+        """
+        spark = self.spark
+        stream = (links.filter(F.col("__consumes") | probe)
+                  .select("dst_hash", "parent_seq", "link_pos",
+                          F.col("sub").alias("__sub"),
+                          F.col("__consumes").cast("int").alias("__inc"))
+                  .unionByName(retries.select(
+                      F.col("url_hash").alias("dst_hash"),
+                      F.col("priority_seq").alias("parent_seq"),
+                      F.lit(0).alias("link_pos"),
+                      F.lit(2).alias("__sub"),
+                      F.lit(1).alias("__inc")))
+                  .unionByName(frontier_retry_seqs.select(
+                      F.lit(None).cast("long").alias("dst_hash"),
+                      F.col("priority_seq").alias("parent_seq"),
+                      F.lit(0).alias("link_pos"),
+                      F.lit(-1).alias("__sub"),
+                      F.lit(-1).alias("__inc"))))
+        # marker names must not collide case-insensitively with the prefix
+        # output columns (Spark's resolver is case-insensitive by default).
+        # A consuming LINK is sub 0/1 with inc 1 — retries (sub 2) also
+        # carry inc 1 but enter the backlog unconditionally via Rs, so
+        # counting them here would double-charge the quota
+        is_link = F.col("__sub").isin(0, 1) & (F.col("__inc") == 1)
+        stream = (stream
+                  .withColumn("__lm", is_link.cast("int"))
+                  .withColumn("__rm", (F.col("__sub") == 2).cast("int"))
+                  .withColumn("__xm", (F.col("__sub") == -1).cast("int")))
+        prefixes = [("__lm", "__C"), ("__rm", "__R"), ("__xm", "__X")]
+        # small streams: one single-partition window; big: ranged two-pass
+        # (budget_topk_threshold caps the single-task path here too)
+        if stream_n <= min(65_536, self.cfg.budget_topk_threshold):
+            w = W.orderBy("parent_seq", "__sub", "link_pos") \
+                 .rowsBetween(W.unboundedPreceding, W.currentRow)
+            for ic, oc in prefixes:
+                stream = stream.withColumn(oc, F.sum(ic).over(w))
+            stream = stream.localCheckpoint(eager=True)
+            self._round_ckpts.append(stream)
+        else:
+            stream = assign_global_cumsums(
+                stream, ["parent_seq", "__sub", "link_pos"], prefixes,
+                register_ckpt=self._round_ckpts)
+        # a row's segment = #boundary rows at-or-before it; boundary rows
+        # count themselves, so every link in a segment shares the boundary's
+        # (R, X) prefix values
+        stream = stream.withColumn("__seg", F.col("__R") + F.col("__X"))
+        seg_rows = (stream.groupBy("__seg")
+                    .agg(F.sum("__lm").alias("L"),
+                         F.max("__R").alias("R"),
+                         F.max("__X").alias("X"))
+                    .collect())
+        admitted_sofar, link_offset = 0, 0
+        params = []
+        for row in sorted(seg_rows, key=lambda r: r["__seg"]):
+            n_links = row["L"] or 0
+            quota = max(0, min(n_links,
+                               cap + (row["X"] or 0) - (row["R"] or 0)
+                               - admitted_sofar))
+            params.append((int(row["__seg"]), admitted_sofar, link_offset,
+                           quota, int(row["R"] or 0), int(row["X"] or 0)))
+            admitted_sofar += quota
+            link_offset += n_links
+        params_df = F.broadcast(spark.createDataFrame(
+            params, "__seg long, __A long, __off long, __quota long, "
+                    "__Rs long, __Xs long"))
+        marked = stream.filter(F.col("__sub").isin(0, 1)) \
+                       .join(params_df, "__seg")
+        rank = F.col("__C") - F.col("__off")
+        admitted_before = F.col("__A") + F.least(rank, F.col("__quota"))
+        marked = marked.withColumn(
+            "__adm",
+            F.when(F.col("__inc") == 1, rank <= F.col("__quota"))
+             # probe: one hypothetical slot at its position —
+             # crawled + queue + 1 <= max, with queue = admitted-so-far
+             # + retries - pops
+             .otherwise(admitted_before + F.col("__Rs") - F.col("__Xs")
+                        + 1 <= cap))
+        admitted_mark = marked.select("dst_hash", "parent_seq", "link_pos",
+                                      "__adm")
+        return (links.drop("__adm")
+                .join(admitted_mark,
+                      ["dst_hash", "parent_seq", "link_pos"], "left")
+                .withColumn("__adm", F.coalesce(F.col("__adm"),
+                                                F.lit(False))))
 
     def _retry_rows(self, fetched: DataFrame, fetch_round: int) -> DataFrame:
         """P13 — pages re-enqueued with is_retry=true (WebCrawler.cs:702-706).

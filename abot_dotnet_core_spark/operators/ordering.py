@@ -61,6 +61,66 @@ def assign_global_seq(df: DataFrame, sort_cols: list[str], out_col: str,
     return ranged.mapInPandas(add_seq, schema=schema).drop("__pid")
 
 
+def assign_global_cumsums(df: DataFrame, sort_cols: list[str],
+                          inc_out: list[tuple[str, str]],
+                          num_partitions: int | None = None,
+                          register_ckpt: list | None = None) -> DataFrame:
+    """Multi-column form of :func:`assign_global_cumsum`: one ranged
+    shuffle + one driver round-trip produces an inclusive running sum per
+    (inc_col, out_col) pair — the P4 segment-quota admission needs three
+    prefixes (consuming links, retries, corrections) over the same order
+    and must not pay three shuffles for them."""
+    if df.isEmpty():
+        for _, out_col in inc_out:
+            df = df.withColumn(out_col, F.lit(None).cast("long"))
+        return df
+    if num_partitions is None:
+        num_partitions = max(df.sparkSession.sparkContext.defaultParallelism, 4)
+
+    ranged = (df.repartitionByRange(num_partitions, *[F.col(c) for c in sort_cols])
+                .sortWithinPartitions(*sort_cols))
+    ranged = ranged.withColumn("__pid", F.spark_partition_id())
+    ranged = ranged.localCheckpoint(eager=True)
+    if register_ckpt is not None:
+        register_ckpt.append(ranged)
+
+    sums = {r["__pid"]: r for r in
+            ranged.groupBy("__pid")
+                  .agg(*[F.sum(F.col(ic).cast("long")).alias(oc)
+                         for ic, oc in inc_out])
+                  .collect()}
+    offsets: dict[int, list[int]] = {}
+    acc = [0] * len(inc_out)
+    for pid in sorted(sums):
+        offsets[pid] = list(acc)
+        for i, (_ic, oc) in enumerate(inc_out):
+            acc[i] += sums[pid][oc] or 0
+
+    schema = T.StructType(ranged.schema.fields
+                          + [T.StructField(oc, T.LongType())
+                             for _ic, oc in inc_out])
+    out_names = [f.name for f in schema.fields]
+
+    def add_cumsums(batches):
+        carry = [0] * len(inc_out)
+        started = False
+        base = [0] * len(inc_out)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if not started:
+                base = offsets[int(pdf["__pid"].iloc[0])]
+                started = True
+            pdf = pdf.copy()
+            for i, (ic, oc) in enumerate(inc_out):
+                run = pdf[ic].astype("int64").cumsum() + (base[i] + carry[i])
+                pdf[oc] = run
+                carry[i] = int(run.iloc[-1]) - base[i]
+            yield pdf[out_names]
+
+    return ranged.mapInPandas(add_cumsums, schema=schema).drop("__pid")
+
+
 def assign_global_cumsum(df: DataFrame, sort_cols: list[str], inc_col: str,
                          out_col: str,
                          num_partitions: int | None = None,

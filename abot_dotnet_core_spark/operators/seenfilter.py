@@ -172,14 +172,18 @@ def merge_bloom_sidecar(sidecar: DataFrame, new_hashes: DataFrame,
         return pd.DataFrame({"bucket": [bucket], "n_keys": [n],
                              "blob": [bf.to_bytes()]})
 
+    # new_hash travels as STRING: the union mixes it with the sidecar rows'
+    # NULLs, and Arrow->pandas turns a nullable int64 column into float64 —
+    # silently rounding 64-bit hashes (>2^53) before they reach the Bloom,
+    # i.e. unrecoverable false NEGATIVES on later probes of the exact hash
     nb = (new_hashes.select(F.col(hash_col))
           .withColumn("bucket",
                       F.pmod(F.xxhash64(hash_col), F.lit(buckets)).cast("int"))
-          .select("bucket", F.col(hash_col).alias("new_hash"),
+          .select("bucket", F.col(hash_col).cast("string").alias("new_hash"),
                   F.lit(None).cast("long").alias("n_keys"),
                   F.lit(None).cast("binary").alias("blob")))
     old = sidecar.select("bucket",
-                         F.lit(None).cast("long").alias("new_hash"),
+                         F.lit(None).cast("string").alias("new_hash"),
                          "n_keys", "blob")
     return old.unionByName(nb).groupBy("bucket").applyInPandas(
         merge, BLOOM_SCHEMA)

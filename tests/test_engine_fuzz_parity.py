@@ -71,8 +71,19 @@ def draw_case(case_seed: int) -> tuple[CorpusSpec, CrawlConfig]:
         # the range-partitioned cumulative-sum P4 path instead of
         # TakeOrdered+window whenever the budget cut fires
         budget_topk_threshold=rng.choice([1, 4_000_000, 4_000_000]),
+        # 0 forces the big-round fetch regime (bloom scan-pushdown +
+        # extraction on the corpus scan) for every round
+        fetch_broadcast_threshold=rng.choice([0, 200_000]),
+        # compact the seen table mid-crawl
+        seen_compact_every=rng.choice([2, 8]),
     )
     return spec, cfg
+
+
+def engine_kwargs(case_seed: int) -> dict:
+    # bloom-prefilter sidecar on for half the cases (orthogonal rng so the
+    # CrawlConfig draws stay stable)
+    return {"bloom_prefilter": random.Random(0xB100 + case_seed).random() < 0.5}
 
 
 def simulator_result(spec: CorpusSpec, cfg: CrawlConfig):
@@ -134,6 +145,7 @@ def test_fuzz_parity(spark, tmp_path, case_seed):
         corpus_meta_path=f"{d}/corpus_meta.parquet",
         store_root=str(tmp_path / "state"),
         robots_path=f"{d}/robots.parquet",
+        **engine_kwargs(case_seed),
     )
     eng.seed([SEED_URL])
     eng.run(max_rounds=120)

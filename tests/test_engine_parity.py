@@ -11,7 +11,7 @@ import pytest
 from abot_dotnet_core_spark.config import CrawlConfig
 from abot_dotnet_core_spark.crawler import CrawlEngine
 from abot_dotnet_core_spark.kernel.robots import parse_robots
-from abot_dotnet_core_spark.kernel.simulator import CrawlSimulator
+from abot_dotnet_core_spark.kernel.simulator import CrawlSimulator, PageRecord
 from abot_dotnet_core_spark.sources.corpus import (
     TINY, domain_name, robots_txt_for, to_simulator_corpus,
 )
@@ -737,3 +737,87 @@ class TestParityForcedLinkParsing:
         assert_parity(spark, eng, sim, check_text=False)
         assert all(c.links_extracted == 0
                    for c in sim.crawled if c.depth == 1)
+
+
+class TestBudgetRetryResume:
+    """A retry pop frees one MaxPagesToCrawl backlog slot MID-STREAM: the
+    reference denies a link when crawled+queue+1 exceeds the cap, but a
+    RETRY leaving the queue (popped without entering CrawledCount) lowers
+    the backlog, so a link scheduled AFTER that pop can be admitted even
+    though an earlier link was denied. Construction: /pe's 4th link is the
+    first denial, the 503 retry /b pops right after (its queue position
+    sorts between /pe and /pl), then /pl's link /y must be ADMITTED — a
+    pure prefix-sum admission (denied links keep inflating the running
+    backlog) would deny /y too."""
+
+    ROOT = "http://bt.test/"
+
+    def _pages(self):
+        def link(*hs):
+            return "".join(f'<a href="{h}">x</a>' for h in hs)
+        return {
+            self.ROOT: PageRecord(html=link("/c", "/b", "/a") + "root"),
+            self.ROOT + "c": PageRecord(html=link("/pe") + "pc"),
+            self.ROOT + "b": PageRecord(status=503, html="pb"),
+            self.ROOT + "a": PageRecord(html=link("/pl") + "pa"),
+            self.ROOT + "pe": PageRecord(
+                html=link("/x1", "/x2", "/x3", "/x4") + "pe"),
+            self.ROOT + "pl": PageRecord(html=link("/y") + "pl"),
+            self.ROOT + "x1": PageRecord(html="x1"),
+            self.ROOT + "x2": PageRecord(html="x2"),
+            self.ROOT + "x3": PageRecord(html="x3"),
+            self.ROOT + "x4": PageRecord(html="x4"),
+            self.ROOT + "y": PageRecord(html="y"),
+        }
+
+    def _write(self, tmp_path):
+        import pandas as pd
+        rows = []
+        for url, rec in self._pages().items():
+            raw = rec.html.encode()
+            rows.append({"url": url, "warc_ts": pd.Timestamp("2024-01-01"),
+                         "html": raw, "text": rec.html, "lang": "en",
+                         "status": rec.status,
+                         "content_type": rec.content_type,
+                         "content_length": len(raw), "redirect_to": None,
+                         "x_robots": None, "retry_after": None})
+        pdf = pd.DataFrame(rows)
+        d = tmp_path / "btcorpus"
+        d.mkdir(exist_ok=True)
+        pdf[["url", "warc_ts", "html", "text", "lang"]].to_parquet(
+            f"{d}/corpus.parquet", index=False, coerce_timestamps="us",
+            allow_truncated_timestamps=True)
+        pdf[["url", "status", "content_type", "content_length",
+             "redirect_to", "x_robots", "retry_after"]].to_parquet(
+            f"{d}/corpus_meta.parquet", index=False)
+        return str(d)
+
+    @pytest.mark.parametrize("topk_threshold", [4_000_000, 1])
+    def test_slot_freed_by_retry_pop(self, spark, tmp_path, topk_threshold):
+        cfg = CrawlConfig(max_pages_to_crawl=10, max_retry_count=1,
+                          budget_topk_threshold=topk_threshold)
+        sim = CrawlSimulator(self._pages(), cfg).crawl(self.ROOT)
+        want = [(c.url, c.status, c.is_retry) for c in sim.crawled]
+        # the scenario only means something if the simulator admitted /y
+        # after denying /x4
+        assert (self.ROOT + "y", 200, False) in want
+        assert (self.ROOT + "x4", 200, False) not in want
+
+        d = self._write(tmp_path)
+        eng = CrawlEngine(
+            spark, cfg,
+            corpus_path=f"{d}/corpus.parquet",
+            corpus_meta_path=f"{d}/corpus_meta.parquet",
+            store_root=str(tmp_path / f"btstate{topk_threshold}"))
+        eng.seed([self.ROOT])
+        eng.run(max_rounds=30)
+        rows = (eng.store.read_events(spark, "crawled")
+                .orderBy("crawl_order").collect())
+        got = [(r["url"], r["status"], r["is_retry"]) for r in rows]
+        assert got == want
+
+        dis = eng.store.read_events(spark, "disallowed").collect()
+        got_dis = sorted((r["url"], r["reason"]) for r in dis)
+        want_dis = sorted((e.url, e.reason) for e in sim.disallowed
+                          if e.stage in ("links", "schedule"))
+        assert got_dis == want_dis

@@ -164,3 +164,34 @@ class TestHashBloom:
                  .select(F.xxhash64("id").alias("h")))
         fp = other.filter(member(F.col("h"))).count()
         assert fp < 100_000 * 0.05, fp  # fp rate in the right ballpark
+
+
+class TestMergeInt64Exactness:
+    def test_merge_into_existing_bucket_keeps_full_hash_precision(self, spark):
+        """Regression (found by the engine fuzz): merging new keys into a
+        bucket that ALREADY has a sidecar row mixes the int64 hash column
+        with the sidecar rows' NULLs, which Arrow->pandas renders as
+        float64 — rounding hashes above 2^53 before they enter the Bloom
+        and producing permanent false negatives. Keys must round-trip
+        bit-exactly through the merge."""
+        import pyspark.sql.functions as F
+
+        from abot_dotnet_core_spark.operators.seenfilter import (
+            BloomFilter, _key_of, build_bloom_sidecar, merge_bloom_sidecar)
+
+        # large-magnitude int64s whose float64 rounding differs from the
+        # exact value (the failure requires |h| >> 2^53 and h != round(h))
+        base = [(-8559989218380841370,), (8430173677383578461,),
+                (-2958652254293752954,), (7868751755959358743,)]
+        seeds = spark.createDataFrame(base[:1], "url_hash long")
+        sidecar = build_bloom_sidecar(seeds, buckets=1, min_capacity=64)
+        new = spark.createDataFrame(base[1:], "url_hash long")
+        merged = merge_bloom_sidecar(sidecar, new, buckets=1,
+                                     min_capacity=64)
+        row = merged.collect()[0]
+        bf = BloomFilter.from_bytes(bytes(row["blob"]))
+        for (h,) in base:
+            assert _key_of(h) in bf, h
+        # and the off-by-rounding neighbours are NOT all present (would be
+        # if the rounded value had been added instead)
+        assert any(_key_of(h + 1) not in bf for (h,) in base)
