@@ -1470,6 +1470,89 @@ SELECT d.doc_id, len(d.lines) AS n_lines,
 FROM d LEFT JOIN reb USING (doc_id)"""
 
 
+# deterministic C4-fixture lines: 8-token chunks with mod-3 terminal
+# punctuation ('.', '?', none), a javascript boilerplate line, a too-short
+# line, plus per-doc "lorem ipsum" (doc_id%11) and curly-brace (doc_id%13)
+# poison lines — every C4 predicate fires both ways on the corpus
+def _c4_lines_col():
+    toks = F.split(F.trim(F.col("text")), "\\s+")
+    nchunk = F.floor((F.size(toks) + F.lit(7)) / F.lit(8)).cast("int")
+    punct = lambda i: (  # noqa: E731
+        F.when((F.col("doc_id") + i) % 3 == 0, F.lit("."))
+         .when((F.col("doc_id") + i) % 3 == 1, F.lit("?"))
+         .otherwise(F.lit("")))
+    chunks = F.transform(
+        F.sequence(F.lit(1), nchunk),
+        lambda i: F.concat(
+            F.array_join(F.slice(toks, (i - 1) * 8 + 1, 8), " "), punct(i)))
+    empty = F.array().cast("array<string>")
+    return F.concat(
+        chunks,
+        F.array(
+            F.lit("Please enable JavaScript to view the comments today."),
+            F.lit("too short line.")),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.array(F.lit("Lorem ipsum dolor sit amet consectetur.")))
+         .otherwise(empty),
+        F.when(F.col("doc_id") % 13 == 0,
+               F.array(F.lit("function f() { return 1; } and more here.")))
+         .otherwise(empty))
+
+
+_C4_LINES_SQL = """
+  SELECT doc_id,
+         list_concat(list_concat(list_concat(
+           list_transform(range(1, ((len(toks) + 7) // 8)::int + 1),
+                          i -> array_to_string(
+                                 list_slice(toks, (i-1)*8 + 1, (i-1)*8 + 8),
+                                 ' ')
+                               || (CASE WHEN (doc_id + i) % 3 = 0 THEN '.'
+                                        WHEN (doc_id + i) % 3 = 1 THEN '?'
+                                        ELSE '' END)),
+           ['Please enable JavaScript to view the comments today.',
+            'too short line.']),
+           CASE WHEN doc_id % 11 = 0
+                THEN ['Lorem ipsum dolor sit amet consectetur.']
+                ELSE []::varchar[] END),
+           CASE WHEN doc_id % 13 = 0
+                THEN ['function f() { return 1; } and more here.']
+                ELSE []::varchar[] END) AS lines
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents)"""
+
+
+def q_c4_filters(spark, sf_dir):
+    """C4 heuristic cleaning (Raffel et al. 2020 §2.2): terminal-punct /
+    min-words / javascript line filters + lorem-ipsum / curly-brace /
+    min-kept-lines page filters. Entirely row-local higher-order array
+    functions — one narrow codegen map, zero shuffle at any corpus size."""
+    from abot_dotnet_core_spark.functions.cleaning import c4_filters
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", _c4_lines_col().alias("lines"))
+    return c4_filters(docs)
+
+
+def sql_c4_filters():
+    from abot_dotnet_core_spark.functions.cleaning import (
+        C4_MIN_LINES, C4_MIN_WORDS_PER_LINE, C4_TERMINAL_RE)
+    return f"""
+WITH d AS ({_C4_LINES_SQL}),
+k AS (
+  SELECT doc_id, lines,
+         list_filter(lines,
+           x -> regexp_matches(x, '{C4_TERMINAL_RE}')
+                AND len(regexp_split_to_array(trim(x), '\\s+'))
+                    >= {C4_MIN_WORDS_PER_LINE}
+                AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM d)
+SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept,
+       (NOT (contains(lower(array_to_string(lines, chr(10))), 'lorem ipsum')
+             OR contains(array_to_string(lines, chr(10)), '{{'))
+        AND len(kept) >= {C4_MIN_LINES}) AS keep,
+       md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
+FROM k"""
+
+
 def q_perplexity_buckets(spark, sf_dir):
     """CCNet head/middle/tail bucketing by unigram-LM mean NLL with
     discrete-percentile thresholds (counts broadcast, 2-value threshold
@@ -2063,6 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "pii_scrub": q_pii_scrub,
         "line_dedup": q_line_dedup,
+        "c4_filters": q_c4_filters,
         "perplexity_buckets": q_perplexity_buckets,
         "domain_stats": q_domain_stats,
         "url_keep_latest": q_url_keep_latest,
@@ -2136,6 +2220,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_repetition": sql_gopher_repetition(),
         "pii_scrub": sql_pii_scrub(),
         "line_dedup": sql_line_dedup(),
+        "c4_filters": sql_c4_filters(),
         "perplexity_buckets": sql_perplexity_buckets(),
         "domain_stats": sql_domain_stats(),
         "url_keep_latest": sql_url_keep_latest(),

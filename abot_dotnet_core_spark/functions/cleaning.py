@@ -44,6 +44,13 @@ DUP_WORD_MAX = 0.6
 DUP_2GRAM_MAX = 0.05
 TOP_2GRAM_MAX = 0.06
 
+# C4 heuristic-cleaning constants (Raffel et al. 2020 §2.2), shared with the
+# SQL oracle. Terminal punctuation is the paper's list (period, exclamation,
+# question mark, end-quote).
+C4_MIN_WORDS_PER_LINE = 5
+C4_MIN_LINES = 3
+C4_TERMINAL_RE = '[.!?"]$'
+
 # PII patterns — deliberately restricted to syntax RE2 (DuckDB) and java.util
 # .regex (Spark) interpret identically: no backrefs, no lookaround.
 EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -105,6 +112,41 @@ def with_repetition(df: DataFrame, text_col: str = "text",
                        & (F.col("dup_2gram_frac") <= DUP_2GRAM_MAX)
                        & (F.col("top_2gram_frac") <= TOP_2GRAM_MAX)))
     return out.drop("__toks", "__n2", "__d2", "__maxc")
+
+
+def c4_filters(df: DataFrame, lines_col: str = "lines",
+               id_col: str = "doc_id") -> DataFrame:
+    """C4 heuristic cleaning (Raffel et al. 2020 §2.2), set-at-a-time.
+
+    Line level — keep a line iff it (a) ends in terminal punctuation,
+    (b) has >= ``C4_MIN_WORDS_PER_LINE`` words, (c) does not mention
+    "javascript" (case-insensitive). Document level — drop the page iff it
+    contains "lorem ipsum" (case-insensitive), contains a curly brace, or
+    keeps fewer than ``C4_MIN_LINES`` lines (the paper's >=3-sentences
+    gate at line granularity).
+
+    Every predicate is row-local (``filter``/``exists`` higher-order array
+    functions over the doc's own lines) — the whole operator is one narrow
+    map in whole-stage codegen, ZERO shuffle at any corpus size; the 100 TB
+    plan is scan -> project. Output: (id_col, n_lines, n_kept, keep,
+    clean_md5) where clean_md5 digests the surviving lines joined by \\n
+    (full text stays on the executors).
+    """
+    lines = F.col(lines_col)
+    keep_line = lambda x: (  # noqa: E731 — inline HOF predicate
+        x.rlike(C4_TERMINAL_RE)
+        & (F.size(F.split(F.trim(x), "\\s+")) >= C4_MIN_WORDS_PER_LINE)
+        & ~F.lower(x).contains("javascript"))
+    kept = F.filter(lines, keep_line)
+    joined = F.lower(F.array_join(lines, "\n"))
+    doc_bad = (joined.contains("lorem ipsum") | joined.contains("{"))
+    n_kept = F.size(kept)
+    return (df.select(
+        id_col,
+        F.size(lines).alias("n_lines"),
+        n_kept.alias("n_kept"),
+        (~doc_bad & (n_kept >= C4_MIN_LINES)).alias("keep"),
+        F.md5(F.array_join(kept, "\n")).alias("clean_md5")))
 
 
 def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -90,6 +90,50 @@ class TestLineDedup:
         assert out[0]["n_kept"] == 4
 
 
+class TestC4Filters:
+    def _run(self, spark, docs):
+        from abot_dotnet_core_spark.functions.cleaning import c4_filters
+        df = spark.createDataFrame(
+            [Row(doc_id=i, lines=ls) for i, ls in enumerate(docs)],
+            schema="doc_id long, lines array<string>")
+        return {r["doc_id"]: r for r in c4_filters(df).collect()}
+
+    GOOD = "one two three four five words here."
+
+    def test_line_predicates(self, spark):
+        out = self._run(spark, [[
+            self.GOOD,                       # kept
+            "no terminal punctuation here at all",   # dropped (a)
+            "four words only here.",         # dropped (b) <5 words
+            "enable JavaScript for the best experience.",  # dropped (c)
+            'quoted line with five whole words."',   # kept (end-quote)
+            "does it have five words?",      # kept (?)
+        ]])[0]
+        assert out["n_lines"] == 6
+        assert out["n_kept"] == 3
+        # exactly C4_MIN_LINES kept, no poison phrases -> page survives
+        assert out["keep"]
+
+    def test_doc_gates(self, spark):
+        base = [self.GOOD, self.GOOD + " more.", self.GOOD + " again."]
+        out = self._run(spark, [
+            base,                                     # clean: keep
+            base + ["Lorem Ipsum dolor sit amet now."],  # lorem -> drop
+            base + ["code sample { inside } with many words."],  # brace
+            base[:2],                                 # only 2 kept -> drop
+        ])
+        assert out[0]["keep"]
+        assert not out[1]["keep"] and out[1]["n_kept"] == 4
+        assert not out[2]["keep"]
+        assert not out[3]["keep"] and out[3]["n_kept"] == 2
+
+    def test_empty_doc(self, spark):
+        out = self._run(spark, [[]])[0]
+        assert (out["n_lines"], out["n_kept"], out["keep"]) == (0, 0, False)
+        # md5('') — empty docs digest the empty string, never NULL
+        assert out["clean_md5"] == "d41d8cd98f00b204e9800998ecf8427e"
+
+
 class TestPerplexityBuckets:
     def test_buckets_and_scores(self, spark):
         from abot_dotnet_core_spark.functions.cleaning import (
