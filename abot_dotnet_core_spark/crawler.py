@@ -536,17 +536,6 @@ class CrawlEngine:
         if "not_before_round" not in frontier.columns:
             # checkpoint from before the S4 retry-delay column existed
             frontier = frontier.withColumn("not_before_round", F.lit(0))
-        # P4 backlog corrections: f0 (pending_total) counts every frontier
-        # row, but the reference never adds a popped RETRY to CrawledCount
-        # (AddPageToContext, WebCrawler.cs:918-928) — once the stream passes
-        # a retry's queue position it must leave the running backlog, else
-        # links scheduled after it are denied one slot early. One -1 row per
-        # frontier retry, keyed by its priority_seq (see _schedule_links).
-        n_frontier_retries = max(
-            self.pending_total - self.pending_non_retry, 0)
-        frontier_retry_seqs = (
-            frontier.filter(F.col("is_retry")).select("priority_seq")
-            if n_frontier_retries > 0 else None)
         seen = self._read_seen()
         domain_counts = self.store.read_table(spark, "domain_counts", r)
 
@@ -556,8 +545,21 @@ class CrawlEngine:
         defer_active = self.max_not_before > r + 1
         deferred = None
         if defer_active:
-            deferred = frontier.filter(F.col("not_before_round") > r + 1)
-            frontier = frontier.filter(F.col("not_before_round") <= r + 1)
+            blocked = frontier.filter(F.col("not_before_round") > r + 1)
+            # The wait happens on the POPPED HEAD (WaitMinimumRetryDelayAsync
+            # blocks the single-threaded pop loop, WebCrawler.cs:1030-1057):
+            # nothing queued behind the earliest still-waiting row can crawl
+            # before it does. Admit only the strict prefix; everything from
+            # the blocker on stays pending with its priority_seq — rounds
+            # where the blocker is the queue head are legitimately empty
+            # (the reference spends that time sleeping).
+            head = blocked.agg(
+                F.min(F.struct("priority_seq", "not_before_round"))
+                 .alias("h")).collect()[0]["h"]
+            if head is not None:
+                cut = head["priority_seq"]
+                deferred = frontier.filter(F.col("priority_seq") >= cut)
+                frontier = frontier.filter(F.col("priority_seq") < cut)
 
         # ---- S3 politeness: budgeted per-domain admission ------------------
         # Hot-domain skew, two-pass exact: the HEAVY ranking (full frontier)
@@ -651,6 +653,18 @@ class CrawlEngine:
         # politeness windows, the round's heaviest shuffle, a second time)
         self._pending_left = (max(self.pending_total - batch_n, 0),
                               max(self.pending_non_retry - non_retry_n, 0))
+
+        # P4 backlog corrections: one -1 row per retry POPPED THIS ROUND
+        # (AddPageToContext never counts a popped retry into CrawledCount,
+        # WebCrawler.cs:918-928) — once the enqueue stream passes its queue
+        # position it leaves the running backlog. Derived from the BATCH,
+        # not the frontier: a retry still waiting (S4 deferral, politeness
+        # pending) has not been popped, so its slot stays occupied and its
+        # correction must not enter this round's stream.
+        n_frontier_retries = max(batch_n - non_retry_n, 0)
+        frontier_retry_seqs = (
+            batch.filter(F.col("is_retry")).select("priority_seq")
+            if n_frontier_retries > 0 else None)
 
         c0 = self.crawled_count
         self.crawled_count += non_retry_n    # AddPageToContext (batch form)

@@ -88,8 +88,9 @@ class CrawlResultState:
     count_by_domain: dict[str, int] = field(default_factory=dict)
     # S4: (url, wait_ms) per scheduled retry — the blocking wait the
     # reference would take (WaitMinimumRetryDelayAsync); in the engine the
-    # same delay becomes the not_before_round deferral. Order is unaffected
-    # either way (the retry keeps its queue position / priority_seq).
+    # same delay becomes the not_before_round deferral, whose earliest
+    # waiting row blocks the whole queue tail behind it. Order is unaffected
+    # either way (the wait happens on the popped head; nothing overtakes).
     retry_waits: list = field(default_factory=list)
 
     def seen_hashes(self) -> set[int]:

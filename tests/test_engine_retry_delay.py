@@ -1,8 +1,11 @@
 """S4 retry delay: Retry-After / MinRetryDelayInMilliseconds semantics
 (WebCrawler.cs:1030-1057, Retry-After parse :848-868). The engine defers the
-retry by ceil(delay / round_length_ms) rounds under its virtual clock; crawl
-ORDER is unchanged (the retry keeps its priority_seq), matching the blocking
-single-thread reference where the wait also preserves queue order."""
+retry by ceil(delay / round_length_ms) rounds under its virtual clock, and
+the deferral BLOCKS the whole queue tail behind it — the reference's wait
+happens on the popped head of a single-threaded loop, so nothing queued
+after the waiting retry can crawl before it. Crawl ORDER is therefore
+byte-equal to the blocking reference; rows behind a blocker inherit its
+round."""
 
 import os
 from datetime import datetime
@@ -115,11 +118,14 @@ class TestEngineRetryDelay:
         assert waits["http://e0.test/a"] == 120_000.0   # Retry-After wins
         assert waits["http://e0.test/b"] == 30_000.0    # config minimum
 
-        # engine deferral: root in round 1; a/b/c fetched round 2; b's retry
-        # waits 30 s -> next round (3); a's waits 120 s = 2 rounds -> round 4
+        # engine deferral: root in round 1; a/b/c fetched round 2; a's retry
+        # waits 120 s = 2 rounds -> round 4, and it is queued BEFORE b's, so
+        # b (30 s wait, eligible round 3) is blocked behind it — both crawl
+        # in round 4, in queue order, exactly like the reference sleeping
+        # 120 s on a's pop then crawling b immediately after
         by_retry = {(r["url"], r["is_retry"]): r["round"] for r in rows}
-        assert by_retry[("http://e0.test/b", True)] == 3
         assert by_retry[("http://e0.test/a", True)] == 4
+        assert by_retry[("http://e0.test/b", True)] == 4
 
     def test_no_delay_config_unchanged(self, spark, tmp_path):
         """min_retry_delay=0 and no Retry-After: retries join the very next
@@ -137,8 +143,9 @@ class TestEngineRetryDelay:
         rows = (eng.store.read_events(spark, "crawled")
                 .orderBy("crawl_order").collect())
         by_retry = {(r["url"], r["is_retry"]): r["round"] for r in rows}
-        # both retries land in round 3 (fetched round 2, no deferral)...
-        assert by_retry[("http://e0.test/b", True)] == 3
-        # ...EXCEPT a's Retry-After header still defers it (server instruction
-        # is honored regardless of the config minimum)
+        # a's Retry-After header still defers it to round 4 (the server
+        # instruction is honored regardless of the config minimum), and b —
+        # queued behind a, itself eligible round 3 — waits behind the
+        # blocker like the reference's pop loop would
         assert by_retry[("http://e0.test/a", True)] == 4
+        assert by_retry[("http://e0.test/b", True)] == 4
