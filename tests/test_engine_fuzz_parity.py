@@ -77,6 +77,15 @@ def draw_case(case_seed: int) -> tuple[CorpusSpec, CrawlConfig]:
         # compact the seen table mid-crawl
         seen_compact_every=rng.choice([2, 8]),
     )
+    # appended AFTER the original draws (keeps seeds 0..N stable): S4 config
+    # knobs — a config retry delay (with no Retry-After header needed) and a
+    # shorter round window change how many rounds a deferral spans and which
+    # rows the blocking cut holds back
+    import dataclasses
+    cfg = dataclasses.replace(
+        cfg,
+        min_retry_delay_in_milliseconds=rng.choice([0, 0, 45_000, 90_000]),
+        round_length_ms=rng.choice([60_000, 60_000, 30_000]))
     return spec, cfg
 
 
