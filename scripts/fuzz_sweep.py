@@ -22,22 +22,28 @@ from test_engine_fuzz_parity import (SEED_URL, draw_case, draw_polite_case,
                                      engine_kwargs, simulator_result)
 
 
-def run_case(spark, case_seed: int, polite: bool) -> list[str]:
+def run_case(spark, case_seed: int, polite: bool,
+             resume_after: int = 0) -> list[str]:
     spec, cfg = (draw_polite_case if polite else draw_case)(case_seed)
     tmp = tempfile.mkdtemp(prefix=f"fuzz{case_seed}_")
     errs = []
     try:
         write_parquet(spec, f"{tmp}/corpus", with_edges=False)
         sim = simulator_result(spec, cfg)
-        eng = CrawlEngine(
-            spark, cfg,
+        kw = dict(
             corpus_path=f"{tmp}/corpus/corpus.parquet",
             corpus_meta_path=f"{tmp}/corpus/corpus_meta.parquet",
             store_root=f"{tmp}/state",
             robots_path=f"{tmp}/corpus/robots.parquet",
             **({} if polite else engine_kwargs(case_seed)),
         )
+        eng = CrawlEngine(spark, cfg, **kw)
         eng.seed([SEED_URL])
+        if resume_after > 0:
+            # interrupt mid-crawl and rebuild from the committed snapshot —
+            # the resumed crawl must be indistinguishable from an unbroken one
+            eng.run(max_rounds=resume_after, politeness=polite)
+            eng = CrawlEngine.resume(spark, cfg, **kw)
         eng.run(max_rounds=300, politeness=polite)
 
         rows = eng.store.read_events(spark, "crawled").collect()
@@ -82,13 +88,15 @@ def run_case(spark, case_seed: int, polite: bool) -> list[str]:
 
 def main():
     start, end = int(sys.argv[1]), int(sys.argv[2])
-    polite = len(sys.argv) > 3 and sys.argv[3] == "polite"
+    polite = "polite" in sys.argv[3:]
+    resume_after = 2 if "resume" in sys.argv[3:] else 0
     spark = get_spark("fuzz_sweep", cpus=8, shuffle_partitions=8)
     failures = 0
     for seed in range(start, end):
         t0 = time.time()
-        errs = run_case(spark, seed, polite)
-        tag = "POLITE" if polite else "MAIN"
+        errs = run_case(spark, seed, polite, resume_after=resume_after)
+        tag = ("POLITE" if polite else "MAIN") \
+            + ("+RESUME" if resume_after else "")
         if errs:
             failures += 1
             print(f"FAIL {tag} case_seed={seed} ({time.time()-t0:.1f}s)")
