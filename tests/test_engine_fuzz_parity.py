@@ -85,7 +85,8 @@ def draw_case(case_seed: int) -> tuple[CorpusSpec, CrawlConfig]:
     cfg = dataclasses.replace(
         cfg,
         min_retry_delay_in_milliseconds=rng.choice([0, 0, 45_000, 90_000]),
-        round_length_ms=rng.choice([60_000, 60_000, 30_000]))
+        round_length_ms=rng.choice([60_000, 60_000, 30_000]),
+        hyperlink_parser=rng.choice(["hap", "hap", "anglesharp"]))
     return spec, cfg
 
 
