@@ -1553,6 +1553,183 @@ SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept,
 FROM k"""
 
 
+def q_span_dedup(spark, sf_dir):
+    """C4 three-sentence-span dedup (Raffel et al. 2020 §2.2: keep the
+    global first occurrence of every repeated 3-line span, drop lines
+    covered by later occurrences). First-occurrence is a struct-min
+    aggregation per span hash — hot boilerplate spans are combine-reduced
+    agg groups, never sort windows."""
+    from abot_dotnet_core_spark.functions.cleaning import span_dedup
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", _c4_lines_col().alias("lines"))
+    return span_dedup(docs)
+
+
+def sql_span_dedup():
+    return f"""
+WITH d AS ({_C4_LINES_SQL}),
+l AS (
+  SELECT doc_id, len(lines) AS n_lines, unnest(lines) AS line,
+         generate_subscripts(lines, 1) - 1 AS pos
+  FROM d),
+s AS (
+  SELECT doc_id, pos AS spos,
+         md5(line || chr(10) || lead(line, 1) OVER w
+                  || chr(10) || lead(line, 2) OVER w) AS sh,
+         (lead(line, 2) OVER w IS NOT NULL) AS ok
+  FROM l WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+occ AS (SELECT doc_id, spos, sh FROM s WHERE ok),
+first AS (
+  SELECT sh, min(doc_id * 1048576 + spos) AS fk, count(*) AS n_occ
+  FROM occ GROUP BY 1),
+dups AS (
+  SELECT occ.doc_id, occ.spos FROM occ JOIN first USING (sh)
+  WHERE n_occ > 1 AND occ.doc_id * 1048576 + occ.spos <> fk),
+drop_pos AS (
+  SELECT DISTINCT doc_id, spos + k.k AS pos
+  FROM dups, (SELECT unnest([0, 1, 2]) AS k) k),
+kept AS (
+  SELECT l.doc_id, l.pos, l.line FROM l
+  WHERE NOT EXISTS (SELECT 1 FROM drop_pos p
+                    WHERE p.doc_id = l.doc_id AND p.pos = l.pos)),
+reb AS (
+  SELECT doc_id, count(*) AS n_kept,
+         md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5
+  FROM kept GROUP BY 1)
+SELECT d.doc_id, len(d.lines) AS n_lines,
+       coalesce(reb.n_kept, 0) AS n_kept,
+       coalesce(reb.clean_md5, md5('')) AS clean_md5
+FROM d LEFT JOIN reb USING (doc_id)"""
+
+
+def _sql_lit(s: str) -> str:
+    """A DuckDB string expression for ``s`` using only ASCII source
+    characters: printable-ASCII runs as quoted literals, everything else
+    (mojibake digraph bytes, C1 controls, nbsp) as chr(codepoint)."""
+    parts, run = [], []
+    for ch in s:
+        if 32 <= ord(ch) < 127 and ch != "'":
+            run.append(ch)
+        else:
+            if run:
+                parts.append("'" + "".join(run) + "'")
+                run = []
+            parts.append(f"chr({ord(ch)})")
+    if run:
+        parts.append("'" + "".join(run) + "'")
+    return " || ".join(parts) if parts else "''"
+
+
+def _moji_bad() -> dict:
+    from abot_dotnet_core_spark.functions.cleaning import MOJIBAKE_MAP
+    return {g: b for b, g in MOJIBAKE_MAP}
+
+
+def q_fix_mojibake(spark, sf_dir):
+    """ftfy-style mojibake repair (the standard pre-dedup cleaning pass):
+    deterministically corrupt the synthetic corpus with cp1252 mojibake
+    digraphs (accents / smart quotes / nbsp by doc_id%4, one branch left
+    clean), then repair with the frozen ordered replacement chain. Pure
+    narrow map — zero shuffle at any corpus size."""
+    from abot_dotnet_core_spark.functions.cleaning import fix_mojibake
+    bad = _moji_bad()
+    t = F.col("text")
+    corrupted = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.replace(F.replace(t, F.lit("a"), F.lit(bad["á"])),
+                         F.lit("e"), F.lit(bad["é"])))
+         .when(F.col("doc_id") % 4 == 1,
+               F.concat(F.lit(bad["“"]), t, F.lit(bad["”"]),
+                        F.lit(" "), F.lit(bad["—"]),
+                        F.lit(" "), F.lit(bad["…"])))
+         .when(F.col("doc_id") % 4 == 2,
+               F.replace(t, F.lit(" "), F.lit(bad[" "])))
+         .otherwise(t))
+    docs = _docs(spark, sf_dir).select("doc_id", corrupted.alias("text"))
+    return (fix_mojibake(docs)
+            .select("doc_id", "n_fixed",
+                    F.md5("fixed_text").alias("fixed_md5")))
+
+
+def sql_fix_mojibake():
+    from abot_dotnet_core_spark.functions.cleaning import MOJIBAKE_MAP
+    bad = _moji_bad()
+    corrupt = f"""
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN replace(replace(text, 'a', {_sql_lit(bad["á"])}),
+                               'e', {_sql_lit(bad["é"])})
+           WHEN 1 THEN {_sql_lit(bad["“"])} || text
+                       || {_sql_lit(bad["”"])} || ' '
+                       || {_sql_lit(bad["—"])} || ' '
+                       || {_sql_lit(bad["…"])}
+           WHEN 2 THEN replace(text, ' ', {_sql_lit(bad[" "])})
+           ELSE text
+         END AS t
+  FROM documents"""
+    ctes = [f"s0 AS (SELECT doc_id, t, 0::bigint AS n FROM ({corrupt}))"]
+    for i, (b, g) in enumerate(MOJIBAKE_MAP):
+        bl, gl = _sql_lit(b), _sql_lit(g)
+        ctes.append(
+            f"s{i + 1} AS (SELECT doc_id, replace(t, {bl}, {gl}) AS t, "
+            f"n + (length(t) - length(replace(t, {bl}, ''))) // {len(b)} "
+            f"AS n FROM s{i})")
+    last = f"s{len(MOJIBAKE_MAP)}"
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT doc_id, n AS n_fixed, md5(t) AS fixed_md5"
+              f" FROM {last}")
+
+
+_TOKS_SQL = ("CASE WHEN trim(text) = '' THEN []::varchar[] "
+             "ELSE regexp_split_to_array(trim(text), '\\s+') END")
+
+
+def q_badwords_filter(spark, sf_dir):
+    """C4 banned-wordlist page gate (Raffel et al. 2020 §2.2) with the
+    frozen stand-in list: row-local token-occurrence count + keep flag,
+    zero shuffle at any corpus size."""
+    from abot_dotnet_core_spark.functions.cleaning import badwords_filter
+    return badwords_filter(_docs(spark, sf_dir))
+
+
+def sql_badwords_filter():
+    from abot_dotnet_core_spark.functions.cleaning import C4_BADWORDS
+    lst = ", ".join(f"'{w}'" for w in C4_BADWORDS)
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+SELECT doc_id, len(toks) AS n_words,
+       len(list_filter(toks, x -> x IN ({lst}))) AS n_bad,
+       (len(list_filter(toks, x -> x IN ({lst}))) = 0) AS keep
+FROM t"""
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Hashing-trick linear quality scorer (GPT-3/CCNet classifier shape):
+    md5-bucketed token features x frozen integer milli-weights, mean-pooled
+    per document — entirely row-local, zero shuffle."""
+    from abot_dotnet_core_spark.functions.cleaning import quality_classifier
+    return quality_classifier(_docs(spark, sf_dir))
+
+
+def sql_quality_classifier():
+    from abot_dotnet_core_spark.functions.cleaning import (
+        QC_BUCKETS, QC_WEIGHT_MOD, QC_WEIGHT_MULT)
+    w = (f"((('0x' || substr(md5(x), 1, 8))::bigint % {QC_BUCKETS})"
+         f" * {QC_WEIGHT_MULT}) % {QC_WEIGHT_MOD} - 1000")
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+SELECT doc_id, len(toks) AS n_words,
+       CASE WHEN len(toks) > 0
+            THEN round(list_sum(list_transform(toks, x -> {w}))
+                       / (len(toks) * 1000.0), 6)
+            ELSE 0.0 END AS quality_score,
+       (CASE WHEN len(toks) > 0
+             THEN round(list_sum(list_transform(toks, x -> {w}))
+                        / (len(toks) * 1000.0), 6)
+             ELSE 0.0 END) > 0.0 AS keep
+FROM t"""
+
+
 def q_perplexity_buckets(spark, sf_dir):
     """CCNet head/middle/tail bucketing by unigram-LM mean NLL with
     discrete-percentile thresholds (counts broadcast, 2-value threshold
@@ -2147,6 +2324,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "line_dedup": q_line_dedup,
         "c4_filters": q_c4_filters,
+        "span_dedup": q_span_dedup,
+        "fix_mojibake": q_fix_mojibake,
+        "badwords_filter": q_badwords_filter,
+        "quality_classifier": q_quality_classifier,
         "perplexity_buckets": q_perplexity_buckets,
         "domain_stats": q_domain_stats,
         "url_keep_latest": q_url_keep_latest,
@@ -2221,6 +2402,10 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": sql_pii_scrub(),
         "line_dedup": sql_line_dedup(),
         "c4_filters": sql_c4_filters(),
+        "span_dedup": sql_span_dedup(),
+        "fix_mojibake": sql_fix_mojibake(),
+        "badwords_filter": sql_badwords_filter(),
+        "quality_classifier": sql_quality_classifier(),
         "perplexity_buckets": sql_perplexity_buckets(),
         "domain_stats": sql_domain_stats(),
         "url_keep_latest": sql_url_keep_latest(),

@@ -13,6 +13,16 @@ Operators:
   with_pii_scrub      email/phone redaction + per-doc redaction counts
   line_dedup          corpus-global keep-first line dedup with document
                       reassembly (CCNet paragraph dedup shape)
+  span_dedup          C4 three-sentence-span dedup (keep the global first
+                      occurrence of every repeated span, drop the rest)
+  fix_mojibake        ftfy-style repair of UTF-8-read-as-Latin-1 digraphs
+                      (curly quotes, dashes, accented letters) + fix count
+  badwords_filter     C4 banned-wordlist page gate (drop any page whose
+                      token stream hits the list) + per-doc hit count
+  quality_classifier  hashing-trick linear quality scorer (fastText /
+                      GPT-3-classifier shape: hashed token features x
+                      frozen weights, mean-pooled) — row-local, no model
+                      file needed
   perplexity_buckets  CCNet head/middle/tail LM-score bucketing (unigram
                       NLL stand-in for KenLM; real percentile machinery)
   domain_stats        per-domain reputation aggregate + broadcast
@@ -147,6 +157,188 @@ def c4_filters(df: DataFrame, lines_col: str = "lines",
         n_kept.alias("n_kept"),
         (~doc_bad & (n_kept >= C4_MIN_LINES)).alias("keep"),
         F.md5(F.array_join(kept, "\n")).alias("clean_md5")))
+
+
+def span_dedup(df: DataFrame, lines_col: str = "lines",
+               id_col: str = "doc_id", span: int = 3) -> DataFrame:
+    """C4 three-sentence-span dedup (Raffel et al. 2020 §2.2: "we discarded
+    all but one of any three-sentence span occurring more than once in the
+    data set"), at line granularity, set-at-a-time.
+
+    Semantics (frozen, shared with the SQL oracle): a span is ``span``
+    consecutive lines of one document; the global first occurrence of a
+    span value is the lexicographic minimum (doc_id, span_pos); every line
+    covered by at least one NON-first occurrence of a repeated span is
+    dropped; documents shorter than ``span`` lines carry no span and keep
+    everything. Output is (id_col, n_lines, n_kept, clean_md5) where
+    clean_md5 digests the surviving lines joined by \\n in original order
+    (full text stays on the executors, like :func:`c4_filters`).
+
+    Scale posture (100 TB): spans are built row-locally (zip of shifted
+    slices — see :func:`_bigrams` for why not transform/sequence), hashed
+    to md5 strings, and first-occurrence is a struct-min AGGREGATION per
+    span hash — a boilerplate span shared by 10^9 pages is one
+    combine-reduced group, never a giant sort window. Shuffles: the span
+    agg, the occurrence join back on span hash, the drop-set anti-join on
+    (doc, pos), and the doc reassembly — all key-partitioned, nothing
+    corpus-global on the driver."""
+    lines = F.col(lines_col)
+    n = F.size(lines)
+    m = F.greatest(n - (span - 1), F.lit(0))
+    parts = [F.slice(lines, 1 + i, m) for i in range(span)]
+    spans = F.transform(
+        F.arrays_zip(*parts),
+        lambda s: F.md5(F.concat_ws("\n", *[s[str(i)] for i in range(span)])))
+    base = df.select(id_col, F.col(lines_col), n.alias("n_lines"),
+                     F.when(n >= span, spans)
+                      .otherwise(F.array().cast("array<string>"))
+                      .alias("__spans"))
+    occ = base.select(id_col,
+                      F.posexplode("__spans").alias("spos", "span_hash"))
+    first = (occ.groupBy("span_hash")
+             .agg(F.min(F.struct(id_col, "spos")).alias("fk"),
+                  F.count("*").alias("n_occ")))
+    dups = (occ.join(first, "span_hash")
+            .where((F.col("n_occ") > 1)
+                   & ~((F.col(id_col) == F.col(f"fk.{id_col}"))
+                       & (F.col("spos") == F.col("fk.spos")))))
+    drop_pos = (dups.select(
+        id_col, F.explode(F.sequence(
+            F.col("spos"), F.col("spos") + (span - 1))).alias("pos"))
+        .distinct())
+    pos_rows = base.select(id_col, "n_lines",
+                           F.posexplode(lines_col).alias("pos", "line"))
+    kept = pos_rows.join(drop_pos, [id_col, "pos"], "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.count("*").alias("n_kept"),
+                    F.md5(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("pos", "line"))),
+                            lambda s: s["line"]), "\n")).alias("clean_md5")))
+    all_docs = base.select(id_col, "n_lines")
+    return (all_docs.join(rebuilt, id_col, "left")
+            .withColumn("n_kept", F.coalesce("n_kept", F.lit(0)))
+            .withColumn("clean_md5",
+                        F.coalesce("clean_md5", F.md5(F.lit(""))))
+            .select(id_col, "n_lines", "n_kept", "clean_md5"))
+
+
+# Mojibake repair table (ftfy-style, Speer 2019): the most common
+# UTF-8-bytes-read-as-Latin-1/cp1252 digraphs seen in web text. Longer
+# patterns first — each entry is applied to the OUTPUT of the previous one,
+# so an earlier longer match can't be re-broken by a later shorter one.
+# Shared verbatim with the SQL oracle builder in __spark_entry__.
+MOJIBAKE_MAP: list[tuple[str, str]] = [
+    ("\u00e2\u20ac\u2122", "\u2019"),  # right single quote
+    ("\u00e2\u20ac\u02dc", "\u2018"),  # left single quote
+    ("\u00e2\u20ac\u0153", "\u201c"),  # left double quote
+    ("\u00e2\u20ac\u009d", "\u201d"),  # right double quote
+    ("\u00e2\u20ac\u201c", "\u2013"),  # en dash
+    ("\u00e2\u20ac\u201d", "\u2014"),  # em dash
+    ("\u00e2\u20ac\u00a6", "\u2026"),  # ellipsis
+    ("\u00c3\u00a9", "\u00e9"),  # e-acute
+    ("\u00c3\u00a8", "\u00e8"),  # e-grave
+    ("\u00c3\u00a1", "\u00e1"),  # a-acute
+    ("\u00c3\u00b3", "\u00f3"),  # o-acute
+    ("\u00c3\u00b1", "\u00f1"),  # n-tilde
+    ("\u00c3\u00bc", "\u00fc"),  # u-umlaut
+    ("\u00c3\u00b6", "\u00f6"),  # o-umlaut
+    ("\u00c3\u00a4", "\u00e4"),  # a-umlaut
+    ("\u00c3\u00a7", "\u00e7"),  # c-cedilla
+    ("\u00c2\u00ab", "\u00ab"),  # laquo
+    ("\u00c2\u00bb", "\u00bb"),  # raquo
+    ("\u00c2\u00a0", "\u0020"),  # nbsp->space
+]
+
+
+def fix_mojibake(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """ftfy-style mojibake repair (the cleaning pass OpenWebText2/The Pile
+    run before dedup): undo the classic UTF-8-bytes-decoded-as-Latin-1
+    digraphs via a frozen, ordered literal-replacement chain.
+
+    Each pattern is counted on the text AS LEFT BY the previous replacement
+    (length arithmetic — no regex), then replaced; ``n_fixed`` is the total
+    number of digraphs repaired. Pure narrow map: the whole chain is one
+    nested expression in whole-stage codegen, ZERO shuffle at any corpus
+    size. Emits ``fixed_text`` + ``n_fixed``."""
+    t = F.col(text_col)
+    n_fixed = F.lit(0).cast("long")
+    for bad, good in MOJIBAKE_MAP:
+        n_fixed = n_fixed + ((F.length(t) - F.length(
+            F.replace(t, F.lit(bad), F.lit("")))) / len(bad)).cast("long")
+        t = F.replace(t, F.lit(bad), F.lit(good))
+    return (df.withColumn("fixed_text", t)
+              .withColumn("n_fixed", n_fixed))
+
+
+# Frozen stand-in banned-word list (the real C4 run uses the public "List
+# of Dirty, Naughty, Obscene..." — ~400 entries; same mechanism, same scale
+# posture, any list size broadcasts as a literal or a broadcast join).
+# Chosen so both outcomes occur on the synthetic corpus.
+C4_BADWORDS = ["slow", "dup"]
+
+# quality_classifier frozen parameters (shared with the SQL oracle):
+# feature-hash buckets and the deterministic weight ramp standing in for
+# trained coefficients (Knuth multiplicative constant, zero-mean range).
+QC_BUCKETS = 64
+QC_WEIGHT_MULT = 2654435761  # 2^32 / phi, Knuth multiplicative hashing
+QC_WEIGHT_MOD = 2001         # weights in {-1000..1000} / 1000
+
+
+def badwords_filter(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """C4 banned-wordlist page gate (Raffel et al. 2020 §2.2: "removed any
+    page that contained any word on the 'List of Dirty, Naughty, Obscene or
+    Otherwise Bad Words'"), with a frozen stand-in list (``C4_BADWORDS``).
+
+    Counts token OCCURRENCES (not distinct hits) via a row-local
+    higher-order filter over the doc's own tokens — one narrow codegen map,
+    ZERO shuffle at any corpus size. A real 400-word list is still a
+    literal IN over a token; for 10^5+-entry lists switch to a broadcast
+    semi-join on exploded tokens (same result, one broadcast)."""
+    toks = tokens_col(F.col(text_col))
+    n_bad = F.size(F.filter(toks, lambda x: x.isin(C4_BADWORDS)))
+    return (df.select(id_col,
+                      F.size(toks).alias("n_words"),
+                      n_bad.alias("n_bad"),
+                      (n_bad == 0).alias("keep")))
+
+
+def quality_classifier(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Hashing-trick linear quality classifier (the GPT-3 / CCNet / LLaMA
+    pipeline step: score every page with a cheap linear model, keep
+    high-quality pages). The sandbox has no trained fastText model, so the
+    coefficients are a frozen deterministic ramp over hash buckets — the
+    distributed scoring machinery (feature hashing, per-token weight
+    lookup, mean pooling, threshold gate) is the real thing and is exactly
+    what a trained-weight swap-in would run.
+
+    Per token: bucket = first-8-hex-digits(md5(token)) mod ``QC_BUCKETS``;
+    weight = ((bucket * ``QC_WEIGHT_MULT``) mod ``QC_WEIGHT_MOD`` - 1000)
+    / 1000. Document score = mean token weight (6 dp), keep = score > 0;
+    empty docs score 0 and drop. Entirely row-local (aggregate over the
+    doc's own token array) — ZERO shuffle at any corpus size; a trained
+    10^6-bucket table would instead broadcast-join exploded tokens."""
+    toks = tokens_col(F.col(text_col))
+
+    def weight_milli(x):
+        # integer milli-weights: exact in both engines, one float division
+        # at the end (float accumulation order would be engine-dependent)
+        b = F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long") \
+            % QC_BUCKETS
+        return (b * QC_WEIGHT_MULT) % QC_WEIGHT_MOD - 1000
+
+    n = F.size(toks)
+    total = F.aggregate(toks, F.lit(0).cast("long"),
+                        lambda acc, x: acc + weight_milli(x))
+    score = (F.when(n > 0, F.round(total / (n * 1000.0), 6))
+              .otherwise(F.lit(0.0)))
+    return (df.select(id_col,
+                      n.alias("n_words"),
+                      score.alias("quality_score"),
+                      (score > 0).alias("keep")))
 
 
 def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -41,7 +41,8 @@ HEADLINE = [
     "stratified_sample", "pack_sequences", "training_mix", "dsir_weights",
     "token_stats", "quality_scores", "lang_id", "fingerprint",
     "inverted_index", "tfidf_topk", "bigram_lm",
-    "gopher_repetition", "line_dedup", "perplexity_buckets",
+    "gopher_repetition", "line_dedup", "span_dedup", "fix_mojibake",
+    "badwords_filter", "quality_classifier", "perplexity_buckets",
     "semdedup", "vocab_topk", "chunk_documents", "mixture_weights",
     "url_keep_latest", "recrawl_schedule", "events_asof", "events_interval",
     "events_tumbling", "events_sessions",

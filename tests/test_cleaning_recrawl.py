@@ -134,6 +134,171 @@ class TestC4Filters:
         assert out["clean_md5"] == "d41d8cd98f00b204e9800998ecf8427e"
 
 
+class TestSpanDedup:
+    def _run(self, spark, docs, span=3):
+        from abot_dotnet_core_spark.functions.cleaning import span_dedup
+        df = spark.createDataFrame(
+            [Row(doc_id=i, lines=ls) for i, ls in enumerate(docs)],
+            schema="doc_id long, lines array<string>")
+        return {r["doc_id"]: r for r in span_dedup(df, span=span).collect()}
+
+    MD5_EMPTY = "d41d8cd98f00b204e9800998ecf8427e"
+
+    def test_exact_duplicate_doc_fully_removed(self, spark):
+        # doc 1 repeats doc 0's only span -> all three lines drop
+        lines = ["alpha one.", "beta two.", "gamma three."]
+        out = self._run(spark, [lines, list(lines)])
+        assert out[0]["n_kept"] == 3          # first occurrence kept
+        assert out[1]["n_kept"] == 0
+        assert out[1]["clean_md5"] == self.MD5_EMPTY
+
+    def test_short_doc_has_no_span(self, spark):
+        # two lines < span=3: no span exists, everything is kept even
+        # though the same two lines appear inside a longer duplicate doc
+        out = self._run(spark, [["a.", "b."], ["a.", "b.", "a.", "b."]])
+        assert out[0]["n_kept"] == 2
+        assert out[1]["n_kept"] == 4          # its spans are all unique
+
+    def test_overlapping_spans_drop_union_of_lines(self, spark):
+        # doc 1 = boilerplate block of doc 0 + one fresh line; spans
+        # (0,1,2) and (1,2,3) both duplicate nothing — only the exact
+        # 3-line window that recurs is removed, fresh tail survives
+        out = self._run(spark, [
+            ["x.", "y.", "z.", "tail zero."],
+            ["x.", "y.", "z.", "fresh one."],
+        ])
+        # doc1 span (x,y,z) duplicates doc0's first span -> lines 0-2 drop
+        assert out[0]["n_kept"] == 4
+        assert out[1]["n_kept"] == 1
+
+    def test_first_occurrence_is_lexicographic_min(self, spark):
+        # the same span at doc0 pos1 and doc1 pos0: (0,1) < (1,0) wins
+        out = self._run(spark, [
+            ["lead.", "s1.", "s2.", "s3."],
+            ["s1.", "s2.", "s3.", "other."],
+        ])
+        assert out[0]["n_kept"] == 4
+        assert out[1]["n_kept"] == 1
+
+    def test_within_doc_repeat_collapses(self, spark):
+        # one doc repeating its own 3-line block back-to-back: the second
+        # occurrence's non-overlapping lines drop
+        block = ["r1.", "r2.", "r3."]
+        out = self._run(spark, [block + block])
+        assert out[0]["n_lines"] == 6
+        assert out[0]["n_kept"] == 3
+
+    def test_empty_doc(self, spark):
+        out = self._run(spark, [[]])
+        assert (out[0]["n_lines"], out[0]["n_kept"]) == (0, 0)
+        assert out[0]["clean_md5"] == self.MD5_EMPTY
+
+
+class TestFixMojibake:
+    def _run(self, spark, texts):
+        from abot_dotnet_core_spark.functions.cleaning import fix_mojibake
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+            schema="doc_id long, text string")
+        return {r["doc_id"]: r for r in fix_mojibake(df).collect()}
+
+    def _moji(self, ch):
+        out = []
+        for b in ch.encode("utf-8"):
+            try:
+                out.append(bytes([b]).decode("cp1252"))
+            except UnicodeDecodeError:
+                out.append(chr(b))
+        return "".join(out)
+
+    def test_roundtrip_all_map_entries(self, spark):
+        from abot_dotnet_core_spark.functions.cleaning import MOJIBAKE_MAP
+        # corrupting each target with the cp1252 transform and fixing it
+        # restores the original (nbsp maps to plain space by design)
+        targets = [g for _, g in MOJIBAKE_MAP]
+        corrupted = " ".join(self._moji(t) if t != " " else self._moji(
+            " ") for t in targets)
+        r = self._run(spark, [corrupted])[0]
+        assert r["fixed_text"] == " ".join(targets)
+        assert r["n_fixed"] == len(targets)
+
+    def test_clean_text_untouched(self, spark):
+        r = self._run(spark, ["plain ascii text, nothing to fix."])[0]
+        assert r["fixed_text"] == "plain ascii text, nothing to fix."
+        assert r["n_fixed"] == 0
+
+    def test_counts_multiple_occurrences(self, spark):
+        bad = self._moji("é")
+        r = self._run(spark, [f"caf{bad} and r{bad}sum{bad}"])[0]
+        assert r["fixed_text"] == "café and résumé"
+        assert r["n_fixed"] == 3
+
+    def test_empty_string(self, spark):
+        r = self._run(spark, [""])[0]
+        assert r["fixed_text"] == ""
+        assert r["n_fixed"] == 0
+
+
+class TestBadwordsFilter:
+    def _run(self, spark, texts):
+        from abot_dotnet_core_spark.functions.cleaning import badwords_filter
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+            schema="doc_id long, text string")
+        return {r["doc_id"]: r for r in badwords_filter(df).collect()}
+
+    def test_occurrences_counted_not_distinct(self, spark):
+        out = self._run(spark, ["slow road slow dup here",
+                                "clean text only words",
+                                ""])
+        assert out[0]["n_bad"] == 3 and not out[0]["keep"]
+        assert out[1]["n_bad"] == 0 and out[1]["keep"]
+        assert out[2]["n_words"] == 0 and out[2]["keep"]
+
+    def test_substring_is_not_a_hit(self, spark):
+        # token-level match: 'slower'/'dedup' must NOT trip 'slow'/'dup'
+        r = self._run(spark, ["slower dedup duplicates"])[0]
+        assert r["n_bad"] == 0 and r["keep"]
+
+
+class TestQualityClassifier:
+    def _run(self, spark, texts):
+        from abot_dotnet_core_spark.functions.cleaning import (
+            quality_classifier)
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+            schema="doc_id long, text string")
+        return {r["doc_id"]: r for r in quality_classifier(df).collect()}
+
+    @staticmethod
+    def _weight_milli(tok):
+        import hashlib
+        from abot_dotnet_core_spark.functions.cleaning import (
+            QC_BUCKETS, QC_WEIGHT_MOD, QC_WEIGHT_MULT)
+        b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % QC_BUCKETS
+        return (b * QC_WEIGHT_MULT) % QC_WEIGHT_MOD - 1000
+
+    def test_score_matches_reference_arithmetic(self, spark):
+        toks = ["alpha", "beta", "gamma"]
+        r = self._run(spark, [" ".join(toks)])[0]
+        want = round(sum(self._weight_milli(t) for t in toks) / 3000.0, 6)
+        assert r["quality_score"] == pytest.approx(want, abs=1e-9)
+        assert r["keep"] == (want > 0)
+
+    def test_empty_doc_scores_zero_and_drops(self, spark):
+        r = self._run(spark, ["   "])[0]
+        assert (r["n_words"], r["quality_score"], r["keep"]) == (0, 0.0,
+                                                                 False)
+
+    def test_repeated_token_shifts_score(self, spark):
+        # score is occurrence-weighted: doubling a token moves the mean
+        one = self._run(spark, ["alpha beta"])[0]["quality_score"]
+        two = self._run(spark, ["alpha alpha beta"])[0]["quality_score"]
+        wa, wb = self._weight_milli("alpha"), self._weight_milli("beta")
+        assert one == pytest.approx((wa + wb) / 2000.0, abs=1e-6)
+        assert two == pytest.approx((2 * wa + wb) / 3000.0, abs=1e-6)
+
+
 class TestPerplexityBuckets:
     def test_buckets_and_scores(self, spark):
         from abot_dotnet_core_spark.functions.cleaning import (

@@ -164,6 +164,33 @@ class TestNewPipelinePlans:
         assert "Generate" in plan, plan
         assert "Python" not in plan, plan
 
+    def test_span_dedup_agg_not_window_no_python(self, spark):
+        """C4 span dedup: first-occurrence is a struct-min AGGREGATION per
+        span hash (combine-reduced; a boilerplate span shared by 10^9 docs
+        is one agg group), never a rank-the-group sort window; all JVM."""
+        import __spark_entry__ as e
+        plan = simple_plan(e.q_span_dedup(spark, SF))
+        assert "Window" not in plan, plan
+        assert "Python" not in plan, plan
+        assert "Aggregate" in plan, plan
+
+    def test_fix_mojibake_zero_shuffle(self, spark):
+        """Mojibake repair is one narrow codegen map — no Exchange, no
+        Python, at any corpus size."""
+        import __spark_entry__ as e
+        plan = simple_plan(e.q_fix_mojibake(spark, SF))
+        assert "Exchange" not in plan, plan
+        assert "Python" not in plan, plan
+
+    def test_badwords_and_classifier_zero_shuffle(self, spark):
+        """Both page gates are row-local HOFs over the doc's own tokens —
+        no Exchange, no Python, at any corpus size."""
+        import __spark_entry__ as e
+        for q in (e.q_badwords_filter, e.q_quality_classifier):
+            plan = simple_plan(q(spark, SF))
+            assert "Exchange" not in plan, plan
+            assert "Python" not in plan, plan
+
     def test_vocab_topk_partial_agg_takeordered(self, spark):
         """Vocabulary: ONE shuffle (the term groupBy, map-side combined) and
         a TakeOrdered top-k — no global sort of the vocabulary."""
