@@ -1879,10 +1879,20 @@ def q_warc_roundtrip(spark, sf_dir):
     digest. The oracle computes the same projection straight from the
     table — equality proves the container round-trip is lossless (url,
     second-granular timestamp, status, byte-exact payload)."""
+    import atexit
+    import hashlib
+    import shutil
+
     from abot_dotnet_core_spark.sources.warc_datasource import register
     register(spark)
-    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out = os.path.join(tempfile.gettempdir(), f"abot_warc_roundtrip_{sf_tag}")
+    # keyed by the corpus's full path (not basename — distinct corpora can
+    # share a basename) plus pid, so concurrent runs never clobber each
+    # other's segments mid-read; removed at interpreter exit (the returned
+    # DataFrame is lazy, so it can't be removed here)
+    sf_tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(),
+                       f"abot_warc_roundtrip_{sf_tag}_{os.getpid()}")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
     recs = _docs(spark, sf_dir).select(
         _url_col().alias("url"),
         F.timestamp_seconds(F.lit(_EPOCH_20260101)

@@ -10,7 +10,15 @@ two-pass range-partition trick instead:
   1. ``repartitionByRange`` + ``sortWithinPartitions`` on the sort keys
   2. count rows per partition, cumulative-sum the counts on the driver
      (O(#partitions), tiny)
-  3. ``mapInPandas`` adds partition_offset + local_index
+  3. ``mapInArrow`` adds partition_offset + local_index
+
+Pass 3 deliberately uses ``mapInArrow``, NOT ``mapInPandas``: payload
+columns never round-trip through pandas. Arrow→pandas renders a nullable
+int64 column as float64, silently rounding any co-batched 64-bit hash
+above 2^53 (the P4 segment-quota stream carries NULL-hash correction rows
+next to real url_hash64 values — exactly that shape), and object-converts
+every string column. In Arrow the payload arrays pass through untouched;
+only the tiny inc/marker columns are materialized as numpy.
 
 Deterministic given deterministic sort keys (ties must be impossible — the
 caller includes a unique tiebreaker). Scales linearly with executors.
@@ -21,19 +29,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F, types as T
 
 
+def _ranged(df: DataFrame, sort_cols: list[str], num_partitions: int | None,
+            register_ckpt: list | None) -> DataFrame:
+    """Range-partition + sort + stamp ``__pid``, pinned by localCheckpoint
+    so pass 1 (per-partition aggregates) and pass 2 (offset apply) see
+    identical partitioning. Callers that run per-round register the block
+    for release at round end."""
+    if num_partitions is None:
+        num_partitions = max(df.sparkSession.sparkContext.defaultParallelism, 4)
+    ranged = (df.repartitionByRange(num_partitions, *[F.col(c) for c in sort_cols])
+                .sortWithinPartitions(*sort_cols))
+    ranged = ranged.withColumn("__pid", F.spark_partition_id())
+    ranged = ranged.localCheckpoint(eager=True)
+    if register_ckpt is not None:
+        register_ckpt.append(ranged)
+    return ranged
+
+
 def assign_global_seq(df: DataFrame, sort_cols: list[str], out_col: str,
                       start: int = 0, num_partitions: int | None = None) -> DataFrame:
     """Add ``out_col``: dense 0-based global rank by ``sort_cols`` + start."""
     if df.isEmpty():
         return df.withColumn(out_col, F.lit(None).cast("long"))
-    if num_partitions is None:
-        num_partitions = max(df.sparkSession.sparkContext.defaultParallelism, 4)
-
-    ranged = (df.repartitionByRange(num_partitions, *[F.col(c) for c in sort_cols])
-                .sortWithinPartitions(*sort_cols))
-    ranged = ranged.withColumn("__pid", F.spark_partition_id())
-    # cache so pass 1 (counts) and pass 2 (offsets) see identical partitioning
-    ranged = ranged.localCheckpoint(eager=True)
+    ranged = _ranged(df, sort_cols, num_partitions, None)
 
     counts = {r["__pid"]: r["cnt"] for r in
               ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
@@ -45,20 +63,26 @@ def assign_global_seq(df: DataFrame, sort_cols: list[str], out_col: str,
 
     schema = T.StructType(ranged.schema.fields + [T.StructField(out_col, T.LongType())])
     out_names = [f.name for f in schema.fields]
+    pid_idx = ranged.columns.index("__pid")
 
     def add_seq(batches):
-        import pandas as pd
+        import numpy as np
+        import pyarrow as pa
         local = 0
-        for pdf in batches:
-            if len(pdf) == 0:
+        base = None
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
                 continue
-            base = offsets[int(pdf["__pid"].iloc[0])]
-            pdf = pdf.copy()
-            pdf[out_col] = range(base + local, base + local + len(pdf))
-            local += len(pdf)
-            yield pdf[out_names]
+            if base is None:
+                base = offsets[rb.column(pid_idx)[0].as_py()]
+            seq = pa.array(np.arange(base + local, base + local + n,
+                                     dtype=np.int64))
+            local += n
+            yield pa.RecordBatch.from_arrays(list(rb.columns) + [seq],
+                                             names=out_names)
 
-    return ranged.mapInPandas(add_seq, schema=schema).drop("__pid")
+    return ranged.mapInArrow(add_seq, schema=schema).drop("__pid")
 
 
 def assign_global_cumsums(df: DataFrame, sort_cols: list[str],
@@ -69,20 +93,14 @@ def assign_global_cumsums(df: DataFrame, sort_cols: list[str],
     shuffle + one driver round-trip produces an inclusive running sum per
     (inc_col, out_col) pair — the P4 segment-quota admission needs three
     prefixes (consuming links, retries, corrections) over the same order
-    and must not pay three shuffles for them."""
+    and must not pay three shuffles for them. Inc columns must be
+    non-null integers; payload columns may be anything (they pass through
+    as Arrow arrays untouched — see module docstring)."""
     if df.isEmpty():
         for _, out_col in inc_out:
             df = df.withColumn(out_col, F.lit(None).cast("long"))
         return df
-    if num_partitions is None:
-        num_partitions = max(df.sparkSession.sparkContext.defaultParallelism, 4)
-
-    ranged = (df.repartitionByRange(num_partitions, *[F.col(c) for c in sort_cols])
-                .sortWithinPartitions(*sort_cols))
-    ranged = ranged.withColumn("__pid", F.spark_partition_id())
-    ranged = ranged.localCheckpoint(eager=True)
-    if register_ckpt is not None:
-        register_ckpt.append(ranged)
+    ranged = _ranged(df, sort_cols, num_partitions, register_ckpt)
 
     sums = {r["__pid"]: r for r in
             ranged.groupBy("__pid")
@@ -100,25 +118,30 @@ def assign_global_cumsums(df: DataFrame, sort_cols: list[str],
                           + [T.StructField(oc, T.LongType())
                              for _ic, oc in inc_out])
     out_names = [f.name for f in schema.fields]
+    pid_idx = ranged.columns.index("__pid")
+    inc_idx = [ranged.columns.index(ic) for ic, _oc in inc_out]
 
     def add_cumsums(batches):
+        import numpy as np
+        import pyarrow as pa
         carry = [0] * len(inc_out)
-        started = False
-        base = [0] * len(inc_out)
-        for pdf in batches:
-            if len(pdf) == 0:
+        base = None
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            if not started:
-                base = offsets[int(pdf["__pid"].iloc[0])]
-                started = True
-            pdf = pdf.copy()
-            for i, (ic, oc) in enumerate(inc_out):
-                run = pdf[ic].astype("int64").cumsum() + (base[i] + carry[i])
-                pdf[oc] = run
-                carry[i] = int(run.iloc[-1]) - base[i]
-            yield pdf[out_names]
+            if base is None:
+                base = offsets[rb.column(pid_idx)[0].as_py()]
+            new = []
+            for i, idx in enumerate(inc_idx):
+                inc = rb.column(idx).to_numpy(zero_copy_only=False) \
+                        .astype(np.int64)
+                run = inc.cumsum() + (base[i] + carry[i])
+                new.append(pa.array(run))
+                carry[i] = int(run[-1]) - base[i]
+            yield pa.RecordBatch.from_arrays(list(rb.columns) + new,
+                                             names=out_names)
 
-    return ranged.mapInPandas(add_cumsums, schema=schema).drop("__pid")
+    return ranged.mapInArrow(add_cumsums, schema=schema).drop("__pid")
 
 
 def assign_global_cumsum(df: DataFrame, sort_cols: list[str], inc_col: str,
@@ -137,48 +160,6 @@ def assign_global_cumsum(df: DataFrame, sort_cols: list[str], inc_col: str,
     (WebCrawler.cs:739-755 evaluates the same running backlog count
     sequentially; this is its scalable batch equivalent).
     """
-    if df.isEmpty():
-        return df.withColumn(out_col, F.lit(None).cast("long"))
-    if num_partitions is None:
-        num_partitions = max(df.sparkSession.sparkContext.defaultParallelism, 4)
-
-    ranged = (df.repartitionByRange(num_partitions, *[F.col(c) for c in sort_cols])
-                .sortWithinPartitions(*sort_cols))
-    ranged = ranged.withColumn("__pid", F.spark_partition_id())
-    # the checkpoint pins shuffle output so pass 1 (sums) and pass 2
-    # (offsets) see identical partitioning; callers that invoke this
-    # per-round pass register_ckpt so the blocks are released at round end
-    ranged = ranged.localCheckpoint(eager=True)
-    if register_ckpt is not None:
-        register_ckpt.append(ranged)
-
-    sums = {r["__pid"]: r["s"] for r in
-            ranged.groupBy("__pid")
-                  .agg(F.sum(F.col(inc_col).cast("long")).alias("s"))
-                  .collect()}
-    offsets = {}
-    acc = 0
-    for pid in sorted(sums):
-        offsets[pid] = acc
-        acc += sums[pid] or 0
-
-    schema = T.StructType(ranged.schema.fields + [T.StructField(out_col, T.LongType())])
-    out_names = [f.name for f in schema.fields]
-
-    def add_cumsum(batches):
-        carry = 0
-        started = False
-        base = 0
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            if not started:
-                base = offsets[int(pdf["__pid"].iloc[0])]
-                started = True
-            pdf = pdf.copy()
-            run = pdf[inc_col].astype("int64").cumsum() + (base + carry)
-            pdf[out_col] = run
-            carry = int(run.iloc[-1]) - base
-            yield pdf[out_names]
-
-    return ranged.mapInPandas(add_cumsum, schema=schema).drop("__pid")
+    return assign_global_cumsums(df, sort_cols, [(inc_col, out_col)],
+                                 num_partitions=num_partitions,
+                                 register_ckpt=register_ckpt)

@@ -150,6 +150,8 @@ class WarcWriter(DataSourceWriter):
     """
 
     def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        import uuid
+
         self._path = options.get("path")
         if not self._path:
             raise ValueError("warc sink requires a path: "
@@ -157,6 +159,11 @@ class WarcWriter(DataSourceWriter):
         self._compress = str(options.get("compress", "true")).lower() \
             not in ("false", "0", "no")
         self._overwrite = overwrite
+        # driver-minted job token, pickled to every task: append-mode jobs
+        # get distinct segment names (two appends must not clobber each
+        # other's identically-numbered partitions), and commit/abort can
+        # GC exactly this job's scratch files and no other's
+        self._token = uuid.uuid4().hex[:8]
         names = {f.name for f in schema.fields}
         need = {"url", "warc_ts", "status", "content_type", "html"}
         missing = need - names
@@ -169,7 +176,7 @@ class WarcWriter(DataSourceWriter):
         ctx = TaskContext.get()
         pid, attempt = ctx.partitionId(), ctx.taskAttemptId()
         ext = ".warc.gz" if self._compress else ".warc"
-        final_name = f"segment-{pid:05d}{ext}"
+        final_name = f"segment-{self._token}-{pid:05d}{ext}"
         os.makedirs(self._path, exist_ok=True)
         # attempt id in the scratch name: speculative/retried attempts of
         # the same partition never collide; only the attempt whose commit
@@ -187,10 +194,19 @@ class WarcWriter(DataSourceWriter):
         return _WarcCommit(part, final_name, n, os.path.getsize(part))
 
     def commit(self, messages) -> None:
+        # a zero-task job never ran write(), so the directory may not exist
+        os.makedirs(self._path, exist_ok=True)
+        manifest = []
         if self._overwrite:
             for p in _list_segments(self._path):
                 os.unlink(p)
-        manifest = []
+        else:
+            # append: keep prior jobs' entries whose segments still exist
+            prior = os.path.join(self._path, "_MANIFEST.json")
+            if os.path.exists(prior):
+                with open(prior) as f:
+                    manifest = [m for m in json.load(f) if os.path.exists(
+                        os.path.join(self._path, m["warc_file"]))]
         for m in messages:
             if m is None or not m.part_path:
                 continue
@@ -198,6 +214,7 @@ class WarcWriter(DataSourceWriter):
             manifest.append({"warc_file": m.final_name,
                              "n_records": m.n_records,
                              "n_bytes": m.n_bytes})
+        self._gc_scratch()
         with open(os.path.join(self._path, "_MANIFEST.json"), "w") as f:
             json.dump(sorted(manifest, key=lambda r: r["warc_file"]), f,
                       indent=1)
@@ -208,6 +225,20 @@ class WarcWriter(DataSourceWriter):
         for m in messages:
             if m is not None and m.part_path and os.path.exists(m.part_path):
                 os.unlink(m.part_path)
+        self._gc_scratch()
+
+    def _gc_scratch(self) -> None:
+        """Remove THIS job's leftover ``.part`` files — failed or
+        losing-speculative attempts whose commit message never reached the
+        driver would otherwise leak scratch forever (visible-file cleanup
+        skips dot-prefixed names by design). The job token scopes the glob
+        so concurrent writers to the same directory are untouched."""
+        pat = os.path.join(self._path, f".segment-{self._token}-*.part")
+        for p in _glob.glob(pat):
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
 
 
 class WarcStreamReader(DataSourceStreamReader):

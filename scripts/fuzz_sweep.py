@@ -61,7 +61,6 @@ def run_case(spark, case_seed: int, polite: bool,
         if got != want:
             diff = next((i for i, (g, w) in enumerate(zip(got, want))
                          if g != w), min(len(got), len(want)))
-        if got != want:
             errs.append(f"crawled mismatch len {len(got)} vs {len(want)}; "
                         f"first diff at {diff}: "
                         f"got={got[diff:diff+2]} want={want[diff:diff+2]}")

@@ -7,6 +7,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window as W
 
 from abot_dotnet_core_spark.operators.ordering import (assign_global_cumsum,
+                                                       assign_global_cumsums,
                                                        assign_global_seq)
 
 
@@ -52,3 +53,39 @@ class TestAssignGlobalCumsum:
         df = spark.createDataFrame([], "k long, inc int")
         out = assign_global_cumsum(df, ["k"], "inc", "cum")
         assert out.count() == 0 and "cum" in out.columns
+
+
+# A url_hash64 value above 2^53 — float64 cannot represent it exactly, so
+# any pandas round-trip of a NULL-bearing int64 column rounds it. The P4
+# segment-quota stream co-batches NULL-hash correction rows with real link
+# hashes (crawler._budget_admit_with_retry_pops), which silently
+# budget-denied admissible links before ordering.py moved to mapInArrow.
+BIG_HASH = 8430173677383578461
+
+
+class TestArrowPayloadFidelity:
+    """Nullable int64 payloads must survive the sequencers bit-exactly
+    even when a NULL lands in the same Arrow batch (num_partitions=1
+    forces co-batching)."""
+
+    def test_cumsums_nullable_int64_payload(self, spark):
+        rows = [(0, BIG_HASH, 1), (1, None, 0), (2, BIG_HASH + 7, 1)]
+        df = spark.createDataFrame(rows, "k long, payload long, inc int")
+        got = assign_global_cumsums(df, ["k"], [("inc", "cum")],
+                                    num_partitions=1)
+        by_k = {r["k"]: (r["payload"], r["cum"]) for r in got.collect()}
+        assert by_k == {0: (BIG_HASH, 1), 1: (None, 1), 2: (BIG_HASH + 7, 2)}
+
+    def test_cumsum_nullable_int64_payload(self, spark):
+        rows = [(0, None, 1), (1, BIG_HASH, 1)]
+        df = spark.createDataFrame(rows, "k long, payload long, inc int")
+        got = assign_global_cumsum(df, ["k"], "inc", "cum", num_partitions=1)
+        by_k = {r["k"]: (r["payload"], r["cum"]) for r in got.collect()}
+        assert by_k == {0: (None, 1), 1: (BIG_HASH, 2)}
+
+    def test_seq_nullable_int64_payload(self, spark):
+        rows = [(0, BIG_HASH), (1, None), (2, BIG_HASH + 1)]
+        df = spark.createDataFrame(rows, "k long, payload long")
+        got = assign_global_seq(df, ["k"], "seq", num_partitions=1)
+        by_k = {r["k"]: (r["payload"], r["seq"]) for r in got.collect()}
+        assert by_k == {0: (BIG_HASH, 0), 1: (None, 1), 2: (BIG_HASH + 1, 2)}

@@ -90,6 +90,45 @@ class TestSink:
         src.coalesce(1).write.format("warc").mode("overwrite").save(out)
         assert spark.read.format("warc").load(out).count() == 20
 
+    def test_append_accumulates(self, spark, warc_dir, tmp_path):
+        # append-mode jobs mint distinct segment names: a second append
+        # must not clobber the first's identically-numbered partitions,
+        # and the manifest must cover both jobs' files
+        register(spark)
+        src = spark.read.format("warc").load(str(warc_dir / "in"))
+        out = str(tmp_path / "app")
+        src.write.format("warc").mode("append").save(out)
+        src.write.format("warc").mode("append").save(out)
+        assert spark.read.format("warc").load(out).count() == 40
+        manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+        assert sum(m["n_records"] for m in manifest) == 40
+
+    def test_zero_task_commit_publishes_empty(self, tmp_path):
+        # a job that ran zero write tasks still publishes _SUCCESS + an
+        # empty manifest instead of crashing on the missing directory
+        from abot_dotnet_core_spark.sources.warc import WARC_SCHEMA
+        from abot_dotnet_core_spark.sources.warc_datasource import WarcWriter
+        out = str(tmp_path / "fresh")
+        WarcWriter(WARC_SCHEMA, {"path": out}, overwrite=True).commit([])
+        assert os.path.exists(os.path.join(out, "_SUCCESS"))
+        assert json.load(open(os.path.join(out, "_MANIFEST.json"))) == []
+
+    def test_unmessaged_attempt_scratch_gc(self, tmp_path):
+        # a dead attempt's .part never reaches commit(messages); the
+        # token-scoped GC removes it, but another job's scratch survives
+        from abot_dotnet_core_spark.sources.warc import WARC_SCHEMA
+        from abot_dotnet_core_spark.sources.warc_datasource import WarcWriter
+        out = str(tmp_path / "gc")
+        os.makedirs(out)
+        w = WarcWriter(WARC_SCHEMA, {"path": out}, overwrite=True)
+        mine = os.path.join(out, f".segment-{w._token}-00003.warc.gz.17.part")
+        other = os.path.join(out, ".segment-deadbeef-00000.warc.gz.1.part")
+        for p in (mine, other):
+            open(p, "wb").write(b"partial")
+        w.commit([])
+        assert not os.path.exists(mine)
+        assert os.path.exists(other)
+
     def test_uncompressed_option(self, spark, warc_dir, tmp_path):
         register(spark)
         src = spark.read.format("warc").load(str(warc_dir / "in"))
