@@ -447,6 +447,43 @@ UNION ALL
 SELECT doc_id, 1, 'http://x.test/q?a=1&b=' || doc_id FROM documents"""
 
 
+def q_sitemap_extract(spark, sf_dir):
+    """Sitemap ingestion (beyond-reference SRC — sources/sitemap.py): parse
+    synthesized urlset XML (entity-encoded locs, lastmod, priority) into
+    ordered entry rows; priority carried as exact integer thousandths."""
+    from abot_dotnet_core_spark.sources.sitemap import sitemap_entries
+    d = F.col("doc_id")
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset '
+              'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+              '<url><loc>http://d'), d, F.lit('.test/u</loc>'
+              '<lastmod>2024-01-0'), (d % 9) + 1, F.lit('</lastmod>'
+              '<priority>0.'), d % 10, F.lit('</priority></url>'
+              '<url><loc>http://d'), d, F.lit('.test/q?a=1&amp;b='), d,
+        F.lit('</loc></url></urlset>'))
+    sitemaps = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://d"), d, F.lit(".test/sitemap.xml"))
+         .alias("url"),
+        xml.cast("binary").alias("body"))
+    return (sitemap_entries(sitemaps)
+            .select("sitemap_url", "kind", "entry_pos", "loc", "lastmod",
+                    "priority_millis"))
+
+
+def sql_sitemap_extract():
+    return """
+SELECT 'http://d' || doc_id || '.test/sitemap.xml' AS sitemap_url,
+       'urlset' AS kind, 0 AS entry_pos,
+       'http://d' || doc_id || '.test/u' AS loc,
+       '2024-01-0' || ((doc_id % 9) + 1) AS lastmod,
+       ((doc_id % 10) * 100)::int AS priority_millis
+FROM documents
+UNION ALL
+SELECT 'http://d' || doc_id || '.test/sitemap.xml', 'urlset', 1,
+       'http://d' || doc_id || '.test/q?a=1&b=' || doc_id, NULL, 500
+FROM documents"""
+
+
 # ===========================================================================
 # dedup operators
 # ===========================================================================
@@ -2297,6 +2334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_bfs": q_frontier_bfs,
         "text_extract_roundtrip": q_text_extract_roundtrip,
         "link_extract": q_link_extract,
+        "sitemap_extract": q_sitemap_extract,
         # dedup family
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
@@ -2379,6 +2417,7 @@ def oracle_sql() -> dict[str, str]:
         "frontier_bfs": sql_frontier_bfs(),
         "text_extract_roundtrip": sql_text_extract_roundtrip(),
         "link_extract": sql_link_extract(),
+        "sitemap_extract": sql_sitemap_extract(),
         "exact_dedup": sql_exact_dedup(),
         "minhash_signatures": sql_minhash_signatures(),
         "neardup_pairs": sql_neardup_pairs(),
