@@ -484,6 +484,56 @@ SELECT 'http://d' || doc_id || '.test/sitemap.xml', 'urlset', 1,
 FROM documents"""
 
 
+def q_anchor_text(spark, sf_dir):
+    """Anchor-text aggregation (functions/anchors.py): per-target mention
+    counts, distinct linking pages, and dominant anchor text over
+    synthesized pages (3 mentions/page, one duplicated — exercises the
+    (target,anchor) combine and the tie-free top-anchor pick)."""
+    from abot_dotnet_core_spark.functions.anchors import (
+        anchor_mentions, anchor_text_agg)
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><body><a href="/t'), d % 50, F.lit('">go '), d % 7,
+        F.lit('</a><a href="/t'), (d + 3) % 50, F.lit('">go '), (d + 1) % 7,
+        F.lit('</a><a href="/t'), d % 50, F.lit('">go '), d % 7,
+        F.lit("</a></body></html>"))
+    pages = _docs(spark, sf_dir).select(
+        html.alias("html"),
+        F.concat(F.lit("http://s.test/p"), d).alias("url"))
+    return anchor_text_agg(anchor_mentions(pages))
+
+
+def sql_anchor_text():
+    return """
+WITH m AS (
+  SELECT 'http://s.test/p' || doc_id AS source_url,
+         'http://s.test/t' || (doc_id % 50) AS target_url,
+         'go ' || (doc_id % 7) AS anchor FROM documents
+  UNION ALL
+  SELECT 'http://s.test/p' || doc_id,
+         'http://s.test/t' || ((doc_id + 3) % 50),
+         'go ' || ((doc_id + 1) % 7) FROM documents
+  UNION ALL
+  SELECT 'http://s.test/p' || doc_id,
+         'http://s.test/t' || (doc_id % 50),
+         'go ' || (doc_id % 7) FROM documents),
+per_text AS (
+  SELECT target_url, anchor, count(*) AS cnt
+  FROM m GROUP BY 1, 2),
+top AS (
+  SELECT target_url, anchor AS top_anchor, cnt AS top_anchor_count,
+         row_number() OVER (PARTITION BY target_url
+                            ORDER BY cnt DESC, anchor) AS rn
+  FROM per_text)
+SELECT t.target_url,
+       (SELECT sum(cnt) FROM per_text p
+        WHERE p.target_url = t.target_url)::bigint AS n_mentions,
+       (SELECT count(DISTINCT source_url) FROM m
+        WHERE m.target_url = t.target_url) AS n_sources,
+       t.top_anchor, t.top_anchor_count::bigint AS top_anchor_count
+FROM top t WHERE rn = 1"""
+
+
 # ===========================================================================
 # dedup operators
 # ===========================================================================
@@ -2335,6 +2385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_extract_roundtrip": q_text_extract_roundtrip,
         "link_extract": q_link_extract,
         "sitemap_extract": q_sitemap_extract,
+        "anchor_text": q_anchor_text,
         # dedup family
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
@@ -2418,6 +2469,7 @@ def oracle_sql() -> dict[str, str]:
         "text_extract_roundtrip": sql_text_extract_roundtrip(),
         "link_extract": sql_link_extract(),
         "sitemap_extract": sql_sitemap_extract(),
+        "anchor_text": sql_anchor_text(),
         "exact_dedup": sql_exact_dedup(),
         "minhash_signatures": sql_minhash_signatures(),
         "neardup_pairs": sql_neardup_pairs(),

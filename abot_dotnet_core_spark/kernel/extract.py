@@ -163,6 +163,93 @@ def extract_links(
 
 
 # --------------------------------------------------------------------------
+# Anchor-text extraction (beyond-reference: web-graph/quality signal)
+# --------------------------------------------------------------------------
+
+_WS_RE = re.compile(r"\s+")
+
+
+class _AnchorTextCollector(HTMLParser):
+    """Collects (href, text) per <a href=...> in document order, text being
+    the whitespace-collapsed character data between the tag and its close.
+
+    A new <a> implicitly closes an open one (nested anchors are invalid
+    HTML; browsers auto-close — same here). <script>/<style> bodies inside
+    an anchor are excluded: the parser delivers their CDATA via
+    handle_data, so we gate on a skip counter driven by their tag events.
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.anchors: list[tuple[str, str]] = []
+        self.base_href: str | None = None
+        self._open: tuple[str, list[str]] | None = None
+        self._skip = 0
+
+    def _finalize(self) -> None:
+        if self._open is not None:
+            href, parts = self._open
+            self.anchors.append((href, _WS_RE.sub(" ", "".join(parts)).strip()))
+            self._open = None
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            self._finalize()
+            d = dict(attrs)
+            if d.get("href") is not None and d["href"].strip():
+                self._open = (d["href"], [])
+        elif tag in ("script", "style"):
+            self._skip += 1
+        elif tag == "base":
+            if self.base_href is None:
+                d = dict(attrs)
+                self.base_href = (d.get("href") or "").strip()
+
+    def handle_endtag(self, tag):
+        if tag == "a":
+            self._finalize()
+        elif tag in ("script", "style"):
+            self._skip = max(0, self._skip - 1)
+
+    def handle_data(self, data):
+        if self._open is not None and not self._skip:
+            self._open[1].append(data)
+
+    def close(self):
+        super().close()
+        self._finalize()
+
+
+def extract_anchors(
+    html_text: str | None,
+    page_url: str,
+    response_url: str | None = None,
+    *,
+    keep_fragment: bool = False,
+) -> list[tuple[str, str]]:
+    """All (absolute_target_url, anchor_text) mentions on one page, document
+    order, NO dedup — every mention is one observation for the per-target
+    anchor-text aggregate (the classic web-corpus relevance/quality signal;
+    outside the reference's surface, which only needs the deduped link list
+    from ``extract_links``). Resolution shares T6's base/href semantics."""
+    if html_text is None or not html_text.strip():
+        return []
+    collector = _AnchorTextCollector()
+    try:
+        collector.feed(html_text)
+        collector.close()
+    except Exception:
+        return []
+    base = effective_base(page_url, response_url, collector.base_href)
+    out: list[tuple[str, str]] = []
+    for href, text in collector.anchors:
+        absolute = resolve_href(base, href, keep_fragment=keep_fragment)
+        if absolute is not None:
+            out.append((absolute, text))
+    return out
+
+
+# --------------------------------------------------------------------------
 # Charset + text extraction (WebContentExtractor.cs)
 # --------------------------------------------------------------------------
 
@@ -243,6 +330,7 @@ def golden_text(raw: bytes | None, content_type: str | None) -> str:
 
 __all__ = [
     "extract_links",
+    "extract_anchors",
     "extract_text",
     "golden_text",
     "charset_from_header",

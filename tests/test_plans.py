@@ -198,3 +198,22 @@ class TestNewPipelinePlans:
         plan = simple_plan(e.q_vocab_topk(spark, SF))
         assert "TakeOrdered" in plan, plan
         assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+    def test_anchor_text_agg_no_window_partial_agg(self, spark):
+        """Anchor aggregation: dominant anchor is a struct-min AGGREGATION
+        (map-side combined per (target, anchor)) — no Window, no per-target
+        sort; Python appears only in the extraction UDF, never after the
+        explode."""
+        import __spark_entry__ as e
+        plan = simple_plan(e.q_anchor_text(spark, SF))
+        assert "Window" not in plan, plan
+        assert "partial_min" in plan or "partial" in plan.lower(), plan
+
+    def test_sitemap_entries_python_only_at_scan(self, spark):
+        """Sitemap parse: the XML-body UDF runs before the explode; entry
+        structs are all that shuffle (bodies projected away)."""
+        import __spark_entry__ as e
+        plan = simple_plan(e.q_sitemap_extract(spark, SF))
+        assert "Generate" in plan, plan          # posexplode of entries
+        # no aggregation/shuffle at all in the explode pipeline
+        assert "Exchange" not in plan, plan
