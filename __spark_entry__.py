@@ -534,6 +534,134 @@ SELECT t.target_url,
 FROM top t WHERE rn = 1"""
 
 
+def _boilerplate_classified(spark, sf_dir):
+    """Shared builder: synthesized 4-block pages (nav / short / good /
+    near-good) -> facts -> integer-exact jusText classification. Thresholds
+    scaled down so the synthetic blocks exercise every class."""
+    from abot_dotnet_core_spark.functions.boilerplate import (
+        page_blocks, classify_blocks)
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><body><div><a href="/1">nav one</a> '
+              '<a href="/2">nav two</a></div>'
+              '<p>tiny bit</p>'
+              '<p>the cat and the dog are in the house with a ball near '
+              'town t'), d % 7,
+        F.lit('</p><p>it is a x'), d % 5,
+        F.lit(' day for everyone here</p></body></html>'))
+    pages = _docs(spark, sf_dir).select(
+        html.alias("html"),
+        F.concat(F.lit("http://s.test/p"), d).alias("url"))
+    return classify_blocks(page_blocks(pages), length_low=20,
+                           length_high=60, stop_low_millis=300,
+                           stop_high_millis=320)
+
+
+def q_boilerplate_blocks(spark, sf_dir):
+    """jusText-shaped boilerplate classification (functions/boilerplate.py):
+    block facts from one Arrow segmentation pass, densities + classes as
+    integer fixed-point codegen, context pass as per-page windows."""
+    return _boilerplate_classified(spark, sf_dir).select(
+        "url", "block_pos", "text", "n_chars", "n_link_chars", "n_words",
+        "n_stop_words", "link_density_millis", "stop_density_millis",
+        "cls_raw", "cls")
+
+
+def q_main_content(spark, sf_dir):
+    """Good blocks rejoined per page in document order (the cleaned-text
+    output a training pipeline consumes)."""
+    from abot_dotnet_core_spark.functions.boilerplate import main_content
+    return main_content(_boilerplate_classified(spark, sf_dir))
+
+
+_STOPWORDS_SQL = None
+
+
+def _stopwords_sql() -> str:
+    from abot_dotnet_core_spark.functions.boilerplate import STOPWORD_LIST
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORD_LIST) + "]"
+
+
+def _boilerplate_facts_sql() -> str:
+    return f"""
+blocks AS (
+  SELECT 'http://s.test/p' || doc_id AS url, 0 AS block_pos,
+         'nav one nav two' AS text, 14 AS n_link_chars FROM documents
+  UNION ALL
+  SELECT 'http://s.test/p' || doc_id, 1, 'tiny bit', 0 FROM documents
+  UNION ALL
+  SELECT 'http://s.test/p' || doc_id, 2,
+         'the cat and the dog are in the house with a ball near town t'
+           || (doc_id % 7), 0 FROM documents
+  UNION ALL
+  SELECT 'http://s.test/p' || doc_id, 3,
+         'it is a x' || (doc_id % 5) || ' day for everyone here', 0
+  FROM documents),
+facts AS (
+  SELECT url, block_pos, text,
+         length(text)::int AS n_chars, n_link_chars::int AS n_link_chars,
+         len(string_split(text, ' '))::int AS n_words,
+         len(list_filter(string_split(lower(text), ' '),
+                         w -> list_contains({_stopwords_sql()}, w)))::int
+           AS n_stop_words
+  FROM blocks),
+densities AS (
+  SELECT *,
+         ((n_link_chars * 1000) // greatest(n_chars, 1))::int
+           AS link_density_millis,
+         ((n_stop_words * 1000) // greatest(n_words, 1))::int
+           AS stop_density_millis
+  FROM facts),
+rawcls AS (
+  SELECT *,
+         CASE WHEN link_density_millis > 200 THEN 'bad'
+              WHEN n_chars < 20 THEN 'short'
+              WHEN stop_density_millis >= 320 AND n_chars > 60 THEN 'good'
+              WHEN stop_density_millis >= 300 THEN 'near_good'
+              ELSE 'bad' END AS cls_raw
+  FROM densities),
+ctx AS (
+  SELECT *,
+         coalesce(last_value(CASE WHEN cls_raw IN ('good','bad')
+                                  THEN cls_raw END IGNORE NULLS)
+                  OVER (PARTITION BY url ORDER BY block_pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  'bad') AS prev_ctx,
+         coalesce(first_value(CASE WHEN cls_raw IN ('good','bad')
+                                   THEN cls_raw END IGNORE NULLS)
+                  OVER (PARTITION BY url ORDER BY block_pos
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+                  'bad') AS next_ctx
+  FROM rawcls),
+classified AS (
+  SELECT *,
+         CASE WHEN cls_raw IN ('good','bad') THEN cls_raw
+              WHEN cls_raw = 'near_good' THEN
+                CASE WHEN prev_ctx = 'good' OR next_ctx = 'good'
+                     THEN 'good' ELSE 'bad' END
+              ELSE CASE WHEN prev_ctx = 'good' AND next_ctx = 'good'
+                        THEN 'good' ELSE 'bad' END END AS cls
+  FROM ctx)"""
+
+
+def sql_boilerplate_blocks():
+    return f"""
+WITH {_boilerplate_facts_sql()}
+SELECT url, block_pos, text, n_chars, n_link_chars, n_words, n_stop_words,
+       link_density_millis, stop_density_millis, cls_raw, cls
+FROM classified"""
+
+
+def sql_main_content():
+    return f"""
+WITH {_boilerplate_facts_sql()}
+SELECT url,
+       coalesce(string_agg(CASE WHEN cls = 'good' THEN text END, chr(10)
+                           ORDER BY block_pos), '') AS main_text,
+       count(CASE WHEN cls = 'good' THEN 1 END)::int AS n_good_blocks
+FROM classified GROUP BY url"""
+
+
 # ===========================================================================
 # dedup operators
 # ===========================================================================
@@ -2386,6 +2514,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_extract": q_link_extract,
         "sitemap_extract": q_sitemap_extract,
         "anchor_text": q_anchor_text,
+        "boilerplate_blocks": q_boilerplate_blocks,
+        "main_content": q_main_content,
         # dedup family
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
@@ -2470,6 +2600,8 @@ def oracle_sql() -> dict[str, str]:
         "link_extract": sql_link_extract(),
         "sitemap_extract": sql_sitemap_extract(),
         "anchor_text": sql_anchor_text(),
+        "boilerplate_blocks": sql_boilerplate_blocks(),
+        "main_content": sql_main_content(),
         "exact_dedup": sql_exact_dedup(),
         "minhash_signatures": sql_minhash_signatures(),
         "neardup_pairs": sql_neardup_pairs(),

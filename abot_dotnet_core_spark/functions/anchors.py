@@ -51,11 +51,14 @@ def anchor_mentions(pages: DataFrame, html_col: str = "html",
                     url_col: str = "url") -> DataFrame:
     """(source_url, target_url, anchor) — one row per mention, document
     order within a page preserved via mention_pos."""
+    # posexplode_outer + post-filter: the non-outer form's implicit
+    # size>0 filter would make Catalyst evaluate the extraction UDF twice
     return (pages
             .withColumn("_m", extract_anchors_udf(F.col(html_col),
                                                   F.col(url_col)))
             .select(F.col(url_col).alias("source_url"),
-                    F.posexplode("_m").alias("mention_pos", "m"))
+                    F.posexplode_outer("_m").alias("mention_pos", "m"))
+            .filter(F.col("m").isNotNull())
             .select("source_url", "mention_pos",
                     F.col("m.target").alias("target_url"),
                     F.col("m.anchor").alias("anchor")))
@@ -64,10 +67,18 @@ def anchor_mentions(pages: DataFrame, html_col: str = "html",
 def anchor_text_agg(mentions: DataFrame) -> DataFrame:
     """Per-target anchor profile: (target_url, n_mentions, n_sources,
     top_anchor, top_anchor_count). top_anchor = most frequent anchor text,
-    ties broken by lexicographic order."""
-    per_text = (mentions
-                .groupBy("target_url", "anchor")
-                .agg(F.count("*").alias("cnt")))
+    ties broken by lexicographic order.
+
+    The (target, anchor, source) combine is localCheckpoint'ed because two
+    aggregates derive from it (anchor-level top + source-distinct) — without
+    the checkpoint each branch would re-run the html extraction UDF from
+    the scan (the repo-wide materialize-reused-aggregates rule)."""
+    m1 = (mentions
+          .groupBy("target_url", "anchor", "source_url")
+          .agg(F.count("*").alias("c0"))
+          .localCheckpoint(eager=True))
+    per_text = (m1.groupBy("target_url", "anchor")
+                .agg(F.sum("c0").alias("cnt")))
     top = (per_text
            .groupBy("target_url")
            .agg(F.min(F.struct((-F.col("cnt")).alias("neg_cnt"),
@@ -76,7 +87,7 @@ def anchor_text_agg(mentions: DataFrame) -> DataFrame:
            .select("target_url", "n_mentions",
                    F.col("t.anchor").alias("top_anchor"),
                    (-F.col("t.neg_cnt")).alias("top_anchor_count")))
-    sources = (mentions
+    sources = (m1
                .groupBy("target_url")
                .agg(F.countDistinct("source_url").alias("n_sources")))
     return (top.join(sources, "target_url")

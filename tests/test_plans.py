@@ -217,3 +217,26 @@ class TestNewPipelinePlans:
         assert "Generate" in plan, plan          # posexplode of entries
         # no aggregation/shuffle at all in the explode pipeline
         assert "Exchange" not in plan, plan
+
+    def test_boilerplate_single_udf_eval_window_per_page(self, spark):
+        """Segmentation UDF runs ONCE per page (posexplode_outer avoids the
+        implicit size>0 filter that duplicates Python eval); context pass is
+        windows partitioned by url (page-bounded groups)."""
+        import __spark_entry__ as e
+        plan = simple_plan(e.q_boilerplate_blocks(spark, SF))
+        assert plan.count("ArrowEvalPython") == 1, plan
+        assert "windowspecdefinition(url" in plan, plan
+
+    def test_anchor_single_udf_eval(self, spark):
+        """Mentions: one UDF eval (posexplode_outer). Aggregate: the
+        (t,a,s) combine is checkpointed, so the final plan re-parses ZERO
+        html even though two aggregates branch from the mentions."""
+        import __spark_entry__ as e
+        from abot_dotnet_core_spark.functions.anchors import anchor_mentions
+        docs = spark.range(3).select(
+            F.concat(F.lit('<a href="/x">t</a>')).alias("html"),
+            F.concat(F.lit("http://s.test/p"), "id").alias("url"))
+        mplan = simple_plan(anchor_mentions(docs))
+        assert mplan.count("ArrowEvalPython") == 1, mplan
+        plan = simple_plan(e.q_anchor_text(spark, SF))
+        assert plan.count("ArrowEvalPython") == 0, plan
