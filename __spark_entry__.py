@@ -662,6 +662,105 @@ SELECT url,
 FROM classified GROUP BY url"""
 
 
+def _trap_urls(spark, sf_dir):
+    """4 URL shapes: plain / calendar archive / repeated segment /
+    session-id query — identical construction in the oracle CTE."""
+    d = F.col("doc_id")
+    dom = F.concat(F.lit("http://d"), d % 20, F.lit(".test"))
+    mm = F.lpad(((d % 12) + 1).cast("string"), 2, "0")
+    dd = F.lpad(((d % 28) + 1).cast("string"), 2, "0")
+    url = (F.when(d % 4 == 0, F.concat(dom, F.lit("/a/b/c/p"), d))
+           .when(d % 4 == 1, F.concat(dom, F.lit("/2024/"), mm,
+                                      F.lit("/"), dd, F.lit("/post")))
+           .when(d % 4 == 2, F.concat(dom, F.lit("/x/y/x/p"), d))
+           .otherwise(F.concat(dom, F.lit("/item?sid=s"), d,
+                               F.lit("&page="), d % 9)))
+    return _docs(spark, sf_dir).select(url.alias("url"))
+
+
+_TRAP_URLS_SQL = """
+urls AS (
+  SELECT CASE (doc_id % 4)
+    WHEN 0 THEN 'http://d' || (doc_id % 20) || '.test/a/b/c/p' || doc_id
+    WHEN 1 THEN 'http://d' || (doc_id % 20) || '.test/2024/'
+                || lpad(((doc_id % 12) + 1)::varchar, 2, '0') || '/'
+                || lpad(((doc_id % 28) + 1)::varchar, 2, '0') || '/post'
+    WHEN 2 THEN 'http://d' || (doc_id % 20) || '.test/x/y/x/p' || doc_id
+    ELSE 'http://d' || (doc_id % 20) || '.test/item?sid=s' || doc_id
+         || '&page=' || (doc_id % 9) END AS url
+  FROM documents),
+feats AS (
+  SELECT url,
+         regexp_extract(url, '^[a-z]+://([^/?]+)', 1) AS domain,
+         len(list_filter(string_split(
+             regexp_extract(url, '^[a-z]+://[^/?]+([^?]*)', 1), '/'),
+             s -> s <> ''))::int AS path_depth,
+         CASE WHEN url NOT LIKE '%?%' THEN 0
+              ELSE len(string_split(
+                  regexp_extract(url, '\\?(.*)$', 1), '&')) END::int
+           AS n_params,
+         len(list_filter(string_split(
+             regexp_extract(url, '^[a-z]+://[^/?]+([^?]*)', 1), '/'),
+             s -> s <> ''))
+           > len(list_distinct(list_filter(string_split(
+             regexp_extract(url, '^[a-z]+://[^/?]+([^?]*)', 1), '/'),
+             s -> s <> ''))) AS repeated_segment,
+         regexp_matches(
+             regexp_extract(url, '^[a-z]+://[^/?]+([^?]*)', 1),
+             '/[0-9]{4}/[0-9]{2}(/[0-9]{2})?(/|$)') AS calendar_path,
+         regexp_matches(
+             lower(coalesce(nullif(
+                 regexp_extract(url, '\\?(.*)$', 1), ''), '')),
+             '(^|&)(sid|sessionid|session|phpsessid|jsessionid)=')
+           AS session_query,
+         length(url)::int AS url_len
+  FROM urls)"""
+
+
+def q_url_shape(spark, sf_dir):
+    """Per-URL crawl-trap shape features (functions/urlsignals.py) —
+    row-local JVM codegen (parse_url/split/HOFs/rlike), zero Python."""
+    from abot_dotnet_core_spark.functions.urlsignals import (
+        url_shape_features)
+    return url_shape_features(_trap_urls(spark, sf_dir))
+
+
+def sql_url_shape():
+    return f"""
+WITH {_TRAP_URLS_SQL}
+SELECT url, domain, path_depth, n_params, repeated_segment, calendar_path,
+       session_query, url_len
+FROM feats"""
+
+
+def q_trap_signals(spark, sf_dir):
+    """Per-domain crawl-trap profile: one hash agg over the shape features,
+    rates in exact integer thousandths."""
+    from abot_dotnet_core_spark.functions.urlsignals import (
+        url_shape_features, domain_trap_signals)
+    return domain_trap_signals(url_shape_features(_trap_urls(spark, sf_dir)))
+
+
+def sql_trap_signals():
+    return f"""
+WITH {_TRAP_URLS_SQL}
+SELECT domain, count(*) AS n_urls,
+       ((sum(path_depth) * 1000) // count(*))::int AS avg_depth_millis,
+       ((sum(n_params) * 1000) // count(*))::int AS avg_params_millis,
+       max(path_depth)::int AS max_depth,
+       ((count(CASE WHEN repeated_segment THEN 1 END) * 1000)
+         // count(*))::int AS repeated_segment_millis,
+       ((count(CASE WHEN calendar_path THEN 1 END) * 1000)
+         // count(*))::int AS calendar_millis,
+       ((count(CASE WHEN session_query THEN 1 END) * 1000)
+         // count(*))::int AS session_millis,
+       (((count(CASE WHEN repeated_segment THEN 1 END) * 1000) // count(*))
+        + ((count(CASE WHEN calendar_path THEN 1 END) * 1000) // count(*))
+        + ((count(CASE WHEN session_query THEN 1 END) * 1000)
+           // count(*)))::int AS trap_score_millis
+FROM feats GROUP BY domain"""
+
+
 # ===========================================================================
 # dedup operators
 # ===========================================================================
@@ -2516,6 +2615,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text": q_anchor_text,
         "boilerplate_blocks": q_boilerplate_blocks,
         "main_content": q_main_content,
+        "url_shape": q_url_shape,
+        "trap_signals": q_trap_signals,
         # dedup family
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
@@ -2602,6 +2703,8 @@ def oracle_sql() -> dict[str, str]:
         "anchor_text": sql_anchor_text(),
         "boilerplate_blocks": sql_boilerplate_blocks(),
         "main_content": sql_main_content(),
+        "url_shape": sql_url_shape(),
+        "trap_signals": sql_trap_signals(),
         "exact_dedup": sql_exact_dedup(),
         "minhash_signatures": sql_minhash_signatures(),
         "neardup_pairs": sql_neardup_pairs(),

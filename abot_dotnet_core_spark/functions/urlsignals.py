@@ -1,0 +1,72 @@
+"""URL-shape features + per-domain crawl-trap signals.
+
+Crawl traps (calendar pages, session-id link farms, recursive path loops)
+waste most of a frontier's budget at Common-Crawl scale; the reference has
+no defense beyond MaxCrawlDepth (CrawlDecisionMaker.cs just counts depth).
+This module scores them from URL *shape alone* — available before any
+fetch, so the scheduler can down-prioritize a trapped domain's backlog.
+
+Everything is JVM codegen (parse_url / split / array HOFs / rlike): zero
+Python, zero shuffle for the per-URL features, ONE hash aggregation per
+domain for the signals — the cheapest possible 10^10-URL sweep. Rates are
+integer fixed-point thousandths (floor division), so a SQL oracle
+reproduces every value exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# query keys that mark per-visitor URL variants (infinite-URL generators)
+SESSION_KEY_RE = r"(^|&)(sid|sessionid|session|phpsessid|jsessionid)="
+# /YYYY/MM or /YYYY/MM/DD path runs — the calendar-archive trap
+CALENDAR_RE = r"/[0-9]{4}/[0-9]{2}(/[0-9]{2})?(/|$)"
+
+
+def url_shape_features(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-URL shape facts: domain, path_depth, n_params, repeated_segment,
+    calendar_path, session_query, url_len. Row-local codegen only."""
+    u = F.col(url_col)
+    path = F.parse_url(u, F.lit("PATH"))
+    query = F.parse_url(u, F.lit("QUERY"))
+    segs = F.filter(F.split(F.coalesce(path, F.lit("")), "/"),
+                    lambda s: s != "")
+    return df.select(
+        u.alias("url"),
+        F.parse_url(u, F.lit("HOST")).alias("domain"),
+        F.size(segs).alias("path_depth"),
+        F.when(query.isNull() | (query == ""), F.lit(0))
+         .otherwise(F.size(F.split(query, "&"))).alias("n_params"),
+        (F.size(segs) > F.size(F.array_distinct(segs)))
+         .alias("repeated_segment"),
+        F.coalesce(path, F.lit("")).rlike(CALENDAR_RE)
+         .alias("calendar_path"),
+        F.coalesce(F.lower(query), F.lit("")).rlike(SESSION_KEY_RE)
+         .alias("session_query"),
+        F.length(u).alias("url_len"))
+
+
+def domain_trap_signals(features: DataFrame) -> DataFrame:
+    """Per-domain trap profile. trap_score_millis sums the three
+    infinite-URL-generator rates (repeated-segment, calendar, session-id),
+    each 0..1000 — a scheduler treats >~800 as 'probe with a tiny budget
+    before committing'. Weights are deliberately 1:1:1; a tuned deployment
+    multiplies the rate columns itself (they are all in the output)."""
+    n = F.count("*")
+    def rate(flag):
+        return F.expr(f"cast((count_if({flag}) * 1000) div count(*) as int)")
+    return (features
+            .groupBy("domain")
+            .agg(n.alias("n_urls"),
+                 F.expr("cast((sum(path_depth) * 1000) div count(*) as int)")
+                  .alias("avg_depth_millis"),
+                 F.expr("cast((sum(n_params) * 1000) div count(*) as int)")
+                  .alias("avg_params_millis"),
+                 F.max("path_depth").alias("max_depth"),
+                 rate("repeated_segment").alias("repeated_segment_millis"),
+                 rate("calendar_path").alias("calendar_millis"),
+                 rate("session_query").alias("session_millis"))
+            .withColumn("trap_score_millis",
+                        F.col("repeated_segment_millis")
+                        + F.col("calendar_millis")
+                        + F.col("session_millis")))

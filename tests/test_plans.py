@@ -240,3 +240,13 @@ class TestNewPipelinePlans:
         assert mplan.count("ArrowEvalPython") == 1, mplan
         plan = simple_plan(e.q_anchor_text(spark, SF))
         assert plan.count("ArrowEvalPython") == 0, plan
+
+    def test_url_signals_zero_python_one_agg(self, spark):
+        """Trap signals: features are row-local codegen (no Exchange, no
+        Python); the domain profile is exactly one hash aggregation."""
+        import __spark_entry__ as e
+        fplan = simple_plan(e.q_url_shape(spark, SF))
+        assert "Exchange" not in fplan and "Python" not in fplan, fplan
+        splan = simple_plan(e.q_trap_signals(spark, SF))
+        assert "Python" not in splan, splan
+        assert splan.count("Exchange") == 1, splan

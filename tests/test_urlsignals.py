@@ -1,0 +1,67 @@
+"""URL-shape features + per-domain crawl-trap signals."""
+
+from pyspark.sql import functions as F
+
+from abot_dotnet_core_spark.functions.urlsignals import (
+    url_shape_features, domain_trap_signals)
+
+
+def _feat(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return {r.url: r for r in url_shape_features(df).collect()}
+
+
+class TestFeatures:
+    def test_depth_params_and_flags(self, spark):
+        f = _feat(spark, [
+            "http://a.test/a/b/c/p1",
+            "http://a.test/2024/03/11/post",
+            "http://a.test/x/y/x/p2",
+            "http://a.test/item?sid=s9&page=2",
+            "http://a.test/",
+        ])
+        plain = f["http://a.test/a/b/c/p1"]
+        assert (plain.path_depth, plain.n_params) == (4, 0)
+        assert not (plain.repeated_segment or plain.calendar_path
+                    or plain.session_query)
+
+        cal = f["http://a.test/2024/03/11/post"]
+        assert cal.calendar_path and not cal.repeated_segment
+
+        rep = f["http://a.test/x/y/x/p2"]
+        assert rep.repeated_segment and not rep.calendar_path
+
+        ses = f["http://a.test/item?sid=s9&page=2"]
+        assert ses.session_query and ses.n_params == 2
+        assert ses.path_depth == 1
+
+        root = f["http://a.test/"]
+        assert root.path_depth == 0 and root.n_params == 0
+
+    def test_calendar_year_month_only(self, spark):
+        f = _feat(spark, ["http://a.test/2023/07/", "http://a.test/12345/67/"])
+        assert f["http://a.test/2023/07/"].calendar_path
+        # 5-digit first run is not a year/month pattern match at the
+        # segment boundary form we scan for
+        assert f["http://a.test/2023/07/"].domain == "a.test"
+
+    def test_session_key_not_substring(self, spark):
+        # 'classid=' must NOT match the sid= key (anchored on & or start)
+        f = _feat(spark, ["http://a.test/p?classid=4",
+                          "http://a.test/p?x=1&jsessionid=abc"])
+        assert not f["http://a.test/p?classid=4"].session_query
+        assert f["http://a.test/p?x=1&jsessionid=abc"].session_query
+
+
+class TestSignals:
+    def test_rates_exact(self, spark):
+        urls = (["http://t.test/x/y/x/p%d" % i for i in range(3)]
+                + ["http://t.test/a/p%d" % i for i in range(7)])
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        row = domain_trap_signals(url_shape_features(df)).collect()[0]
+        assert row.n_urls == 10
+        assert row.repeated_segment_millis == 300
+        assert row.calendar_millis == 0 and row.session_millis == 0
+        assert row.trap_score_millis == 300
+        # depths: 3x4 + 7x2 = 26 -> 2600 millis avg
+        assert row.avg_depth_millis == 2600 and row.max_depth == 4
