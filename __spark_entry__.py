@@ -761,6 +761,35 @@ SELECT domain, count(*) AS n_urls,
 FROM feats GROUP BY domain"""
 
 
+def q_cdx_index(spark, sf_dir):
+    """CDX/SURT URL index (functions/cdx.py): SURT keys as row-local
+    codegen + range-partitioned (surt, ts) sort — the Common-Crawl index
+    layout. Mixed case, www prefix, explicit port, unsorted query params
+    all normalize into the key."""
+    from abot_dotnet_core_spark.functions.cdx import cdx_index
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTP://WWW.D"), d % 20, F.lit(".TEST:80/Path"), d,
+        F.when(d % 2 == 1, F.concat(F.lit("?b=2&a="), d % 5))
+         .otherwise(F.lit("")))
+    captures = _docs(spark, sf_dir).select(
+        url.alias("url"),
+        (F.lit(1704067200) + d * 60).alias("warc_ts"))
+    return cdx_index(captures, num_partitions=8)
+
+
+def sql_cdx_index():
+    return """
+SELECT 'test,d' || (doc_id % 20) || ')/path' || doc_id
+         || CASE WHEN doc_id % 2 = 1
+                 THEN '?a=' || (doc_id % 5) || '&b=2' ELSE '' END AS surt_key,
+       1704067200 + doc_id * 60 AS ts,
+       'HTTP://WWW.D' || (doc_id % 20) || '.TEST:80/Path' || doc_id
+         || CASE WHEN doc_id % 2 = 1
+                 THEN '?b=2&a=' || (doc_id % 5) ELSE '' END AS url
+FROM documents"""
+
+
 # ===========================================================================
 # dedup operators
 # ===========================================================================
@@ -2617,6 +2646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_content": q_main_content,
         "url_shape": q_url_shape,
         "trap_signals": q_trap_signals,
+        "cdx_index": q_cdx_index,
         # dedup family
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
@@ -2705,6 +2735,7 @@ def oracle_sql() -> dict[str, str]:
         "main_content": sql_main_content(),
         "url_shape": sql_url_shape(),
         "trap_signals": sql_trap_signals(),
+        "cdx_index": sql_cdx_index(),
         "exact_dedup": sql_exact_dedup(),
         "minhash_signatures": sql_minhash_signatures(),
         "neardup_pairs": sql_neardup_pairs(),

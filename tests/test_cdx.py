@@ -1,0 +1,62 @@
+"""CDX/SURT URL index: key normalization + range-sorted layout."""
+
+from pyspark.sql import functions as F
+
+from abot_dotnet_core_spark.functions.cdx import surt_key_col, cdx_index
+
+
+def _surt(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select("url", surt_key_col(F.col("url")).alias("k")).collect()
+    return {r.url: r.k for r in rows}
+
+
+class TestSurt:
+    def test_normalizations(self, spark):
+        got = _surt(spark, [
+            "HTTP://WWW.Example.COM:80/Path?b=2&a=1",
+            "https://sub.example.com/",
+            "http://example.com",
+            "http://example.com/p?z=1",
+        ])
+        assert got["HTTP://WWW.Example.COM:80/Path?b=2&a=1"] == \
+            "com,example)/path?a=1&b=2"
+        assert got["https://sub.example.com/"] == "com,example,sub)/"
+        assert got["http://example.com"] == "com,example)/"
+        assert got["http://example.com/p?z=1"] == "com,example)/p?z=1"
+
+    def test_domain_locality(self, spark):
+        """All of a registrable domain's captures share a key prefix —
+        the property that makes a range scan retrieve them contiguously."""
+        got = _surt(spark, ["http://a.example.com/x",
+                            "http://b.example.com/y",
+                            "http://example.com/z"])
+        assert all(k.startswith("com,example") for k in got.values())
+
+
+class TestIndex:
+    def test_sorted_within_partitions_and_ranged(self, spark):
+        caps = spark.createDataFrame(
+            [(f"http://d{i % 7}.test/p{i}", 1000 + i) for i in range(200)],
+            "url string, warc_ts long")
+        idx = cdx_index(caps, num_partitions=4)
+        parts = (idx.withColumn("pid", F.spark_partition_id())
+                 .collect())
+        by_pid = {}
+        for r in parts:
+            by_pid.setdefault(r.pid, []).append((r.surt_key, r.ts))
+        # sorted within each partition
+        for rows in by_pid.values():
+            assert rows == sorted(rows)
+        # ranges are disjoint and ordered across partitions
+        bounds = sorted((min(v), max(v), pid) for pid, v in by_pid.items())
+        for (_, hi, _), (lo, _, _) in zip(bounds, bounds[1:]):
+            assert hi <= lo
+
+    def test_extra_locator_cols_pass_through(self, spark):
+        caps = spark.createDataFrame(
+            [("http://a.test/x", 1, "seg-0.warc.gz", 1234)],
+            "url string, warc_ts long, segment string, offset long")
+        r = cdx_index(caps, extra_cols=["segment", "offset"]).collect()[0]
+        assert (r.segment, r.offset) == ("seg-0.warc.gz", 1234)
+        assert r.surt_key == "test,a)/x"
