@@ -790,6 +790,80 @@ SELECT 'test,d' || (doc_id % 20) || ')/path' || doc_id
 FROM documents"""
 
 
+def _host_edges(spark, sf_dir):
+    """Two deterministic edges per doc: one cross-host, one self-host —
+    identical construction in the oracle CTE."""
+    d = F.col("doc_id")
+    src = F.concat(F.lit("http://h"), d % 10, F.lit(".test/p"), d)
+    return _docs(spark, sf_dir).select(
+        src.alias("src_url"),
+        F.explode(F.array(
+            F.concat(F.lit("http://h"), (d + 1) % 10, F.lit(".test/p"),
+                     (d * 2 + 1) % N_DOCS),
+            F.concat(F.lit("http://h"), d % 10, F.lit(".test/q"), d)))
+         .alias("dst_url"))
+
+
+_HOST_EDGES_SQL = """
+edges AS (
+  SELECT 'http://h' || (doc_id % 10) || '.test/p' || doc_id AS src_url,
+         'http://h' || ((doc_id + 1) % 10) || '.test/p'
+           || ((doc_id * 2 + 1) % 500) AS dst_url FROM documents
+  UNION ALL
+  SELECT 'http://h' || (doc_id % 10) || '.test/p' || doc_id,
+         'http://h' || (doc_id % 10) || '.test/q' || doc_id FROM documents),
+hg AS (
+  SELECT regexp_extract(src_url, '^[a-z]+://([^/?]+)', 1) AS src_host,
+         regexp_extract(dst_url, '^[a-z]+://([^/?]+)', 1) AS dst_host,
+         count(*) AS n_links
+  FROM edges GROUP BY 1, 2)"""
+
+
+def q_host_graph(spark, sf_dir):
+    """Host-level link graph (functions/graph.py:host_graph): URLs collapse
+    to host pairs before the shuffle — shuffle volume is distinct pairs."""
+    from abot_dotnet_core_spark.functions.graph import host_graph
+    return host_graph(_host_edges(spark, sf_dir))
+
+
+def sql_host_graph():
+    return f"""
+WITH {_HOST_EDGES_SQL}
+SELECT src_host, dst_host, n_links FROM hg"""
+
+
+def q_host_degrees(spark, sf_dir):
+    """Per-host degree profile (out/in neighbor hosts, link totals,
+    internal-link rate in exact thousandths)."""
+    from abot_dotnet_core_spark.functions.graph import (host_graph,
+                                                        host_degrees)
+    return host_degrees(host_graph(_host_edges(spark, sf_dir)))
+
+
+def sql_host_degrees():
+    return f"""
+WITH {_HOST_EDGES_SQL},
+outs AS (
+  SELECT src_host AS host, count(DISTINCT dst_host) AS out_hosts,
+         sum(n_links) AS out_links,
+         sum(CASE WHEN src_host = dst_host THEN n_links ELSE 0 END)
+           AS internal_links
+  FROM hg GROUP BY 1),
+ins AS (
+  SELECT dst_host AS host, count(DISTINCT src_host) AS in_hosts,
+         sum(n_links) AS in_links
+  FROM hg GROUP BY 1)
+SELECT coalesce(o.host, i.host) AS host,
+       coalesce(o.out_hosts, 0) AS out_hosts,
+       coalesce(o.out_links, 0) AS out_links,
+       coalesce(i.in_hosts, 0) AS in_hosts,
+       coalesce(i.in_links, 0) AS in_links,
+       ((coalesce(o.internal_links, 0) * 1000)
+         // greatest(coalesce(o.out_links, 0), 1))::int
+         AS internal_rate_millis
+FROM outs o FULL OUTER JOIN ins i ON o.host = i.host"""
+
+
 # ===========================================================================
 # dedup operators
 # ===========================================================================
@@ -2647,6 +2721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_shape": q_url_shape,
         "trap_signals": q_trap_signals,
         "cdx_index": q_cdx_index,
+        "host_graph": q_host_graph,
+        "host_degrees": q_host_degrees,
         # dedup family
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
@@ -2736,6 +2812,8 @@ def oracle_sql() -> dict[str, str]:
         "url_shape": sql_url_shape(),
         "trap_signals": sql_trap_signals(),
         "cdx_index": sql_cdx_index(),
+        "host_graph": sql_host_graph(),
+        "host_degrees": sql_host_degrees(),
         "exact_dedup": sql_exact_dedup(),
         "minhash_signatures": sql_minhash_signatures(),
         "neardup_pairs": sql_neardup_pairs(),

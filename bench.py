@@ -43,7 +43,7 @@ HEADLINE = [
     "inverted_index", "tfidf_topk", "bigram_lm",
     "gopher_repetition", "line_dedup", "span_dedup", "fix_mojibake",
     "boilerplate_blocks", "main_content", "anchor_text", "sitemap_extract",
-    "url_shape", "trap_signals", "cdx_index",
+    "url_shape", "trap_signals", "cdx_index", "host_graph", "host_degrees",
     "badwords_filter", "quality_classifier", "perplexity_buckets",
     "semdedup", "vocab_topk", "chunk_documents", "mixture_weights",
     "url_keep_latest", "recrawl_schedule", "events_asof", "events_interval",

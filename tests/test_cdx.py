@@ -60,3 +60,26 @@ class TestIndex:
         r = cdx_index(caps, extra_cols=["segment", "offset"]).collect()[0]
         assert (r.segment, r.offset) == ("seg-0.warc.gz", 1234)
         assert r.surt_key == "test,a)/x"
+
+
+class TestHostGraph:
+    def test_edge_weights_and_degrees(self, spark):
+        from abot_dotnet_core_spark.functions.graph import (host_graph,
+                                                            host_degrees)
+        edges = spark.createDataFrame([
+            ("http://a.test/1", "http://b.test/x"),
+            ("http://a.test/2", "http://b.test/y"),
+            ("http://a.test/3", "http://a.test/4"),
+            ("http://b.test/1", "http://c.test/"),
+            ("http://a.test/5", None),
+        ], "src_url string, dst_url string")
+        hg = {(r.src_host, r.dst_host): r.n_links
+              for r in host_graph(edges).collect()}
+        assert hg == {("a.test", "b.test"): 2, ("a.test", "a.test"): 1,
+                      ("b.test", "c.test"): 1}
+        deg = {r.host: r for r in host_degrees(host_graph(edges)).collect()}
+        a = deg["a.test"]
+        assert (a.out_hosts, a.out_links, a.in_hosts, a.in_links) == (2, 3, 1, 1)
+        assert a.internal_rate_millis == 1000 // 3
+        c = deg["c.test"]       # sink-only host still appears
+        assert (c.out_hosts, c.out_links, c.in_hosts, c.in_links) == (0, 0, 1, 1)
