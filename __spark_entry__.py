@@ -2325,6 +2325,43 @@ def q_warc_roundtrip(spark, sf_dir):
                     F.md5("html").alias("body_md5")))
 
 
+def q_wet_roundtrip(spark, sf_dir):
+    """WET sidecar end-to-end (sources/warc.py write_wet_df/read_wet):
+    archive the documents table's text as gzip text-conversion segments
+    (one per partition, atomic .part publish), read them back, project
+    identity + text digest. Oracle computes the same projection from the
+    table — equality proves the conversion container is lossless."""
+    import atexit
+    import hashlib as _hl
+    import shutil
+
+    from abot_dotnet_core_spark.sources.warc import (write_wet_df, read_wet)
+    sf_tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(),
+                       f"abot_wet_roundtrip_{sf_tag}_{os.getpid()}")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    recs = _docs(spark, sf_dir).select(
+        _url_col().alias("url"),
+        F.timestamp_seconds(F.lit(_EPOCH_20260101)
+                            + F.col("doc_id") % 86400).alias("warc_ts"),
+        F.col("text"))
+    write_wet_df(recs.repartition(4, "url"), out).collect()
+    return (read_wet(spark, out)
+            .select("url", "warc_ts",
+                    F.length("text").cast("long").alias("n_chars"),
+                    F.md5("text").alias("text_md5")))
+
+
+def sql_wet_roundtrip():
+    return f"""
+SELECT {_URL_SQL} AS url,
+       TIMESTAMP '2026-01-01 00:00:00'
+         + (doc_id % 86400) * INTERVAL 1 SECOND AS warc_ts,
+       length(text)::BIGINT AS n_chars,
+       md5(text) AS text_md5
+FROM documents"""
+
+
 def sql_warc_roundtrip():
     return f"""
 SELECT {_URL_SQL} AS url,
@@ -2723,6 +2760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": q_cdx_index,
         "host_graph": q_host_graph,
         "host_degrees": q_host_degrees,
+        "wet_roundtrip": q_wet_roundtrip,
         # dedup family
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
@@ -2814,6 +2852,7 @@ def oracle_sql() -> dict[str, str]:
         "cdx_index": sql_cdx_index(),
         "host_graph": sql_host_graph(),
         "host_degrees": sql_host_degrees(),
+        "wet_roundtrip": sql_wet_roundtrip(),
         "exact_dedup": sql_exact_dedup(),
         "minhash_signatures": sql_minhash_signatures(),
         "neardup_pairs": sql_neardup_pairs(),

@@ -110,9 +110,11 @@ def _gunzip_members(data: bytes) -> bytes:
     return b"".join(out)
 
 
-def iter_warc_records(data: bytes):
+def iter_warc_records(data: bytes, types: tuple = ("response", "resource")):
     """Yield dicts for the ``response``/``resource`` records in one WARC
     file's bytes (plain or gzip; multi-member gzip handled by GzipFile).
+    Pass ``types=("conversion",)`` to read WET text-conversion records
+    instead (the block is the payload, like a resource record).
 
     Malformed tails are tolerated: a record that can't be framed (no header
     terminator / short block) is skipped by re-scanning for the next
@@ -143,7 +145,7 @@ def iter_warc_records(data: bytes):
             return
         pos = block_end       # next scan resumes after the block
         rtype = headers.get("warc-type", "").lower()
-        if rtype not in ("response", "resource"):
+        if rtype not in types:
             continue
         url = headers.get("warc-target-uri")
         if not url:
@@ -354,3 +356,110 @@ def write_warc_df(df: DataFrame, outdir: str,
                              "n_bytes": os.path.getsize(path)}])
 
     return df.select(*cols).mapInPandas(gen, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# WET sidecar (text-conversion archives — Common Crawl's *.warc.wet.gz)
+# ---------------------------------------------------------------------------
+
+def _write_wet_records(f, records, compress: bool) -> int:
+    """Stream ``conversion`` records: payload is the extracted UTF-8 text,
+    ``WARC-Refers-To`` points at the response record id the same (url, ts)
+    would get in the paired WARC segment — the Common Crawl WET linkage."""
+    n = 0
+    for rec in records:
+        ts = rec.get("warc_ts") or datetime(1970, 1, 1)
+        if ts.tzinfo is not None:
+            ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
+        ts_s = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+        payload = (rec.get("text") or "").encode("utf-8")
+        head = ("WARC/1.0\r\n"
+                "WARC-Type: conversion\r\n"
+                f"WARC-Target-URI: {rec['url']}\r\n"
+                f"WARC-Date: {ts_s}\r\n"
+                f"WARC-Record-ID: {_record_id(rec['url'], ts_s + ':wet')}\r\n"
+                f"WARC-Refers-To: {_record_id(rec['url'], ts_s)}\r\n"
+                "Content-Type: text/plain\r\n"
+                f"Content-Length: {len(payload)}\r\n\r\n").encode("utf-8")
+        raw = head + payload + _CRLF2
+        if compress:
+            gz = io.BytesIO()
+            with gzip.GzipFile(fileobj=gz, mode="wb", mtime=0) as g:
+                g.write(raw)
+            raw = gz.getvalue()
+        f.write(raw)
+        n += 1
+    return n
+
+
+WET_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_ts", T.TimestampType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("wet_file", T.StringType()),
+])
+
+
+def read_wet(spark, path: str) -> DataFrame:
+    """Read WET segments into ``(url, warc_ts, text, wet_file)`` — one task
+    per file, no shuffle, same tolerance contract as read_warc."""
+    files = (spark.read.format("binaryFile").load(path)
+             .select("path", "content"))
+
+    def gen(batches):
+        for pdf in batches:
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                rows = []
+                for rec in iter_warc_records(bytes(blob),
+                                             types=("conversion",)):
+                    rows.append({
+                        "url": rec["url"], "warc_ts": rec["warc_ts"],
+                        "text": rec["html"].decode("utf-8",
+                                                   errors="replace"),
+                        "wet_file": os.path.basename(fpath)})
+                yield pd.DataFrame(rows, columns=[f.name for f in
+                                                  WET_SCHEMA.fields])
+
+    return files.mapInPandas(gen, schema=WET_SCHEMA)
+
+
+def write_wet_df(df: DataFrame, outdir: str,
+                 compress: bool = True) -> DataFrame:
+    """Distributed WET sink: ``(url, warc_ts, text)`` rows -> one
+    text-conversion segment per partition + manifest rows, with the same
+    atomic ``.part`` publish discipline as write_warc_df. Pairs with the
+    corpus table's extracted ``text`` column (the T5 byte-identical text),
+    so a crawl can ship WARC + WET + CDX exactly like Common Crawl."""
+    os.makedirs(outdir, exist_ok=True)
+    ext = ".warc.wet.gz" if compress else ".warc.wet"
+    out_schema = T.StructType([
+        T.StructField("wet_file", T.StringType()),
+        T.StructField("n_records", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ])
+
+    def gen(batches):
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        name = f"segment-{pid:05d}{ext}"
+        path = os.path.join(outdir, name)
+        part = os.path.join(outdir, f".{name}.part")
+        n = 0
+        with open(part, "wb") as f:
+            for pdf in batches:
+                recs = ({"url": r.url,
+                         "warc_ts": None if pd.isna(r.warc_ts)
+                         else r.warc_ts.to_pydatetime(),
+                         "text": r.text}
+                        for r in pdf.itertuples(index=False))
+                n += _write_wet_records(f, recs, compress)
+        if n == 0:
+            os.unlink(part)
+            yield pd.DataFrame(columns=[f.name for f in out_schema.fields])
+            return
+        os.replace(part, path)
+        yield pd.DataFrame([{"wet_file": name, "n_records": n,
+                             "n_bytes": os.path.getsize(path)}])
+
+    return df.select("url", "warc_ts", "text").mapInPandas(
+        gen, schema=out_schema)

@@ -253,3 +253,47 @@ class TestRobustness:
                    compress=True)
         from abot_dotnet_core_spark.sources.warc import read_warc
         assert read_warc(spark, str(d)).count() == 3
+
+
+class TestWet:
+    def test_roundtrip_and_refers_to(self, spark, tmp_path):
+        from datetime import datetime
+        from abot_dotnet_core_spark.sources.warc import (
+            write_wet_df, read_wet, iter_warc_records, _record_id)
+        df = spark.createDataFrame(
+            [("http://a.test/1", datetime(2026, 1, 2, 3, 4, 5), "héllo wörld"),
+             ("http://a.test/2", datetime(2026, 1, 2, 3, 4, 6), ""),
+             ("http://b.test/x", None, "plain text body")],
+            "url string, warc_ts timestamp, text string")
+        man = write_wet_df(df.repartition(2), str(tmp_path / "wet")).collect()
+        assert sum(r.n_records for r in man) == 3
+        assert all(r.wet_file.endswith(".warc.wet.gz") for r in man)
+
+        back = read_wet(spark, str(tmp_path / "wet") + "/*.warc.wet.gz")
+        rows = {r.url: r for r in back.collect()}
+        assert rows["http://a.test/1"].text == "héllo wörld"
+        assert rows["http://a.test/2"].text == ""
+        assert rows["http://b.test/x"].warc_ts == datetime(1970, 1, 1)
+
+        # Refers-To links to the response record id of the same (url, ts)
+        import glob
+        blob = b"".join(open(p, "rb").read()
+                        for p in glob.glob(str(tmp_path / "wet") + "/*.gz"))
+        import gzip as _gz, io as _io
+        raw = _gz.GzipFile(fileobj=_io.BytesIO(blob)).read()
+        assert _record_id("http://a.test/1",
+                          "2026-01-02T03:04:05Z").encode() in raw
+
+    def test_conversion_records_invisible_to_warc_reader(self, spark,
+                                                         tmp_path):
+        """A WET segment yields zero rows through the response/resource
+        reader — the two sidecars never cross-contaminate."""
+        from datetime import datetime
+        from abot_dotnet_core_spark.sources.warc import (
+            write_wet_df, read_warc)
+        df = spark.createDataFrame(
+            [("http://a.test/1", datetime(2026, 1, 1), "t")],
+            "url string, warc_ts timestamp, text string")
+        write_wet_df(df, str(tmp_path / "wet")).collect()
+        got = read_warc(spark, str(tmp_path / "wet") + "/*")
+        assert got.count() == 0
