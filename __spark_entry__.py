@@ -675,12 +675,12 @@ def _trap_urls(spark, sf_dir):
            .when(d % 4 == 2, F.concat(dom, F.lit("/x/y/x/p"), d))
            .otherwise(F.concat(dom, F.lit("/item?sid=s"), d,
                                F.lit("&page="), d % 9)))
-    return _docs(spark, sf_dir).select(url.alias("url"))
+    return _docs(spark, sf_dir).select("doc_id", url.alias("url"))
 
 
 _TRAP_URLS_SQL = """
 urls AS (
-  SELECT CASE (doc_id % 4)
+  SELECT doc_id, CASE (doc_id % 4)
     WHEN 0 THEN 'http://d' || (doc_id % 20) || '.test/a/b/c/p' || doc_id
     WHEN 1 THEN 'http://d' || (doc_id % 20) || '.test/2024/'
                 || lpad(((doc_id % 12) + 1)::varchar, 2, '0') || '/'
@@ -759,6 +759,50 @@ SELECT domain, count(*) AS n_urls,
         + ((count(CASE WHEN session_query THEN 1 END) * 1000)
            // count(*)))::int AS trap_score_millis
 FROM feats GROUP BY domain"""
+
+
+def q_frontier_priority(spark, sf_dir):
+    """Trap-aware frontier prioritization (operators/prioritize.py):
+    depth + domain trap score -> integer priority -> dense global order
+    via the two-pass range-partition ranker (never one window)."""
+    from abot_dotnet_core_spark.functions.urlsignals import (
+        url_shape_features, domain_trap_signals)
+    from abot_dotnet_core_spark.operators.prioritize import (
+        frontier_priority, prioritized_order)
+    urls = _trap_urls(spark, sf_dir)
+    signals = domain_trap_signals(url_shape_features(urls))
+    frontier = urls.select(
+        "url", (F.col("doc_id") % 5).alias("depth"),
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("domain"))
+    ranked = prioritized_order(frontier_priority(frontier, signals))
+    return ranked.select("url", "depth", "priority_millis", "priority_seq")
+
+
+def sql_frontier_priority():
+    return f"""
+WITH {_TRAP_URLS_SQL},
+signals AS (
+  SELECT domain,
+         (((count(CASE WHEN repeated_segment THEN 1 END) * 1000)
+            // count(*))
+          + ((count(CASE WHEN calendar_path THEN 1 END) * 1000)
+            // count(*))
+          + ((count(CASE WHEN session_query THEN 1 END) * 1000)
+            // count(*))) AS trap_score_millis
+  FROM feats GROUP BY domain),
+frontier AS (
+  SELECT u.url, u.doc_id % 5 AS depth,
+         regexp_extract(u.url, '^[a-z]+://([^/?]+)', 1) AS domain
+  FROM urls u),
+pri AS (
+  SELECT f.url, f.depth,
+         f.depth * 1000 + coalesce(s.trap_score_millis, 0)
+           AS priority_millis
+  FROM frontier f LEFT JOIN signals s ON f.domain = s.domain)
+SELECT url, depth, priority_millis,
+       row_number() OVER (ORDER BY priority_millis, url) - 1
+         AS priority_seq
+FROM pri"""
 
 
 def q_cdx_index(spark, sf_dir):
@@ -2757,6 +2801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_content": q_main_content,
         "url_shape": q_url_shape,
         "trap_signals": q_trap_signals,
+        "frontier_priority": q_frontier_priority,
         "cdx_index": q_cdx_index,
         "host_graph": q_host_graph,
         "host_degrees": q_host_degrees,
@@ -2849,6 +2894,7 @@ def oracle_sql() -> dict[str, str]:
         "main_content": sql_main_content(),
         "url_shape": sql_url_shape(),
         "trap_signals": sql_trap_signals(),
+        "frontier_priority": sql_frontier_priority(),
         "cdx_index": sql_cdx_index(),
         "host_graph": sql_host_graph(),
         "host_degrees": sql_host_degrees(),

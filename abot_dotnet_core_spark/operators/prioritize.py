@@ -1,0 +1,55 @@
+"""Frontier prioritization — trap-aware, depth-aware fetch ordering.
+
+The reference's scheduler is strictly FIFO (Scheduler.cs wraps a queue);
+at 10^10-URL scale a frontier needs *policy*: fetch shallow pages before
+deep ones and starve probable crawl traps (functions/urlsignals.py) so
+budget lands on productive domains. This operator composes those signals
+into a deterministic total order WITHOUT touching the engine's
+reference-parity FIFO path — it is a frontier-to-frontier transformation a
+steady-state recrawl loop applies between rounds (its output feeds
+``CrawlEngine.seed_from_frontier`` like any frontier).
+
+Determinism/scale contract:
+- priority is integer arithmetic (millis), so any SQL engine reproduces it
+  bit-for-bit;
+- the domain-signal join is a plain equi-join on domain (broadcast when
+  the dim is small, shuffle otherwise — Catalyst/AQE decides; the signal
+  table is one row per domain, orders of magnitude below the frontier);
+- the global order comes from the two-pass range-partition ranker
+  (operators/ordering.py) — never a single-partition window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .ordering import assign_global_seq
+
+
+def frontier_priority(frontier: DataFrame,
+                      domain_signals: DataFrame | None = None,
+                      *, depth_weight_millis: int = 1000,
+                      trap_weight_pct: int = 100) -> DataFrame:
+    """Add ``priority_millis`` (lower = fetched sooner): depth pushes a URL
+    back one full unit per level, a domain's trap score (0..3000 millis,
+    functions/urlsignals.domain_trap_signals) pushes its whole backlog back
+    proportionally. Frontier must carry (url, domain, depth)."""
+    f = frontier
+    if domain_signals is not None:
+        f = f.join(domain_signals.select("domain", "trap_score_millis"),
+                   "domain", "left")
+        pri = F.expr(f"depth * {depth_weight_millis}L "
+                     f"+ (coalesce(trap_score_millis, 0) * "
+                     f"{trap_weight_pct}L) div 100")
+    else:
+        pri = F.expr(f"depth * {depth_weight_millis}L")
+    return f.withColumn("priority_millis", pri)
+
+
+def prioritized_order(frontier_with_priority: DataFrame,
+                      out_col: str = "priority_seq") -> DataFrame:
+    """Dense global rank by (priority_millis, url) — url as the unique
+    tiebreaker the ranker requires. Range-partition two-pass; no
+    single-partition sort at any frontier size."""
+    return assign_global_seq(frontier_with_priority,
+                             ["priority_millis", "url"], out_col)

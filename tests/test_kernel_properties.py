@@ -157,3 +157,72 @@ def test_extract_links_total_and_absolute(html, page_url):
         assert isinstance(l.url, str)
         # every emitted link is canonical-absolute (frontier contract)
         assert normalize_url(l.url) == l.url
+
+
+# --- round-2 kernels: sitemap parse, anchor text, block segmentation -------
+
+@given(st.binary(max_size=512))
+@settings(max_examples=200, deadline=None)
+def test_parse_sitemap_total_on_bytes(raw):
+    from abot_dotnet_core_spark.sources.sitemap import parse_sitemap
+    kind, entries = parse_sitemap(raw)
+    assert kind in (None, "urlset", "sitemapindex")
+    for e in entries:
+        assert e["loc"]
+        assert 0 <= e["priority_millis"] <= 1000
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_parse_sitemap_total_on_text(txt):
+    from abot_dotnet_core_spark.sources.sitemap import parse_sitemap
+    parse_sitemap(txt)          # must never raise
+
+
+@given(st.lists(st.tuples(st.text(string.ascii_lowercase + "/", min_size=1,
+                                  max_size=12),
+                          # XML 1.0 forbids most control chars (\x0b, \x0c,
+                          # ...): ElementTree correctly rejects documents
+                          # containing them, so draw only legal text here
+                          st.text(string.ascii_letters + string.digits
+                                  + string.punctuation + " \t\n",
+                                  max_size=20)),
+                max_size=8))
+@settings(max_examples=100, deadline=None)
+def test_parse_sitemap_urlset_roundtrip(entries):
+    """Entries written as well-formed XML come back verbatim (escaped),
+    in document order, with default priority."""
+    from xml.sax.saxutils import escape
+    from abot_dotnet_core_spark.sources.sitemap import parse_sitemap
+    xml = "<urlset>" + "".join(
+        f"<url><loc>{escape(loc)}</loc><lastmod>{escape(lm)}</lastmod></url>"
+        for loc, lm in entries) + "</urlset>"
+    kind, got = parse_sitemap(xml)
+    assert kind == "urlset"
+    # entries whose loc strips to empty are dropped; others keep order
+    expect = [(loc, lm.strip() or None) for loc, lm in entries
+              if loc.strip()]
+    assert [(e["loc"], e["lastmod"]) for e in got] == \
+        [(loc.strip(), lm) for loc, lm in expect]
+    assert all(e["priority_millis"] == 500 for e in got)
+
+
+@given(st.text(max_size=600), st.sampled_from(
+    ["http://a.test/", "http://b.test/x/y", "https://c.test/p?q=1"]))
+@settings(max_examples=200, deadline=None)
+def test_extract_anchors_total_and_resolved(html, page_url):
+    from abot_dotnet_core_spark.kernel.extract import extract_anchors
+    for target, text in extract_anchors(html, page_url):
+        assert isinstance(target, str) and isinstance(text, str)
+        assert text == text.strip()
+        assert "\n" not in text and "\t" not in text
+
+
+@given(st.text(max_size=600))
+@settings(max_examples=200, deadline=None)
+def test_segment_blocks_total_and_collapsed(html):
+    from abot_dotnet_core_spark.functions.boilerplate import segment_blocks
+    for text, n_link in segment_blocks(html):
+        assert text.strip() == text and text != ""
+        assert "\n" not in text
+        assert 0 <= n_link

@@ -1,0 +1,81 @@
+"""Trap-aware frontier prioritization: priority arithmetic + global order
++ seed_from_frontier composition."""
+
+from pyspark.sql import functions as F
+
+from abot_dotnet_core_spark.operators.prioritize import (
+    frontier_priority, prioritized_order)
+
+
+def _frontier(spark):
+    return spark.createDataFrame([
+        ("http://clean.test/a", 0, "clean.test"),
+        ("http://clean.test/b/c", 2, "clean.test"),
+        ("http://trap.test/x", 0, "trap.test"),
+        ("http://nosignal.test/y", 1, "nosignal.test"),
+    ], "url string, depth int, domain string")
+
+
+def _signals(spark):
+    return spark.createDataFrame(
+        [("clean.test", 0), ("trap.test", 2000)],
+        "domain string, trap_score_millis int")
+
+
+class TestPriority:
+    def test_arithmetic_and_missing_domain(self, spark):
+        got = {r.url: r.priority_millis
+               for r in frontier_priority(_frontier(spark),
+                                          _signals(spark)).collect()}
+        assert got == {
+            "http://clean.test/a": 0,
+            "http://clean.test/b/c": 2000,
+            "http://trap.test/x": 2000,     # depth 0 but trapped domain
+            "http://nosignal.test/y": 1000,  # unknown domain -> no penalty
+        }
+
+    def test_trap_weight_scales(self, spark):
+        got = {r.url: r.priority_millis
+               for r in frontier_priority(_frontier(spark), _signals(spark),
+                                          trap_weight_pct=50).collect()}
+        assert got["http://trap.test/x"] == 1000
+
+    def test_no_signals_is_pure_depth(self, spark):
+        got = {r.url: r.priority_millis
+               for r in frontier_priority(_frontier(spark)).collect()}
+        assert got["http://clean.test/b/c"] == 2000
+        assert got["http://trap.test/x"] == 0
+
+    def test_global_order_dense_and_deterministic(self, spark):
+        ranked = prioritized_order(
+            frontier_priority(_frontier(spark), _signals(spark)))
+        rows = sorted(ranked.collect(), key=lambda r: r.priority_seq)
+        assert [r.priority_seq for r in rows] == [0, 1, 2, 3]
+        # ties (clean/b/c vs trap/x at 2000) break on url
+        assert [r.url for r in rows] == [
+            "http://clean.test/a", "http://nosignal.test/y",
+            "http://clean.test/b/c", "http://trap.test/x"]
+
+
+class TestEngineComposition:
+    def test_prioritized_frontier_seeds_engine(self, spark, tiny_corpus_dir,
+                                               tmp_path):
+        """The ranked frontier feeds seed_from_frontier unchanged — the
+        steady-state recrawl loop shape (rank between rounds, reseed)."""
+        from abot_dotnet_core_spark.config import CrawlConfig
+        from abot_dotnet_core_spark.crawler import CrawlEngine
+        fr = spark.createDataFrame(
+            [("http://d0.test/", 0, "d0.test"),
+             ("http://d1.test/", 1, "d1.test")],
+            "url string, depth int, domain string")
+        ranked = prioritized_order(frontier_priority(fr))
+        eng = CrawlEngine(
+            spark, CrawlConfig(),
+            corpus_path=f"{tiny_corpus_dir}/corpus.parquet",
+            corpus_meta_path=f"{tiny_corpus_dir}/corpus_meta.parquet",
+            store_root=str(tmp_path / "state"))
+        eng.seed_from_frontier(ranked.orderBy("priority_seq").select("url"))
+        eng.run(max_rounds=3)
+        crawled = {r["url"] for r in
+                   eng.store.read_events(spark, "crawled").collect()}
+        assert {"http://d0.test/", "http://d1.test/"} <= crawled
