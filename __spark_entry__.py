@@ -761,6 +761,48 @@ SELECT domain, count(*) AS n_urls,
 FROM feats GROUP BY domain"""
 
 
+def q_web_pipeline(spark, sf_dir):
+    """Flagship web-cleaning composition as ONE declarative plan: raw html
+    -> block segmentation + jusText classification (Arrow UDF + codegen)
+    -> main-content reassembly -> keep-first exact dedup of the cleaned
+    text with token counts. The synthesized pages collide on (d%7, d%5)
+    content variants, so the dedup stage does real work (500 pages ->
+    35 clusters)."""
+    from abot_dotnet_core_spark.functions.boilerplate import main_content
+    mc = (main_content(_boilerplate_classified(spark, sf_dir))
+          .filter(F.col("n_good_blocks") >= 1))
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("main_text"))),
+                                r"\s+", " "))
+    toks = F.size(F.split(F.trim("main_text"), r"\s+"))
+    return (mc.select("url", fp.alias("fingerprint"),
+                      toks.alias("n_tokens"))
+            .groupBy("fingerprint")
+            .agg(F.min("url").alias("keep_url"),
+                 F.count("*").alias("n_dups"),
+                 F.min("n_tokens").alias("n_tokens")))
+
+
+def sql_web_pipeline():
+    return f"""
+WITH {_boilerplate_facts_sql()},
+mc AS (
+  SELECT url,
+         coalesce(string_agg(CASE WHEN cls = 'good' THEN text END, chr(10)
+                             ORDER BY block_pos), '') AS main_text,
+         count(CASE WHEN cls = 'good' THEN 1 END) AS n_good
+  FROM classified GROUP BY url),
+f AS (
+  SELECT url,
+         md5(regexp_replace(lower(trim(main_text)), '\\s+', ' ', 'g'))
+           AS fingerprint,
+         len(regexp_split_to_array(trim(main_text), '\\s+'))::int
+           AS n_tokens
+  FROM mc WHERE n_good >= 1)
+SELECT fingerprint, min(url) AS keep_url, count(*) AS n_dups,
+       min(n_tokens) AS n_tokens
+FROM f GROUP BY fingerprint"""
+
+
 def q_frontier_priority(spark, sf_dir):
     """Trap-aware frontier prioritization (operators/prioritize.py):
     depth + domain trap score -> integer priority -> dense global order
@@ -2801,6 +2843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_content": q_main_content,
         "url_shape": q_url_shape,
         "trap_signals": q_trap_signals,
+        "web_pipeline": q_web_pipeline,
         "frontier_priority": q_frontier_priority,
         "cdx_index": q_cdx_index,
         "host_graph": q_host_graph,
@@ -2894,6 +2937,7 @@ def oracle_sql() -> dict[str, str]:
         "main_content": sql_main_content(),
         "url_shape": sql_url_shape(),
         "trap_signals": sql_trap_signals(),
+        "web_pipeline": sql_web_pipeline(),
         "frontier_priority": sql_frontier_priority(),
         "cdx_index": sql_cdx_index(),
         "host_graph": sql_host_graph(),

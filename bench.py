@@ -44,6 +44,7 @@ HEADLINE = [
     "gopher_repetition", "line_dedup", "span_dedup", "fix_mojibake",
     "boilerplate_blocks", "main_content", "anchor_text", "sitemap_extract",
     "url_shape", "trap_signals", "cdx_index", "host_graph", "host_degrees",
+    "web_pipeline", "frontier_priority",
     "badwords_filter", "quality_classifier", "perplexity_buckets",
     "semdedup", "vocab_topk", "chunk_documents", "mixture_weights",
     "url_keep_latest", "recrawl_schedule", "events_asof", "events_interval",
