@@ -1550,6 +1550,34 @@ SELECT doc_id, source, n_tokens,
 FROM p"""
 
 
+def q_shuffle_shards(spark, sf_dir):
+    """Deterministic global shuffle -> shard assignment (the final
+    shuffle-and-shard before training-data export): md5-u32(salt|doc_id) is
+    the permutation key, shard = key % 64 is a pure map, each shard orders
+    independently (one hash shuffle; no global sort). Bit-exact vs the
+    DuckDB md5_number_upper oracle."""
+    from abot_dotnet_core_spark.functions.sampling import shuffle_shards
+    return shuffle_shards(_docs(spark, sf_dir), n_shards=64)
+
+
+def sql_shuffle_shards():
+    return """
+WITH k AS (
+  SELECT doc_id,
+         CAST(md5_number_upper('shuf1|' || CAST(doc_id AS VARCHAR))::hugeint
+              % 4294967296 AS BIGINT) AS shuffle_key
+  FROM documents),
+s AS (
+  SELECT doc_id, CAST(shuffle_key % 64 AS INTEGER) AS shard_id, shuffle_key
+  FROM k)
+SELECT doc_id, shard_id,
+       CAST(row_number() OVER (PARTITION BY shard_id
+                               ORDER BY shuffle_key, doc_id) - 1 AS BIGINT)
+         AS shard_pos,
+       shuffle_key
+FROM s"""
+
+
 def q_length_profile(spark, sf_dir):
     """Corpus profiling: exact discrete length percentiles per language
     (percentile_disc == DuckDB quantile_disc, verified). Exact percentiles
@@ -2879,6 +2907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_profile": q_length_profile,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
+        "shuffle_shards": q_shuffle_shards,
         "dsir_weights": q_dsir_weights,
         "training_mix": q_training_mix,
         # corpus cleaning + recrawl history
@@ -2970,6 +2999,7 @@ def oracle_sql() -> dict[str, str]:
         "length_profile": sql_length_profile(),
         "stratified_sample": sql_stratified_sample(),
         "pack_sequences": sql_pack_sequences(),
+        "shuffle_shards": sql_shuffle_shards(),
         "dsir_weights": sql_dsir_weights(),
         "training_mix": sql_training_mix(),
         "gopher_repetition": sql_gopher_repetition(),

@@ -85,6 +85,37 @@ def pack_sequences(df: DataFrame, budget: int, id_col: str = "doc_id",
                     "shard_offset"))
 
 
+def shuffle_shards(df: DataFrame, n_shards: int, id_col: str = "doc_id",
+                   salt: str = "shuf1") -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the final
+    "shuffle then shard" step before writing training data.
+
+    Training loaders want the corpus in a pseudo-random global order split
+    into n_shards files. Sorting 100 TB by a random key is a full global
+    range sort; this does the equivalent with ONE hash shuffle: the md5-u32
+    of (salt|id) IS the permutation key, ``shard_id = key % n_shards`` is a
+    pure map (no shuffle, survives scan pushdown), and each shard orders
+    independently by (key, id) — a window partitioned by shard_id, i.e.
+    repartition + sortWithinPartitions at write time. Reading shards
+    round-robin replays the exact global hash order. Scale posture: the one
+    shuffle moves only (id, key); per-shard sort is corpus/n_shards rows, so
+    pick n_shards proportional to corpus size (shards are the parallel
+    unit). Deterministic across runs, engines, and input partitionings;
+    re-salting gives an independent epoch permutation.
+
+    Returns (id, shard_id, shard_pos, shuffle_key).
+    """
+    u = sample_hash_u32(F.concat(F.lit(f"{salt}|"),
+                                 F.col(id_col).cast("string")))
+    out = (df.select(F.col(id_col), u.alias("shuffle_key"))
+           .withColumn("shard_id",
+                       (F.col("shuffle_key") % n_shards).cast("int")))
+    w = W.partitionBy("shard_id").orderBy("shuffle_key", id_col)
+    return (out.withColumn("shard_pos",
+                           (F.row_number().over(w) - 1).cast("long"))
+            .select(id_col, "shard_id", "shard_pos", "shuffle_key"))
+
+
 def dsir_weights(df: DataFrame, target: Column, id_col: str = "doc_id",
                  text_col: str = "text", n_buckets: int = 1024) -> DataFrame:
     """Hashed-n-gram importance weights for data selection (DSIR-style).

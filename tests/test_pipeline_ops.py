@@ -282,6 +282,41 @@ class TestSamplingPacking:
         assert out == {1: (5, 0, 0), 2: (4, 0, 5), 3: (3, 1, 3),
                        4: (2, 0, 0)}
 
+    def test_shuffle_shards_permutation(self, spark):
+        """shuffle_shards is a deterministic permutation: every row lands in
+        exactly one (shard, pos) slot, positions are dense per shard, the
+        key is the md5-u32 the docstring promises, and the result is
+        independent of the input partitioning."""
+        import hashlib
+        from abot_dotnet_core_spark.functions.sampling import shuffle_shards
+        df = spark.range(300).select(F.col("id").alias("doc_id"))
+        out = shuffle_shards(df, n_shards=8).collect()
+        assert len(out) == 300 and len({r["doc_id"] for r in out}) == 300
+        by_shard = {}
+        for r in out:
+            assert r["shard_id"] == r["shuffle_key"] % 8
+            by_shard.setdefault(r["shard_id"], []).append(r)
+        for rows in by_shard.values():
+            rows.sort(key=lambda r: r["shard_pos"])
+            # dense 0..n-1 positions, ordered by (key, doc_id)
+            assert [r["shard_pos"] for r in rows] == list(range(len(rows)))
+            assert rows == sorted(rows,
+                                  key=lambda r: (r["shuffle_key"], r["doc_id"]))
+        # bit-exact key: little-endian uint32 of the first 4 md5 bytes
+        for r in out[:5]:
+            d = hashlib.md5(f"shuf1|{r['doc_id']}".encode()).digest()
+            assert r["shuffle_key"] == int.from_bytes(d[:4], "little")
+        # partitioning-invariant
+        again = {(r["doc_id"], r["shard_id"], r["shard_pos"])
+                 for r in shuffle_shards(df.repartition(13), n_shards=8)
+                 .collect()}
+        assert again == {(r["doc_id"], r["shard_id"], r["shard_pos"])
+                         for r in out}
+        # re-salting gives a different epoch permutation
+        other = {(r["doc_id"], r["shard_id"], r["shard_pos"])
+                 for r in shuffle_shards(df, n_shards=8, salt="e2").collect()}
+        assert other != again
+
 
 class TestSimilarity:
     def test_brute_force_matches_numpy(self, spark):
