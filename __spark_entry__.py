@@ -1553,8 +1553,9 @@ FROM p"""
 def q_shuffle_shards(spark, sf_dir):
     """Deterministic global shuffle -> shard assignment (the final
     shuffle-and-shard before training-data export): md5-u32(salt|doc_id) is
-    the permutation key, shard = key % 64 is a pure map, each shard orders
-    independently (one hash shuffle; no global sort). Bit-exact vs the
+    the permutation key; its global rank (two-pass range sequencer, no
+    single-partition sort) stripes round-robin into 64 balanced shards, so
+    round-robin reads replay the exact global hash order. Bit-exact vs the
     DuckDB md5_number_upper oracle."""
     from abot_dotnet_core_spark.functions.sampling import shuffle_shards
     return shuffle_shards(_docs(spark, sf_dir), n_shards=64)
@@ -1567,15 +1568,14 @@ WITH k AS (
          CAST(md5_number_upper('shuf1|' || CAST(doc_id AS VARCHAR))::hugeint
               % 4294967296 AS BIGINT) AS shuffle_key
   FROM documents),
-s AS (
-  SELECT doc_id, CAST(shuffle_key % 64 AS INTEGER) AS shard_id, shuffle_key
+r AS (
+  SELECT doc_id, shuffle_key,
+         row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS rnk
   FROM k)
-SELECT doc_id, shard_id,
-       CAST(row_number() OVER (PARTITION BY shard_id
-                               ORDER BY shuffle_key, doc_id) - 1 AS BIGINT)
-         AS shard_pos,
+SELECT doc_id, CAST(rnk % 64 AS INTEGER) AS shard_id,
+       CAST(rnk // 64 AS BIGINT) AS shard_pos,
        shuffle_key
-FROM s"""
+FROM r"""
 
 
 def q_length_profile(spark, sf_dir):
@@ -2003,8 +2003,9 @@ FROM d LEFT JOIN reb USING (doc_id)"""
 
 # deterministic C4-fixture lines: 8-token chunks with mod-3 terminal
 # punctuation ('.', '?', none), a javascript boilerplate line, a too-short
-# line, plus per-doc "lorem ipsum" (doc_id%11) and curly-brace (doc_id%13)
-# poison lines — every C4 predicate fires both ways on the corpus
+# line, plus per-doc "lorem ipsum" (doc_id%11), curly-brace (doc_id%13)
+# and closing-brace-only (doc_id%17) poison lines — every C4 predicate,
+# including the }-without-{ page gate, fires both ways on the corpus
 def _c4_lines_col():
     toks = F.split(F.trim(F.col("text")), "\\s+")
     nchunk = F.floor((F.size(toks) + F.lit(7)) / F.lit(8)).cast("int")
@@ -2027,12 +2028,15 @@ def _c4_lines_col():
          .otherwise(empty),
         F.when(F.col("doc_id") % 13 == 0,
                F.array(F.lit("function f() { return 1; } and more here.")))
+         .otherwise(empty),
+        F.when(F.col("doc_id") % 17 == 0,
+               F.array(F.lit("truncated fragment ends here } and continues.")))
          .otherwise(empty))
 
 
 _C4_LINES_SQL = """
   SELECT doc_id,
-         list_concat(list_concat(list_concat(
+         list_concat(list_concat(list_concat(list_concat(
            list_transform(range(1, ((len(toks) + 7) // 8)::int + 1),
                           i -> array_to_string(
                                  list_slice(toks, (i-1)*8 + 1, (i-1)*8 + 8),
@@ -2047,6 +2051,9 @@ _C4_LINES_SQL = """
                 ELSE []::varchar[] END),
            CASE WHEN doc_id % 13 = 0
                 THEN ['function f() { return 1; } and more here.']
+                ELSE []::varchar[] END),
+           CASE WHEN doc_id % 17 = 0
+                THEN ['truncated fragment ends here } and continues.']
                 ELSE []::varchar[] END) AS lines
   FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
         FROM documents)"""
@@ -2078,7 +2085,8 @@ k AS (
   FROM d)
 SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept,
        (NOT (contains(lower(array_to_string(lines, chr(10))), 'lorem ipsum')
-             OR contains(array_to_string(lines, chr(10)), '{{'))
+             OR contains(array_to_string(lines, chr(10)), '{{')
+             OR contains(array_to_string(lines, chr(10)), '}}'))
         AND len(kept) >= {C4_MIN_LINES}) AS keep,
        md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
 FROM k"""

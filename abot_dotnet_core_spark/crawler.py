@@ -293,14 +293,30 @@ class CrawlEngine:
         carried as a ``root_domains`` state table (never a driver list —
         a 10^10-row frontier can span 10^8 domains). The robots gate applies
         to the seeded rows exactly as ``seed()`` applies it to roots
-        (PoliteWebCrawler.cs:64-82), distributed via broadcast join."""
+        (PoliteWebCrawler.cs:64-82), distributed via broadcast join.
+
+        If ``urls_df`` carries a ``priority_millis`` column (e.g. from
+        ``operators.prioritize.frontier_priority``), the round-0 fetch
+        order is (priority_millis, url) — lower first — instead of plain
+        url order; duplicate URLs keep their minimum priority. This is how
+        a prioritized frontier actually changes the crawl: priority_seq is
+        re-ranked here over the normalized/deduped URL set."""
         from .functions import udfs
         self._robots_df = self._load_robots()
 
-        fr = (urls_df.select("url")
+        has_pri = "priority_millis" in urls_df.columns
+        fr = (urls_df.select(
+                  "url", *(["priority_millis"] if has_pri else []))
               .withColumn("url", udfs.normalize_url_udf(F.col("url")))
-              .filter(F.col("url").isNotNull())
-              .dropDuplicates(["url"])
+              .filter(F.col("url").isNotNull()))
+        if has_pri:
+            # deterministic dedup: a URL listed twice keeps its best
+            # (lowest) priority — dropDuplicates would pick one arbitrarily
+            fr = (fr.groupBy("url")
+                  .agg(F.min("priority_millis").alias("priority_millis")))
+        else:
+            fr = fr.dropDuplicates(["url"])
+        fr = (fr
               .withColumn("url_hash", udfs.url_hash64_udf(F.col("url")))
               .withColumn("domain", udfs.authority_udf(F.col("url")))
               .withColumn("scheme", udfs.scheme_udf(F.col("url")))
@@ -324,7 +340,9 @@ class CrawlEngine:
                 F.col("rules_flat").isNull()
                 | self._robots_allowed_udf(F.col("url"), F.col("rules_flat"))
             ).drop("rules_flat")
-        fr = assign_global_seq(fr, ["url"], "priority_seq")
+        fr = assign_global_seq(
+            fr, ["priority_millis", "url"] if has_pri else ["url"],
+            "priority_seq")
         fr = fr.select(*[f.name for f in FRONTIER_SCHEMA.fields]) \
                .localCheckpoint(eager=True)
         n = fr.count()

@@ -131,7 +131,9 @@ def c4_filters(df: DataFrame, lines_col: str = "lines",
     Line level — keep a line iff it (a) ends in terminal punctuation,
     (b) has >= ``C4_MIN_WORDS_PER_LINE`` words, (c) does not mention
     "javascript" (case-insensitive). Document level — drop the page iff it
-    contains "lorem ipsum" (case-insensitive), contains a curly brace, or
+    contains "lorem ipsum" (case-insensitive), contains a curly brace
+    (either ``{`` or ``}`` — a truncated fragment with only the closing
+    brace is still code), or
     keeps fewer than ``C4_MIN_LINES`` lines (the paper's >=3-sentences
     gate at line granularity).
 
@@ -149,7 +151,8 @@ def c4_filters(df: DataFrame, lines_col: str = "lines",
         & ~F.lower(x).contains("javascript"))
     kept = F.filter(lines, keep_line)
     joined = F.lower(F.array_join(lines, "\n"))
-    doc_bad = (joined.contains("lorem ipsum") | joined.contains("{"))
+    doc_bad = (joined.contains("lorem ipsum")
+               | joined.contains("{") | joined.contains("}"))
     n_kept = F.size(kept)
     return (df.select(
         id_col,

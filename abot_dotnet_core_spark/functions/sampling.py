@@ -91,28 +91,30 @@ def shuffle_shards(df: DataFrame, n_shards: int, id_col: str = "doc_id",
     "shuffle then shard" step before writing training data.
 
     Training loaders want the corpus in a pseudo-random global order split
-    into n_shards files. Sorting 100 TB by a random key is a full global
-    range sort; this does the equivalent with ONE hash shuffle: the md5-u32
-    of (salt|id) IS the permutation key, ``shard_id = key % n_shards`` is a
-    pure map (no shuffle, survives scan pushdown), and each shard orders
-    independently by (key, id) — a window partitioned by shard_id, i.e.
-    repartition + sortWithinPartitions at write time. Reading shards
-    round-robin replays the exact global hash order. Scale posture: the one
-    shuffle moves only (id, key); per-shard sort is corpus/n_shards rows, so
-    pick n_shards proportional to corpus size (shards are the parallel
-    unit). Deterministic across runs, engines, and input partitionings;
+    into n_shards files. The md5-u32 of (salt|id) IS the permutation key;
+    its dense global rank (two-pass range-partition sequencer — one range
+    shuffle over just (id, key), never a single-partition sort) is striped
+    round-robin: ``shard_id = rank % n_shards``, ``shard_pos = rank //
+    n_shards``. Reading shards round-robin (shard0[0], shard1[0], ...,
+    shard0[1], ...) replays the EXACT global hash order — a loader can
+    resume mid-epoch at any global position — and shard sizes are balanced
+    to ±1 row. Scale posture: only (id, key) ever shuffles; the rank pass
+    is the same O(rows) range-partition used for the FIFO frontier.
+    Deterministic across runs, engines, and input partitionings;
     re-salting gives an independent epoch permutation.
 
     Returns (id, shard_id, shard_pos, shuffle_key).
     """
+    from ..operators.ordering import assign_global_seq
+
     u = sample_hash_u32(F.concat(F.lit(f"{salt}|"),
                                  F.col(id_col).cast("string")))
-    out = (df.select(F.col(id_col), u.alias("shuffle_key"))
-           .withColumn("shard_id",
-                       (F.col("shuffle_key") % n_shards).cast("int")))
-    w = W.partitionBy("shard_id").orderBy("shuffle_key", id_col)
-    return (out.withColumn("shard_pos",
-                           (F.row_number().over(w) - 1).cast("long"))
+    keyed = df.select(F.col(id_col), u.alias("shuffle_key"))
+    ranked = assign_global_seq(keyed, ["shuffle_key", id_col], "__rank")
+    return (ranked
+            .withColumn("shard_id", (F.col("__rank") % n_shards).cast("int"))
+            .withColumn("shard_pos",
+                        F.expr(f"__rank div {n_shards}L"))
             .select(id_col, "shard_id", "shard_pos", "shuffle_key"))
 
 

@@ -6,8 +6,12 @@ deep ones and starve probable crawl traps (functions/urlsignals.py) so
 budget lands on productive domains. This operator composes those signals
 into a deterministic total order WITHOUT touching the engine's
 reference-parity FIFO path — it is a frontier-to-frontier transformation a
-steady-state recrawl loop applies between rounds (its output feeds
-``CrawlEngine.seed_from_frontier`` like any frontier).
+steady-state recrawl loop applies between rounds: hand
+``frontier_priority``'s (url, priority_millis) columns to
+``CrawlEngine.seed_from_frontier``, which ranks round-0 fetch order by
+(priority_millis, url) — the priority genuinely reorders the crawl.
+``prioritized_order`` additionally materializes the dense global rank for
+consumers outside the engine (exports, audits).
 
 Determinism/scale contract:
 - priority is integer arithmetic (millis), so any SQL engine reproduces it

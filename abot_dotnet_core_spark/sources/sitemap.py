@@ -86,7 +86,9 @@ def parse_sitemap(raw: bytes | str | None) -> tuple[str | None, list[dict]]:
         if raw[:2] == _GZIP_MAGIC:
             try:
                 raw = gzip.decompress(raw)
-            except OSError:
+            except (OSError, EOFError):
+                # EOFError: valid gzip magic but stream cut mid-member —
+                # totality contract says skip, never fail the task
                 return None, []
         try:
             text = raw.decode("utf-8", errors="replace")
@@ -216,9 +218,17 @@ def resolve_sitemaps(bodies: DataFrame, roots: DataFrame,
     out: DataFrame | None = None
     for _ in range(max_depth):
         fetched = bodies.join(
-            F.broadcast(frontier.select(F.col("sitemap_url").alias("url"))),
+            frontier.select(F.col("sitemap_url").alias("url")),
             "url")
-        entries = sitemap_entries(fetched).cache()
+        # no forced broadcast: round 1's frontier is ALL roots (can be 10^8
+        # rows from sitemaps_from_robots) — Catalyst/AQE picks broadcast vs
+        # shuffle per round, per the module's scale contract.
+        # localCheckpoint (not .cache()): one materialization feeds the
+        # pages/children/isEmpty reads this round, and the blocks are
+        # released by the ContextCleaner when the round's DataFrame is
+        # GC'd — .cache() would pin every round's parse in executor
+        # storage for the life of the session.
+        entries = sitemap_entries(fetched).localCheckpoint(eager=True)
         pages = entries.filter(F.col("kind") == "urlset")
         out = pages if out is None else out.unionByName(pages)
         children = (entries.filter(F.col("kind") == "sitemapindex")

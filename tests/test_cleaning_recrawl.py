@@ -121,11 +121,14 @@ class TestC4Filters:
             base + ["Lorem Ipsum dolor sit amet now."],  # lorem -> drop
             base + ["code sample { inside } with many words."],  # brace
             base[:2],                                 # only 2 kept -> drop
+            base + ["fragment with closing brace } only here."],  # } alone
         ])
         assert out[0]["keep"]
         assert not out[1]["keep"] and out[1]["n_kept"] == 4
         assert not out[2]["keep"]
         assert not out[3]["keep"] and out[3]["n_kept"] == 2
+        # a page with only '}' (no '{') is still a code page per the gate
+        assert not out[4]["keep"]
 
     def test_empty_doc(self, spark):
         out = self._run(spark, [[]])[0]

@@ -284,24 +284,25 @@ class TestSamplingPacking:
 
     def test_shuffle_shards_permutation(self, spark):
         """shuffle_shards is a deterministic permutation: every row lands in
-        exactly one (shard, pos) slot, positions are dense per shard, the
-        key is the md5-u32 the docstring promises, and the result is
-        independent of the input partitioning."""
+        exactly one (shard, pos) slot, shards are rank-striped so round-robin
+        reading replays the exact global (key, doc_id) order, shard sizes
+        balance to +-1, the key is the md5-u32 the docstring promises, and
+        the result is independent of the input partitioning."""
         import hashlib
         from abot_dotnet_core_spark.functions.sampling import shuffle_shards
         df = spark.range(300).select(F.col("id").alias("doc_id"))
         out = shuffle_shards(df, n_shards=8).collect()
         assert len(out) == 300 and len({r["doc_id"] for r in out}) == 300
-        by_shard = {}
+        # rank striping: shard_id/shard_pos are exactly (rank % 8, rank // 8)
+        # of the global (shuffle_key, doc_id) order — the round-robin read
+        # contract — which also balances shard sizes to +-1
+        glob = sorted(out, key=lambda r: (r["shuffle_key"], r["doc_id"]))
+        for rank, r in enumerate(glob):
+            assert (r["shard_id"], r["shard_pos"]) == (rank % 8, rank // 8)
+        sizes = {}
         for r in out:
-            assert r["shard_id"] == r["shuffle_key"] % 8
-            by_shard.setdefault(r["shard_id"], []).append(r)
-        for rows in by_shard.values():
-            rows.sort(key=lambda r: r["shard_pos"])
-            # dense 0..n-1 positions, ordered by (key, doc_id)
-            assert [r["shard_pos"] for r in rows] == list(range(len(rows)))
-            assert rows == sorted(rows,
-                                  key=lambda r: (r["shuffle_key"], r["doc_id"]))
+            sizes[r["shard_id"]] = sizes.get(r["shard_id"], 0) + 1
+        assert max(sizes.values()) - min(sizes.values()) <= 1
         # bit-exact key: little-endian uint32 of the first 4 md5 bytes
         for r in out[:5]:
             d = hashlib.md5(f"shuf1|{r['doc_id']}".encode()).digest()

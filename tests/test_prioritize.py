@@ -79,3 +79,28 @@ class TestEngineComposition:
         crawled = {r["url"] for r in
                    eng.store.read_events(spark, "crawled").collect()}
         assert {"http://d0.test/", "http://d1.test/"} <= crawled
+
+    def test_priority_column_orders_round0(self, spark, tiny_corpus_dir,
+                                           tmp_path):
+        """A priority_millis column on the seeded frontier REORDERS the
+        engine's round-0 fetch sequence (and the computed rank is not the
+        alphabetical-url fallback): d1 (depth 0) outranks d0 (depth 1)
+        even though 'http://d0.test/' sorts first as a string. Duplicate
+        URLs keep their minimum priority."""
+        from abot_dotnet_core_spark.config import CrawlConfig
+        from abot_dotnet_core_spark.crawler import CrawlEngine
+        fr = spark.createDataFrame(
+            [("http://d0.test/", 1, "d0.test"),
+             ("http://d1.test/", 0, "d1.test"),
+             ("http://d1.test/", 5, "d1.test")],   # dup keeps min priority
+            "url string, depth int, domain string")
+        with_pri = frontier_priority(fr)
+        eng = CrawlEngine(
+            spark, CrawlConfig(),
+            corpus_path=f"{tiny_corpus_dir}/corpus.parquet",
+            corpus_meta_path=f"{tiny_corpus_dir}/corpus_meta.parquet",
+            store_root=str(tmp_path / "state"))
+        eng.seed_from_frontier(with_pri.select("url", "priority_millis"))
+        seq = {r["url"]: r["priority_seq"] for r in
+               eng.store.read_table(spark, "frontier", 0).collect()}
+        assert seq == {"http://d1.test/": 0, "http://d0.test/": 1}
