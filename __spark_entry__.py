@@ -950,6 +950,140 @@ SELECT coalesce(o.host, i.host) AS host,
 FROM outs o FULL OUTER JOIN ins i ON o.host = i.host"""
 
 
+# backward-edge family for the reciprocity fixture: hosts h1..h5 link BACK
+# along the h0->h1->...->h9->h0 ring (only where doc_id%10 < 5), so the
+# graph has fully-reciprocated hosts (h0..h4 -> 1000), a half-reciprocated
+# one (h5 -> 500) and pure-forward ones (h6..h9 -> 0)
+def _recip_edges(spark, sf_dir):
+    d = F.col("doc_id")
+    back = _docs(spark, sf_dir).filter(d % 10 < 5).select(
+        F.concat(F.lit("http://h"), (d + 1) % 10, F.lit(".test/y"), d)
+         .alias("src_url"),
+        F.concat(F.lit("http://h"), d % 10, F.lit(".test/p"), d)
+         .alias("dst_url"))
+    return _host_edges(spark, sf_dir).unionByName(back)
+
+
+_RECIP_EDGES_SQL = _HOST_EDGES_SQL.replace(
+    "FROM documents),", """FROM documents
+  UNION ALL
+  SELECT 'http://h' || ((doc_id + 1) % 10) || '.test/y' || doc_id,
+         'http://h' || (doc_id % 10) || '.test/p' || doc_id
+  FROM documents WHERE doc_id % 10 < 5),""", 1)
+
+
+def q_host_reciprocity(spark, sf_dir):
+    """Per-host link reciprocity from the host graph (link-farm rings
+    reciprocate ~100%, organic hosts mostly don't): host-pair table
+    left-semi-joins its own transpose — the page edge list never shuffles
+    twice. Self-loops excluded; exact thousandths."""
+    from abot_dotnet_core_spark.functions.graph import (host_graph,
+                                                        host_reciprocity)
+    return host_reciprocity(host_graph(_recip_edges(spark, sf_dir)))
+
+
+def sql_host_reciprocity():
+    return f"""
+WITH {_RECIP_EDGES_SQL},
+pairs AS (
+  SELECT DISTINCT src_host, dst_host FROM hg WHERE src_host <> dst_host),
+outs AS (
+  SELECT src_host AS host, count(*) AS out_hosts FROM pairs GROUP BY 1),
+recips AS (
+  SELECT p.src_host AS host, count(*) AS reciprocated_hosts
+  FROM pairs p
+  WHERE EXISTS (SELECT 1 FROM pairs b
+                WHERE b.src_host = p.dst_host AND b.dst_host = p.src_host)
+  GROUP BY 1)
+SELECT o.host, o.out_hosts,
+       coalesce(r.reciprocated_hosts, 0) AS reciprocated_hosts,
+       ((coalesce(r.reciprocated_hosts, 0) * 1000)
+         // greatest(o.out_hosts, 1))::int AS reciprocity_millis
+FROM outs o LEFT JOIN recips r ON o.host = r.host"""
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Two-snapshot crawl delta (operators/recrawl.py:snapshot_diff):
+    added / removed / changed / unchanged per url via one full-outer hash
+    join on the key. Fixture: old = docs except doc_id%7==0, new = docs
+    except doc_id%5==0 with content perturbed where doc_id%3==0 — all four
+    classes fire."""
+    from abot_dotnet_core_spark.operators.recrawl import snapshot_diff
+    d = F.col("doc_id")
+    url = F.concat(F.lit("http://s.test/p"), d).alias("url")
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(d % 7 != 0).select(
+        url, F.md5(F.col("text")).alias("fingerprint"))
+    new = docs.filter(d % 5 != 0).select(
+        url, F.md5(F.when(d % 3 == 0, F.concat(F.col("text"), F.lit("v2")))
+                   .otherwise(F.col("text"))).alias("fingerprint"))
+    return snapshot_diff(old, new)
+
+
+def sql_snapshot_diff():
+    return """
+WITH old AS (
+  SELECT 'http://s.test/p' || doc_id AS url, md5(text) AS old_fp
+  FROM documents WHERE doc_id % 7 <> 0),
+new AS (
+  SELECT 'http://s.test/p' || doc_id AS url,
+         md5(CASE WHEN doc_id % 3 = 0 THEN text || 'v2' ELSE text END)
+           AS new_fp
+  FROM documents WHERE doc_id % 5 <> 0)
+SELECT coalesce(o.url, n.url) AS url, o.old_fp, n.new_fp,
+       CASE WHEN o.old_fp IS NULL THEN 'added'
+            WHEN n.new_fp IS NULL THEN 'removed'
+            WHEN o.old_fp <> n.new_fp THEN 'changed'
+            ELSE 'unchanged' END AS change
+FROM old o FULL OUTER JOIN new n ON o.url = n.url"""
+
+
+def q_soft404(spark, sf_dir):
+    """Soft-404 detection (functions/textfns.py:soft404_signals): error
+    phrases + short-body flag -> integer score, pure row-local codegen.
+    Fixture shortens every 4th doc and poisons every 9th/16th with error
+    phrases so each signal fires alone and combined."""
+    from abot_dotnet_core_spark.functions.textfns import soft404_signals
+    d = F.col("doc_id")
+    base = (F.when(d % 4 == 0, F.substring(F.col("text"), 1, 120))
+            .otherwise(F.col("text")))
+    t = F.concat(
+        base,
+        F.when(d % 9 == 0, F.lit(" Sorry, this Page Not Found."))
+         .otherwise(F.lit("")),
+        F.when(d % 16 == 0, F.lit(" The file does not exist anymore."))
+         .otherwise(F.lit("")))
+    return soft404_signals(
+        _docs(spark, sf_dir).select("doc_id", t.alias("text")))
+
+
+def sql_soft404():
+    from abot_dotnet_core_spark.functions.textfns import (SOFT404_PHRASES,
+                                                          SOFT404_SHORT_CHARS)
+    hits = " + ".join(
+        f"contains(lower(t), '{p}')::int" for p in SOFT404_PHRASES)
+    return f"""
+WITH fx AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 4 = 0 THEN substr(text, 1, 120) ELSE text END)
+         || (CASE WHEN doc_id % 9 = 0
+                  THEN ' Sorry, this Page Not Found.' ELSE '' END)
+         || (CASE WHEN doc_id % 16 = 0
+                  THEN ' The file does not exist anymore.' ELSE '' END)
+           AS t
+  FROM documents),
+sc AS (
+  SELECT doc_id, t AS text, ({hits}) AS phrase_hits,
+         len(t) < {SOFT404_SHORT_CHARS} AS is_short
+  FROM fx)
+SELECT doc_id, text, phrase_hits, is_short,
+       least(1000, phrase_hits * 400 + is_short::int * 200)
+         AS soft404_score_millis,
+       least(1000, phrase_hits * 400 + is_short::int * 200) >= 600
+         AS is_soft404
+FROM sc"""
+
+
 # ===========================================================================
 # dedup operators
 # ===========================================================================
@@ -2884,6 +3018,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": q_cdx_index,
         "host_graph": q_host_graph,
         "host_degrees": q_host_degrees,
+        "host_reciprocity": q_host_reciprocity,
+        "snapshot_diff": q_snapshot_diff,
+        "soft404": q_soft404,
         "wet_roundtrip": q_wet_roundtrip,
         # dedup family
         "exact_dedup": q_exact_dedup,
@@ -2979,6 +3116,9 @@ def oracle_sql() -> dict[str, str]:
         "cdx_index": sql_cdx_index(),
         "host_graph": sql_host_graph(),
         "host_degrees": sql_host_degrees(),
+        "host_reciprocity": sql_host_reciprocity(),
+        "snapshot_diff": sql_snapshot_diff(),
+        "soft404": sql_soft404(),
         "wet_roundtrip": sql_wet_roundtrip(),
         "exact_dedup": sql_exact_dedup(),
         "minhash_signatures": sql_minhash_signatures(),

@@ -92,3 +92,36 @@ def host_degrees(hg: DataFrame) -> DataFrame:
                     F.expr("cast((coalesce(internal_links, 0) * 1000) div "
                            "greatest(coalesce(out_links, 0), 1) as int)")
                      .alias("internal_rate_millis")))
+
+
+def host_reciprocity(hg: DataFrame) -> DataFrame:
+    """Per-host link reciprocity from the host graph: the share of a host's
+    distinct out-neighbor hosts that link back. Link-farm rings reciprocate
+    near 100%; organic hosts (news -> sources, blogs -> docs) mostly don't —
+    the classic TrustRank-era spam-neighborhood signal, and an input to
+    crawl-budget allocation alongside the trap score.
+
+    Self-loops are excluded (same-host navigation is not reciprocity).
+    Plan shape: the host-pair table (already combine-reduced, ~10^7 rows at
+    Common-Crawl scale) left-semi-joins its own transpose on the swapped
+    key — one equi-join + one agg over the pair dim; the page-level edge
+    list is never touched again. Integer thousandths keep it bit-exact.
+
+    Returns (host, out_hosts, reciprocated_hosts, reciprocity_millis).
+    """
+    pairs = (hg.filter(F.col("src_host") != F.col("dst_host"))
+             .select("src_host", "dst_host"))
+    back = pairs.select(F.col("dst_host").alias("src_host"),
+                        F.col("src_host").alias("dst_host"))
+    recip = (pairs.join(back, ["src_host", "dst_host"], "left_semi")
+             .groupBy(F.col("src_host").alias("host"))
+             .agg(F.count("*").alias("reciprocated_hosts")))
+    out = (pairs.groupBy(F.col("src_host").alias("host"))
+           .agg(F.count("*").alias("out_hosts")))
+    return (out.join(recip, "host", "left")
+            .select("host", "out_hosts",
+                    F.coalesce("reciprocated_hosts", F.lit(0))
+                     .alias("reciprocated_hosts"),
+                    F.expr("cast((coalesce(reciprocated_hosts, 0) * 1000) "
+                           "div greatest(out_hosts, 1) as int)")
+                     .alias("reciprocity_millis")))

@@ -259,3 +259,44 @@ def bigram_lm(df: DataFrame, min_count: int = 2,
                         # BIGINT // even when cnt*1e6 exceeds 2^53
                         F.expr("cnt * CAST(1000000 AS BIGINT) div ctx_cnt"))
             .select("w1", "w2", "cnt", "ctx_cnt", "p_micro"))
+
+
+# soft-404 phrase list — deterministic, shared with the SQL oracle as
+# inline contains() calls; lowercase-matched
+SOFT404_PHRASES = [
+    "page not found",
+    "404 not found",
+    "does not exist",
+    "no longer available",
+    "page cannot be found",
+]
+SOFT404_SHORT_CHARS = 400
+
+
+def soft404_signals(df: DataFrame, text_col: str = "text",
+                    short_chars: int = SOFT404_SHORT_CHARS) -> DataFrame:
+    """Soft-404 detection: pages that return HTTP 200 but carry an error
+    body — a crawl corpus keeps them unless filtered, and they poison both
+    dedup (near-identical error shells cluster) and training data. Signals:
+    count of error phrases in the lowercased text (``phrase_hits``) and a
+    short-body flag (< ``short_chars`` chars). Score in exact thousandths:
+    400/hit + 200 if short, capped at 1000; ``is_soft404`` at >= 600 —
+    i.e. one phrase alone is suspicion, phrase+short or two phrases is a
+    verdict. Pure row-local codegen expressions (contains/length), zero
+    shuffle at any corpus size; same arithmetic in the DuckDB oracle.
+
+    Returns (id/other cols untouched) + phrase_hits, is_short,
+    soft404_score_millis, is_soft404.
+    """
+    low = F.lower(F.col(text_col))
+    hits = None
+    for p in SOFT404_PHRASES:
+        h = low.contains(p).cast("int")
+        hits = h if hits is None else hits + h
+    is_short = F.length(F.col(text_col)) < short_chars
+    score = F.least(F.lit(1000),
+                    hits * 400 + is_short.cast("int") * 200)
+    return (df.withColumn("phrase_hits", hits)
+            .withColumn("is_short", is_short)
+            .withColumn("soft404_score_millis", score)
+            .withColumn("is_soft404", score >= 600))

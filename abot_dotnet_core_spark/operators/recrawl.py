@@ -136,3 +136,30 @@ def recrawl_schedule(snaps: DataFrame, now_epoch: int,
             .withColumn("due", F.col("priority_micro") >= 1000000)
             .select(*keys, "n_snaps", "n_changes", "interval_s",
                     "next_fetch_epoch", "priority_micro", "due"))
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame,
+                  key_cols: Sequence[str] = ("url",),
+                  fp_col: str = "fingerprint") -> DataFrame:
+    """Classify every key across two crawl snapshots: ``added`` (new only),
+    ``removed`` (old only), ``changed`` (both, different fingerprint),
+    ``unchanged`` — the delta report a recrawl round feeds back into
+    freshness models (``recrawl_schedule``) and incremental exports.
+
+    Inputs must be one row per key (run ``keep_latest`` first on raw
+    snapshot history). Plan shape: one full-outer hash join on the key —
+    one shuffle per side, or zero if both snapshots are bucketed/stored
+    partitioned by the key (the statestore layout), since Catalyst reuses
+    co-partitioning. No window, no skew exposure beyond the key itself.
+
+    Returns (key..., old_fp, new_fp, change).
+    """
+    keys = list(key_cols)
+    o = old.select(*keys, F.col(fp_col).alias("old_fp"))
+    n = new.select(*keys, F.col(fp_col).alias("new_fp"))
+    change = (F.when(F.col("old_fp").isNull(), F.lit("added"))
+              .when(F.col("new_fp").isNull(), F.lit("removed"))
+              .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+              .otherwise(F.lit("unchanged")))
+    return (o.join(n, keys, "full_outer")
+            .select(*keys, "old_fp", "new_fp", change.alias("change")))

@@ -83,3 +83,42 @@ class TestHostGraph:
         assert a.internal_rate_millis == 1000 // 3
         c = deg["c.test"]       # sink-only host still appears
         assert (c.out_hosts, c.out_links, c.in_hosts, c.in_links) == (0, 0, 1, 1)
+
+
+class TestHostReciprocity:
+    def test_reciprocity_classes(self, spark):
+        """Fully reciprocated, half, zero, and self-loop-excluded hosts."""
+        from abot_dotnet_core_spark.functions.graph import (host_graph,
+                                                            host_reciprocity)
+        edges = spark.createDataFrame([
+            # a <-> b (reciprocated), a -> c (not), c -> c (self loop)
+            ("http://a.test/1", "http://b.test/x"),
+            ("http://b.test/1", "http://a.test/y"),
+            ("http://a.test/2", "http://c.test/"),
+            ("http://c.test/1", "http://c.test/2"),
+        ], "src_url string, dst_url string")
+        out = {r.host: r for r in
+               host_reciprocity(host_graph(edges)).collect()}
+        a = out["a.test"]
+        assert (a.out_hosts, a.reciprocated_hosts,
+                a.reciprocity_millis) == (2, 1, 500)
+        b = out["b.test"]
+        assert (b.out_hosts, b.reciprocated_hosts,
+                b.reciprocity_millis) == (1, 1, 1000)
+        # c's only non-self out-edge set is empty -> c has no row (no
+        # outgoing non-self pairs); self-loops never count
+        assert "c.test" not in out
+
+    def test_parallel_links_count_once(self, spark):
+        """Reciprocity is over distinct host PAIRS — n_links weight must
+        not inflate it."""
+        from abot_dotnet_core_spark.functions.graph import (host_graph,
+                                                            host_reciprocity)
+        edges = spark.createDataFrame(
+            [("http://a.test/%d" % i, "http://b.test/x") for i in range(5)]
+            + [("http://b.test/1", "http://a.test/")],
+            "src_url string, dst_url string")
+        out = {r.host: r for r in
+               host_reciprocity(host_graph(edges)).collect()}
+        assert (out["a.test"].out_hosts,
+                out["a.test"].reciprocated_hosts) == (1, 1)

@@ -609,3 +609,59 @@ class TestRecrawlSchedule:
         # sorted: (t0,a),(t0,b),(t0+100,a) -> a->b, b->a = 2 changes
         out = self._run(spark, rows, t0 + 200)
         assert out["t"]["n_changes"] == 2
+
+
+class TestSnapshotDiff:
+    def _run(self, spark, old, new):
+        from abot_dotnet_core_spark.operators.recrawl import snapshot_diff
+        schema = "url string, fingerprint string"
+        return {r.url: (r.change, r.old_fp, r.new_fp) for r in snapshot_diff(
+            spark.createDataFrame(old, schema),
+            spark.createDataFrame(new, schema)).collect()}
+
+    def test_all_four_classes(self, spark):
+        out = self._run(
+            spark,
+            [("u1", "f1"), ("u2", "f2"), ("u3", "f3")],
+            [("u2", "f2"), ("u3", "f3x"), ("u4", "f4")])
+        assert out == {
+            "u1": ("removed", "f1", None),
+            "u2": ("unchanged", "f2", "f2"),
+            "u3": ("changed", "f3", "f3x"),
+            "u4": ("added", None, "f4"),
+        }
+
+    def test_empty_sides(self, spark):
+        assert self._run(spark, [], [("u", "f")]) == {"u": ("added", None, "f")}
+        assert self._run(spark, [("u", "f")], []) == {
+            "u": ("removed", "f", None)}
+
+
+class TestSoft404:
+    def _run(self, spark, texts):
+        from abot_dotnet_core_spark.functions.textfns import soft404_signals
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+        return {r.doc_id: r for r in soft404_signals(df).collect()}
+
+    def test_score_ladder(self, spark):
+        long_pad = "word " * 200  # > 400 chars
+        out = self._run(spark, [
+            long_pad + "all fine here",                     # 0: nothing
+            "short page",                                   # 1: short only
+            long_pad + "Page Not Found",                    # 2: 1 hit, long
+            "404 Not Found",                                # 3: 1 hit + short
+            long_pad + "page not found and does not exist",  # 4: 2 hits
+        ])
+        assert (out[0].soft404_score_millis, out[0].is_soft404) == (0, False)
+        assert (out[1].soft404_score_millis, out[1].is_soft404) == (200, False)
+        assert (out[2].soft404_score_millis, out[2].is_soft404) == (400, False)
+        assert (out[3].soft404_score_millis, out[3].is_soft404) == (600, True)
+        assert (out[4].soft404_score_millis, out[4].is_soft404) == (800, True)
+
+    def test_score_caps_at_1000(self, spark):
+        t = ("page not found 404 not found does not exist "
+             "no longer available page cannot be found")
+        out = self._run(spark, [t])
+        assert out[0].phrase_hits == 5
+        assert (out[0].soft404_score_millis, out[0].is_soft404) == (1000, True)
