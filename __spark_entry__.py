@@ -1440,6 +1440,39 @@ ranked AS (SELECT q_id, vec_id, cosine,
 SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5"""
 
 
+def q_ann_recall(spark, sf_dir):
+    """ANN evaluation harness (functions/similarity.py:ann_recall):
+    recall@5 of the banded-hyperplane LSH top-k against the exact
+    brute-force top-k, per query, in exact thousandths — the measurement
+    that tunes planes/bands before a full-scale run."""
+    from abot_dotnet_core_spark.functions.similarity import (ann_recall,
+                                                             brute_force_topk,
+                                                             lsh_topk)
+    emb = _read(spark, sf_dir, "embeddings")
+    q = _queries_df(spark, sf_dir)
+    return ann_recall(brute_force_topk(emb, q, k=5),
+                      lsh_topk(emb, q, k=5, n_planes=8, bands=2, dim=64))
+
+
+def sql_ann_recall():
+    # DuckDB allows a WITH inside a parenthesized subquery, so both
+    # existing oracles nest verbatim — the recall arithmetic mirrors
+    # functions/similarity.py:ann_recall exactly
+    return f"""
+WITH exact AS (SELECT q_id, vec_id FROM ({sql_cosine_topk()}) x),
+approx AS (SELECT q_id, vec_id FROM ({sql_cosine_topk_lsh()}) y),
+base AS (SELECT q_id, count(*) AS exact_k FROM exact GROUP BY 1),
+hits AS (
+  SELECT e.q_id, count(*) AS hits
+  FROM exact e
+  WHERE EXISTS (SELECT 1 FROM approx a
+                WHERE a.q_id = e.q_id AND a.vec_id = e.vec_id)
+  GROUP BY 1)
+SELECT b.q_id, b.exact_k, coalesce(h.hits, 0) AS hits,
+       ((coalesce(h.hits, 0) * 1000) // b.exact_k)::int AS recall_millis
+FROM base b LEFT JOIN hits h ON h.q_id = b.q_id"""
+
+
 def q_cosine_topk_lsh(spark, sf_dir):
     """Random-hyperplane LSH-bucketed ANN top-k (the at-scale path):
     2 bands of 4 planes, candidate = same sub-signature in any band."""
@@ -3035,6 +3068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "cosine_topk": q_cosine_topk,
         "cosine_topk_lsh": q_cosine_topk_lsh,
+        "ann_recall": q_ann_recall,
         "ivf_topk": q_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "semdedup": q_semdedup,
@@ -3131,6 +3165,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": sql_simhash_pairs(),
         "cosine_topk": sql_cosine_topk(),
         "cosine_topk_lsh": sql_cosine_topk_lsh(),
+        "ann_recall": sql_ann_recall(),
         "ivf_topk": sql_ivf_topk(),
         "embedding_neardup": sql_embedding_neardup(),
         "semdedup": sql_semdedup(),

@@ -280,3 +280,32 @@ def semdedup(corpus: DataFrame, n_clusters: int = 8, threshold: float = 0.95,
                   id_col, "left")
             .select(id_col, "cluster",
                     F.col("__dropped").isNull().alias("kept")))
+
+
+def ann_recall(exact: DataFrame, approx: DataFrame,
+               q_col: str = "q_id", id_col: str = "vec_id") -> DataFrame:
+    """Recall@k of an approximate top-k result set against the exact one —
+    the evaluation loop that tunes LSH/IVF parameters (planes, bands,
+    probes) before a 100 TB run: recall too low -> add planes/probes,
+    recall 1000 with huge candidate sets -> back off.
+
+    Inputs are two (q_col, id_col, ...) top-k tables (``brute_force_topk``
+    / ``lsh_topk`` / ``ivf_topk`` output shape); k is implied by the exact
+    side's row count per query, so truncated approximate results score
+    against the full exact k. Plan shape: one left-semi equi-join on
+    (query, id) + two partial aggs over top-k-sized groups — both sides
+    are k rows per query, orders of magnitude below the corpus; integer
+    thousandths keep it engine-exact.
+
+    Returns (q_col, exact_k, hits, recall_millis).
+    """
+    e = exact.select(q_col, id_col)
+    a = approx.select(q_col, id_col)
+    base = e.groupBy(q_col).agg(F.count("*").alias("exact_k"))
+    hit = (e.join(a, [q_col, id_col], "left_semi")
+           .groupBy(q_col).agg(F.count("*").alias("hits")))
+    return (base.join(hit, q_col, "left")
+            .select(q_col, "exact_k",
+                    F.coalesce("hits", F.lit(0)).alias("hits"),
+                    F.expr("cast((coalesce(hits, 0) * 1000) "
+                           "div exact_k as int)").alias("recall_millis")))

@@ -749,3 +749,36 @@ class TestIndexingLM:
             [(1, "a b a b c")], "doc_id long, text string")
         rows = {(r["w1"], r["w2"]) for r in bigram_lm(df, min_count=2).collect()}
         assert rows == {("a", "b")}
+
+
+class TestAnnRecall:
+    def _tk(self, spark, rows):
+        return spark.createDataFrame(rows, "q_id long, vec_id long")
+
+    def test_recall_arithmetic(self, spark):
+        from abot_dotnet_core_spark.functions.similarity import ann_recall
+        exact = self._tk(spark, [(1, 10), (1, 11), (1, 12),
+                                 (2, 20), (2, 21), (2, 22)])
+        approx = self._tk(spark, [(1, 10), (1, 11), (1, 99),
+                                  (2, 77), (2, 78), (2, 79)])
+        out = {r.q_id: r for r in ann_recall(exact, approx).collect()}
+        assert (out[1].exact_k, out[1].hits, out[1].recall_millis) == (3, 2, 666)
+        assert (out[2].exact_k, out[2].hits, out[2].recall_millis) == (3, 0, 0)
+
+    def test_lsh_recall_bounded_by_exact(self, spark):
+        """Real composition: LSH recall vs brute force is in [0, 1000] and
+        identical LSH params to the exact path give recall 1000."""
+        from abot_dotnet_core_spark.functions.similarity import (
+            ann_recall, brute_force_topk, lsh_topk)
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        q = (emb.filter(F.col("vec_id") < 3)
+             .select(F.col("vec_id").alias("q_id"),
+                     F.col("embedding").alias("q_vec")))
+        exact = brute_force_topk(emb, q, k=3)
+        out = ann_recall(exact, lsh_topk(emb, q, k=3, n_planes=8,
+                                         bands=2, dim=64)).collect()
+        assert len(out) == 3
+        assert all(0 <= r.recall_millis <= 1000 for r in out)
+        self_eval = {r.recall_millis for r in
+                     ann_recall(exact, exact).collect()}
+        assert self_eval == {1000}
