@@ -250,3 +250,53 @@ class TestNewPipelinePlans:
         splan = simple_plan(e.q_trap_signals(spark, SF))
         assert "Python" not in splan, splan
         assert splan.count("Exchange") == 1, splan
+
+
+class TestRound2AdditionPlans:
+    def test_soft404_zero_shuffle_no_python(self, spark):
+        """Soft-404 scoring is one narrow codegen map (contains/length) —
+        no Exchange, no Python, at any corpus size."""
+        import __spark_entry__ as e
+        plan = simple_plan(e.q_soft404(spark, SF))
+        assert "Exchange" not in plan, plan
+        assert "Python" not in plan, plan
+
+    def test_snapshot_diff_single_join_no_python(self, spark):
+        """Snapshot delta is exactly one full-outer equi-join on the key —
+        no cartesian, no window, no Python."""
+        import __spark_entry__ as e
+        plan = simple_plan(e.q_snapshot_diff(spark, SF))
+        assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") \
+            + plan.count("BroadcastHashJoin") == 1, plan
+        assert "FullOuter" in plan, plan
+        assert "Cartesian" not in plan and "Python" not in plan, plan
+
+    def test_host_reciprocity_pair_dim_only_no_cartesian(self, spark):
+        """Reciprocity works entirely on the combine-reduced host-pair dim:
+        equi-joins only (transpose semi-join + final left join), partial
+        aggs, no cartesian, no Python, no window."""
+        import __spark_entry__ as e
+        plan = simple_plan(e.q_host_reciprocity(spark, SF))
+        assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+        assert "Python" not in plan and "Window" not in plan, plan
+        assert "LeftSemi" in plan, plan
+
+    def test_ann_recall_semi_join_on_topk_dims(self, spark):
+        """ann_recall never touches the corpus after the top-k stages: the
+        recall math is a semi-join + two hash aggs over k-row-per-query
+        tables; no cartesian beyond the documented brute-force scorer."""
+        import __spark_entry__ as e
+        plan = simple_plan(e.q_ann_recall(spark, SF))
+        assert "LeftSemi" in plan, plan
+        assert "HashAggregate" in plan, plan
+
+    def test_shuffle_shards_range_rank_no_single_partition_window(self, spark):
+        """shuffle_shards ranks via the two-pass range sequencer (its range
+        exchange is pinned behind the sequencer's localCheckpoint, so the
+        visible plan is the Arrow offset pass) — what must NOT appear is any
+        Window (the old key%n design ranked with a per-shard window; a naive
+        global rank would be an empty-partition Window)."""
+        import __spark_entry__ as e
+        plan = simple_plan(e.q_shuffle_shards(spark, SF))
+        assert "Window" not in plan, plan
+        assert "MapInArrow" in plan, plan
