@@ -151,7 +151,7 @@ def iter_warc_records(data: bytes, types: tuple = ("response", "resource")):
         if not url:
             continue
         block = data[block_start:block_end]
-        if rtype == "response" and "application/http" in \
+        if rtype in ("response", "revisit") and "application/http" in \
                 headers.get("content-type", ""):
             status, ctype, payload = _parse_http_block(block)
         else:                 # resource record: the block IS the payload
@@ -163,8 +163,23 @@ def iter_warc_records(data: bytes, types: tuple = ("response", "resource")):
                 ts = datetime.strptime(raw_ts, "%Y-%m-%dT%H:%M:%SZ")
             except ValueError:
                 ts = None
-        yield {"url": url, "warc_ts": ts, "status": status,
+        rec = {"url": url, "warc_ts": ts, "status": status,
                "content_type": ctype, "html": payload}
+        if rtype == "revisit":
+            # identical-payload-digest dedup pointers (ISO 28500 §6.7.2)
+            dg = headers.get("warc-payload-digest", "")
+            rec["payload_digest"] = dg.partition(":")[2] or dg or None
+            rec["refers_to_url"] = headers.get("warc-refers-to-target-uri")
+            ref_ts = None
+            raw_ref = headers.get("warc-refers-to-date")
+            if raw_ref:
+                try:
+                    ref_ts = datetime.strptime(raw_ref, "%Y-%m-%dT%H:%M:%SZ")
+                except ValueError:
+                    ref_ts = None
+            rec["refers_to_ts"] = ref_ts
+            rec["html"] = None    # a revisit block carries no payload
+        yield rec
 
 
 # ---------------------------------------------------------------------------
@@ -197,6 +212,56 @@ def read_warc(spark, path: str) -> DataFrame:
     return files.mapInPandas(gen, schema=WARC_SCHEMA)
 
 
+REVISIT_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_ts", T.TimestampType()),
+    T.StructField("status", T.IntegerType()),
+    T.StructField("content_type", T.StringType()),
+    T.StructField("payload_digest", T.StringType()),
+    T.StructField("refers_to_url", T.StringType()),
+    T.StructField("refers_to_ts", T.TimestampType()),
+    T.StructField("warc_file", T.StringType()),
+])
+
+
+def read_warc_revisits(spark, path: str) -> DataFrame:
+    """Read the ``revisit`` records of a directory/glob of WARC files —
+    the identical-payload-digest dedup pointers. Same per-file zero-shuffle
+    posture as :func:`read_warc`."""
+    files = (spark.read.format("binaryFile").load(path)
+             .select("path", "content"))
+
+    def gen(batches):
+        for pdf in batches:
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                rows = []
+                for rec in iter_warc_records(bytes(blob),
+                                             types=("revisit",)):
+                    rec["warc_file"] = os.path.basename(fpath)
+                    rec.pop("html", None)
+                    rows.append(rec)
+                yield pd.DataFrame(rows, columns=[f.name for f in
+                                                  REVISIT_SCHEMA.fields])
+
+    return files.mapInPandas(gen, schema=REVISIT_SCHEMA)
+
+
+def resolve_revisits(pages: DataFrame, revisits: DataFrame) -> DataFrame:
+    """Rehydrate revisit records into full page rows: each revisit keeps
+    its own (url, warc_ts, status, content_type) identity and takes the
+    html of the record it refers to. ONE equi-join on the (url, ts)
+    pointer — the referred originals are the dedup survivors, orders of
+    magnitude below the revisit count on a boilerplate-heavy crawl.
+    Union the result with ``pages`` for the logical full corpus."""
+    orig = pages.select(F.col("url").alias("refers_to_url"),
+                        F.col("warc_ts").alias("refers_to_ts"),
+                        F.col("html").alias("orig_html"))
+    return (revisits
+            .join(orig, ["refers_to_url", "refers_to_ts"], "left")
+            .select("url", "warc_ts", "status", "content_type",
+                    F.col("orig_html").alias("html"), "warc_file"))
+
+
 def warc_to_corpus(spark, path: str) -> DataFrame:
     """Project WARC records into the exact ``input_hint`` table
     ``(url, warc_ts, html, text, lang)``: charset-cascade text extraction
@@ -223,8 +288,26 @@ def _record_id(url: str, ts: str) -> str:
     return (f"<urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}>")
 
 
+REVISIT_PROFILE = \
+    "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+
+
+def _fmt_ts(ts) -> str:
+    ts = ts or datetime(1970, 1, 1)
+    if ts.tzinfo is not None:
+        ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
+    return ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
 def _write_records(f, records, compress: bool) -> int:
-    """Stream ``response`` records onto an open binary file object.
+    """Stream ``response`` (and ``revisit``) records onto an open binary
+    file object. A record with ``is_revisit`` true is written as a WARC
+    ``revisit`` record (identical-payload-digest profile, ISO 28500
+    §6.7.2 — the Common Crawl URL-agnostic dedup mechanism): HTTP headers
+    only, NO payload block, with ``WARC-Payload-Digest`` (sha1 hex —
+    labelled per spec; Common Crawl uses base32, hex round-trips exactly
+    through Spark's built-in sha1) and ``WARC-Refers-To*`` headers naming
+    the original record.
 
     NULL tolerance (the reader legitimately produces these): a missing
     warc_ts becomes the epoch, a missing status is written as ``0`` —
@@ -232,12 +315,37 @@ def _write_records(f, records, compress: bool) -> int:
     content_type as an empty header."""
     n = 0
     for rec in records:
-        ts = rec.get("warc_ts") or datetime(1970, 1, 1)
-        if ts.tzinfo is not None:
-            ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
-        ts_s = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+        ts_s = _fmt_ts(rec.get("warc_ts"))
         status = rec.get("status")
         status = 0 if status is None else int(status)
+        if rec.get("is_revisit"):
+            http = (f"HTTP/1.1 {status} \r\n"
+                    f"Content-Type: {rec.get('content_type') or ''}\r\n\r\n"
+                    ).encode("utf-8")
+            ref_ts = _fmt_ts(rec.get("orig_ts"))
+            head = ("WARC/1.0\r\n"
+                    "WARC-Type: revisit\r\n"
+                    f"WARC-Target-URI: {rec['url']}\r\n"
+                    f"WARC-Date: {ts_s}\r\n"
+                    f"WARC-Record-ID: {_record_id(rec['url'], ts_s)}\r\n"
+                    f"WARC-Profile: {REVISIT_PROFILE}\r\n"
+                    f"WARC-Payload-Digest: "
+                    f"sha1:{rec.get('payload_digest') or ''}\r\n"
+                    f"WARC-Refers-To: "
+                    f"{_record_id(rec['orig_url'], ref_ts)}\r\n"
+                    f"WARC-Refers-To-Target-URI: {rec['orig_url']}\r\n"
+                    f"WARC-Refers-To-Date: {ref_ts}\r\n"
+                    "Content-Type: application/http; msgtype=response\r\n"
+                    f"Content-Length: {len(http)}\r\n\r\n").encode("utf-8")
+            raw = head + http + _CRLF2
+            if compress:
+                gz = io.BytesIO()
+                with gzip.GzipFile(fileobj=gz, mode="wb", mtime=0) as g:
+                    g.write(raw)
+                raw = gz.getvalue()
+            f.write(raw)
+            n += 1
+            continue
         payload = bytes(rec.get("html") or b"")
         http = (f"HTTP/1.1 {status} \r\n"
                 f"Content-Type: {rec.get('content_type') or ''}\r\n"
@@ -300,8 +408,48 @@ def write_warc_segments(records, outdir: str, n_segments: int = 4,
 # Spark sink (distributed writer)
 # ---------------------------------------------------------------------------
 
+def mark_revisits(df: DataFrame, url_col: str = "url",
+                  ts_col: str = "warc_ts",
+                  html_col: str = "html") -> DataFrame:
+    """Corpus-wide identical-payload-digest election: per sha1(html), the
+    earliest (warc_ts, url) row is the original; every other row is marked
+    ``is_revisit`` with ``orig_url``/``orig_ts`` pointing at it — the
+    input for WARC revisit records (Common Crawl's URL-agnostic content
+    dedup).
+
+    Plan shape: the election aggregates a NARROW (digest, ts, url)
+    projection (struct-min, map-side combined — a boilerplate payload
+    shared by 10^9 urls is one agg group), then one equi-join attaches the
+    original back on the digest. The html column rides through that single
+    join; pre-bucketing the corpus by the digest makes it co-located. For
+    a zero-shuffle variant scoped to each output segment (exactly a
+    Common Crawl writer's behavior), use ``write_warc_df(...,
+    dedup_revisits=True)`` instead, which dedups inside each partition
+    writer with a local digest dict.
+    """
+    d = df.withColumn(
+        "payload_digest",
+        F.sha1(F.coalesce(F.col(html_col), F.lit(b""))))
+    orig = (d.groupBy("payload_digest")
+            .agg(F.min(F.struct(
+                F.coalesce(F.col(ts_col),
+                           F.lit("1970-01-01").cast("timestamp"))
+                 .alias("ts"),
+                F.col(url_col).alias("u"))).alias("o"))
+            .select("payload_digest",
+                    F.col("o.u").alias("orig_url"),
+                    F.col("o.ts").alias("orig_ts")))
+    out = d.join(orig, "payload_digest")
+    return out.withColumn(
+        "is_revisit",
+        (F.col(url_col) != F.col("orig_url"))
+        | (F.coalesce(F.col(ts_col), F.lit("1970-01-01").cast("timestamp"))
+           != F.col("orig_ts")))
+
+
 def write_warc_df(df: DataFrame, outdir: str,
-                  compress: bool = True) -> DataFrame:
+                  compress: bool = True,
+                  dedup_revisits: bool = False) -> DataFrame:
     """Distributed WARC sink: write ``(url, warc_ts, status, content_type,
     html)`` rows as one WARC segment per partition and return the manifest
     (``warc_file, n_records, n_bytes`` — one row per non-empty partition).
@@ -314,10 +462,23 @@ def write_warc_df(df: DataFrame, outdir: str,
     ``outdir`` must be a path every executor can reach (local-mode dir,
     NFS, or a fuse-mounted object store) — the same contract as any
     foreachPartition-style sink.
+
+    Revisit dedup (Common Crawl's identical-payload-digest mechanism):
+    with ``dedup_revisits=True`` each segment writer keeps a local
+    sha1->(url, ts) dict and writes every repeated payload as a WARC
+    ``revisit`` record (headers only, no body) referring to the first
+    occurrence in ITS OWN segment — zero shuffle, the per-writer scope a
+    real Common Crawl writer has. For exact corpus-wide election, run
+    :func:`mark_revisits` on ``df`` first and pass the result here with
+    ``dedup_revisits=False``: the marked columns (is_revisit,
+    payload_digest, orig_url, orig_ts) are honored when present.
     """
     os.makedirs(outdir, exist_ok=True)
     ext = ".warc.gz" if compress else ".warc"
     cols = ["url", "warc_ts", "status", "content_type", "html"]
+    marked = not dedup_revisits and "is_revisit" in df.columns
+    if marked:
+        cols += ["is_revisit", "payload_digest", "orig_url", "orig_ts"]
     out_schema = T.StructType([
         T.StructField("warc_file", T.StringType()),
         T.StructField("n_records", T.LongType()),
@@ -334,18 +495,39 @@ def write_warc_df(df: DataFrame, outdir: str,
         # can never be re-ingested as duplicate records by read_warc
         part = os.path.join(outdir, f".{name}.part")
         n = 0
+        seen_digests: dict = {}
+
+        def to_rec(r):
+            rec = {"url": r.url,
+                   "warc_ts": None if pd.isna(r.warc_ts)
+                   else r.warc_ts.to_pydatetime(),
+                   "status": None if pd.isna(r.status)
+                   else int(r.status),
+                   "content_type": r.content_type,
+                   "html": bytes(r.html) if r.html is not None
+                   else b""}
+            if marked and r.is_revisit:
+                rec.update(
+                    is_revisit=True,
+                    payload_digest=r.payload_digest,
+                    orig_url=r.orig_url,
+                    orig_ts=None if pd.isna(r.orig_ts)
+                    else r.orig_ts.to_pydatetime())
+            elif dedup_revisits:
+                dg = hashlib.sha1(rec["html"]).hexdigest()
+                first = seen_digests.get(dg)
+                if first is None:
+                    seen_digests[dg] = (rec["url"], rec["warc_ts"])
+                else:
+                    rec.update(is_revisit=True, payload_digest=dg,
+                               orig_url=first[0], orig_ts=first[1])
+            return rec
+
         with open(part, "wb") as f:
             for pdf in batches:
-                recs = ({"url": r.url,
-                         "warc_ts": None if pd.isna(r.warc_ts)
-                         else r.warc_ts.to_pydatetime(),
-                         "status": None if pd.isna(r.status)
-                         else int(r.status),
-                         "content_type": r.content_type,
-                         "html": bytes(r.html) if r.html is not None
-                         else b""}
-                        for r in pdf.itertuples(index=False))
-                n += _write_records(f, recs, compress)
+                n += _write_records(
+                    f, (to_rec(r) for r in pdf.itertuples(index=False)),
+                    compress)
         if n == 0:
             os.unlink(part)
             yield pd.DataFrame(columns=[f.name for f in out_schema.fields])

@@ -297,3 +297,84 @@ class TestWet:
         write_wet_df(df, str(tmp_path / "wet")).collect()
         got = read_warc(spark, str(tmp_path / "wet") + "/*")
         assert got.count() == 0
+
+
+class TestRevisits:
+    """WARC revisit records (identical-payload-digest dedup, ISO 28500
+    §6.7.2 — Common Crawl's URL-agnostic content dedup)."""
+
+    def _dup_df(self, spark):
+        recs = _recs(6)
+        shared = b"<html><body>boilerplate shell</body></html>"
+        for i in (1, 3, 5):             # three urls share one payload
+            recs[i]["html"] = shared
+        return spark.createDataFrame(
+            [(r["url"], r["warc_ts"], r["status"], r["content_type"],
+              r["html"]) for r in recs],
+            "url string, warc_ts timestamp, status int, "
+            "content_type string, html binary")
+
+    def test_segment_scope_roundtrip(self, spark, tmp_path):
+        """dedup_revisits=True: repeats within one segment become revisit
+        records; read + resolve rebuilds every page byte-identically."""
+        from abot_dotnet_core_spark.sources.warc import (
+            read_warc_revisits, resolve_revisits, write_warc_df)
+        df = self._dup_df(spark)
+        out = str(tmp_path / "warc")
+        man = write_warc_df(df.repartition(1), out,
+                            dedup_revisits=True).collect()
+        assert sum(r.n_records for r in man) == 6
+        pages = read_warc(spark, out)
+        assert pages.count() == 4       # 4 unique payloads written in full
+        rev = read_warc_revisits(spark, out)
+        assert rev.count() == 2         # pages 3 and 5 repeat page 1's
+        got = {(r.url, bytes(r.html)) for r in
+               pages.unionByName(
+                   resolve_revisits(pages, rev)).collect()}
+        want = {(r.url, bytes(r.html)) for r in df.collect()}
+        assert got == want
+
+    def test_revisit_headers_and_digest(self, spark, tmp_path):
+        import hashlib
+        from abot_dotnet_core_spark.sources.warc import (
+            iter_warc_records, read_warc_revisits, write_warc_df)
+        df = self._dup_df(spark)
+        out = str(tmp_path / "warc")
+        write_warc_df(df.repartition(1), out, dedup_revisits=True).collect()
+        seg = os.path.join(out, os.listdir(out)[0])
+        raw = open(seg, "rb").read()
+        revs = list(iter_warc_records(raw, types=("revisit",)))
+        assert len(revs) == 2
+        shared = b"<html><body>boilerplate shell</body></html>"
+        dg = hashlib.sha1(shared).hexdigest()
+        for r in revs:
+            assert r["payload_digest"] == dg       # sha1: label stripped
+            assert r["html"] is None               # no payload block
+            assert r["status"] == 200              # http headers preserved
+        # all three refer to the earliest record carrying the payload
+        rev_df = read_warc_revisits(spark, out)
+        refs = {r.refers_to_url for r in rev_df.collect()}
+        assert refs == {"http://w1.test/page1"}
+
+    def test_global_mark_revisits_election(self, spark, tmp_path):
+        """mark_revisits: corpus-wide earliest-(ts, url) election; marked
+        columns are honored by the sink across partitions."""
+        from abot_dotnet_core_spark.sources.warc import (
+            mark_revisits, read_warc_revisits, resolve_revisits,
+            write_warc_df)
+        df = self._dup_df(spark)
+        marked = mark_revisits(df)
+        m = {r.url: (r.is_revisit, r.orig_url) for r in marked.collect()}
+        assert m["http://w1.test/page1"] == (False, "http://w1.test/page1")
+        assert m["http://w3.test/page3"] == (True, "http://w1.test/page1")
+        assert m["http://w0.test/page0"][0] is False
+        out = str(tmp_path / "warc")
+        # 3 partitions: revisits may land in a different segment than the
+        # original — the global pointers must still resolve
+        write_warc_df(marked.repartition(3), out).collect()
+        pages = read_warc(spark, out)
+        rev = read_warc_revisits(spark, out)
+        assert pages.count() == 4 and rev.count() == 2
+        got = {(r.url, bytes(r.html)) for r in
+               pages.unionByName(resolve_revisits(pages, rev)).collect()}
+        assert got == {(r.url, bytes(r.html)) for r in df.collect()}
