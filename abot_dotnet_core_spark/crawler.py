@@ -520,6 +520,58 @@ class CrawlEngine:
             stats.append(st)
         return stats
 
+    def archive(self, outdir: str, compress: bool = True,
+                dedup_revisits: bool = True) -> dict:
+        """Ship the crawl as the Common-Crawl artifact triple: WARC
+        response(+revisit) segments, WET text conversions, and a CDX/SURT
+        index over the captures — one call after (or between) ``run()``s.
+
+        Pages = the crawled event urls semi-joined back onto the corpus
+        (so only fetched pages ship), with status/content_type from
+        corpus_meta. Each sink re-reads from the parquet source with its
+        own column pruning — WET scans only (url, ts, text), CDX only
+        (url, ts); the html binary is read exactly once, by the WARC
+        writer, and never shuffles (``dedup_revisits`` dedups within each
+        segment writer; run :func:`sources.warc.mark_revisits` upstream
+        for corpus-global election). CDX rows carry the capture keys
+        (surt_key, ts, url); per-record byte offsets would need the
+        writer to thread them back — documented gap vs Common Crawl's
+        locator columns.
+
+        Returns {"warc": manifest rows, "wet": manifest rows,
+        "cdx_rows": n, "cdx_dir": path}.
+        """
+        import os
+
+        from .functions.cdx import cdx_index
+        from .sources.warc import write_warc_df, write_wet_df
+
+        crawled = (self.store.read_events(self.spark, "crawled")
+                   .select("url").dropDuplicates())
+        corpus = (self.spark.read.parquet(self.corpus_path)
+                  .join(crawled, "url", "left_semi"))
+        meta = (self.spark.read.parquet(self.corpus_meta_path)
+                .select("url", "status", "content_type"))
+        pages = (corpus.join(meta, "url", "left")
+                 .select("url", "warc_ts",
+                         F.coalesce(F.col("status"), F.lit(200))
+                          .alias("status"),
+                         "content_type", "html", "text"))
+        warc_man = [r.asDict() for r in write_warc_df(
+            pages.select("url", "warc_ts", "status", "content_type",
+                         "html"),
+            os.path.join(outdir, "warc"), compress=compress,
+            dedup_revisits=dedup_revisits).collect()]
+        wet_man = [r.asDict() for r in write_wet_df(
+            pages.select("url", "warc_ts", "text"),
+            os.path.join(outdir, "wet"), compress=compress).collect()]
+        cdx_dir = os.path.join(outdir, "cdx")
+        idx = cdx_index(pages.select("url", "warc_ts"))
+        idx.write.mode("overwrite").parquet(cdx_dir)
+        n_cdx = self.spark.read.parquet(cdx_dir).count()
+        return {"warc": warc_man, "wet": wet_man,
+                "cdx_rows": n_cdx, "cdx_dir": cdx_dir}
+
     def _read_seen(self) -> DataFrame:
         import os
         base = os.path.join(self.store.root, "seen")

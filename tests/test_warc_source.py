@@ -378,3 +378,49 @@ class TestRevisits:
         got = {(r.url, bytes(r.html)) for r in
                pages.unionByName(resolve_revisits(pages, rev)).collect()}
         assert got == {(r.url, bytes(r.html)) for r in df.collect()}
+
+
+class TestEngineArchive:
+    def test_crawl_then_archive_triple(self, spark, tiny_corpus_dir,
+                                       tmp_path):
+        """CrawlEngine.archive ships WARC(+revisits) + WET + CDX from the
+        crawl store; resolved WARC pages round-trip the crawled subset of
+        the corpus byte-identically and the WET text matches the corpus
+        text column."""
+        from abot_dotnet_core_spark.config import CrawlConfig
+        from abot_dotnet_core_spark.crawler import CrawlEngine
+        from abot_dotnet_core_spark.sources.warc import (
+            read_warc_revisits, read_wet, resolve_revisits)
+        eng = CrawlEngine(
+            spark, CrawlConfig(),
+            corpus_path=f"{tiny_corpus_dir}/corpus.parquet",
+            corpus_meta_path=f"{tiny_corpus_dir}/corpus_meta.parquet",
+            store_root=str(tmp_path / "state"))
+        eng.seed(["http://d0.test/", "http://d1.test/"])
+        eng.run(max_rounds=3)
+        out = str(tmp_path / "arc")
+        man = eng.archive(out)
+        crawled = {r.url for r in eng.store.read_events(spark, "crawled")
+                   .select("url").distinct().collect()}
+        assert crawled
+        n_warc = sum(m["n_records"] for m in man["warc"])
+        n_wet = sum(m["n_records"] for m in man["wet"])
+        assert n_warc == n_wet == man["cdx_rows"] == len(crawled)
+        # WARC pages + resolved revisits == crawled slice of the corpus
+        pages = read_warc(spark, f"{out}/warc")
+        rev = read_warc_revisits(spark, f"{out}/warc")
+        full = pages.unionByName(resolve_revisits(pages, rev))
+        got = {(r.url, bytes(r.html)) for r in full.collect()}
+        corpus = spark.read.parquet(f"{tiny_corpus_dir}/corpus.parquet")
+        want = {(r.url, bytes(r.html)) for r in corpus.collect()
+                if r.url in crawled}
+        assert got == want
+        # WET text matches the corpus text column
+        wet = {(r.url, r.text) for r in
+               read_wet(spark, f"{out}/wet").collect()}
+        assert wet == {(r.url, r.text) for r in corpus.collect()
+                       if r.url in crawled}
+        # CDX is the capture index (one row per crawled url here)
+        idx = spark.read.parquet(man["cdx_dir"])
+        assert {r.url for r in idx.collect()} == crawled
+        assert set(idx.columns) == {"surt_key", "ts", "url"}
