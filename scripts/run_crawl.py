@@ -34,6 +34,10 @@ def main() -> None:
     ap.add_argument("--politeness", action="store_true")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--config", default="{}", help="CrawlConfig overrides (JSON)")
+    ap.add_argument("--archive", default=None, metavar="DIR",
+                    help="after the crawl, ship the crawled pages as the "
+                         "Common-Crawl artifact triple (WARC with revisit "
+                         "dedup + WET + CDX) into DIR")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -65,6 +69,13 @@ def main() -> None:
         "crawled_total": eng.crawled_count,
         "last_round": eng.round,
     }
+    if args.archive:
+        man = eng.archive(args.archive)
+        summary["archive"] = {
+            "warc_records": sum(m["n_records"] for m in man["warc"]),
+            "wet_records": sum(m["n_records"] for m in man["wet"]),
+            "cdx_rows": man["cdx_rows"],
+        }
     print(json.dumps(summary))
 
 
