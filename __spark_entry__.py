@@ -2226,6 +2226,107 @@ _C4_LINES_SQL = """
         FROM documents)"""
 
 
+def _gopher_text_col():
+    """Deterministic Gopher-fixture text: per-doc poison variants so every
+    §A1.2 gate fires both ways — short-char mean (%16), numeric all-words
+    (%13), truncated word count (%4), bullet-line flood (%7), symbol flood
+    (%9), ellipsis-line flood (%11); non-English docs fail the stopword
+    gate naturally. Same CASE chain in the SQL oracle."""
+    d = F.col("doc_id")
+    base = (F.when(d % 16 == 0, F.repeat(F.lit("a "), 60))
+            .when(d % 13 == 0, F.repeat(F.lit("123 456 "), 30))
+            .when(d % 4 == 0, F.substring(F.col("text"), 1, 100))
+            .otherwise(F.col("text")))
+    return F.concat(
+        base,
+        F.when(d % 7 == 0, F.repeat(F.lit("\n• bullet item"), 15))
+         .otherwise(F.lit("")),
+        F.when(d % 9 == 0, F.repeat(F.lit(" ##"), 30))
+         .otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.repeat(F.lit("\nthis line trails off..."), 5))
+         .otherwise(F.lit("")))
+
+
+_GOPHER_TEXT_SQL = """
+  SELECT doc_id,
+         (CASE WHEN doc_id % 16 = 0 THEN repeat('a ', 60)
+               WHEN doc_id % 13 = 0 THEN repeat('123 456 ', 30)
+               WHEN doc_id % 4 = 0 THEN substr(text, 1, 100)
+               ELSE text END)
+         || (CASE WHEN doc_id % 7 = 0
+                  THEN repeat(chr(10) || '• bullet item', 15) ELSE '' END)
+         || (CASE WHEN doc_id % 9 = 0
+                  THEN repeat(' ##', 30) ELSE '' END)
+         || (CASE WHEN doc_id % 11 = 0
+                  THEN repeat(chr(10) || 'this line trails off...', 5)
+                  ELSE '' END) AS t
+  FROM documents"""
+
+
+def q_gopher_quality(spark, sf_dir):
+    """Gopher quality gate (Rae et al. 2021 §A1.2,
+    functions/cleaning.py:gopher_quality): word-count bounds, mean word
+    length, symbol/bullet/ellipsis ratios, alpha-word ratio, stopword
+    hits — every signal a row-local HOF in exact integer thousandths,
+    zero shuffle at any corpus size."""
+    from abot_dotnet_core_spark.functions.cleaning import gopher_quality
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", _gopher_text_col().alias("text"))
+    return gopher_quality(docs)
+
+
+def sql_gopher_quality():
+    from abot_dotnet_core_spark.functions.cleaning import (
+        GOPHER_MAX_BULLET_LINE_MILLIS, GOPHER_MAX_ELLIPSIS_LINE_MILLIS,
+        GOPHER_MAX_MEAN_WORD_LEN_MILLIS, GOPHER_MAX_SYMBOL_RATIO_MILLIS,
+        GOPHER_MAX_WORDS, GOPHER_MIN_ALPHA_WORD_MILLIS,
+        GOPHER_MIN_MEAN_WORD_LEN_MILLIS, GOPHER_MIN_STOPWORD_HITS,
+        GOPHER_MIN_WORDS, GOPHER_STOPWORDS)
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return f"""
+WITH fx AS ({_GOPHER_TEXT_SQL}),
+s AS (
+  SELECT doc_id, t,
+         regexp_split_to_array(trim(t), '\\s+') AS toks,
+         string_split(t, chr(10)) AS lines
+  FROM fx),
+m AS (
+  SELECT doc_id,
+         len(toks)::int AS n_words,
+         greatest(len(toks), 1)::bigint AS n1,
+         greatest(len(lines), 1)::bigint AS nl,
+         coalesce(list_sum(list_transform(toks, w -> len(w))), 0)::bigint
+           AS word_chars,
+         (len(t) - len(replace(replace(t, '#', ''), '…', ''))
+          + (len(t) - len(replace(t, '...', ''))) // 3)::bigint AS n_sym,
+         len(list_filter(lines,
+             x -> regexp_matches(trim(x), '^[•*-] ')))::bigint AS n_bul,
+         len(list_filter(lines,
+             x -> regexp_matches(rtrim(x), '(…|\\.\\.\\.)$')))::bigint
+           AS n_ell,
+         len(list_filter(toks,
+             w -> regexp_matches(w, '[A-Za-z]')))::bigint AS n_alpha,
+         len(list_filter(list_transform(toks, w -> lower(w)),
+             w -> list_contains([{stops}], w)))::int AS stopword_hits
+  FROM s)
+SELECT doc_id, n_words,
+       (word_chars * 1000 // n1) AS mean_word_len_millis,
+       (n_sym * 1000 // n1) AS symbol_ratio_millis,
+       (n_bul * 1000 // nl) AS bullet_line_millis,
+       (n_ell * 1000 // nl) AS ellipsis_line_millis,
+       (n_alpha * 1000 // n1) AS alpha_word_millis,
+       stopword_hits,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+        AND word_chars * 1000 // n1 >= {GOPHER_MIN_MEAN_WORD_LEN_MILLIS}
+        AND word_chars * 1000 // n1 <= {GOPHER_MAX_MEAN_WORD_LEN_MILLIS}
+        AND n_sym * 1000 // n1 <= {GOPHER_MAX_SYMBOL_RATIO_MILLIS}
+        AND n_bul * 1000 // nl <= {GOPHER_MAX_BULLET_LINE_MILLIS}
+        AND n_ell * 1000 // nl <= {GOPHER_MAX_ELLIPSIS_LINE_MILLIS}
+        AND n_alpha * 1000 // n1 >= {GOPHER_MIN_ALPHA_WORD_MILLIS}
+        AND stopword_hits >= {GOPHER_MIN_STOPWORD_HITS}) AS gopher_keep
+FROM m"""
+
+
 def q_c4_filters(spark, sf_dir):
     """C4 heuristic cleaning (Raffel et al. 2020 §2.2): terminal-punct /
     min-words / javascript line filters + lorem-ipsum / curly-brace /
@@ -3094,6 +3195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "line_dedup": q_line_dedup,
         "c4_filters": q_c4_filters,
+        "gopher_quality": q_gopher_quality,
         "span_dedup": q_span_dedup,
         "fix_mojibake": q_fix_mojibake,
         "badwords_filter": q_badwords_filter,
@@ -3189,6 +3291,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": sql_pii_scrub(),
         "line_dedup": sql_line_dedup(),
         "c4_filters": sql_c4_filters(),
+        "gopher_quality": sql_gopher_quality(),
         "span_dedup": sql_span_dedup(),
         "fix_mojibake": sql_fix_mojibake(),
         "badwords_filter": sql_badwords_filter(),

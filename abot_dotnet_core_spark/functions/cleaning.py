@@ -10,6 +10,9 @@ Operators:
   with_repetition     Gopher repetition signals (duplicate-word fraction,
                       duplicate-2-gram fraction, most-frequent-2-gram
                       coverage) + a frozen keep/drop flag
+  gopher_quality      Gopher quality gate (word-count bounds, mean word
+                      length, symbol/bullet/ellipsis ratios, alpha-word
+                      ratio, stopword hits) — all row-local, zero shuffle
   with_pii_scrub      email/phone redaction + per-doc redaction counts
   line_dedup          corpus-global keep-first line dedup with document
                       reassembly (CCNet paragraph dedup shape)
@@ -460,3 +463,96 @@ def line_dedup(df: DataFrame, lines_col: str = "lines",
             .withColumn("n_kept", F.coalesce("n_kept", F.lit(0)))
             .withColumn("clean_text", F.coalesce("clean_text", F.lit("")))
             .select(id_col, "n_lines", "n_kept", "clean_text"))
+
+
+# Gopher quality-filter constants (Rae et al. 2021 §A1.2), shared with the
+# SQL oracle. Ratios are exact integer thousandths; the stopword list is
+# the paper's own eight words.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN_MILLIS = 3_000
+GOPHER_MAX_MEAN_WORD_LEN_MILLIS = 10_000
+GOPHER_MAX_SYMBOL_RATIO_MILLIS = 100          # '#' or '…' per word > 0.1
+GOPHER_MAX_BULLET_LINE_MILLIS = 900           # > 90% lines start bulleted
+GOPHER_MAX_ELLIPSIS_LINE_MILLIS = 300         # > 30% lines end with …/...
+GOPHER_MIN_ALPHA_WORD_MILLIS = 800            # < 80% words with a letter
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   min_words: int = GOPHER_MIN_WORDS,
+                   max_words: int = GOPHER_MAX_WORDS) -> DataFrame:
+    """Gopher quality filters (Rae et al. 2021 §A1.2), set-at-a-time and
+    integer-exact: word-count bounds, mean word length in [3, 10] chars,
+    symbol-to-word ratio ('#'/ellipsis) <= 0.1, < 90% of lines starting
+    with a bullet, <= 30% of lines ending in an ellipsis, >= 80% of words
+    containing a letter, and >= 2 hits from the paper's eight stopwords.
+
+    Every signal is a row-local higher-order array function over the
+    document's own words/lines — ONE narrow codegen map, zero shuffle at
+    any corpus size (the complement of ``with_repetition``, whose 2-gram
+    mode needs an aggregation). All ratios are int64 floor thousandths, so
+    the DuckDB oracle matches bit-for-bit.
+
+    Returns (id_col, n_words, mean_word_len_millis, symbol_ratio_millis,
+    bullet_line_millis, ellipsis_line_millis, alpha_word_millis,
+    stopword_hits, gopher_keep).
+    """
+    t = F.col(text_col)
+    toks = tokens_col(t)
+    n = F.size(toks)
+    n1 = F.greatest(n, F.lit(1)).cast("long")
+    lines = F.split(t, "\n")
+    nl = F.greatest(F.size(lines), F.lit(1)).cast("long")
+
+    # floor(x*1000/y) via float is exact while x*1000 < 2^53 — true for any
+    # per-document quantity here; DuckDB mirrors with bigint //
+    def millis(x, denom):
+        return F.floor(x.cast("long") * 1000 / denom).cast("long")
+
+    word_chars = F.aggregate(toks, F.lit(0).cast("long"),
+                             lambda acc, w: acc + F.length(w))
+    mean_len = millis(word_chars, n1)
+
+    # '#' and '…' per char + literal '...' occurrences (non-overlapping,
+    # same semantics as DuckDB replace)
+    n_symbols = (F.length(t) - F.length(F.translate(t, "#…", ""))
+                 + (F.length(t) - F.length(F.replace(t, F.lit("..."),
+                                                     F.lit(""))))
+                 / F.lit(3))
+    symbol_ratio = millis(n_symbols, n1)
+
+    bullet = F.size(F.filter(
+        lines, lambda x: F.trim(x).rlike("^[•*-] ")))
+    bullet_ratio = millis(bullet, nl)
+    ellipsis = F.size(F.filter(
+        lines, lambda x: F.rtrim(x).rlike("(…|\\.\\.\\.)$")))
+    ellipsis_ratio = millis(ellipsis, nl)
+
+    alpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    alpha_ratio = millis(alpha, n1)
+
+    low_toks = F.transform(toks, F.lower)
+    stop_hits = F.size(F.filter(
+        low_toks, lambda w: w.isin(*GOPHER_STOPWORDS)))
+
+    keep = ((n >= min_words) & (n <= max_words)
+            & (mean_len >= GOPHER_MIN_MEAN_WORD_LEN_MILLIS)
+            & (mean_len <= GOPHER_MAX_MEAN_WORD_LEN_MILLIS)
+            & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO_MILLIS)
+            & (bullet_ratio <= GOPHER_MAX_BULLET_LINE_MILLIS)
+            & (ellipsis_ratio <= GOPHER_MAX_ELLIPSIS_LINE_MILLIS)
+            & (alpha_ratio >= GOPHER_MIN_ALPHA_WORD_MILLIS)
+            & (stop_hits >= GOPHER_MIN_STOPWORD_HITS))
+    return df.select(
+        id_col,
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len_millis"),
+        symbol_ratio.alias("symbol_ratio_millis"),
+        bullet_ratio.alias("bullet_line_millis"),
+        ellipsis_ratio.alias("ellipsis_line_millis"),
+        alpha_ratio.alias("alpha_word_millis"),
+        stop_hits.alias("stopword_hits"),
+        keep.alias("gopher_keep"))

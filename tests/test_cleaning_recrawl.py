@@ -137,6 +137,59 @@ class TestC4Filters:
         assert out["clean_md5"] == "d41d8cd98f00b204e9800998ecf8427e"
 
 
+class TestGopherQuality:
+    def _run(self, spark, texts):
+        from abot_dotnet_core_spark.functions.cleaning import gopher_quality
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+            schema="doc_id long, text string")
+        return {r["doc_id"]: r for r in gopher_quality(df).collect()}
+
+    def test_clean_doc_keeps(self, spark):
+        sent = "the quick brown foxes jumped over many lazy dogs today and "
+        r = self._run(spark, [(sent * 6).strip()])[0]
+        assert r["n_words"] == 66
+        # 48 chars per 11-word sentence -> 288*1000 // 66
+        assert r["mean_word_len_millis"] == 4363
+        assert r["alpha_word_millis"] == 1000
+        assert r["stopword_hits"] == 12  # 'the' + 'and' per repeat
+        assert r["gopher_keep"]
+
+    def test_too_few_words(self, spark):
+        r = self._run(spark, ["the cat and the hat sat on the mat today"])[0]
+        assert r["n_words"] == 10
+        assert not r["gopher_keep"]
+
+    def test_numeric_words_fail_alpha_gate(self, spark):
+        r = self._run(spark, [("100 200 300 400 " * 15).strip()])[0]
+        assert r["n_words"] == 60
+        assert r["alpha_word_millis"] == 0
+        assert not r["gopher_keep"]
+
+    def test_bullet_and_ellipsis_line_ratios(self, spark):
+        text = "• one\n- two\nplain line\nends here..."
+        r = self._run(spark, [text])[0]
+        assert r["bullet_line_millis"] == 500   # 2 of 4 lines
+        assert r["ellipsis_line_millis"] == 250  # 1 of 4 lines
+
+    def test_symbol_ratio(self, spark):
+        # '#'x2 + '…'x1 + one literal '...' = 4 symbols over 6 words
+        r = self._run(spark, ["tag ## word … end ..."])[0]
+        assert r["symbol_ratio_millis"] == 666
+
+    def test_short_mean_word_length(self, spark):
+        r = self._run(spark, [("aa " * 50).strip()])[0]
+        assert r["n_words"] == 50
+        assert r["mean_word_len_millis"] == 2000
+        assert not r["gopher_keep"]
+
+    def test_empty_doc_total(self, spark):
+        r = self._run(spark, [""])[0]
+        assert r["n_words"] == 0
+        assert r["mean_word_len_millis"] == 0
+        assert not r["gopher_keep"]
+
+
 class TestSpanDedup:
     def _run(self, spark, docs, span=3):
         from abot_dotnet_core_spark.functions.cleaning import span_dedup
