@@ -2976,6 +2976,86 @@ SELECT term, cnt,
 FROM counts ORDER BY cnt DESC, term LIMIT 100"""
 
 
+def _hex12_sql(mexpr: str) -> str:
+    """DuckDB: first 12 md5 hex chars parsed base-16 (48-bit int), the
+    oracle mirror of functions/sketches.py:h48 — same hex-digit fold as
+    sql_fingerprint, shorter prefix."""
+    # lambda var deliberately NOT 'i': callers embed this inside queries
+    # that carry an outer column named i (the CMS row id), and DuckDB
+    # resolves the outer column over the lambda parameter
+    return (f"list_aggregate(list_transform(range(1, 13), hp -> "
+            f"(CASE WHEN ascii(substr({mexpr}, hp::int, 1)) >= 97 "
+            f"THEN ascii(substr({mexpr}, hp::int, 1)) - 87 "
+            f"ELSE ascii(substr({mexpr}, hp::int, 1)) - 48 END)::bigint "
+            f"* (1::bigint << (4 * (12 - hp::int)))), 'sum')")
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch (functions/sketches.py:kmv_distinct):
+    per-source distinct-token estimate from the 64 minimum 48-bit hashes —
+    groups under 64 distinct hashes report exactly, larger groups estimate
+    as (k-1)*2^48 DIV kth_min, all integer floor arithmetic."""
+    from abot_dotnet_core_spark.functions.sketches import kmv_distinct
+    from abot_dotnet_core_spark.functions.textfns import tokens_col
+    occ = _docs(spark, sf_dir).select(
+        "source", F.explode(tokens_col(F.col("text"))).alias("tok"))
+    return kmv_distinct(occ, "source", "tok", k=64)
+
+
+def sql_kmv_distinct():
+    return f"""
+WITH occ AS (
+  SELECT source, unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                             ELSE regexp_split_to_array(trim(text), '\\s+')
+                        END) AS tok
+  FROM documents),
+h AS (SELECT DISTINCT source, {_hex12_sql('md5(tok)')} AS h FROM occ),
+r AS (SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS r
+      FROM h)
+SELECT source, count(*)::bigint AS n_tracked, max(h) AS kth_hash,
+       (CASE WHEN count(*) < 64 THEN count(*)::bigint
+             ELSE {63 * (1 << 48)} // greatest(max(h), 1) END)::bigint
+         AS est_distinct
+FROM r WHERE r <= 64 GROUP BY source"""
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters (functions/sketches.py:
+    cms_heavy_hitters): top-20 corpus tokens by CMS estimate (3x1024
+    int64 cells — fixed sketch state, map-side combinable at any
+    occurrence volume), exact count alongside to expose the one-sided
+    overcount."""
+    from abot_dotnet_core_spark.functions.sketches import cms_heavy_hitters
+    from abot_dotnet_core_spark.functions.textfns import tokens_col
+    occ = _docs(spark, sf_dir).select(
+        F.explode(tokens_col(F.col("text"))).alias("tok"))
+    return cms_heavy_hitters(occ, "tok", depth=3, width=1024, topk=20)
+
+
+def sql_cms_heavy_hitters():
+    bucket = _hex12_sql("md5('cms' || i::varchar || '|' || tok)")
+    return f"""
+WITH occ AS (
+  SELECT unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                     ELSE regexp_split_to_array(trim(text), '\\s+')
+                END) AS tok
+  FROM documents),
+rows3 AS (SELECT unnest([0, 1, 2]) AS i),
+cells AS (SELECT i, {bucket} % 1024 AS bucket FROM occ, rows3),
+sketch AS (SELECT i, bucket, count(*)::bigint AS cell
+           FROM cells GROUP BY i, bucket),
+exact AS (SELECT tok, count(*)::bigint AS exact_count FROM occ GROUP BY tok),
+cand AS (SELECT tok, exact_count, i, {bucket} % 1024 AS bucket
+         FROM exact, rows3),
+est AS (SELECT tok, exact_count, min(cell) AS cms_count
+        FROM cand JOIN sketch USING (i, bucket) GROUP BY tok, exact_count)
+SELECT row_number() OVER (ORDER BY cms_count DESC, tok)::int AS rank,
+       tok, cms_count, exact_count
+FROM est
+QUALIFY rank <= 20"""
+
+
 def q_chunk_documents(spark, sf_dir):
     """Fixed-size character chunking with overlap (512-char windows, stride
     384): the long-document -> training-example transform. Emits the digest
@@ -3196,6 +3276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "c4_filters": q_c4_filters,
         "gopher_quality": q_gopher_quality,
+        "kmv_distinct": q_kmv_distinct,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         "span_dedup": q_span_dedup,
         "fix_mojibake": q_fix_mojibake,
         "badwords_filter": q_badwords_filter,
@@ -3292,6 +3374,8 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": sql_line_dedup(),
         "c4_filters": sql_c4_filters(),
         "gopher_quality": sql_gopher_quality(),
+        "kmv_distinct": sql_kmv_distinct(),
+        "cms_heavy_hitters": sql_cms_heavy_hitters(),
         "span_dedup": sql_span_dedup(),
         "fix_mojibake": sql_fix_mojibake(),
         "badwords_filter": sql_badwords_filter(),

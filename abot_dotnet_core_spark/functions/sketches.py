@@ -1,0 +1,125 @@
+"""Deterministic streaming sketches (distinct-count, heavy hitters).
+
+Production Spark would reach for ``approx_count_distinct`` (HLL++) and
+``count_min_sketch`` — but their binary sketch states are engine-private,
+so nothing an external oracle can verify. These are the same algorithms
+re-expressed over an md5-derived integer hash that any SQL engine can
+recompute bit-for-bit, keeping the DuckDB correctness gate exact while
+preserving the scale posture that makes sketches worth using:
+
+kmv_distinct    K-minimum-values distinct estimator (Bar-Yossef et al.
+                2002): per group keep the k smallest 48-bit hashes; with
+                n >= k distinct values the k-th smallest m estimates
+                n ~= (k-1) * 2^48 / m (+-1/sqrt(k)); below k the tracked
+                set IS the exact answer. All integer floor arithmetic.
+cms_heavy_hitters
+                Count-min sketch (Cormode & Muthukrishnan 2005): d rows x
+                w buckets of int64 counters — a FIXED d*w-cell state that
+                partial aggregation combines map-side no matter how many
+                billions of occurrences stream through — then min-over-rows
+                estimation for candidate keys and a deterministic top-k.
+                CMS never undercounts; the demo output carries the exact
+                count next to the estimate so the one-sided error is
+                visible.
+
+Hash: first 12 md5 hex chars parsed base-16 (48 bits), the same
+oracle-portable construction as dedup.py — (k-1)*2^48 and d*w counter
+sums stay far inside int64, and the DuckDB side rebuilds the identical
+integer with a hex-digit fold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+KMV_HASH_SPACE = 1 << 48  # 12 hex chars
+
+
+def h48(col) -> F.Column:
+    """48-bit md5-prefix hash (big-endian hex parse, oracle-portable)."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+def kmv_distinct(df: DataFrame, group_col: str, value_col: str,
+                 k: int = 64) -> DataFrame:
+    """Per-group distinct-count estimate from the k minimum hash values.
+
+    Returns (group_col, n_tracked, kth_hash, est_distinct):
+    ``n_tracked`` < k means the group had fewer than k distinct hashes and
+    ``est_distinct`` is exact; otherwise est = (k-1) * 2^48 DIV kth_hash.
+
+    Plan: dedupe (group, hash) — ONE hash aggregation with map-side
+    combine, so shuffle volume is distinct pairs, not occurrences — then a
+    per-group row_number window keeps only the k smallest (state the
+    window sorts is already the deduped pair set). At 10^8-row groups the
+    window sort dominates; a real deployment swaps the window for an
+    applyInPandas heap keeping k values per group, identical output.
+    """
+    space = KMV_HASH_SPACE
+    pairs = (df.select(F.col(group_col).alias("grp"),
+                       h48(F.col(value_col)).alias("h"))
+             .distinct())
+    w = Window.partitionBy("grp").orderBy("h")
+    kept = (pairs.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= k))
+    agg = kept.groupBy("grp").agg(F.count("*").alias("n_tracked"),
+                                  F.max("h").alias("kth_hash"))
+    est = (F.when(F.col("n_tracked") < k, F.col("n_tracked").cast("long"))
+           .otherwise(F.expr(
+               f"{(k - 1) * space}L DIV greatest(kth_hash, 1L)")))
+    return agg.select(F.col("grp").alias(group_col), "n_tracked",
+                      "kth_hash", est.alias("est_distinct"))
+
+
+def cms_heavy_hitters(occurrences: DataFrame, key_col: str,
+                      depth: int = 3, width: int = 1024,
+                      topk: int = 20) -> DataFrame:
+    """Top-k heavy hitters of ``key_col`` occurrences via a count-min
+    sketch, with the exact count alongside to expose the sketch's
+    one-sided (never-under) error.
+
+    Returns (rank, key_col, cms_count, exact_count) — rank 1..topk ordered
+    by (cms_count desc, key asc), deterministic across engines.
+
+    Plan: the sketch is ``depth`` groupBy(row, bucket) counts over the
+    occurrence stream — a fixed depth*width-cell state (3072 cells at the
+    defaults) that partial aggregation collapses map-side, the whole point
+    of CMS at 100 TB. Estimation joins the candidate keys' buckets against
+    the sketch (broadcast: the sketch is KB-sized by construction) and
+    takes the min over rows; the final top-k is a TakeOrdered, no global
+    sort. Candidates here are the distinct keys; a streaming deployment
+    would track candidates with space-saving instead — the sketch side is
+    unchanged.
+    """
+    key = F.col(key_col)
+    # one md5 per (row-of-sketch, occurrence): salt the key with the row id
+    cells = occurrences.select(
+        key.alias("k"),
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("row"),
+                     (h48(F.concat(F.lit(f"cms{i}|"), key)) % width)
+                     .alias("bucket"))
+            for i in range(depth)])).alias("rb"))
+    sketch = (cells.groupBy(F.col("rb.row").alias("row"),
+                            F.col("rb.bucket").alias("bucket"))
+              .agg(F.count("*").alias("cell")))
+    exact = occurrences.groupBy(key.alias("k")) \
+                       .agg(F.count("*").alias("exact_count"))
+    cand = exact.select(
+        "k", "exact_count",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("row"),
+                     (h48(F.concat(F.lit(f"cms{i}|"), F.col("k"))) % width)
+                     .alias("bucket"))
+            for i in range(depth)])).alias("rb"))
+    est = (cand.select("k", "exact_count", F.col("rb.row").alias("row"),
+                       F.col("rb.bucket").alias("bucket"))
+           .join(F.broadcast(sketch), ["row", "bucket"])
+           .groupBy("k", "exact_count")
+           .agg(F.min("cell").alias("cms_count")))
+    # TakeOrdered top-k first; the rank window then runs over k rows only
+    top = est.orderBy(F.col("cms_count").desc(), "k").limit(topk)
+    w = Window.orderBy(F.col("cms_count").desc(), F.col("k"))
+    return (top.withColumn("rank", F.row_number().over(w).cast("int"))
+            .select("rank", F.col("k").alias(key_col),
+                    "cms_count", "exact_count"))
