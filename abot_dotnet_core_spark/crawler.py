@@ -522,9 +522,10 @@ class CrawlEngine:
 
     def archive(self, outdir: str, compress: bool = True,
                 dedup_revisits: bool = True) -> dict:
-        """Ship the crawl as the Common-Crawl artifact triple: WARC
-        response(+revisit) segments, WET text conversions, and a CDX/SURT
-        index over the captures — one call after (or between) ``run()``s.
+        """Ship the crawl as the Common-Crawl artifact quad: WARC
+        response(+revisit) segments, WAT metadata (outlinks + title JSON),
+        WET text conversions, and a CDX/SURT index over the captures —
+        one call after (or between) ``run()``s.
 
         Pages = the crawled event urls semi-joined back onto the corpus
         (so only fetched pages ship), with status/content_type from
@@ -536,15 +537,20 @@ class CrawlEngine:
         for corpus-global election). CDX rows carry the capture keys
         (surt_key, ts, url); per-record byte offsets would need the
         writer to thread them back — documented gap vs Common Crawl's
-        locator columns.
+        locator columns. The WAT sink re-extracts outlinks from the
+        decoded text with the engine's own T1-T4 Arrow UDF (links are not
+        persisted per page by the crawl — by design, only the admitted
+        frontier is) and regex-captures the title; that second text scan
+        is WAT's honest cost here.
 
-        Returns {"warc": manifest rows, "wet": manifest rows,
-        "cdx_rows": n, "cdx_dir": path}.
+        Returns {"warc": manifest rows, "wat": manifest rows,
+        "wet": manifest rows, "cdx_rows": n, "cdx_dir": path}.
         """
         import os
 
         from .functions.cdx import cdx_index
-        from .sources.warc import write_warc_df, write_wet_df
+        from .functions.udfs import make_extract_links_udf
+        from .sources.warc import write_warc_df, write_wat_df, write_wet_df
 
         crawled = (self.store.read_events(self.spark, "crawled")
                    .select("url").dropDuplicates())
@@ -565,11 +571,22 @@ class CrawlEngine:
         wet_man = [r.asDict() for r in write_wet_df(
             pages.select("url", "warc_ts", "text"),
             os.path.join(outdir, "wet"), compress=compress).collect()]
+        links_udf = make_extract_links_udf(self.cfg)
+        wat_src = pages.select(
+            "url", "warc_ts", "status", "content_type",
+            F.nullif(F.regexp_extract(
+                F.col("text"), r"(?is)<title[^>]*>(.*?)</title>", 1),
+                F.lit("")).alias("title"),
+            links_udf(F.col("text"), F.col("url"), F.lit(None),
+                      F.lit(None)).alias("links"))
+        wat_man = [r.asDict() for r in write_wat_df(
+            wat_src, os.path.join(outdir, "wat"),
+            compress=compress).collect()]
         cdx_dir = os.path.join(outdir, "cdx")
         idx = cdx_index(pages.select("url", "warc_ts"))
         idx.write.mode("overwrite").parquet(cdx_dir)
         n_cdx = self.spark.read.parquet(cdx_dir).count()
-        return {"warc": warc_man, "wet": wet_man,
+        return {"warc": warc_man, "wat": wat_man, "wet": wet_man,
                 "cdx_rows": n_cdx, "cdx_dir": cdx_dir}
 
     def _read_seen(self) -> DataFrame:

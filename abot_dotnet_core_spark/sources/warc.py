@@ -645,3 +645,162 @@ def write_wet_df(df: DataFrame, outdir: str,
 
     return df.select("url", "warc_ts", "text").mapInPandas(
         gen, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# WAT sidecar (metadata archives — Common Crawl's *.warc.wat.gz)
+# ---------------------------------------------------------------------------
+
+def _wat_envelope(rec, ts_s: str) -> bytes:
+    """Common-Crawl-shaped WAT JSON for one response capture: the envelope
+    mirrors the WARC headers the paired response record carries, the
+    payload metadata carries the HTTP status/Content-Type and the
+    HTML-Metadata block (outlinks + title) — the subset of CC's WAT
+    schema a link-graph / anchor-text consumer actually reads. Keys are
+    sorted so the bytes are deterministic."""
+    import json
+
+    html_meta: dict = {"Links": [{"path": "A@/href", "url": u}
+                                 for u in (rec.get("links") or [])]}
+    if rec.get("title"):
+        html_meta["Head"] = {"Title": rec["title"]}
+    headers = {}
+    if rec.get("content_type"):
+        headers["Content-Type"] = rec["content_type"]
+    env = {"Envelope": {
+        "Format": "WARC",
+        "WARC-Header-Metadata": {
+            "WARC-Type": "response",
+            "WARC-Target-URI": rec["url"],
+            "WARC-Date": ts_s,
+            "WARC-Record-ID": _record_id(rec["url"], ts_s)},
+        "Payload-Metadata": {
+            "Actual-Content-Type": "application/http; msgtype=response",
+            "HTTP-Response-Metadata": {
+                "Response-Message": {"Status": int(rec.get("status") or 200)},
+                "Headers": headers,
+                "HTML-Metadata": html_meta}}}}
+    return json.dumps(env, sort_keys=True, ensure_ascii=False).encode("utf-8")
+
+
+def _write_wat_records(f, records, compress: bool) -> int:
+    """Stream ``metadata`` records: payload is the WAT JSON envelope,
+    ``WARC-Refers-To`` points at the paired response record id — the same
+    linkage discipline as the WET sidecar."""
+    n = 0
+    for rec in records:
+        ts = rec.get("warc_ts") or datetime(1970, 1, 1)
+        if ts.tzinfo is not None:
+            ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
+        ts_s = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+        payload = _wat_envelope(rec, ts_s)
+        head = ("WARC/1.0\r\n"
+                "WARC-Type: metadata\r\n"
+                f"WARC-Target-URI: {rec['url']}\r\n"
+                f"WARC-Date: {ts_s}\r\n"
+                f"WARC-Record-ID: {_record_id(rec['url'], ts_s + ':wat')}\r\n"
+                f"WARC-Refers-To: {_record_id(rec['url'], ts_s)}\r\n"
+                "Content-Type: application/json\r\n"
+                f"Content-Length: {len(payload)}\r\n\r\n").encode("utf-8")
+        raw = head + payload + _CRLF2
+        if compress:
+            gz = io.BytesIO()
+            with gzip.GzipFile(fileobj=gz, mode="wb", mtime=0) as g:
+                g.write(raw)
+            raw = gz.getvalue()
+        f.write(raw)
+        n += 1
+    return n
+
+
+WAT_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_ts", T.TimestampType()),
+    T.StructField("status", T.IntegerType()),
+    T.StructField("content_type", T.StringType()),
+    T.StructField("title", T.StringType()),
+    T.StructField("links", T.ArrayType(T.StringType())),
+    T.StructField("wat_file", T.StringType()),
+])
+
+
+def read_wat(spark, path: str) -> DataFrame:
+    """Read WAT segments into ``(url, warc_ts, status, content_type, title,
+    links, wat_file)`` — one task per file, no shuffle, same tolerance
+    contract as read_warc (a record whose JSON doesn't parse is skipped,
+    not fatal)."""
+    files = (spark.read.format("binaryFile").load(path)
+             .select("path", "content"))
+
+    def gen(batches):
+        import json
+        for pdf in batches:
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                rows = []
+                for rec in iter_warc_records(bytes(blob),
+                                             types=("metadata",)):
+                    try:
+                        env = json.loads(rec["html"])["Envelope"]
+                        pm = env["Payload-Metadata"]["HTTP-Response-Metadata"]
+                    except (ValueError, KeyError, TypeError):
+                        continue
+                    hm = pm.get("HTML-Metadata", {})
+                    rows.append({
+                        "url": rec["url"], "warc_ts": rec["warc_ts"],
+                        "status": pm.get("Response-Message", {})
+                                    .get("Status"),
+                        "content_type": pm.get("Headers", {})
+                                          .get("Content-Type"),
+                        "title": hm.get("Head", {}).get("Title"),
+                        "links": [l["url"] for l in hm.get("Links", [])],
+                        "wat_file": os.path.basename(fpath)})
+                yield pd.DataFrame(rows, columns=[f.name for f in
+                                                  WAT_SCHEMA.fields])
+
+    return files.mapInPandas(gen, schema=WAT_SCHEMA)
+
+
+def write_wat_df(df: DataFrame, outdir: str,
+                 compress: bool = True) -> DataFrame:
+    """Distributed WAT sink: ``(url, warc_ts, status, content_type, title,
+    links)`` rows -> one metadata segment per partition + manifest rows,
+    same atomic ``.part`` publish discipline as the WARC/WET writers.
+    Completes the Common Crawl artifact quad (WARC + WAT + WET + CDX)."""
+    os.makedirs(outdir, exist_ok=True)
+    ext = ".warc.wat.gz" if compress else ".warc.wat"
+    out_schema = T.StructType([
+        T.StructField("wat_file", T.StringType()),
+        T.StructField("n_records", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ])
+
+    def gen(batches):
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        name = f"segment-{pid:05d}{ext}"
+        path = os.path.join(outdir, name)
+        part = os.path.join(outdir, f".{name}.part")
+        n = 0
+        with open(part, "wb") as f:
+            for pdf in batches:
+                recs = ({"url": r.url,
+                         "warc_ts": None if pd.isna(r.warc_ts)
+                         else r.warc_ts.to_pydatetime(),
+                         "status": None if pd.isna(r.status) else int(r.status),
+                         "content_type": None if pd.isna(r.content_type)
+                         else r.content_type,
+                         "title": None if pd.isna(r.title) else r.title,
+                         "links": list(r.links)
+                         if r.links is not None else []}
+                        for r in pdf.itertuples(index=False))
+                n += _write_wat_records(f, recs, compress)
+        if n == 0:
+            os.unlink(part)
+            yield pd.DataFrame(columns=[f.name for f in out_schema.fields])
+            return
+        os.replace(part, path)
+        yield pd.DataFrame([{"wat_file": name, "n_records": n,
+                             "n_bytes": os.path.getsize(path)}])
+
+    return df.select("url", "warc_ts", "status", "content_type", "title",
+                     "links").mapInPandas(gen, schema=out_schema)

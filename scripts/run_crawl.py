@@ -36,8 +36,8 @@ def main() -> None:
     ap.add_argument("--config", default="{}", help="CrawlConfig overrides (JSON)")
     ap.add_argument("--archive", default=None, metavar="DIR",
                     help="after the crawl, ship the crawled pages as the "
-                         "Common-Crawl artifact triple (WARC with revisit "
-                         "dedup + WET + CDX) into DIR")
+                         "Common-Crawl artifact quad (WARC with revisit "
+                         "dedup + WAT + WET + CDX) into DIR")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -73,6 +73,7 @@ def main() -> None:
         man = eng.archive(args.archive)
         summary["archive"] = {
             "warc_records": sum(m["n_records"] for m in man["warc"]),
+            "wat_records": sum(m["n_records"] for m in man["wat"]),
             "wet_records": sum(m["n_records"] for m in man["wet"]),
             "cdx_rows": man["cdx_rows"],
         }

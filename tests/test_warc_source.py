@@ -299,6 +299,62 @@ class TestWet:
         assert got.count() == 0
 
 
+class TestWat:
+    def test_roundtrip_and_refers_to(self, spark, tmp_path):
+        from datetime import datetime
+        from abot_dotnet_core_spark.sources.warc import (
+            write_wat_df, read_wat, _record_id)
+        df = spark.createDataFrame(
+            [("http://a.test/1", datetime(2026, 1, 2, 3, 4, 5), 200,
+              "text/html", "Pâge One", ["http://a.test/2", "http://b.test/"]),
+             ("http://a.test/2", datetime(2026, 1, 2, 3, 4, 6), 404,
+              None, None, []),
+             ("http://b.test/x", None, None, "text/plain", None, None)],
+            "url string, warc_ts timestamp, status int, content_type string,"
+            " title string, links array<string>")
+        man = write_wat_df(df.repartition(2), str(tmp_path / "wat")).collect()
+        assert sum(r.n_records for r in man) == 3
+        assert all(r.wat_file.endswith(".warc.wat.gz") for r in man)
+
+        back = {r.url: r for r in
+                read_wat(spark,
+                         str(tmp_path / "wat") + "/*.warc.wat.gz").collect()}
+        assert back["http://a.test/1"].title == "Pâge One"
+        assert back["http://a.test/1"].links == ["http://a.test/2",
+                                                 "http://b.test/"]
+        assert back["http://a.test/1"].status == 200
+        assert back["http://a.test/1"].content_type == "text/html"
+        assert back["http://a.test/2"].status == 404
+        assert back["http://a.test/2"].title is None
+        assert back["http://a.test/2"].links == []
+        assert back["http://b.test/x"].status == 200  # null -> 200 default
+        assert back["http://b.test/x"].links == []
+        assert back["http://b.test/x"].warc_ts == datetime(1970, 1, 1)
+
+        import glob
+        import gzip as _gz
+        import io as _io
+        blob = b"".join(open(p, "rb").read()
+                        for p in glob.glob(str(tmp_path / "wat") + "/*.gz"))
+        raw = _gz.GzipFile(fileobj=_io.BytesIO(blob)).read()
+        # Refers-To links to the paired response record id
+        assert _record_id("http://a.test/1",
+                          "2026-01-02T03:04:05Z").encode() in raw
+
+    def test_metadata_records_invisible_to_warc_reader(self, spark,
+                                                       tmp_path):
+        from datetime import datetime
+        from abot_dotnet_core_spark.sources.warc import (
+            write_wat_df, read_warc)
+        df = spark.createDataFrame(
+            [("http://a.test/1", datetime(2026, 1, 1), 200, "text/html",
+              None, [])],
+            "url string, warc_ts timestamp, status int, content_type string,"
+            " title string, links array<string>")
+        write_wat_df(df, str(tmp_path / "wat")).collect()
+        assert read_warc(spark, str(tmp_path / "wat") + "/*").count() == 0
+
+
 class TestRevisits:
     """WARC revisit records (identical-payload-digest dedup, ISO 28500
     §6.7.2 — Common Crawl's URL-agnostic content dedup)."""
@@ -381,16 +437,18 @@ class TestRevisits:
 
 
 class TestEngineArchive:
-    def test_crawl_then_archive_triple(self, spark, tiny_corpus_dir,
-                                       tmp_path):
-        """CrawlEngine.archive ships WARC(+revisits) + WET + CDX from the
-        crawl store; resolved WARC pages round-trip the crawled subset of
-        the corpus byte-identically and the WET text matches the corpus
-        text column."""
+    def test_crawl_then_archive_quad(self, spark, tiny_corpus_dir,
+                                     tmp_path):
+        """CrawlEngine.archive ships WARC(+revisits) + WAT + WET + CDX from
+        the crawl store; resolved WARC pages round-trip the crawled subset
+        of the corpus byte-identically, the WET text matches the corpus
+        text column, and the WAT outlinks match a fresh T1-T4 extraction."""
         from abot_dotnet_core_spark.config import CrawlConfig
         from abot_dotnet_core_spark.crawler import CrawlEngine
+        from abot_dotnet_core_spark.functions.udfs import (
+            make_extract_links_udf)
         from abot_dotnet_core_spark.sources.warc import (
-            read_warc_revisits, read_wet, resolve_revisits)
+            read_warc_revisits, read_wat, read_wet, resolve_revisits)
         eng = CrawlEngine(
             spark, CrawlConfig(),
             corpus_path=f"{tiny_corpus_dir}/corpus.parquet",
@@ -404,8 +462,9 @@ class TestEngineArchive:
                    .select("url").distinct().collect()}
         assert crawled
         n_warc = sum(m["n_records"] for m in man["warc"])
+        n_wat = sum(m["n_records"] for m in man["wat"])
         n_wet = sum(m["n_records"] for m in man["wet"])
-        assert n_warc == n_wet == man["cdx_rows"] == len(crawled)
+        assert n_warc == n_wat == n_wet == man["cdx_rows"] == len(crawled)
         # WARC pages + resolved revisits == crawled slice of the corpus
         pages = read_warc(spark, f"{out}/warc")
         rev = read_warc_revisits(spark, f"{out}/warc")
@@ -420,6 +479,16 @@ class TestEngineArchive:
                read_wet(spark, f"{out}/wet").collect()}
         assert wet == {(r.url, r.text) for r in corpus.collect()
                        if r.url in crawled}
+        # WAT outlinks == a fresh extraction over the crawled corpus text
+        wat = {r.url: (r.status, tuple(r.links)) for r in
+               read_wat(spark, f"{out}/wat").collect()}
+        links_udf = make_extract_links_udf(CrawlConfig())
+        fresh = {r.url: tuple(r.links) for r in corpus.select(
+            "url", links_udf(F.col("text"), F.col("url"), F.lit(None),
+                             F.lit(None)).alias("links")).collect()
+            if r.url in crawled}
+        assert set(wat) == crawled
+        assert {u: ls for u, (_, ls) in wat.items()} == fresh
         # CDX is the capture index (one row per crawled url here)
         idx = spark.read.parquet(man["cdx_dir"])
         assert {r.url for r in idx.collect()} == crawled
