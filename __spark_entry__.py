@@ -2287,7 +2287,8 @@ def sql_gopher_quality():
 WITH fx AS ({_GOPHER_TEXT_SQL}),
 s AS (
   SELECT doc_id, t,
-         regexp_split_to_array(trim(t), '\\s+') AS toks,
+         CASE WHEN trim(t) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(t), '\\s+') END AS toks,
          string_split(t, chr(10)) AS lines
   FROM fx),
 m AS (

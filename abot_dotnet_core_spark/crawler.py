@@ -556,13 +556,15 @@ class CrawlEngine:
                    .select("url").dropDuplicates())
         corpus = (self.spark.read.parquet(self.corpus_path)
                   .join(crawled, "url", "left_semi"))
-        meta = (self.spark.read.parquet(self.corpus_meta_path)
-                .select("url", "status", "content_type"))
+        meta = self.spark.read.parquet(self.corpus_meta_path)
+        if "x_robots" not in meta.columns:
+            meta = meta.withColumn("x_robots", F.lit(None).cast("string"))
+        meta = meta.select("url", "status", "content_type", "x_robots")
         pages = (corpus.join(meta, "url", "left")
                  .select("url", "warc_ts",
                          F.coalesce(F.col("status"), F.lit(200))
                           .alias("status"),
-                         "content_type", "html", "text"))
+                         "content_type", "x_robots", "html", "text"))
         warc_man = [r.asDict() for r in write_warc_df(
             pages.select("url", "warc_ts", "status", "content_type",
                          "html"),
@@ -578,7 +580,7 @@ class CrawlEngine:
                 F.col("text"), r"(?is)<title[^>]*>(.*?)</title>", 1),
                 F.lit("")).alias("title"),
             links_udf(F.col("text"), F.col("url"), F.lit(None),
-                      F.lit(None)).alias("links"))
+                      F.col("x_robots")).alias("links"))
         wat_man = [r.asDict() for r in write_wat_df(
             wat_src, os.path.join(outdir, "wat"),
             compress=compress).collect()]

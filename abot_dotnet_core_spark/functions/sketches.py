@@ -56,8 +56,12 @@ def kmv_distinct(df: DataFrame, group_col: str, value_col: str,
     applyInPandas heap keeping k values per group, identical output.
     """
     space = KMV_HASH_SPACE
+    # null values are ignored (h48(null) is null, and Spark windows sort
+    # NULLS FIRST while SQL oracles default NULLS LAST — dropping them
+    # keeps the exact-below-k guarantee engine-independent)
     pairs = (df.select(F.col(group_col).alias("grp"),
                        h48(F.col(value_col)).alias("h"))
+             .filter(F.col("h").isNotNull())
              .distinct())
     w = Window.partitionBy("grp").orderBy("h")
     kept = (pairs.withColumn("r", F.row_number().over(w))

@@ -550,10 +550,7 @@ def _write_wet_records(f, records, compress: bool) -> int:
     would get in the paired WARC segment — the Common Crawl WET linkage."""
     n = 0
     for rec in records:
-        ts = rec.get("warc_ts") or datetime(1970, 1, 1)
-        if ts.tzinfo is not None:
-            ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
-        ts_s = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+        ts_s = _fmt_ts(rec.get("warc_ts"))
         payload = (rec.get("text") or "").encode("utf-8")
         head = ("WARC/1.0\r\n"
                 "WARC-Type: conversion\r\n"
@@ -657,10 +654,15 @@ def _wat_envelope(rec, ts_s: str) -> bytes:
     payload metadata carries the HTTP status/Content-Type and the
     HTML-Metadata block (outlinks + title) — the subset of CC's WAT
     schema a link-graph / anchor-text consumer actually reads. Keys are
-    sorted so the bytes are deterministic."""
+    sorted so the bytes are deterministic. Link entries carry only the
+    url: the extractor returns resolved hrefs without element provenance,
+    so CC's per-element ``path`` labels (A@/href vs AREA@/href vs
+    LINK@/rel=canonical) are a documented gap. An absent status is
+    written as 0 — the same honest unknown the WARC writer's HTTP status
+    line uses, so the quad never contradicts itself."""
     import json
 
-    html_meta: dict = {"Links": [{"path": "A@/href", "url": u}
+    html_meta: dict = {"Links": [{"url": u}
                                  for u in (rec.get("links") or [])]}
     if rec.get("title"):
         html_meta["Head"] = {"Title": rec["title"]}
@@ -677,7 +679,8 @@ def _wat_envelope(rec, ts_s: str) -> bytes:
         "Payload-Metadata": {
             "Actual-Content-Type": "application/http; msgtype=response",
             "HTTP-Response-Metadata": {
-                "Response-Message": {"Status": int(rec.get("status") or 200)},
+                "Response-Message": {"Status": 0 if rec.get("status") is None
+                                     else int(rec["status"])},
                 "Headers": headers,
                 "HTML-Metadata": html_meta}}}}
     return json.dumps(env, sort_keys=True, ensure_ascii=False).encode("utf-8")
@@ -689,10 +692,7 @@ def _write_wat_records(f, records, compress: bool) -> int:
     linkage discipline as the WET sidecar."""
     n = 0
     for rec in records:
-        ts = rec.get("warc_ts") or datetime(1970, 1, 1)
-        if ts.tzinfo is not None:
-            ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
-        ts_s = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+        ts_s = _fmt_ts(rec.get("warc_ts"))
         payload = _wat_envelope(rec, ts_s)
         head = ("WARC/1.0\r\n"
                 "WARC-Type: metadata\r\n"
@@ -739,21 +739,30 @@ def read_wat(spark, path: str) -> DataFrame:
                 rows = []
                 for rec in iter_warc_records(bytes(blob),
                                              types=("metadata",)):
+                    # the WHOLE record parse is tolerant: foreign WAT
+                    # files vary in envelope shape (missing keys,
+                    # non-dict members, Links entries without 'url') —
+                    # a bad record is skipped, never a task failure
                     try:
                         env = json.loads(rec["html"])["Envelope"]
                         pm = env["Payload-Metadata"]["HTTP-Response-Metadata"]
-                    except (ValueError, KeyError, TypeError):
+                        hm = pm.get("HTML-Metadata") or {}
+                        head = hm.get("Head") or {}
+                        rows.append({
+                            "url": rec["url"], "warc_ts": rec["warc_ts"],
+                            "status": (pm.get("Response-Message") or {})
+                                       .get("Status"),
+                            "content_type": (pm.get("Headers") or {})
+                                             .get("Content-Type"),
+                            "title": head.get("Title")
+                            if isinstance(head, dict) else None,
+                            "links": [l["url"]
+                                      for l in (hm.get("Links") or [])
+                                      if isinstance(l, dict) and "url" in l],
+                            "wat_file": os.path.basename(fpath)})
+                    except (ValueError, KeyError, TypeError,
+                            AttributeError):
                         continue
-                    hm = pm.get("HTML-Metadata", {})
-                    rows.append({
-                        "url": rec["url"], "warc_ts": rec["warc_ts"],
-                        "status": pm.get("Response-Message", {})
-                                    .get("Status"),
-                        "content_type": pm.get("Headers", {})
-                                          .get("Content-Type"),
-                        "title": hm.get("Head", {}).get("Title"),
-                        "links": [l["url"] for l in hm.get("Links", [])],
-                        "wat_file": os.path.basename(fpath)})
                 yield pd.DataFrame(rows, columns=[f.name for f in
                                                   WAT_SCHEMA.fields])
 

@@ -30,6 +30,14 @@ class TestKmvDistinct:
         # k=64 -> relative std ~ 1/sqrt(64) = 12.5%; allow 3 sigma
         assert abs(r["est_distinct"] - n) / n < 0.375
 
+    def test_null_values_ignored(self, spark):
+        from abot_dotnet_core_spark.functions.sketches import kmv_distinct
+        rows = ([Row(grp="a", v=f"x{i}") for i in range(5)]
+                + [Row(grp="a", v=None)])
+        r = kmv_distinct(_occ(spark, rows), "grp", "v", k=64).collect()[0]
+        assert r["n_tracked"] == 5
+        assert r["est_distinct"] == 5
+
     def test_occurrence_multiplicity_is_invisible(self, spark):
         from abot_dotnet_core_spark.functions.sketches import kmv_distinct
         base = [Row(grp="g", v=f"value-{i}") for i in range(500)]

@@ -327,7 +327,8 @@ class TestWat:
         assert back["http://a.test/2"].status == 404
         assert back["http://a.test/2"].title is None
         assert back["http://a.test/2"].links == []
-        assert back["http://b.test/x"].status == 200  # null -> 200 default
+        # null status -> 0, the same honest unknown as the WARC HTTP line
+        assert back["http://b.test/x"].status == 0
         assert back["http://b.test/x"].links == []
         assert back["http://b.test/x"].warc_ts == datetime(1970, 1, 1)
 
@@ -340,6 +341,38 @@ class TestWat:
         # Refers-To links to the paired response record id
         assert _record_id("http://a.test/1",
                           "2026-01-02T03:04:05Z").encode() in raw
+
+    def test_foreign_wat_shapes_skip_not_crash(self, spark, tmp_path):
+        """A CC-style WAT record with provenance-labelled Links (some
+        without 'url'), plus one with unparseable JSON, must yield the
+        parseable rows and skip the rest — never fail the task."""
+        import gzip as _gz
+        import json
+        env = {"Envelope": {"Payload-Metadata": {"HTTP-Response-Metadata": {
+            "Response-Message": {"Status": 301},
+            "HTML-Metadata": {"Links": [
+                {"path": "SCRIPT@/src"},          # no url key
+                {"path": "A@/href", "url": "http://ok.test/"},
+                "not-a-dict"]}}}}}
+        recs = []
+        for url, payload in [("http://f.test/a",
+                              json.dumps(env).encode()),
+                             ("http://f.test/bad", b"{ not json")]:
+            head = ("WARC/1.0\r\nWARC-Type: metadata\r\n"
+                    f"WARC-Target-URI: {url}\r\n"
+                    "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+                    "Content-Type: application/json\r\n"
+                    f"Content-Length: {len(payload)}\r\n\r\n").encode()
+            recs.append(head + payload + b"\r\n\r\n")
+        p = tmp_path / "wat" / "segment-00000.warc.wat.gz"
+        p.parent.mkdir()
+        p.write_bytes(_gz.compress(b"".join(recs)))
+        from abot_dotnet_core_spark.sources.warc import read_wat
+        rows = read_wat(spark, str(tmp_path / "wat")).collect()
+        assert len(rows) == 1
+        assert rows[0].url == "http://f.test/a"
+        assert rows[0].status == 301
+        assert rows[0].links == ["http://ok.test/"]
 
     def test_metadata_records_invisible_to_warc_reader(self, spark,
                                                        tmp_path):
