@@ -2743,6 +2743,64 @@ def q_wet_roundtrip(spark, sf_dir):
                     F.md5("text").alias("text_md5")))
 
 
+def q_wat_roundtrip(spark, sf_dir):
+    """WAT sidecar end-to-end (sources/warc.py write_wat_df/read_wat):
+    archive deterministic per-doc metadata (status, content type, title,
+    outlink list) as gzip metadata segments, read them back, project the
+    fields + a link-list digest. Oracle computes the same projection from
+    the table — equality proves the JSON envelope is lossless."""
+    import atexit
+    import hashlib as _hl
+    import shutil
+
+    from abot_dotnet_core_spark.sources.warc import (write_wat_df, read_wat)
+    sf_tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(),
+                       f"abot_wat_roundtrip_{sf_tag}_{os.getpid()}")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    d = F.col("doc_id")
+    links = F.when(d % 5 == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(0), (d % 3).cast("int")),
+                    lambda j: F.concat(F.lit("http://link.test/"),
+                                       d.cast("string"), F.lit("/"),
+                                       j.cast("string"))))
+    recs = _docs(spark, sf_dir).select(
+        _url_col().alias("url"),
+        F.timestamp_seconds(F.lit(_EPOCH_20260101)
+                            + F.col("doc_id") % 86400).alias("warc_ts"),
+        F.when(d % 10 == 0, 404).otherwise(200).cast("int").alias("status"),
+        F.lit("text/html; charset=utf-8").alias("content_type"),
+        F.when(d % 7 == 0, F.lit(None).cast("string"))
+         .otherwise(F.concat(F.lit("Doc "), d.cast("string"))).alias("title"),
+        links.alias("links"))
+    write_wat_df(recs.repartition(4, "url"), out).collect()
+    return (read_wat(spark, out)
+            .select("url", "warc_ts", "status", "content_type", "title",
+                    F.size("links").cast("int").alias("n_links"),
+                    F.md5(F.concat_ws("|", "links")).alias("links_md5")))
+
+
+def sql_wat_roundtrip():
+    return f"""
+WITH m AS (
+  SELECT doc_id, {_URL_SQL} AS url,
+         CASE WHEN doc_id % 5 = 0 THEN []::VARCHAR[]
+              ELSE list_transform(range(0, doc_id % 3 + 1),
+                     j -> 'http://link.test/' || doc_id::varchar || '/'
+                          || j::varchar) END AS links
+  FROM documents)
+SELECT url,
+       TIMESTAMP '2026-01-01 00:00:00'
+         + (doc_id % 86400) * INTERVAL 1 SECOND AS warc_ts,
+       (CASE WHEN doc_id % 10 = 0 THEN 404 ELSE 200 END)::int AS status,
+       'text/html; charset=utf-8' AS content_type,
+       CASE WHEN doc_id % 7 = 0 THEN NULL
+            ELSE 'Doc ' || doc_id::varchar END AS title,
+       len(links)::int AS n_links,
+       md5(coalesce(array_to_string(links, '|'), '')) AS links_md5
+FROM m"""
+
+
 def sql_wet_roundtrip():
     return f"""
 SELECT {_URL_SQL} AS url,
@@ -3236,6 +3294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_reciprocity": q_host_reciprocity,
         "snapshot_diff": q_snapshot_diff,
         "soft404": q_soft404,
+        "wat_roundtrip": q_wat_roundtrip,
         "wet_roundtrip": q_wet_roundtrip,
         # dedup family
         "exact_dedup": q_exact_dedup,
@@ -3338,6 +3397,7 @@ def oracle_sql() -> dict[str, str]:
         "host_reciprocity": sql_host_reciprocity(),
         "snapshot_diff": sql_snapshot_diff(),
         "soft404": sql_soft404(),
+        "wat_roundtrip": sql_wat_roundtrip(),
         "wet_roundtrip": sql_wet_roundtrip(),
         "exact_dedup": sql_exact_dedup(),
         "minhash_signatures": sql_minhash_signatures(),
