@@ -3115,6 +3115,69 @@ FROM est
 QUALIFY rank <= 20"""
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (functions/bpe.py): the first 10
+    merge rules learned from the corpus' top-500 clean word types — pair
+    counting is a map-side-combinable agg over the vocab (never the
+    corpus), argmax a TakeOrdered-1, merge application a row-local array
+    fold; the canonical iterative driver loop, like PageRank."""
+    from abot_dotnet_core_spark.functions.bpe import bpe_train
+    from abot_dotnet_core_spark.functions.textfns import tokens_col
+    words = (_docs(spark, sf_dir)
+             .select(F.explode(tokens_col(F.lower(F.col("text"))))
+                     .alias("word"))
+             .filter(F.col("word").rlike("^[a-z]+$"))
+             .groupBy("word").agg(F.count("*").alias("cnt"))
+             .orderBy(F.desc("cnt"), "word").limit(500))
+    return bpe_train(words, n_merges=10)
+
+
+def sql_bpe_merges(n_merges: int = 10) -> str:
+    """Unrolled-CTE mirror of the BPE loop: symbol sequences ride as
+    sentinel-wrapped strings (chr(30) around every token, so the doubled
+    separator makes DuckDB's leftmost non-overlapping replace() exactly
+    the greedy BPE merge — 'a a a a' -> 'aa aa'); each stage picks the
+    (count desc, pair asc) argmax as a 1-row CTE and applies it."""
+    prev = "v0"
+    ctes = ["""w AS (
+  SELECT word, count(*)::bigint AS cnt FROM (
+    SELECT unnest(CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                       ELSE regexp_split_to_array(trim(lower(text)),
+                                                  '\\s+') END) AS word
+    FROM documents) t
+  WHERE regexp_matches(word, '^[a-z]+$')
+  GROUP BY word ORDER BY cnt DESC, word LIMIT 500)""", """v0 AS (
+  SELECT cnt,
+         chr(30) || array_to_string(
+           list_append(list_transform(range(1, len(word) + 1),
+                                      i -> substr(word, i::int, 1)),
+                       '</w>'), chr(30) || chr(30)) || chr(30) AS seq
+  FROM w)"""]
+    for k in range(1, n_merges + 1):
+        ctes.append(f"""p{k} AS (
+  SELECT toks[i::int] AS left_sym, toks[(i + 1)::int] AS right_sym,
+         sum(cnt)::bigint AS pair_count
+  FROM (SELECT cnt, string_split(substr(seq, 2, len(seq) - 2),
+                                 chr(30) || chr(30)) AS toks
+        FROM {prev}) s,
+       unnest(range(1, len(toks))) AS u(i)
+  GROUP BY left_sym, right_sym)""")
+        ctes.append(f"""b{k} AS (
+  SELECT left_sym, right_sym, pair_count FROM p{k}
+  ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1)""")
+        ctes.append(f"""v{k} AS (
+  SELECT cnt, replace(seq,
+           chr(30) || left_sym || chr(30) || chr(30) || right_sym
+             || chr(30),
+           chr(30) || left_sym || right_sym || chr(30)) AS seq
+  FROM {prev}, b{k})""")
+        prev = f"v{k}"
+    union = "\nUNION ALL\n".join(
+        f"SELECT {k} AS rank, left_sym, right_sym, pair_count FROM b{k}"
+        for k in range(1, n_merges + 1))
+    return ("WITH " + ",\n".join(ctes) + "\n" + union)
+
+
 def q_chunk_documents(spark, sf_dir):
     """Fixed-size character chunking with overlap (512-char windows, stride
     384): the long-document -> training-example transform. Emits the digest
@@ -3338,6 +3401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "kmv_distinct": q_kmv_distinct,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "bpe_merges": q_bpe_merges,
         "span_dedup": q_span_dedup,
         "fix_mojibake": q_fix_mojibake,
         "badwords_filter": q_badwords_filter,
@@ -3437,6 +3501,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": sql_gopher_quality(),
         "kmv_distinct": sql_kmv_distinct(),
         "cms_heavy_hitters": sql_cms_heavy_hitters(),
+        "bpe_merges": sql_bpe_merges(),
         "span_dedup": sql_span_dedup(),
         "fix_mojibake": sql_fix_mojibake(),
         "badwords_filter": sql_badwords_filter(),
