@@ -3115,6 +3115,81 @@ FROM est
 QUALIFY rank <= 20"""
 
 
+def q_length_quantiles(spark, sf_dir):
+    """Exact per-language length quantiles (functions/textfns.py:
+    group_quantiles): F.percentile is Spark's exact sort-based aggregate
+    and interpolates identically to SQL quantile_cont, so the doubles
+    match bit-for-bit."""
+    from abot_dotnet_core_spark.functions.textfns import group_quantiles
+    return group_quantiles(_docs(spark, sf_dir), "n_chars", "lang")
+
+
+def sql_length_quantiles():
+    return """
+SELECT lang, count(*)::bigint AS n_rows,
+       quantile_cont(n_chars, 0.25) AS p25,
+       quantile_cont(n_chars, 0.5) AS p50,
+       quantile_cont(n_chars, 0.75) AS p75,
+       quantile_cont(n_chars, 0.95) AS p95
+FROM documents GROUP BY lang"""
+
+
+def _script_text_col():
+    """Deterministic script-mix fixture: append Cyrillic / CJK / digit
+    runs per doc_id residue so every script class fires both ways."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(d % 6 == 0, F.repeat(F.lit(" Привет мир"), 10))
+         .otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.repeat(F.lit(" 中文测试"), 8))
+         .otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit(" 1234567890")).otherwise(F.lit("")))
+
+
+def q_script_profile(spark, sf_dir):
+    """Unicode-script character distribution (functions/textfns.py:
+    script_profile): Latin/Cyrillic/CJK/digit counts + exact-thousandths
+    shares + dominant script — row-local codegen regex over literal
+    codepoint ranges (Java regex and RE2 agree), zero shuffle."""
+    from abot_dotnet_core_spark.functions.textfns import script_profile
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", _script_text_col().alias("text"))
+    return script_profile(docs)
+
+
+def sql_script_profile():
+    from abot_dotnet_core_spark.functions.textfns import SCRIPT_CLASSES
+    cnt = {name: f"(length(t) - length(regexp_replace(t, '{pat}', '', 'g')))"
+           for name, pat in SCRIPT_CLASSES}
+    cols = []
+    for name, _ in SCRIPT_CLASSES:
+        cols.append(f"{cnt[name]}::bigint AS n_{name}")
+        cols.append(f"({cnt[name]}::bigint * 1000 // "
+                    f"greatest(length(t), 1)) AS {name}_millis")
+    order = [n for n, _ in SCRIPT_CLASSES]
+    dom = "CASE "
+    for i, name in enumerate(order):
+        conds = [f"{cnt[name]} > 0"] + [
+            f"{cnt[name]} >= {cnt[o]}" for o in order if o != name]
+        dom += f"WHEN {' AND '.join(conds)} THEN '{name}' "
+    dom += "ELSE 'none' END"
+    return f"""
+WITH fx AS (
+  SELECT doc_id,
+         text
+         || (CASE WHEN doc_id % 6 = 0
+                  THEN repeat(' Привет мир', 10) ELSE '' END)
+         || (CASE WHEN doc_id % 5 = 0
+                  THEN repeat(' 中文测试', 8) ELSE '' END)
+         || (CASE WHEN doc_id % 7 = 0 THEN ' 1234567890' ELSE '' END) AS t
+  FROM documents)
+SELECT doc_id, length(t)::bigint AS n_chars,
+       {', '.join(cols)},
+       {dom} AS dominant
+FROM fx"""
+
+
 def q_bpe_merges(spark, sf_dir):
     """Distributed BPE tokenizer training (functions/bpe.py): the first 10
     merge rules learned from the corpus' top-500 clean word types — pair
@@ -3402,6 +3477,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bpe_merges": q_bpe_merges,
+        "length_quantiles": q_length_quantiles,
+        "script_profile": q_script_profile,
         "span_dedup": q_span_dedup,
         "fix_mojibake": q_fix_mojibake,
         "badwords_filter": q_badwords_filter,
@@ -3502,6 +3579,8 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct": sql_kmv_distinct(),
         "cms_heavy_hitters": sql_cms_heavy_hitters(),
         "bpe_merges": sql_bpe_merges(),
+        "length_quantiles": sql_length_quantiles(),
+        "script_profile": sql_script_profile(),
         "span_dedup": sql_span_dedup(),
         "fix_mojibake": sql_fix_mojibake(),
         "badwords_filter": sql_badwords_filter(),

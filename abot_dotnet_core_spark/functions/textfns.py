@@ -300,3 +300,80 @@ def soft404_signals(df: DataFrame, text_col: str = "text",
             .withColumn("is_short", is_short)
             .withColumn("soft404_score_millis", score)
             .withColumn("is_soft404", score >= 600))
+
+
+# --- exact group quantiles ---------------------------------------------------
+
+def group_quantiles(df: DataFrame, value_col: str, group_col: str,
+                    probs: tuple = (0.25, 0.5, 0.75, 0.95)) -> DataFrame:
+    """Exact per-group interpolated quantiles of a numeric column — the
+    corpus length-distribution report (sequence-length planning, outlier
+    cutoffs). ``F.percentile`` is Spark's EXACT sort-based aggregate and
+    interpolates identically to SQL ``quantile_cont`` (rank p*(n-1),
+    linear between neighbors), so the oracle matches bit-for-bit.
+
+    Scale posture: one hash aggregation; the percentile state holds each
+    group's values, so this is for bounded groups (per-language corpus
+    stats: thousands of groups, the biggest holding a corpus share that
+    one executor can sort). For 10^9-row single groups switch to
+    ``approx_percentile`` — same call shape, sketch-backed.
+
+    Returns (group_col, n_rows, p<25> p<50> ... columns).
+    """
+    agg = df.groupBy(group_col).agg(
+        F.count("*").alias("n_rows"),
+        F.percentile(value_col, F.lit(list(probs))).alias("q"))
+    return agg.select(
+        group_col, "n_rows",
+        *[F.col("q")[i].alias(f"p{round(p * 100)}")
+          for i, p in enumerate(probs)])
+
+
+# --- unicode script profile --------------------------------------------------
+
+# (name, codepoint-range character class) — literal BMP ranges so the same
+# pattern string compiles identically under Java regex and RE2
+SCRIPT_CLASSES = [
+    ("latin", "[A-Za-z]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("cjk", "[一-鿿]"),
+    ("digit", "[0-9]"),
+]
+
+
+def script_profile(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-document unicode-script character distribution: counts and
+    exact-thousandths shares of Latin / Cyrillic / CJK / digit characters,
+    plus the dominant script (ties broken by SCRIPT_CLASSES order, 'none'
+    for empty text). The script-mix gate every multilingual corpus
+    pipeline needs (mixed-script spam, wrong-language routing, mojibake
+    residue all show up here first).
+
+    Each count is length-minus-replaced — row-local codegen regex, zero
+    shuffle at any corpus size; character classes are literal codepoint
+    ranges, so Java regex and RE2 (the DuckDB oracle) agree exactly.
+
+    Returns (id_col, n_chars, n_<class>, <class>_millis ..., dominant).
+    """
+    t = F.col(text_col)
+    n = F.length(t).cast("long")
+    n1 = F.greatest(n, F.lit(1))
+    cols = [F.col(id_col), n.alias("n_chars")]
+    counts = {}
+    for name, pat in SCRIPT_CLASSES:
+        c = (n - F.length(F.regexp_replace(t, pat, ""))).cast("long")
+        counts[name] = c
+        cols.append(c.alias(f"n_{name}"))
+        cols.append(F.floor(c * 1000 / n1).cast("long")
+                    .alias(f"{name}_millis"))
+    # first class (in SCRIPT_CLASSES order) holding the max count wins:
+    # built in reverse so the earliest class's .when is evaluated first
+    dominant = F.lit("none")
+    for name, _ in reversed(SCRIPT_CLASSES):
+        others = [counts[o] for o, _ in SCRIPT_CLASSES if o != name]
+        cond = (counts[name] > 0)
+        for o in others:
+            cond = cond & (counts[name] >= o)
+        dominant = F.when(cond, F.lit(name)).otherwise(dominant)
+    return df.select(*cols, dominant.alias("dominant"))

@@ -40,6 +40,7 @@ HEADLINE = [
     "cosine_topk", "cosine_topk_lsh",
     "stratified_sample", "pack_sequences", "training_mix", "dsir_weights",
     "token_stats", "quality_scores", "lang_id", "fingerprint",
+    "length_quantiles", "script_profile",
     "inverted_index", "tfidf_topk", "bigram_lm",
     "gopher_repetition", "line_dedup", "span_dedup", "fix_mojibake",
     "boilerplate_blocks", "main_content", "anchor_text", "sitemap_extract",

@@ -782,3 +782,51 @@ class TestAnnRecall:
         self_eval = {r.recall_millis for r in
                      ann_recall(exact, exact).collect()}
         assert self_eval == {1000}
+
+
+class TestGroupQuantiles:
+    def test_interpolation_matches_closed_form(self, spark):
+        from abot_dotnet_core_spark.functions.textfns import group_quantiles
+        from pyspark.sql import Row
+        # group a: values 10,20,30,40 -> p25 = 10 + 0.75*(20-10) = 17.5,
+        # p50 = 25.0, p75 = 32.5, p95 = 10 + 2.85 steps -> 38.5
+        df = spark.createDataFrame(
+            [Row(g="a", v=x) for x in (10, 20, 30, 40)]
+            + [Row(g="b", v=7)], schema="g string, v long")
+        out = {r.g: r for r in group_quantiles(df, "v", "g").collect()}
+        assert out["a"].n_rows == 4
+        assert (out["a"].p25, out["a"].p50, out["a"].p75, out["a"].p95) \
+            == (17.5, 25.0, 32.5, 38.5)
+        # single-value group: every quantile is the value
+        assert (out["b"].p25, out["b"].p95) == (7.0, 7.0)
+
+
+class TestScriptProfile:
+    def _run(self, spark, texts):
+        from abot_dotnet_core_spark.functions.textfns import script_profile
+        from pyspark.sql import Row
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+            schema="doc_id long, text string")
+        return {r.doc_id: r for r in script_profile(df).collect()}
+
+    def test_counts_and_dominant(self, spark):
+        out = self._run(spark, ["abc прив 位置 42 .,"])
+        r = out[0]
+        assert (r.n_latin, r.n_cyrillic, r.n_cjk, r.n_digit) == (3, 4, 2, 2)
+        assert r.n_chars == 17
+        assert r.latin_millis == 176   # floor(3000/17)
+        assert r.dominant == "cyrillic"
+
+    def test_tie_prefers_class_order(self, spark):
+        # 2 latin vs 2 cyrillic: latin listed first in SCRIPT_CLASSES
+        r = self._run(spark, ["ab пр"])[0]
+        assert r.n_latin == r.n_cyrillic == 2
+        assert r.dominant == "latin"
+
+    def test_empty_and_unclassified(self, spark):
+        out = self._run(spark, ["", "!!! ???"])
+        assert out[0].dominant == "none"
+        assert out[0].n_chars == 0
+        assert out[1].dominant == "none"
+        assert out[1].latin_millis == 0

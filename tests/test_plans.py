@@ -290,6 +290,56 @@ class TestRound2AdditionPlans:
         assert "LeftSemi" in plan, plan
         assert "HashAggregate" in plan, plan
 
+    def test_gopher_quality_zero_shuffle_no_python(self, spark):
+        """Every Gopher §A1.2 signal is a row-local HOF — one narrow
+        codegen map, no Exchange, no Python, at any corpus size."""
+        import __spark_entry__ as e
+        plan = simple_plan(e.q_gopher_quality(spark, SF))
+        assert "Exchange" not in plan, plan
+        assert "Python" not in plan, plan
+
+    def test_kmv_distinct_dedup_agg_then_bounded_window(self, spark):
+        """KMV: the (group, hash) dedupe is a hash aggregation with
+        map-side combine (shuffle volume = distinct pairs, not
+        occurrences), the top-k keep a PARTITIONED window (never a
+        single-partition global sort); no Python anywhere."""
+        import __spark_entry__ as e
+        plan = simple_plan(e.q_kmv_distinct(spark, SF))
+        assert "Python" not in plan, plan
+        assert "HashAggregate" in plan, plan
+        # partitioned window: its exchange is hashpartitioning, not
+        # SinglePartition
+        assert "Window" in plan, plan
+        assert "SinglePartition" not in plan, plan
+
+    def test_cms_sketch_broadcast_no_cartesian_no_python(self, spark):
+        """CMS: the d*w-cell sketch broadcasts into the candidate
+        estimation join (it is KB-sized by construction); no cartesian,
+        no Python; the final top-k is a TakeOrdered, so the only window
+        runs over the k survivors."""
+        import __spark_entry__ as e
+        plan = simple_plan(e.q_cms_heavy_hitters(spark, SF))
+        assert "BroadcastHashJoin" in plan, plan
+        assert "Cartesian" not in plan, plan
+        assert "Python" not in plan, plan
+        assert "TakeOrderedAndProject" in plan, plan
+
+    def test_bpe_pair_counts_partial_agg_no_python(self, spark):
+        """BPE's per-iteration pair count: explode + hash agg with
+        map-side combine over the vocab table; the merge-application fold
+        is pure codegen (no Python, no window)."""
+        from abot_dotnet_core_spark.functions.bpe import (_pair_counts,
+                                                          word_symbols)
+        import __spark_entry__ as e
+        docs = e._docs(spark, SF)
+        words = (docs.select(F.explode(F.split(F.lower("text"), "\\s+"))
+                             .alias("word"))
+                 .groupBy("word").agg(F.count("*").alias("cnt")))
+        plan = simple_plan(_pair_counts(word_symbols(words)))
+        assert "Python" not in plan, plan
+        assert "Window" not in plan, plan
+        assert plan.count("HashAggregate") >= 2, plan  # partial + final
+
     def test_shuffle_shards_range_rank_no_single_partition_window(self, spark):
         """shuffle_shards ranks via the two-pass range sequencer (its range
         exchange is pinned behind the sequencer's localCheckpoint, so the
