@@ -2275,22 +2275,18 @@ def q_gopher_quality(spark, sf_dir):
     return gopher_quality(docs)
 
 
-def sql_gopher_quality():
-    from abot_dotnet_core_spark.functions.cleaning import (
-        GOPHER_MAX_BULLET_LINE_MILLIS, GOPHER_MAX_ELLIPSIS_LINE_MILLIS,
-        GOPHER_MAX_MEAN_WORD_LEN_MILLIS, GOPHER_MAX_SYMBOL_RATIO_MILLIS,
-        GOPHER_MAX_WORDS, GOPHER_MIN_ALPHA_WORD_MILLIS,
-        GOPHER_MIN_MEAN_WORD_LEN_MILLIS, GOPHER_MIN_STOPWORD_HITS,
-        GOPHER_MIN_WORDS, GOPHER_STOPWORDS)
+def _gopher_sm_sql(src: str) -> str:
+    """The s/m signal CTEs of the Gopher oracle over a (doc_id, t) source
+    CTE — shared by sql_gopher_quality and sql_quality_cascade, mirroring
+    cleaning.gopher_signal_cols being shared Spark-side."""
+    from abot_dotnet_core_spark.functions.cleaning import GOPHER_STOPWORDS
     stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
-    return f"""
-WITH fx AS ({_GOPHER_TEXT_SQL}),
-s AS (
+    return f"""s AS (
   SELECT doc_id, t,
          CASE WHEN trim(t) = '' THEN []::VARCHAR[]
               ELSE regexp_split_to_array(trim(t), '\\s+') END AS toks,
          string_split(t, chr(10)) AS lines
-  FROM fx),
+  FROM {src}),
 m AS (
   SELECT doc_id,
          len(toks)::int AS n_words,
@@ -2309,7 +2305,31 @@ m AS (
              w -> regexp_matches(w, '[A-Za-z]')))::bigint AS n_alpha,
          len(list_filter(list_transform(toks, w -> lower(w)),
              w -> list_contains([{stops}], w)))::int AS stopword_hits
-  FROM s)
+  FROM s)"""
+
+
+def _gopher_keep_sql() -> str:
+    """The keep condition over the m-CTE's raw signal columns."""
+    from abot_dotnet_core_spark.functions.cleaning import (
+        GOPHER_MAX_BULLET_LINE_MILLIS, GOPHER_MAX_ELLIPSIS_LINE_MILLIS,
+        GOPHER_MAX_MEAN_WORD_LEN_MILLIS, GOPHER_MAX_SYMBOL_RATIO_MILLIS,
+        GOPHER_MAX_WORDS, GOPHER_MIN_ALPHA_WORD_MILLIS,
+        GOPHER_MIN_MEAN_WORD_LEN_MILLIS, GOPHER_MIN_STOPWORD_HITS,
+        GOPHER_MIN_WORDS)
+    return f"""(n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+        AND word_chars * 1000 // n1 >= {GOPHER_MIN_MEAN_WORD_LEN_MILLIS}
+        AND word_chars * 1000 // n1 <= {GOPHER_MAX_MEAN_WORD_LEN_MILLIS}
+        AND n_sym * 1000 // n1 <= {GOPHER_MAX_SYMBOL_RATIO_MILLIS}
+        AND n_bul * 1000 // nl <= {GOPHER_MAX_BULLET_LINE_MILLIS}
+        AND n_ell * 1000 // nl <= {GOPHER_MAX_ELLIPSIS_LINE_MILLIS}
+        AND n_alpha * 1000 // n1 >= {GOPHER_MIN_ALPHA_WORD_MILLIS}
+        AND stopword_hits >= {GOPHER_MIN_STOPWORD_HITS})"""
+
+
+def sql_gopher_quality():
+    return f"""
+WITH fx AS ({_GOPHER_TEXT_SQL}),
+{_gopher_sm_sql('fx')}
 SELECT doc_id, n_words,
        (word_chars * 1000 // n1) AS mean_word_len_millis,
        (n_sym * 1000 // n1) AS symbol_ratio_millis,
@@ -2317,15 +2337,87 @@ SELECT doc_id, n_words,
        (n_ell * 1000 // nl) AS ellipsis_line_millis,
        (n_alpha * 1000 // n1) AS alpha_word_millis,
        stopword_hits,
-       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
-        AND word_chars * 1000 // n1 >= {GOPHER_MIN_MEAN_WORD_LEN_MILLIS}
-        AND word_chars * 1000 // n1 <= {GOPHER_MAX_MEAN_WORD_LEN_MILLIS}
-        AND n_sym * 1000 // n1 <= {GOPHER_MAX_SYMBOL_RATIO_MILLIS}
-        AND n_bul * 1000 // nl <= {GOPHER_MAX_BULLET_LINE_MILLIS}
-        AND n_ell * 1000 // nl <= {GOPHER_MAX_ELLIPSIS_LINE_MILLIS}
-        AND n_alpha * 1000 // n1 >= {GOPHER_MIN_ALPHA_WORD_MILLIS}
-        AND stopword_hits >= {GOPHER_MIN_STOPWORD_HITS}) AS gopher_keep
+       {_gopher_keep_sql()} AS gopher_keep
 FROM m"""
+
+
+_CASCADE_GOOD = ("the quick brown foxes jumped over many lazy dogs today"
+                 " and " * 6).strip()
+
+
+def _cascade_text_col():
+    """Cascade fixture: a duplicate group (%19 shares one constant good
+    text), a Gopher poison (%16 appends a long-word run that drags mean
+    word length past 10), a script poison (%6 appends a Cyrillic run that
+    dominates), and a soft-404 poison (%17 appends two error phrases)."""
+    d = F.col("doc_id")
+    base = F.when(d % 19 == 0, F.lit(_CASCADE_GOOD)).otherwise(F.col("text"))
+    return F.concat(
+        base,
+        F.when(d % 16 == 0,
+               F.concat(F.lit(" "),
+                        F.repeat(F.lit("abcdefghijklmnopqrstuvwxyz "), 40)))
+         .otherwise(F.lit("")),
+        F.when(d % 6 == 0, F.repeat(F.lit(" привет мир слово здесь"), 60))
+         .otherwise(F.lit("")),
+        F.when(d % 17 == 0, F.lit(" page not found and 404 not found"))
+         .otherwise(F.lit("")))
+
+
+def q_quality_cascade(spark, sf_dir):
+    """Composed document-quality cascade (functions/cleaning.py:
+    quality_cascade): script routing -> Gopher quality -> soft-404 ->
+    exact dedup as ONE declarative plan with golden reason strings — the
+    corpus-cleaning mirror of the crawl engine's P1-P17 URL cascade. All
+    gate signals ride one narrow codegen projection; dedup adds one
+    fingerprint agg over survivors + one join back."""
+    from abot_dotnet_core_spark.functions.cleaning import quality_cascade
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", _cascade_text_col().alias("text"))
+    return quality_cascade(docs)
+
+
+def sql_quality_cascade():
+    from abot_dotnet_core_spark.functions.textfns import (SOFT404_PHRASES,
+                                                          SOFT404_SHORT_CHARS)
+    hits = " + ".join(
+        f"contains(lower(f.t), '{p}')::int" for p in SOFT404_PHRASES)
+    return f"""
+WITH fx AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 19 = 0 THEN '{_CASCADE_GOOD}' ELSE text END)
+         || (CASE WHEN doc_id % 16 = 0
+                  THEN ' ' || repeat('abcdefghijklmnopqrstuvwxyz ', 40)
+                  ELSE '' END)
+         || (CASE WHEN doc_id % 6 = 0
+                  THEN repeat(' привет мир слово здесь', 60) ELSE '' END)
+         || (CASE WHEN doc_id % 17 = 0
+                  THEN ' page not found and 404 not found' ELSE '' END)
+           AS t
+  FROM documents),
+{_gopher_sm_sql('fx')},
+sig AS (
+  SELECT f.doc_id,
+         md5(regexp_replace(lower(trim(f.t)), '\\s+', ' ', 'g'))
+           AS fingerprint,
+         CASE WHEN {_dominant_sql('f.t')} <> 'latin' THEN 'script'
+              WHEN NOT {_gopher_keep_sql()} THEN 'gopher'
+              WHEN least(1000, ({hits}) * 400
+                   + (length(f.t) < {SOFT404_SHORT_CHARS})::int * 200)
+                   >= 600 THEN 'soft404'
+         END AS pre_reason
+  FROM fx f JOIN m USING (doc_id)),
+first AS (
+  SELECT fingerprint, min(doc_id) AS first_id
+  FROM sig WHERE pre_reason IS NULL GROUP BY fingerprint)
+SELECT s.doc_id, s.fingerprint,
+       coalesce(s.pre_reason,
+                CASE WHEN s.doc_id <> fr.first_id THEN 'duplicate' END)
+         AS reason,
+       coalesce(s.pre_reason,
+                CASE WHEN s.doc_id <> fr.first_id THEN 'duplicate' END)
+         IS NULL AS kept
+FROM sig s LEFT JOIN first fr USING (fingerprint)"""
 
 
 def q_c4_filters(spark, sf_dir):
@@ -3158,22 +3250,36 @@ def q_script_profile(spark, sf_dir):
     return script_profile(docs)
 
 
+def _script_cnt_sql(texpr: str = "t") -> dict:
+    from abot_dotnet_core_spark.functions.textfns import SCRIPT_CLASSES
+    return {name: f"(length({texpr}) - "
+                  f"length(regexp_replace({texpr}, '{pat}', '', 'g')))"
+            for name, pat in SCRIPT_CLASSES}
+
+
+def _dominant_sql(texpr: str = "t") -> str:
+    """Dominant-script CASE expression, mirror of textfns.
+    script_dominant_col (first class in order holding the max count)."""
+    from abot_dotnet_core_spark.functions.textfns import SCRIPT_CLASSES
+    cnt = _script_cnt_sql(texpr)
+    order = [n for n, _ in SCRIPT_CLASSES]
+    dom = "CASE "
+    for name in order:
+        conds = [f"{cnt[name]} > 0"] + [
+            f"{cnt[name]} >= {cnt[o]}" for o in order if o != name]
+        dom += f"WHEN {' AND '.join(conds)} THEN '{name}' "
+    return dom + "ELSE 'none' END"
+
+
 def sql_script_profile():
     from abot_dotnet_core_spark.functions.textfns import SCRIPT_CLASSES
-    cnt = {name: f"(length(t) - length(regexp_replace(t, '{pat}', '', 'g')))"
-           for name, pat in SCRIPT_CLASSES}
+    cnt = _script_cnt_sql("t")
     cols = []
     for name, _ in SCRIPT_CLASSES:
         cols.append(f"{cnt[name]}::bigint AS n_{name}")
         cols.append(f"({cnt[name]}::bigint * 1000 // "
                     f"greatest(length(t), 1)) AS {name}_millis")
-    order = [n for n, _ in SCRIPT_CLASSES]
-    dom = "CASE "
-    for i, name in enumerate(order):
-        conds = [f"{cnt[name]} > 0"] + [
-            f"{cnt[name]} >= {cnt[o]}" for o in order if o != name]
-        dom += f"WHEN {' AND '.join(conds)} THEN '{name}' "
-    dom += "ELSE 'none' END"
+    dom = _dominant_sql("t")
     return f"""
 WITH fx AS (
   SELECT doc_id,
@@ -3474,6 +3580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "c4_filters": q_c4_filters,
         "gopher_quality": q_gopher_quality,
+        "quality_cascade": q_quality_cascade,
         "kmv_distinct": q_kmv_distinct,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bpe_merges": q_bpe_merges,
@@ -3576,6 +3683,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": sql_line_dedup(),
         "c4_filters": sql_c4_filters(),
         "gopher_quality": sql_gopher_quality(),
+        "quality_cascade": sql_quality_cascade(),
         "kmv_distinct": sql_kmv_distinct(),
         "cms_heavy_hitters": sql_cms_heavy_hitters(),
         "bpe_merges": sql_bpe_merges(),

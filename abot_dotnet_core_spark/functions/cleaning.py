@@ -480,27 +480,11 @@ GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 GOPHER_MIN_STOPWORD_HITS = 2
 
 
-def gopher_quality(df: DataFrame, text_col: str = "text",
-                   id_col: str = "doc_id",
-                   min_words: int = GOPHER_MIN_WORDS,
-                   max_words: int = GOPHER_MAX_WORDS) -> DataFrame:
-    """Gopher quality filters (Rae et al. 2021 §A1.2), set-at-a-time and
-    integer-exact: word-count bounds, mean word length in [3, 10] chars,
-    symbol-to-word ratio ('#'/ellipsis) <= 0.1, < 90% of lines starting
-    with a bullet, <= 30% of lines ending in an ellipsis, >= 80% of words
-    containing a letter, and >= 2 hits from the paper's eight stopwords.
-
-    Every signal is a row-local higher-order array function over the
-    document's own words/lines — ONE narrow codegen map, zero shuffle at
-    any corpus size (the complement of ``with_repetition``, whose 2-gram
-    mode needs an aggregation). All ratios are int64 floor thousandths, so
-    the DuckDB oracle matches bit-for-bit.
-
-    Returns (id_col, n_words, mean_word_len_millis, symbol_ratio_millis,
-    bullet_line_millis, ellipsis_line_millis, alpha_word_millis,
-    stopword_hits, gopher_keep).
-    """
-    t = F.col(text_col)
+def gopher_signal_cols(t, min_words: int = GOPHER_MIN_WORDS,
+                       max_words: int = GOPHER_MAX_WORDS) -> dict:
+    """The §A1.2 signal expressions over a text Column, as a name->Column
+    dict ending in ``gopher_keep`` — shared by :func:`gopher_quality` and
+    the :func:`quality_cascade` composition so the gate is defined once."""
     toks = tokens_col(t)
     n = F.size(toks)
     n1 = F.greatest(n, F.lit(1)).cast("long")
@@ -546,13 +530,86 @@ def gopher_quality(df: DataFrame, text_col: str = "text",
             & (ellipsis_ratio <= GOPHER_MAX_ELLIPSIS_LINE_MILLIS)
             & (alpha_ratio >= GOPHER_MIN_ALPHA_WORD_MILLIS)
             & (stop_hits >= GOPHER_MIN_STOPWORD_HITS))
+    return {
+        "n_words": n,
+        "mean_word_len_millis": mean_len,
+        "symbol_ratio_millis": symbol_ratio,
+        "bullet_line_millis": bullet_ratio,
+        "ellipsis_line_millis": ellipsis_ratio,
+        "alpha_word_millis": alpha_ratio,
+        "stopword_hits": stop_hits,
+        "gopher_keep": keep,
+    }
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   min_words: int = GOPHER_MIN_WORDS,
+                   max_words: int = GOPHER_MAX_WORDS) -> DataFrame:
+    """Gopher quality filters (Rae et al. 2021 §A1.2), set-at-a-time and
+    integer-exact: word-count bounds, mean word length in [3, 10] chars,
+    symbol-to-word ratio ('#'/ellipsis) <= 0.1, < 90% of lines starting
+    with a bullet, <= 30% of lines ending in an ellipsis, >= 80% of words
+    containing a letter, and >= 2 hits from the paper's eight stopwords.
+
+    Every signal is a row-local higher-order array function over the
+    document's own words/lines — ONE narrow codegen map, zero shuffle at
+    any corpus size (the complement of ``with_repetition``, whose 2-gram
+    mode needs an aggregation). All ratios are int64 floor thousandths, so
+    the DuckDB oracle matches bit-for-bit.
+
+    Returns (id_col, n_words, mean_word_len_millis, symbol_ratio_millis,
+    bullet_line_millis, ellipsis_line_millis, alpha_word_millis,
+    stopword_hits, gopher_keep).
+    """
+    sig = gopher_signal_cols(F.col(text_col), min_words, max_words)
     return df.select(
-        id_col,
-        n.alias("n_words"),
-        mean_len.alias("mean_word_len_millis"),
-        symbol_ratio.alias("symbol_ratio_millis"),
-        bullet_ratio.alias("bullet_line_millis"),
-        ellipsis_ratio.alias("ellipsis_line_millis"),
-        alpha_ratio.alias("alpha_word_millis"),
-        stop_hits.alias("stopword_hits"),
-        keep.alias("gopher_keep"))
+        id_col, *[c.alias(name) for name, c in sig.items()])
+
+
+# --- composed document-quality cascade ---------------------------------------
+
+CASCADE_GATES = ("script", "gopher", "soft404", "duplicate")
+
+
+def quality_cascade(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """The document-side decision cascade: script routing -> Gopher
+    quality -> soft-404 -> exact dedup, composed as ONE declarative plan
+    with golden reason strings — the corpus-cleaning mirror of the crawl
+    engine's P1-P17 URL cascade (same first-failing-gate semantics, same
+    frozen reason vocabulary ``CASCADE_GATES``).
+
+    Order follows real pipelines (CCNet/RefinedWeb): language/script
+    routing first, then quality, then error shells, and dedup last so a
+    rejected page can never crowd out its kept duplicate.
+
+    Plan shape: every gate signal rides one narrow codegen projection
+    (all three families are row-local expression dicts — gopher_signal_
+    cols, script_dominant_col, soft404_cols); dedup adds one
+    fingerprint hash-agg over the SURVIVORS of the row-local gates plus
+    one equi-join back (AQE broadcasts the first-occurrence dim when
+    small). The corpus text never shuffles.
+
+    Returns (id_col, fingerprint, reason, kept): reason is NULL for kept
+    documents, else the first failing gate name; 'duplicate' marks every
+    survivor whose fingerprint was first claimed by a lower id.
+    """
+    from .textfns import script_dominant_col, soft404_cols
+
+    t = F.col(text_col)
+    pre = (F.when(script_dominant_col(t) != "latin", "script")
+           .when(~gopher_signal_cols(t)["gopher_keep"], "gopher")
+           .when(soft404_cols(t)["is_soft404"], "soft404"))
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(t)), "\\s+", " "))
+    base = df.select(F.col(id_col), fp.alias("fingerprint"),
+                     pre.alias("pre_reason"))
+    first = (base.filter(F.col("pre_reason").isNull())
+             .groupBy("fingerprint")
+             .agg(F.min(id_col).alias("first_id")))
+    reason = F.coalesce(
+        F.col("pre_reason"),
+        F.when(F.col(id_col) != F.col("first_id"), "duplicate"))
+    return (base.join(first, "fingerprint", "left")
+            .select(id_col, "fingerprint", reason.alias("reason"),
+                    reason.isNull().alias("kept")))

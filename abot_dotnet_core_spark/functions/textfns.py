@@ -273,6 +273,22 @@ SOFT404_PHRASES = [
 SOFT404_SHORT_CHARS = 400
 
 
+def soft404_cols(t, short_chars: int = SOFT404_SHORT_CHARS) -> dict:
+    """phrase_hits / is_short / soft404_score_millis / is_soft404 as a
+    name->Column dict — shared by :func:`soft404_signals` and the
+    quality-cascade composition."""
+    low = F.lower(t)
+    hits = None
+    for p in SOFT404_PHRASES:
+        h = low.contains(p).cast("int")
+        hits = h if hits is None else hits + h
+    is_short = F.length(t) < short_chars
+    score = F.least(F.lit(1000),
+                    hits * 400 + is_short.cast("int") * 200)
+    return {"phrase_hits": hits, "is_short": is_short,
+            "soft404_score_millis": score, "is_soft404": score >= 600}
+
+
 def soft404_signals(df: DataFrame, text_col: str = "text",
                     short_chars: int = SOFT404_SHORT_CHARS) -> DataFrame:
     """Soft-404 detection: pages that return HTTP 200 but carry an error
@@ -288,18 +304,10 @@ def soft404_signals(df: DataFrame, text_col: str = "text",
     Returns (id/other cols untouched) + phrase_hits, is_short,
     soft404_score_millis, is_soft404.
     """
-    low = F.lower(F.col(text_col))
-    hits = None
-    for p in SOFT404_PHRASES:
-        h = low.contains(p).cast("int")
-        hits = h if hits is None else hits + h
-    is_short = F.length(F.col(text_col)) < short_chars
-    score = F.least(F.lit(1000),
-                    hits * 400 + is_short.cast("int") * 200)
-    return (df.withColumn("phrase_hits", hits)
-            .withColumn("is_short", is_short)
-            .withColumn("soft404_score_millis", score)
-            .withColumn("is_soft404", score >= 600))
+    out = df
+    for name, c in soft404_cols(F.col(text_col), short_chars).items():
+        out = out.withColumn(name, c)
+    return out
 
 
 # --- exact group quantiles ---------------------------------------------------
@@ -341,6 +349,29 @@ SCRIPT_CLASSES = [
 ]
 
 
+def script_count_cols(t) -> dict:
+    """name -> character-count Column per script class (length minus
+    replaced; row-local codegen regex)."""
+    n = F.length(t).cast("long")
+    return {name: (n - F.length(F.regexp_replace(t, pat, ""))).cast("long")
+            for name, pat in SCRIPT_CLASSES}
+
+
+def script_dominant_col(t):
+    """Dominant script Column: first class (in SCRIPT_CLASSES order)
+    holding the max count; 'none' when no class matches any character."""
+    counts = script_count_cols(t)
+    dominant = F.lit("none")
+    # built in reverse so the earliest class's .when is evaluated first
+    for name, _ in reversed(SCRIPT_CLASSES):
+        others = [counts[o] for o, _ in SCRIPT_CLASSES if o != name]
+        cond = (counts[name] > 0)
+        for o in others:
+            cond = cond & (counts[name] >= o)
+        dominant = F.when(cond, F.lit(name)).otherwise(dominant)
+    return dominant
+
+
 def script_profile(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
     """Per-document unicode-script character distribution: counts and
@@ -360,20 +391,8 @@ def script_profile(df: DataFrame, text_col: str = "text",
     n = F.length(t).cast("long")
     n1 = F.greatest(n, F.lit(1))
     cols = [F.col(id_col), n.alias("n_chars")]
-    counts = {}
-    for name, pat in SCRIPT_CLASSES:
-        c = (n - F.length(F.regexp_replace(t, pat, ""))).cast("long")
-        counts[name] = c
+    for name, c in script_count_cols(t).items():
         cols.append(c.alias(f"n_{name}"))
         cols.append(F.floor(c * 1000 / n1).cast("long")
                     .alias(f"{name}_millis"))
-    # first class (in SCRIPT_CLASSES order) holding the max count wins:
-    # built in reverse so the earliest class's .when is evaluated first
-    dominant = F.lit("none")
-    for name, _ in reversed(SCRIPT_CLASSES):
-        others = [counts[o] for o, _ in SCRIPT_CLASSES if o != name]
-        cond = (counts[name] > 0)
-        for o in others:
-            cond = cond & (counts[name] >= o)
-        dominant = F.when(cond, F.lit(name)).otherwise(dominant)
-    return df.select(*cols, dominant.alias("dominant"))
+    return df.select(*cols, script_dominant_col(t).alias("dominant"))

@@ -47,7 +47,7 @@ HEADLINE = [
     "url_shape", "trap_signals", "cdx_index", "host_graph", "host_degrees",
     "web_pipeline", "frontier_priority",
     "badwords_filter", "quality_classifier", "perplexity_buckets",
-    "gopher_quality", "kmv_distinct", "cms_heavy_hitters",
+    "gopher_quality", "quality_cascade", "kmv_distinct", "cms_heavy_hitters",
     "semdedup", "vocab_topk", "bpe_merges", "chunk_documents", "mixture_weights",
     "url_keep_latest", "recrawl_schedule", "events_asof", "events_interval",
     "events_tumbling", "events_sessions",

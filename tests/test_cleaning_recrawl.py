@@ -190,6 +190,48 @@ class TestGopherQuality:
         assert not r["gopher_keep"]
 
 
+class TestQualityCascade:
+    GOOD = ("the quick brown foxes jumped over many lazy dogs today and "
+            * 6).strip()
+
+    def _run(self, spark, texts):
+        from abot_dotnet_core_spark.functions.cleaning import quality_cascade
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in texts],
+            schema="doc_id long, text string")
+        return {r.doc_id: r for r in quality_cascade(df).collect()}
+
+    def test_first_failing_gate_wins(self, spark):
+        out = self._run(spark, [
+            (0, self.GOOD),                                     # kept
+            (1, self.GOOD + " привет мир слово здесь" * 60),    # script
+            (2, "too few words here to pass the gate now"),     # gopher
+            (3, self.GOOD + " page not found and 404 not found"),  # soft404
+        ])
+        assert out[0].reason is None and out[0].kept
+        # script outranks gopher: the cyrillic run also breaks the alpha
+        # gate, but routing fires first
+        assert out[1].reason == "script" and not out[1].kept
+        assert out[2].reason == "gopher"
+        assert out[3].reason == "soft404"
+
+    def test_duplicate_keeps_lowest_id(self, spark):
+        out = self._run(spark, [(5, self.GOOD), (7, self.GOOD),
+                                (9, self.GOOD)])
+        assert out[5].reason is None and out[5].kept
+        assert out[7].reason == "duplicate" and not out[7].kept
+        assert out[9].reason == "duplicate"
+        assert out[5].fingerprint == out[7].fingerprint
+
+    def test_failing_docs_never_claim_first_occurrence(self, spark):
+        # both docs fail the gopher gate; neither enters the dedup stage,
+        # so both carry their gate reason (not 'duplicate')
+        short = "the cat and the hat sat on the mat now"
+        out = self._run(spark, [(1, short), (2, short)])
+        assert out[1].reason == "gopher"
+        assert out[2].reason == "gopher"
+
+
 class TestSpanDedup:
     def _run(self, spark, docs, span=3):
         from abot_dotnet_core_spark.functions.cleaning import span_dedup
