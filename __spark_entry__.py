@@ -2341,6 +2341,72 @@ SELECT doc_id, n_words,
 FROM m"""
 
 
+_RD_TLDS = ["com", "org", "co.uk", "de", "com.au", "io", "ac.uk", "net"]
+
+
+def q_registered_domain(spark, sf_dir):
+    """eTLD+1 extraction (functions/urlsignals.py:with_registered_domain):
+    public suffix + registered domain over a host fixture spanning
+    single-label TLDs, multi-label suffixes (co.uk/com.au/ac.uk),
+    subdomains, and a suffix-only-host edge — row-local codegen, zero
+    shuffle. The key per-domain budgets and dedup caps should really
+    group on."""
+    from abot_dotnet_core_spark.functions.urlsignals import (
+        with_registered_domain)
+    d = F.col("doc_id")
+    tld = F.element_at(F.array(*[F.lit(t) for t in _RD_TLDS]),
+                       (d % 8 + 1).cast("int"))
+    url = F.concat(
+        F.lit("http://"),
+        F.when(d % 3 == 0,
+               F.concat(F.lit("sub"), (d % 5).cast("string"), F.lit(".")))
+         .otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.lit("localhost"))
+         .otherwise(F.concat(F.lit("site"), (d % 97).cast("string"),
+                             F.lit("."), tld)),
+        F.lit("/p"), d.cast("string"))
+    docs = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    return with_registered_domain(docs).select(
+        "doc_id", "host", "public_suffix", "registered_domain")
+
+
+def sql_registered_domain():
+    from abot_dotnet_core_spark.functions.urlsignals import MULTI_SUFFIXES
+    tlds = ", ".join(f"'{t}'" for t in _RD_TLDS)
+    multi = ", ".join(f"'{s}'" for s in MULTI_SUFFIXES)
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+         'http://'
+         || (CASE WHEN doc_id % 3 = 0
+                  THEN 'sub' || (doc_id % 5)::varchar || '.' ELSE '' END)
+         || (CASE WHEN doc_id % 11 = 0 THEN 'localhost'
+                  ELSE 'site' || (doc_id % 97)::varchar || '.'
+                       || ([{tlds}])[(doc_id % 8 + 1)::int] END)
+         || '/p' || doc_id::varchar AS url
+  FROM documents),
+h AS (
+  SELECT doc_id, regexp_extract(url, 'http://([^/]+)', 1) AS host FROM u),
+p AS (
+  SELECT doc_id, host, string_split(host, '.') AS parts,
+         len(string_split(host, '.')) AS n
+  FROM h),
+s AS (
+  SELECT doc_id, host, parts, n,
+         (CASE WHEN n >= 2
+               THEN parts[(n - 1)::int] || '.' || parts[n::int] END)
+           AS last2
+  FROM p)
+SELECT doc_id, host,
+       CASE WHEN n >= 3 AND list_contains([{multi}], last2) THEN last2
+            ELSE parts[n::int] END AS public_suffix,
+       CASE WHEN n >= 3 AND list_contains([{multi}], last2)
+            THEN parts[(n - 2)::int] || '.' || last2
+            WHEN n >= 2 THEN last2
+            ELSE host END AS registered_domain
+FROM s"""
+
+
 _CASCADE_GOOD = ("the quick brown foxes jumped over many lazy dogs today"
                  " and " * 6).strip()
 
@@ -3581,6 +3647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": q_c4_filters,
         "gopher_quality": q_gopher_quality,
         "quality_cascade": q_quality_cascade,
+        "registered_domain": q_registered_domain,
         "kmv_distinct": q_kmv_distinct,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bpe_merges": q_bpe_merges,
@@ -3684,6 +3751,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_filters": sql_c4_filters(),
         "gopher_quality": sql_gopher_quality(),
         "quality_cascade": sql_quality_cascade(),
+        "registered_domain": sql_registered_domain(),
         "kmv_distinct": sql_kmv_distinct(),
         "cms_heavy_hitters": sql_cms_heavy_hitters(),
         "bpe_merges": sql_bpe_merges(),

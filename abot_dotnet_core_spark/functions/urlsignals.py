@@ -70,3 +70,50 @@ def domain_trap_signals(features: DataFrame) -> DataFrame:
                         F.col("repeated_segment_millis")
                         + F.col("calendar_millis")
                         + F.col("session_millis")))
+
+
+# --- registered domain (eTLD+1) ----------------------------------------------
+
+# Frozen multi-label public-suffix subset (publicsuffix.org shape; a real
+# deployment broadcasts the full ~9k-entry PSL as a dimension — the logic
+# below is unchanged, only the list grows). Single-label suffixes (com,
+# org, de, ...) need no listing: they are the default 2-label rule.
+MULTI_SUFFIXES = [
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "co.in", "co.kr", "com.cn",
+]
+
+
+def registered_domain_cols(host) -> dict:
+    """public_suffix / registered_domain Columns from a host Column —
+    eTLD+1 semantics over the frozen PSL subset. Row-local codegen
+    (split + slice + concat_ws + isin); no UDF, zero shuffle.
+
+    eTLD+1 is what per-domain budgets, dedup caps and politeness should
+    really key on: 'a.blogspot.co.uk' and 'b.blogspot.co.uk' are distinct
+    hosts but the same registrant only if the suffix is 'co.uk' — the
+    host-level fallback treats every subdomain as its own domain.
+    """
+    parts = F.split(host, "\\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.try_element_at(parts, F.lit(-2)),
+                        F.try_element_at(parts, F.lit(-1)))
+    is_multi = last2.isin(*MULTI_SUFFIXES) & (n >= 3)
+    suffix = F.when(is_multi, last2).otherwise(F.element_at(parts, -1))
+    reg = (F.when(is_multi & (n >= 3),
+                  F.concat_ws(".", F.try_element_at(parts, F.lit(-3)), last2))
+           .when(n >= 2, last2)
+           .otherwise(host))
+    return {"public_suffix": suffix, "registered_domain": reg}
+
+
+def with_registered_domain(df: DataFrame,
+                           url_col: str = "url") -> DataFrame:
+    """(existing cols) + host, public_suffix, registered_domain."""
+    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    cols = registered_domain_cols(host)
+    return (df.withColumn("host", host)
+            .withColumn("public_suffix", cols["public_suffix"])
+            .withColumn("registered_domain", cols["registered_domain"]))

@@ -44,7 +44,7 @@ HEADLINE = [
     "inverted_index", "tfidf_topk", "bigram_lm",
     "gopher_repetition", "line_dedup", "span_dedup", "fix_mojibake",
     "boilerplate_blocks", "main_content", "anchor_text", "sitemap_extract",
-    "url_shape", "trap_signals", "cdx_index", "host_graph", "host_degrees",
+    "url_shape", "trap_signals", "registered_domain", "cdx_index", "host_graph", "host_degrees",
     "web_pipeline", "frontier_priority",
     "badwords_filter", "quality_classifier", "perplexity_buckets",
     "gopher_quality", "quality_cascade", "kmv_distinct", "cms_heavy_hitters",

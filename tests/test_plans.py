@@ -340,6 +340,26 @@ class TestRound2AdditionPlans:
         assert "Window" not in plan, plan
         assert plan.count("HashAggregate") >= 2, plan  # partial + final
 
+    def test_quality_cascade_one_agg_one_join_no_python(self, spark):
+        """The composed cascade: all gate signals ride codegen projections
+        (no Python, no window); dedup adds exactly one aggregate + one
+        equi-join back, no cartesian."""
+        import __spark_entry__ as e
+        plan = simple_plan(e.q_quality_cascade(spark, SF))
+        assert "Python" not in plan, plan
+        assert "Window" not in plan, plan
+        assert "Cartesian" not in plan, plan
+        joins = (plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+                 + plan.count("BroadcastHashJoin"))
+        assert joins == 1, plan
+
+    def test_registered_domain_zero_shuffle_no_python(self, spark):
+        """eTLD+1 extraction is one narrow codegen map."""
+        import __spark_entry__ as e
+        plan = simple_plan(e.q_registered_domain(spark, SF))
+        assert "Exchange" not in plan, plan
+        assert "Python" not in plan, plan
+
     def test_shuffle_shards_range_rank_no_single_partition_window(self, spark):
         """shuffle_shards ranks via the two-pass range sequencer (its range
         exchange is pinned behind the sequencer's localCheckpoint, so the

@@ -65,3 +65,34 @@ class TestSignals:
         assert row.trap_score_millis == 300
         # depths: 3x4 + 7x2 = 26 -> 2600 millis avg
         assert row.avg_depth_millis == 2600 and row.max_depth == 4
+
+
+class TestRegisteredDomain:
+    def _run(self, spark, urls):
+        from abot_dotnet_core_spark.functions.urlsignals import (
+            with_registered_domain)
+        from pyspark.sql import Row
+        df = spark.createDataFrame([Row(url=u) for u in urls],
+                                   schema="url string")
+        return {r.host: r for r in with_registered_domain(df).collect()}
+
+    def test_etld_plus_one(self, spark):
+        out = self._run(spark, [
+            "http://a.blogspot.co.uk/x", "http://b.blogspot.co.uk/y",
+            "http://deep.sub.site.com.au/", "http://www.example.com/",
+            "http://example.de/", "http://localhost/p",
+            "http://co.uk/suffix-only-host"])
+        assert out["a.blogspot.co.uk"].registered_domain == "blogspot.co.uk"
+        assert out["b.blogspot.co.uk"].registered_domain == "blogspot.co.uk"
+        assert out["a.blogspot.co.uk"].public_suffix == "co.uk"
+        assert out["deep.sub.site.com.au"].registered_domain == "site.com.au"
+        assert out["www.example.com"].registered_domain == "example.com"
+        assert out["www.example.com"].public_suffix == "com"
+        assert out["example.de"].registered_domain == "example.de"
+        # single-label host: the host is its own registered domain
+        assert out["localhost"].registered_domain == "localhost"
+        assert out["localhost"].public_suffix == "localhost"
+        # a bare 2-label multi-suffix has no registrant label: the 2-label
+        # default applies (n >= 3 guard)
+        assert out["co.uk"].registered_domain == "co.uk"
+        assert out["co.uk"].public_suffix == "uk"
