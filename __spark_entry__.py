@@ -2386,21 +2386,26 @@ WITH u AS (
          || '/p' || doc_id::varchar AS url
   FROM documents),
 h AS (
-  SELECT doc_id, regexp_extract(url, 'http://([^/]+)', 1) AS host FROM u),
+  SELECT doc_id, lower(regexp_extract(url, 'http://([^/]+)', 1)) AS host
+  FROM u),
 p AS (
   SELECT doc_id, host, string_split(host, '.') AS parts,
-         len(string_split(host, '.')) AS n
+         len(string_split(host, '.')) AS n,
+         regexp_matches(host, '^[0-9]{{1,3}}(\\.[0-9]{{1,3}}){{3}}$')
+           AS is_ip
   FROM h),
 s AS (
-  SELECT doc_id, host, parts, n,
+  SELECT doc_id, host, parts, n, is_ip,
          (CASE WHEN n >= 2
                THEN parts[(n - 1)::int] || '.' || parts[n::int] END)
            AS last2
   FROM p)
 SELECT doc_id, host,
-       CASE WHEN n >= 3 AND list_contains([{multi}], last2) THEN last2
+       CASE WHEN is_ip THEN host
+            WHEN n >= 3 AND list_contains([{multi}], last2) THEN last2
             ELSE parts[n::int] END AS public_suffix,
-       CASE WHEN n >= 3 AND list_contains([{multi}], last2)
+       CASE WHEN is_ip THEN host
+            WHEN n >= 3 AND list_contains([{multi}], last2)
             THEN parts[(n - 2)::int] || '.' || last2
             WHEN n >= 2 THEN last2
             ELSE host END AS registered_domain

@@ -595,15 +595,19 @@ def quality_cascade(df: DataFrame, text_col: str = "text",
     documents, else the first failing gate name; 'duplicate' marks every
     survivor whose fingerprint was first claimed by a lower id.
     """
-    from .textfns import script_dominant_col, soft404_cols
+    from .textfns import fingerprint_col, script_dominant_col, soft404_cols
 
     t = F.col(text_col)
     pre = (F.when(script_dominant_col(t) != "latin", "script")
            .when(~gopher_signal_cols(t)["gopher_keep"], "gopher")
            .when(soft404_cols(t)["is_soft404"], "soft404"))
-    fp = F.md5(F.regexp_replace(F.lower(F.trim(t)), "\\s+", " "))
-    base = df.select(F.col(id_col), fp.alias("fingerprint"),
+    base = df.select(F.col(id_col), fingerprint_col(t).alias("fingerprint"),
                      pre.alias("pre_reason"))
+    # materialize the 3-column gate projection once: it feeds BOTH sides
+    # of the dedup join, and the gate expressions (4 script regex counts,
+    # the Gopher HOF set, 5 phrase scans, the md5) are the operator's
+    # dominant cost — recomputing them per join side would double it
+    base = base.localCheckpoint(eager=True)
     first = (base.filter(F.col("pre_reason").isNull())
              .groupBy("fingerprint")
              .agg(F.min(id_col).alias("first_id")))

@@ -70,8 +70,8 @@ def shingles_col(text, n: int = 3):
 def exact_dedup(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Keep the min-id representative per normalized-text hash."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
-    return (df.withColumn("fingerprint", F.md5(norm))
+    from .textfns import fingerprint_col
+    return (df.withColumn("fingerprint", fingerprint_col(F.col(text_col)))
             .groupBy("fingerprint")
             .agg(F.min(id_col).alias("keep_id"),
                  F.count("*").alias("n_dups")))

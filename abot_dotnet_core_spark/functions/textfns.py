@@ -92,11 +92,17 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
               .withColumn("lang_hits", best["hits"]))
 
 
+def fingerprint_col(text: Column) -> Column:
+    """THE exact-dedup key: md5 over whitespace-normalized lowercased
+    text. Shared by with_fingerprint, dedup.exact_dedup, and
+    cleaning.quality_cascade so the three can never silently diverge."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), "\\s+", " "))
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 over whitespace-normalized lowercased text
     (the exact-dedup key), plus a 64-bit numeric form for compact storage."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
-    fp = F.md5(norm)
+    fp = fingerprint_col(F.col(text_col))
     return (df.withColumn("fingerprint", fp)
               .withColumn("fingerprint64",
                           F.conv(F.substring(fp, 1, 15), 16, 10).cast("long")))

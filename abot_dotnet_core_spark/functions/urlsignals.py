@@ -95,15 +95,25 @@ def registered_domain_cols(host) -> dict:
     really key on: 'a.blogspot.co.uk' and 'b.blogspot.co.uk' are distinct
     hosts but the same registrant only if the suffix is 'co.uk' — the
     host-level fallback treats every subdomain as its own domain.
+
+    Expects an already-lowercased host (``with_registered_domain``
+    normalizes; hosts are case-insensitive per RFC but corpus url columns
+    record them as-crawled). IPv4 literals pass through whole — octets
+    are not labels, and collapsing '10.9.0.1' and '192.168.0.1' to '0.1'
+    would lump distinct servers under one budget key.
     """
+    is_ip = host.rlike("^[0-9]{1,3}(\\.[0-9]{1,3}){3}$")
     parts = F.split(host, "\\.")
     n = F.size(parts)
     last2 = F.concat_ws(".", F.try_element_at(parts, F.lit(-2)),
                         F.try_element_at(parts, F.lit(-1)))
     is_multi = last2.isin(*MULTI_SUFFIXES) & (n >= 3)
-    suffix = F.when(is_multi, last2).otherwise(F.element_at(parts, -1))
-    reg = (F.when(is_multi & (n >= 3),
-                  F.concat_ws(".", F.try_element_at(parts, F.lit(-3)), last2))
+    suffix = (F.when(is_ip, host)
+              .when(is_multi, last2)
+              .otherwise(F.element_at(parts, -1)))
+    reg = (F.when(is_ip, host)
+           .when(is_multi,
+                 F.concat_ws(".", F.try_element_at(parts, F.lit(-3)), last2))
            .when(n >= 2, last2)
            .otherwise(host))
     return {"public_suffix": suffix, "registered_domain": reg}
@@ -111,8 +121,9 @@ def registered_domain_cols(host) -> dict:
 
 def with_registered_domain(df: DataFrame,
                            url_col: str = "url") -> DataFrame:
-    """(existing cols) + host, public_suffix, registered_domain."""
-    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    """(existing cols) + host (lowercased), public_suffix,
+    registered_domain."""
+    host = F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
     cols = registered_domain_cols(host)
     return (df.withColumn("host", host)
             .withColumn("public_suffix", cols["public_suffix"])

@@ -96,3 +96,17 @@ class TestRegisteredDomain:
         # default applies (n >= 3 guard)
         assert out["co.uk"].registered_domain == "co.uk"
         assert out["co.uk"].public_suffix == "uk"
+
+    def test_ip_hosts_pass_through_whole(self, spark):
+        out = self._run(spark, ["http://192.168.0.1/p", "http://10.9.0.1/q"])
+        assert out["192.168.0.1"].registered_domain == "192.168.0.1"
+        assert out["192.168.0.1"].public_suffix == "192.168.0.1"
+        # distinct servers must NOT share a key via their last octets
+        assert (out["192.168.0.1"].registered_domain
+                != out["10.9.0.1"].registered_domain)
+
+    def test_host_case_normalized(self, spark):
+        out = self._run(spark, ["http://A.Blogspot.CO.UK/x"])
+        r = out["a.blogspot.co.uk"]
+        assert r.registered_domain == "blogspot.co.uk"
+        assert r.public_suffix == "co.uk"
