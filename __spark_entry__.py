@@ -385,6 +385,52 @@ r0 AS (SELECT doc_id AS node, ({total} // n)::bigint AS mass
             + f"\nSELECT node, mass AS rank_mass FROM r{iters}")
 
 
+def q_host_pagerank(spark, sf_dir):
+    """Weighted PageRank over a host-level link graph (the host_graph ->
+    pagerank composition crawl-frontier ranking runs): edge weights are
+    link counts, contributions floor(mass * w / weighted_outdeg) — same
+    integer fixed-point loop as q_pagerank, weight-aware."""
+    from abot_dotnet_core_spark.functions.graph import pagerank_mass
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 23).cast("string"))
+    dst = F.concat(F.lit("h"), ((d * 5 + 3) % 23).cast("string"))
+    docs = _docs(spark, sf_dir)
+    nodes = docs.select(host.alias("host")).distinct()
+    edges = docs.select(host.alias("src"), dst.alias("dst"),
+                        (d % 7 + 1).alias("n_links"))
+    return pagerank_mass(nodes, edges, iterations=5,
+                         weight_col="n_links")
+
+
+def sql_host_pagerank():
+    total = 10**12
+    iters = 5
+    parts = [f"""edges AS (
+  SELECT 'h' || (doc_id % 23)::varchar AS src,
+         'h' || ((doc_id * 5 + 3) % 23)::varchar AS dst,
+         (doc_id % 7 + 1)::bigint AS w
+  FROM documents),
+nodes AS (SELECT DISTINCT src AS host FROM edges),
+cnt AS (SELECT count(*) AS n FROM nodes),
+outdeg AS (SELECT src, sum(w)::bigint AS od FROM edges GROUP BY src),
+r0 AS (SELECT host AS node, ({total} // n)::bigint AS mass
+       FROM nodes, cnt)"""]
+    for k in range(iters):
+        parts.append(f"""r{k + 1} AS (
+  SELECT d.host AS node,
+         ((15 * ({total} // c.n) // 100)
+          + (85 * coalesce(s.m, 0)) // 100)::bigint AS mass
+  FROM nodes d CROSS JOIN cnt c
+  LEFT JOIN (
+    SELECT e.dst, SUM((r.mass * e.w) // o.od) AS m
+    FROM edges e
+    JOIN r{k} r ON r.node = e.src
+    JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst) s ON s.dst = d.host)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, mass AS rank_mass FROM r{iters}")
+
+
 def sql_frontier_bfs():
     return f"""
 WITH RECURSIVE edges AS (
@@ -3620,6 +3666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "contamination": q_contamination,
         "pagerank": q_pagerank,
+        "host_pagerank": q_host_pagerank,
         "simhash_pairs": q_simhash_pairs,
         # similarity search
         "cosine_topk": q_cosine_topk,
@@ -3727,6 +3774,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup": sql_substring_dedup(),
         "contamination": sql_contamination(),
         "pagerank": sql_pagerank(),
+        "host_pagerank": sql_host_pagerank(),
         "simhash_pairs": sql_simhash_pairs(),
         "cosine_topk": sql_cosine_topk(),
         "cosine_topk_lsh": sql_cosine_topk_lsh(),

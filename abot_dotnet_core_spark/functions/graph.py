@@ -22,23 +22,31 @@ from pyspark.sql import DataFrame, functions as F
 
 def pagerank_mass(nodes: DataFrame, edges: DataFrame,
                   iterations: int = 5, total_mass: int = 10**12,
-                  damping_pct: int = 85) -> DataFrame:
+                  damping_pct: int = 85,
+                  weight_col: str | None = None) -> DataFrame:
     """(node, rank_mass) after ``iterations`` rounds.
 
     ``nodes``: one column of node ids. ``edges``: (src, dst), multigraph —
     parallel edges each carry their own floor(mass/outdeg) contribution.
+    With ``weight_col`` (e.g. the host graph's n_links), an edge carries
+    floor(mass * w / weighted_outdeg) instead — still pure int64 floor
+    arithmetic (requires mass * w < 2^63: at the default 10^12 total mass
+    that allows per-edge weights up to ~9*10^6; rescale heavier weights).
     """
     node_col = nodes.columns[0]
     n = nodes.count()
     base = total_mass // n
     teleport = (100 - damping_pct) * base // 100
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("od"))
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1)
+    edges = edges.select("src", "dst", w.alias("__w"))
+    outdeg = edges.groupBy("src").agg(F.sum("__w").alias("od"))
     ranks = (nodes.select(F.col(node_col).alias("node"))
              .withColumn("mass", F.lit(base).cast("long")))
     for _ in range(iterations):
         contrib = (edges.join(ranks, edges.src == ranks.node)
                    .join(outdeg, "src")
-                   .select(F.col("dst"), F.expr("mass DIV od").alias("c")))
+                   .select(F.col("dst"),
+                           F.expr("(mass * __w) DIV od").alias("c")))
         incoming = contrib.groupBy("dst").agg(F.sum("c").alias("m"))
         ranks = (nodes.select(F.col(node_col).alias("node"))
                  .join(incoming, F.col("node") == F.col("dst"), "left")

@@ -52,6 +52,7 @@ HEADLINE = [
     "url_keep_latest", "recrawl_schedule", "events_asof", "events_interval",
     "events_tumbling", "events_sessions",
     "seen_antijoin", "url_hash64", "frontier_bfs", "pagerank",
+    "host_pagerank",
 ]
 
 

@@ -205,6 +205,21 @@ class TestPagerank:
         assert got[3] == tele
         assert got[0] > got[3]
 
+    def test_weighted_edges_hand_computed(self, spark):
+        """weight_col: contribution = floor(mass * w / weighted_outdeg).
+        One iteration on a 3-node graph, checked against hand arithmetic
+        (base 4000, teleport 600): a->b w=3 carries 3000 of a's 4000."""
+        from abot_dotnet_core_spark.functions.graph import pagerank_mass
+        nodes = spark.createDataFrame([("a",), ("b",), ("c",)], "id string")
+        edges = spark.createDataFrame(
+            [("a", "b", 3), ("a", "c", 1), ("b", "a", 1), ("c", "a", 1)],
+            "src string, dst string, n_links long")
+        got = {r["node"]: r["rank_mass"]
+               for r in pagerank_mass(nodes, edges, iterations=1,
+                                      total_mass=12000,
+                                      weight_col="n_links").collect()}
+        assert got == {"a": 7400, "b": 3150, "c": 1450}
+
 
 class TestContamination:
     def test_overlap_counts_and_coverage(self, spark):
