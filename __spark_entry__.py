@@ -2517,7 +2517,8 @@ sig AS (
   SELECT f.doc_id,
          md5(regexp_replace(lower(trim(f.t)), '\\s+', ' ', 'g'))
            AS fingerprint,
-         CASE WHEN {_dominant_sql('f.t')} <> 'latin' THEN 'script'
+         CASE WHEN trim(coalesce(f.t, '')) = '' THEN 'empty'
+              WHEN {_dominant_sql('f.t')} <> 'latin' THEN 'script'
               WHEN NOT {_gopher_keep_sql()} THEN 'gopher'
               WHEN least(1000, ({hits}) * 400
                    + (length(f.t) < {SOFT404_SHORT_CHARS})::int * 200)

@@ -569,7 +569,7 @@ def gopher_quality(df: DataFrame, text_col: str = "text",
 
 # --- composed document-quality cascade ---------------------------------------
 
-CASCADE_GATES = ("script", "gopher", "soft404", "duplicate")
+CASCADE_GATES = ("empty", "script", "gopher", "soft404", "duplicate")
 
 
 def quality_cascade(df: DataFrame, text_col: str = "text",
@@ -592,13 +592,16 @@ def quality_cascade(df: DataFrame, text_col: str = "text",
     small). The corpus text never shuffles.
 
     Returns (id_col, fingerprint, reason, kept): reason is NULL for kept
-    documents, else the first failing gate name; 'duplicate' marks every
+    documents, else the first failing gate name ('empty' for blank or
+    null text — all-boilerplate pages after main-content extraction
+    land here, not in a misleading 'script'); 'duplicate' marks every
     survivor whose fingerprint was first claimed by a lower id.
     """
     from .textfns import fingerprint_col, script_dominant_col, soft404_cols
 
     t = F.col(text_col)
-    pre = (F.when(script_dominant_col(t) != "latin", "script")
+    pre = (F.when(F.trim(F.coalesce(t, F.lit(""))) == "", "empty")
+           .when(script_dominant_col(t) != "latin", "script")
            .when(~gopher_signal_cols(t)["gopher_keep"], "gopher")
            .when(soft404_cols(t)["is_soft404"], "soft404"))
     base = df.select(F.col(id_col), fingerprint_col(t).alias("fingerprint"),

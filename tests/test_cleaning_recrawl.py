@@ -215,6 +215,12 @@ class TestQualityCascade:
         assert out[2].reason == "gopher"
         assert out[3].reason == "soft404"
 
+    def test_empty_and_null_text(self, spark):
+        out = self._run(spark, [(0, ""), (1, "   "), (2, None)])
+        for i in range(3):
+            assert out[i].reason == "empty"
+            assert not out[i].kept
+
     def test_duplicate_keeps_lowest_id(self, spark):
         out = self._run(spark, [(5, self.GOOD), (7, self.GOOD),
                                 (9, self.GOOD)])
