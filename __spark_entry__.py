@@ -3011,6 +3011,59 @@ SELECT url,
 FROM m"""
 
 
+def q_wat_host_graph(spark, sf_dir):
+    """Artifact-to-analytics composition: write WAT metadata segments
+    (varied-host outlink lists), read them back, and build the host-level
+    link graph from the WAT Links — the Common-Crawl workflow where graph
+    analytics consume the KB-per-page metadata sidecar and the heavy WARC
+    bytes are never touched."""
+    import atexit
+    import hashlib as _hl
+    import shutil
+
+    from abot_dotnet_core_spark.functions.graph import host_graph
+    from abot_dotnet_core_spark.sources.warc import (write_wat_df, read_wat)
+    sf_tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(),
+                       f"abot_wat_hostgraph_{sf_tag}_{os.getpid()}")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    d = F.col("doc_id")
+    links = F.when(d % 5 == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(0), (d % 3).cast("int")),
+                    lambda j: F.concat(F.lit("http://h"),
+                                       ((d * 7 + j) % 13).cast("string"),
+                                       F.lit(".test/p"), d.cast("string"))))
+    recs = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://s"), (d % 11).cast("string"),
+                 F.lit(".test/p"), d.cast("string")).alias("url"),
+        F.timestamp_seconds(F.lit(_EPOCH_20260101)
+                            + F.col("doc_id") % 86400).alias("warc_ts"),
+        F.lit(200).alias("status"),
+        F.lit("text/html").alias("content_type"),
+        F.lit(None).cast("string").alias("title"),
+        links.alias("links"))
+    write_wat_df(recs.repartition(4, "url"), out).collect()
+    edges = (read_wat(spark, out)
+             .select(F.col("url").alias("src_url"),
+                     F.explode("links").alias("dst_url")))
+    return host_graph(edges)
+
+
+def sql_wat_host_graph():
+    return """
+WITH m AS (
+  SELECT doc_id,
+         's' || (doc_id % 11)::varchar || '.test' AS src_host,
+         CASE WHEN doc_id % 5 = 0 THEN []::VARCHAR[]
+              ELSE list_transform(range(0, doc_id % 3 + 1),
+                     j -> 'h' || ((doc_id * 7 + j) % 13)::varchar
+                          || '.test') END AS dsts
+  FROM documents),
+e AS (SELECT src_host, unnest(dsts) AS dst_host FROM m)
+SELECT src_host, dst_host, count(*)::bigint AS n_links
+FROM e GROUP BY src_host, dst_host"""
+
+
 def sql_wet_roundtrip():
     return f"""
 SELECT {_URL_SQL} AS url,
@@ -3657,6 +3710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "soft404": q_soft404,
         "wat_roundtrip": q_wat_roundtrip,
+        "wat_host_graph": q_wat_host_graph,
         "wet_roundtrip": q_wet_roundtrip,
         # dedup family
         "exact_dedup": q_exact_dedup,
@@ -3766,6 +3820,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": sql_snapshot_diff(),
         "soft404": sql_soft404(),
         "wat_roundtrip": sql_wat_roundtrip(),
+        "wat_host_graph": sql_wat_host_graph(),
         "wet_roundtrip": sql_wet_roundtrip(),
         "exact_dedup": sql_exact_dedup(),
         "minhash_signatures": sql_minhash_signatures(),
