@@ -3484,12 +3484,13 @@ def q_bpe_merges(spark, sf_dir):
     return bpe_train(words, n_merges=10)
 
 
-def sql_bpe_merges(n_merges: int = 10) -> str:
-    """Unrolled-CTE mirror of the BPE loop: symbol sequences ride as
-    sentinel-wrapped strings (chr(30) around every token, so the doubled
-    separator makes DuckDB's leftmost non-overlapping replace() exactly
-    the greedy BPE merge — 'a a a a' -> 'aa aa'); each stage picks the
-    (count desc, pair asc) argmax as a 1-row CTE and applies it."""
+def _bpe_ctes(n_merges: int = 10) -> str:
+    """Unrolled-CTE mirror of the BPE loop (shared by sql_bpe_merges and
+    sql_bpe_compression): symbol sequences ride as sentinel-wrapped
+    strings (chr(30) around every token, so the doubled separator makes
+    DuckDB's leftmost non-overlapping replace() exactly the greedy BPE
+    merge — 'a a a a' -> 'aa aa'); each stage picks the (count desc,
+    pair asc) argmax as a 1-row CTE and applies it."""
     prev = "v0"
     ctes = ["""w AS (
   SELECT word, count(*)::bigint AS cnt FROM (
@@ -3524,10 +3525,62 @@ def sql_bpe_merges(n_merges: int = 10) -> str:
            chr(30) || left_sym || right_sym || chr(30)) AS seq
   FROM {prev}, b{k})""")
         prev = f"v{k}"
+    return ",\n".join(ctes)
+
+
+def sql_bpe_merges(n_merges: int = 10) -> str:
     union = "\nUNION ALL\n".join(
         f"SELECT {k} AS rank, left_sym, right_sym, pair_count FROM b{k}"
         for k in range(1, n_merges + 1))
-    return ("WITH " + ",\n".join(ctes) + "\n" + union)
+    return "WITH " + _bpe_ctes(n_merges) + "\n" + union
+
+
+def q_bpe_compression(spark, sf_dir):
+    """Tokenizer evaluation: apply the 10 learned BPE merges back to the
+    training vocab and measure the occurrence-weighted token count before
+    vs after — the compression the merge table actually buys. One row:
+    (n_word_types, tokens_before, tokens_after, saved_millis)."""
+    from abot_dotnet_core_spark.functions.bpe import (bpe_segment, bpe_train,
+                                                      word_symbols)
+    from abot_dotnet_core_spark.functions.textfns import tokens_col
+    words = (_docs(spark, sf_dir)
+             .select(F.explode(tokens_col(F.lower(F.col("text"))))
+                     .alias("word"))
+             .filter(F.col("word").rlike("^[a-z]+$"))
+             .groupBy("word").agg(F.count("*").alias("cnt"))
+             .orderBy(F.desc("cnt"), "word").limit(500))
+    words = words.localCheckpoint(eager=True)   # train + apply reuse it
+    merges = [(r.left_sym, r.right_sym)
+              for r in bpe_train(words, n_merges=10)
+              .orderBy("rank").collect()]
+    before = word_symbols(words)
+    after = bpe_segment(words, merges)
+
+    def total(df):
+        return df.select(F.sum(F.col("cnt") * F.size("syms"))
+                         .cast("long").alias("t"))
+    b = total(before).collect()[0]["t"]
+    a = total(after).collect()[0]["t"]
+    return spark.createDataFrame(
+        [(words.count(), b, a, (b - a) * 1000 // b)],
+        "n_word_types int, tokens_before long, tokens_after long,"
+        " saved_millis long")
+
+
+def sql_bpe_compression():
+    # reuse the unrolled merge chain; v0/v10 hold the sentinel-encoded
+    # symbol strings before/after all merges
+    return f"""WITH {_bpe_ctes(10)},
+tb AS (SELECT sum(cnt * len(string_split(substr(seq, 2, len(seq) - 2),
+                                         chr(30) || chr(30))))::bigint AS t
+       FROM v0),
+ta AS (SELECT sum(cnt * len(string_split(substr(seq, 2, len(seq) - 2),
+                                         chr(30) || chr(30))))::bigint AS t
+       FROM v10),
+nw AS (SELECT count(*)::int AS n FROM v0)
+SELECT nw.n AS n_word_types, tb.t AS tokens_before, ta.t AS tokens_after,
+       ((tb.t - ta.t) * 1000 // tb.t)::bigint AS saved_millis
+FROM nw, tb, ta"""
 
 
 def q_chunk_documents(spark, sf_dir):
@@ -3758,6 +3811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bpe_merges": q_bpe_merges,
+        "bpe_compression": q_bpe_compression,
         "length_quantiles": q_length_quantiles,
         "script_profile": q_script_profile,
         "span_dedup": q_span_dedup,
@@ -3864,6 +3918,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct": sql_kmv_distinct(),
         "cms_heavy_hitters": sql_cms_heavy_hitters(),
         "bpe_merges": sql_bpe_merges(),
+        "bpe_compression": sql_bpe_compression(),
         "length_quantiles": sql_length_quantiles(),
         "script_profile": sql_script_profile(),
         "span_dedup": sql_span_dedup(),

@@ -48,7 +48,7 @@ HEADLINE = [
     "web_pipeline", "frontier_priority",
     "badwords_filter", "quality_classifier", "perplexity_buckets",
     "gopher_quality", "quality_cascade", "kmv_distinct", "cms_heavy_hitters",
-    "semdedup", "vocab_topk", "bpe_merges", "chunk_documents", "mixture_weights",
+    "semdedup", "vocab_topk", "bpe_merges", "bpe_compression", "chunk_documents", "mixture_weights",
     "url_keep_latest", "recrawl_schedule", "events_asof", "events_interval",
     "events_tumbling", "events_sessions",
     "seen_antijoin", "url_hash64", "frontier_bfs", "pagerank",
