@@ -431,6 +431,93 @@ r0 AS (SELECT host AS node, ({total} // n)::bigint AS mass
             + f"\nSELECT node, mass AS rank_mass FROM r{iters}")
 
 
+def q_host_hits(spark, sf_dir):
+    """HITS hubs/authorities over the same deterministic host graph
+    host_pagerank uses — weighted, 3 rounds, integer fixed-point with
+    per-round L1 normalization (floor-div by the global sum) so the
+    distributed sums and the sequential oracle agree bit-for-bit."""
+    from abot_dotnet_core_spark.functions.graph import hits_mass
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 23).cast("string"))
+    dst = F.concat(F.lit("h"), ((d * 5 + 3) % 23).cast("string"))
+    docs = _docs(spark, sf_dir)
+    nodes = docs.select(host.alias("host")).distinct()
+    edges = (docs.select(host.alias("src"), dst.alias("dst"))
+             .groupBy("src", "dst").agg(F.count("*").alias("n_links")))
+    return hits_mass(nodes, edges, iterations=3, weight_col="n_links")
+
+
+def sql_host_hits():
+    scale = 10**6
+    parts = [f"""edges AS (
+  SELECT 'h' || (doc_id % 23)::varchar AS src,
+         'h' || ((doc_id * 5 + 3) % 23)::varchar AS dst,
+         count(*)::bigint AS w
+  FROM documents GROUP BY 1, 2),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+r0 AS (SELECT node, {scale}::bigint AS auth, {scale}::bigint AS hub
+       FROM nodes)"""]
+    for k in range(3):
+        parts.append(f"""a{k}r AS (
+  SELECT n.node, n.hub, coalesce(s.ar, 0)::bigint AS ar
+  FROM r{k} n LEFT JOIN (
+    SELECT e.dst, sum(e.w * r.hub) AS ar
+    FROM edges e JOIN r{k} r ON r.node = e.src GROUP BY e.dst) s
+  ON s.dst = n.node),
+a{k}t AS (SELECT sum(ar) AS t FROM a{k}r),
+a{k} AS (SELECT node, hub, ((ar * {scale}) // greatest(t, 1))::bigint AS auth
+         FROM a{k}r CROSS JOIN a{k}t),
+h{k}r AS (
+  SELECT n.node, n.auth, coalesce(s.hr, 0)::bigint AS hr
+  FROM a{k} n LEFT JOIN (
+    SELECT e.src, sum(e.w * r.auth) AS hr
+    FROM edges e JOIN a{k} r ON r.node = e.dst GROUP BY e.src) s
+  ON s.src = n.node),
+h{k}t AS (SELECT sum(hr) AS t FROM h{k}r),
+r{k + 1} AS (SELECT node, auth, ((hr * {scale}) // greatest(t, 1))::bigint AS hub
+             FROM h{k}r CROSS JOIN h{k}t)""")
+    return ("WITH " + ",\n".join(parts)
+            + "\nSELECT node, auth AS auth_mass, hub AS hub_mass FROM r3")
+
+
+def q_host_components(spark, sf_dir):
+    """Connected components by fixed-round min-label propagation over a
+    deterministic multi-component host graph (4 groups x three 4-cycles
+    each = 12 components; diameter 2, so 6 rounds are fully converged)."""
+    from abot_dotnet_core_spark.functions.graph import components_minlabel
+    i = F.expr("(doc_id DIV 4) % 12")
+    node = F.concat(F.lit("c"), (F.col("doc_id") % 4).cast("string"),
+                    F.lit("n"), i.cast("string"))
+    dst = F.concat(F.lit("c"), (F.col("doc_id") % 4).cast("string"),
+                   F.lit("n"), ((i * 5 + 1) % 12).cast("string"))
+    docs = _docs(spark, sf_dir)
+    nodes = docs.select(node.alias("host")).distinct()
+    edges = docs.select(node.alias("src"), dst.alias("dst")).distinct()
+    return components_minlabel(nodes, edges, iterations=6)
+
+
+def sql_host_components():
+    parts = ["""edges AS (
+  SELECT DISTINCT
+    'c' || (doc_id % 4)::varchar || 'n' || ((doc_id // 4) % 12)::varchar AS src,
+    'c' || (doc_id % 4)::varchar || 'n'
+        || ((((doc_id // 4) % 12) * 5 + 1) % 12)::varchar AS dst
+  FROM documents),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+l0 AS (SELECT node, node AS component FROM nodes)"""]
+    for k in range(6):
+        parts.append(f"""l{k + 1} AS (
+  SELECT n.node,
+         least(n.component, coalesce(s.nc, n.component)) AS component
+  FROM l{k} n LEFT JOIN (
+    SELECT m.dst, min(l.component) AS nc
+    FROM sym m JOIN l{k} l ON l.node = m.src GROUP BY m.dst) s
+  ON s.dst = n.node)""")
+    return ("WITH " + ",\n".join(parts)
+            + "\nSELECT node, component FROM l6")
+
+
 def sql_frontier_bfs():
     return f"""
 WITH RECURSIVE edges AS (
@@ -1836,6 +1923,107 @@ SELECT doc_id, fingerprint,
                       ELSE ascii(substr(fingerprint, i::int, 1)) - 48 END)::hugeint
                 * (1::hugeint << (4 * (15 - i::int)))), 'sum')::bigint AS fingerprint64
 FROM fp"""
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS) fingerprint selection: k=3-gram 40-bit hashes,
+    window 8, min-per-window with rightmost tiebreak — the guarantee-based
+    local fingerprinting scheme for shared-substring dedup. One encoded
+    bigint min over a rows-window; no UDF, no self-join."""
+    from abot_dotnet_core_spark.functions.dedup import winnow_fingerprints
+    return winnow_fingerprints(_docs(spark, sf_dir), k=3, window=8)
+
+
+def sql_winnow_fingerprints():
+    hexfold10 = """list_aggregate(list_transform(range(1, 11),
+      j -> (CASE WHEN ascii(substr(md, j::int, 1)) >= 97
+                 THEN ascii(substr(md, j::int, 1)) - 87
+                 ELSE ascii(substr(md, j::int, 1)) - 48 END)::bigint
+           * (1::bigint << (4 * (10 - j::int)))), 'sum')::bigint"""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents),
+g0 AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM tok),
+g AS (
+  SELECT doc_id, (i - 1)::int AS pos, (len(toks) - 2)::int AS n_grams,
+         md5(toks[i::int] || ' ' || toks[(i + 1)::int]
+             || ' ' || toks[(i + 2)::int]) AS md
+  FROM g0),
+e AS (
+  SELECT doc_id, pos, n_grams,
+         {hexfold10} * 1048576 + (1048575 - pos) AS enc
+  FROM g),
+w AS (
+  SELECT doc_id, pos, n_grams,
+         min(enc) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m
+  FROM e)
+SELECT DISTINCT doc_id, (1048575 - (m % 1048576))::int AS fp_pos,
+       (m // 1048576)::bigint AS fp_hash
+FROM w WHERE pos <= greatest(n_grams - 8, 0)"""
+
+
+def q_winnow_pairs(spark, sf_dir):
+    """MOSS match step: near-dup candidate pairs sharing >= 2 winnowing
+    fingerprint hashes, with the boilerplate-bucket cap (> 50 docs per
+    hash dropped pre-join) guarding the self-join against hot grams."""
+    from abot_dotnet_core_spark.functions.dedup import winnow_shared_pairs
+    return winnow_shared_pairs(_docs(spark, sf_dir), k=3, window=8,
+                               min_shared=2, max_bucket=50)
+
+
+def sql_winnow_pairs():
+    base = sql_winnow_fingerprints().strip()
+    # reuse the fingerprint query as a CTE body: strip the leading WITH,
+    # wrap its final SELECT as one more CTE named sel
+    assert base.startswith("WITH ")
+    body = base[5:].replace("\nSELECT DISTINCT doc_id,",
+                            ",\nsel AS (SELECT DISTINCT doc_id,", 1)
+    return f"""
+WITH {body}),
+fps AS (SELECT DISTINCT doc_id, fp_hash FROM sel),
+hot AS (SELECT fp_hash FROM fps GROUP BY fp_hash HAVING count(*) > 50),
+cold AS (SELECT * FROM fps WHERE fp_hash NOT IN (SELECT fp_hash FROM hot))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM cold a JOIN cold b USING (fp_hash)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2"""
+
+
+def q_dataset_split(spark, sf_dir):
+    """Deterministic hash-based train/valid/test holdout (980/10/10
+    permille of md5('split:' || id) buckets), reported as per-(split, lang)
+    counts — the stable-split primitive every training pipeline needs."""
+    from abot_dotnet_core_spark.functions.sampling import dataset_split
+    d = dataset_split(_docs(spark, sf_dir))
+    return (d.groupBy("split", "lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("n_chars_total"),
+                 F.min("doc_id").alias("min_doc"),
+                 F.max("doc_id").alias("max_doc")))
+
+
+def sql_dataset_split():
+    hexfold15 = """list_aggregate(list_transform(range(1, 16),
+      i -> (CASE WHEN ascii(substr(m, i::int, 1)) >= 97
+                 THEN ascii(substr(m, i::int, 1)) - 87
+                 ELSE ascii(substr(m, i::int, 1)) - 48 END)::hugeint
+           * (1::hugeint << (4 * (15 - i::int)))), 'sum')::bigint"""
+    return f"""
+WITH h AS (
+  SELECT doc_id, lang, n_chars,
+         md5('split:' || doc_id::varchar) AS m
+  FROM documents),
+b AS (
+  SELECT doc_id, lang, n_chars, ({hexfold15} % 1000)::int AS bucket
+  FROM h)
+SELECT CASE WHEN bucket < 10 THEN 'test'
+            WHEN bucket < 20 THEN 'valid' ELSE 'train' END AS split,
+       lang, count(*) AS n_docs, sum(n_chars) AS n_chars_total,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM b GROUP BY 1, 2"""
 
 
 # ===========================================================================
@@ -3342,6 +3530,56 @@ SELECT source, count(*)::bigint AS n_tracked, max(h) AS kth_hash,
 FROM r WHERE r <= 64 GROUP BY source"""
 
 
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog register sketch (functions/sketches.py:hll_registers):
+    per-source distinct-token estimate from 512 integer registers —
+    bucket = top 9 hash bits, rho = leading-zero rank of the rest (clamped
+    at 30), raw estimate in pure floor arithmetic; exact countDistinct
+    alongside to expose the sketch error."""
+    from abot_dotnet_core_spark.functions.sketches import hll_registers
+    from abot_dotnet_core_spark.functions.textfns import tokens_col
+    occ = _docs(spark, sf_dir).select(
+        "source", F.explode(tokens_col(F.col("text"))).alias("tok"))
+    return hll_registers(occ, "source", "tok", p=9, max_rho=30)
+
+
+def sql_hll_distinct():
+    m, max_rho, rem_bits = 512, 30, 39
+    alpha_micros = round(0.7213 / (1 + 1.079 / m) * 10**6)
+    return f"""
+WITH occ AS (
+  SELECT source, unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                             ELSE regexp_split_to_array(trim(text), '\\s+')
+                        END) AS tok
+  FROM documents),
+h AS (SELECT source, {_hex12_sql('md5(tok)')} AS h FROM occ),
+br AS (SELECT source, h // {1 << rem_bits} AS bucket,
+              h % {1 << rem_bits} AS rem FROM h),
+rr AS (SELECT source, bucket,
+              least(CASE WHEN rem = 0 THEN {rem_bits + 1}
+                         ELSE {rem_bits + 1} - length(bin(rem)) END,
+                    {max_rho}) AS rho
+       FROM br),
+regs AS (SELECT source, bucket, max(rho) AS M FROM rr GROUP BY 1, 2),
+summ AS (SELECT source, count(*) AS n_present,
+                sum(1::bigint << ({max_rho} - M))::bigint AS sum_present
+         FROM regs GROUP BY source),
+ex AS (SELECT source, count(DISTINCT tok)::bigint AS exact_distinct
+       FROM occ GROUP BY source),
+fin AS (SELECT s.source, s.n_present::int AS n_present,
+               ({m} - s.n_present)::int AS v_zero,
+               (s.sum_present
+                + ({m} - s.n_present) * (1::bigint << {max_rho}))::bigint
+                 AS sum_scaled,
+               e.exact_distinct
+        FROM summ s JOIN ex e ON e.source = s.source)
+SELECT source, n_present, v_zero, sum_scaled,
+       (({alpha_micros} * (({m}::bigint * {m} * (1::bigint << {max_rho}))
+         // sum_scaled)) // 1000000)::bigint AS hll_raw_est,
+       exact_distinct
+FROM fin"""
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     """Count-min-sketch heavy hitters (functions/sketches.py:
     cms_heavy_hitters): top-20 corpus tokens by CMS estimate (3x1024
@@ -3775,6 +4013,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "pagerank": q_pagerank,
         "host_pagerank": q_host_pagerank,
+        "host_hits": q_host_hits,
+        "host_components": q_host_components,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_pairs": q_winnow_pairs,
+        "dataset_split": q_dataset_split,
+        "hll_distinct": q_hll_distinct,
         "simhash_pairs": q_simhash_pairs,
         # similarity search
         "cosine_topk": q_cosine_topk,
@@ -3885,6 +4129,12 @@ def oracle_sql() -> dict[str, str]:
         "contamination": sql_contamination(),
         "pagerank": sql_pagerank(),
         "host_pagerank": sql_host_pagerank(),
+        "host_hits": sql_host_hits(),
+        "host_components": sql_host_components(),
+        "winnow_fingerprints": sql_winnow_fingerprints(),
+        "winnow_pairs": sql_winnow_pairs(),
+        "dataset_split": sql_dataset_split(),
+        "hll_distinct": sql_hll_distinct(),
         "simhash_pairs": sql_simhash_pairs(),
         "cosine_topk": sql_cosine_topk(),
         "cosine_topk_lsh": sql_cosine_topk_lsh(),

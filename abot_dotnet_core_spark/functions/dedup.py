@@ -458,3 +458,78 @@ def hamming_pairs_from_sigs(sh: DataFrame, id_col: str = "doc_id",
                 F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming").distinct())
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 3,
+                        window: int = 8) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+    2003 — the MOSS scheme): (id, fp_pos, fp_hash) — the selected k-gram
+    hashes that any two documents sharing a token run of length
+    >= window + k - 1 are GUARANTEED to have in common.
+
+    Per document: hash every token k-gram (40-bit md5 prefix), slide a
+    ``window``-gram window, keep the minimum hash per window with the
+    RIGHTMOST position breaking ties (the paper's rule — it maximizes
+    window overlap so consecutive windows usually re-select the same gram),
+    then emit the distinct selections. Density ~= 2/(window+1) grams.
+
+    All JVM-side: the argmin-with-rightmost-tiebreak is one ``min`` over a
+    single encoded bigint ``hash * 2^20 + (2^20-1 - pos)`` (so smaller hash
+    wins, larger pos wins ties), evaluated with a rows-window — one shuffle
+    on id, no UDF, no self-join. Positions must fit 20 bits: documents are
+    expected to be chunked below 2^20 grams first (grams past that are
+    dropped, documented here). Documents shorter than one full window
+    degrade to a single min over their grams (standard boundary rule).
+
+    At 100 TB the output is the dedup join key: ~2/(w+1) of gram volume,
+    grouped/bucketed by fp_hash for the shared-fingerprint pair join.
+    """
+    grams = shingles_col(F.col(text_col), n=k)
+    base = (df.select(F.col(id_col), F.posexplode(grams).alias("pos", "gram"),
+                      (F.size(grams)).alias("n_grams"))
+            .filter(F.col("pos") < (1 << 20)))
+    h40 = F.conv(F.substring(F.md5(F.col("gram")), 1, 10), 16, 10).cast("long")
+    enc = h40 * F.lit(1 << 20) + (F.lit((1 << 20) - 1) - F.col("pos"))
+    win = (W.partitionBy(id_col).orderBy("pos")
+           .rowsBetween(0, window - 1))
+    return (base.withColumn("__m", F.min(enc).over(win))
+            .filter(F.col("pos") <= F.greatest(F.col("n_grams") - window,
+                                               F.lit(0)))
+            .select(F.col(id_col),
+                    (F.lit((1 << 20) - 1) - F.col("__m") % F.lit(1 << 20))
+                    .cast("int").alias("fp_pos"),
+                    F.expr(f"__m DIV {1 << 20}").cast("long")
+                    .alias("fp_hash"))
+            .distinct())
+
+
+def winnow_shared_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 3,
+                        window: int = 8, min_shared: int = 2,
+                        max_bucket: int = 50) -> DataFrame:
+    """Near-dup candidate pairs from shared winnowing fingerprints — the
+    MOSS match step: any pair sharing a token run >= window + k - 1 is
+    guaranteed to appear (with at least one shared selected hash).
+
+    Returns (id_a, id_b, n_shared) for pairs sharing >= ``min_shared``
+    distinct fingerprint hashes, id_a < id_b.
+
+    Scale shape mirrors lsh_candidate_pairs: fingerprints collapse to
+    distinct (id, hash), hashes selected by more than ``max_bucket``
+    documents are dropped BEFORE the self-join (boilerplate guard — a
+    nav-bar gram selected by 10^6 pages would otherwise explode the
+    bucket join quadratically; standard practice, documented cap), then
+    one equi-join on fp_hash + one pair count. No text ever re-shuffles.
+    """
+    fps = (winnow_fingerprints(df, id_col=id_col, text_col=text_col,
+                               k=k, window=window)
+           .select(F.col(id_col).alias("id"), "fp_hash").distinct())
+    hot = (fps.groupBy("fp_hash").agg(F.count("*").alias("nd"))
+           .filter(F.col("nd") > max_bucket))
+    cold = fps.join(hot, "fp_hash", "left_anti")
+    a = cold.select(F.col("id").alias("id_a"), "fp_hash")
+    b = cold.select(F.col("id").alias("id_b"), "fp_hash")
+    return (a.join(b, "fp_hash").filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b").agg(F.count("*").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))

@@ -133,3 +133,97 @@ def host_reciprocity(hg: DataFrame) -> DataFrame:
                     F.expr("cast((coalesce(reciprocated_hosts, 0) * 1000) "
                            "div greatest(out_hosts, 1) as int)")
                      .alias("reciprocity_millis")))
+
+
+def hits_mass(nodes: DataFrame, edges: DataFrame,
+              iterations: int = 3, scale: int = 10**6,
+              weight_col: str | None = None) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg) in deterministic integer
+    fixed-point: (node, auth_mass, hub_mass) after ``iterations`` rounds.
+
+    Per round: auth_raw = A^T · hub, hub_raw = A · auth, each L1-normalized
+    to ``scale`` total mass with floor division — bigint throughout, so
+    Spark's partial-aggregate order and a sequential SQL oracle agree
+    bit-for-bit (same trick as :func:`pagerank_mass`). Complements PageRank
+    for web-spam analysis: link farms pump hub scores without gaining
+    authority, so the hub/auth *ratio* is the classic farm signal.
+
+    Plan shape per iteration: two edge⋈rank joins + two groupBy sums + two
+    scalar-normalize crossJoins (the scalar side is a 1-row broadcast).
+    At 100 TB, bucket ``edges`` by src (and a dst-keyed copy by dst) so both
+    per-iteration joins co-locate; lineage is truncated per round.
+
+    Overflow bound: normalize multiplies raw sums by ``scale`` before the
+    floor-div, so requires sum(w)·scale² < 2^63 — at the default 10^6 scale
+    that allows ~9·10^6 total edge weight; shrink ``scale`` (or move to
+    decimal) beyond that.
+    """
+    node_col = nodes.columns[0]
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    edges = edges.select("src", "dst", w.alias("__w"))
+    ranks = (nodes.select(F.col(node_col).alias("node"))
+             .withColumn("auth", F.lit(scale).cast("long"))
+             .withColumn("hub", F.lit(scale).cast("long")))
+
+    def _norm(df: DataFrame, col: str) -> DataFrame:
+        tot = df.agg(F.sum(col).alias("__tot"))
+        return (df.crossJoin(F.broadcast(tot))
+                .withColumn(col, F.expr(
+                    f"({col} * {scale}L) DIV greatest(__tot, 1L)"))
+                .drop("__tot"))
+
+    for _ in range(iterations):
+        a_raw = (edges.join(ranks.select("node", "hub"),
+                            edges.src == F.col("node"))
+                 .groupBy("dst").agg(F.sum(F.expr("__w * hub")).alias("ar")))
+        ranks = (ranks.drop("auth")
+                 .join(a_raw, ranks.node == a_raw.dst, "left")
+                 .select("node", "hub",
+                         F.coalesce("ar", F.lit(0)).alias("auth")))
+        ranks = _norm(ranks, "auth")
+        h_raw = (edges.join(ranks.select("node", "auth"),
+                            edges.dst == F.col("node"))
+                 .groupBy("src").agg(F.sum(F.expr("__w * auth")).alias("hr")))
+        ranks = (ranks.drop("hub")
+                 .join(h_raw, ranks.node == h_raw.src, "left")
+                 .select("node", "auth",
+                         F.coalesce("hr", F.lit(0)).alias("hub")))
+        ranks = _norm(ranks, "hub").localCheckpoint(eager=True)
+    return ranks.select("node", F.col("auth").alias("auth_mass"),
+                        F.col("hub").alias("hub_mass"))
+
+
+def components_minlabel(nodes: DataFrame, edges: DataFrame,
+                        iterations: int = 6) -> DataFrame:
+    """Connected components by min-label propagation: (node, component)
+    where component is the smallest node id reachable within ``iterations``
+    hops (binary string order — deterministic in Spark and ANSI SQL alike).
+
+    Exact once ``iterations`` >= the diameter of the widest component;
+    fixed-round by design so a sequential oracle can replay it CTE-by-CTE
+    (and so the Spark plan has a static depth — no driver-side convergence
+    loop over a 10^9-edge graph). For web host graphs the giant component's
+    effective diameter is small (~6-8), which is why the default is 6;
+    callers clustering deeper structures pass more rounds.
+
+    Per round: one symmetrized-edge ⋈ labels + one min-agg + one left join
+    back to nodes — the label frontier never materializes more than
+    O(nodes) rows. At 100 TB bucket edges by src; lineage truncated per
+    round. The classic use here: collapse mirror clusters found by
+    near-dup/host analysis into canonical groups.
+    """
+    node_col = nodes.columns[0]
+    sym = (edges.select("src", "dst")
+           .union(edges.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst"))))
+    labels = (nodes.select(F.col(node_col).alias("node"))
+              .withColumn("component", F.col("node")))
+    for _ in range(iterations):
+        nbr = (sym.join(labels, sym.src == labels.node)
+               .groupBy("dst").agg(F.min("component").alias("nc")))
+        labels = (labels.join(nbr, labels.node == nbr.dst, "left")
+                  .select("node",
+                          F.least("component", F.coalesce("nc", F.col("component")))
+                           .alias("component"))
+                  .localCheckpoint(eager=True))
+    return labels

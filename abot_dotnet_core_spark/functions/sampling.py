@@ -202,3 +202,29 @@ def mixture_weights(df: DataFrame, alpha: float = 0.5, budget: int = 1000,
                         F.round(F.col("__flat") / F.lit(float(z)) * budget)
                         .cast("long"))
             .select("stratum", "n_docs", "share", "weight", "target_docs"))
+
+
+def dataset_split(df: DataFrame, id_col: str = "doc_id",
+                  salt: str = "split", valid_permille: int = 10,
+                  test_permille: int = 10) -> DataFrame:
+    """Deterministic held-out splits: adds (split_bucket, split) where
+    split ∈ {train, valid, test} is a pure function of md5(salt ":" id) —
+    the assignment every training pipeline needs to be STABLE across reruns,
+    incremental ingests, and engines (no sampling RNG, no state).
+
+    Bucket = first 15 md5 hex chars parsed base-16, mod 1000; the lowest
+    ``test_permille`` buckets are test, the next ``valid_permille`` valid,
+    the rest train. Changing the salt re-rolls the split; adding documents
+    never moves an existing one. Row-local codegen (md5 + conv) — embarrassingly
+    parallel at any scale, and the same arithmetic runs in ANSI SQL for the
+    oracle.
+    """
+    h = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.lit(salt), F.col(id_col).cast("string"))), 1, 15),
+        16, 10).cast("long")
+    bucket = (h % 1000).cast("int")
+    split = (F.when(bucket < test_permille, F.lit("test"))
+             .when(bucket < test_permille + valid_permille, F.lit("valid"))
+             .otherwise(F.lit("train")))
+    return (df.withColumn("split_bucket", bucket)
+              .withColumn("split", split))

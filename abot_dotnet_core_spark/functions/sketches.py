@@ -127,3 +127,71 @@ def cms_heavy_hitters(occurrences: DataFrame, key_col: str,
     return (top.withColumn("rank", F.row_number().over(w).cast("int"))
             .select("rank", F.col("k").alias(key_col),
                     "cms_count", "exact_count"))
+
+
+def hll_registers(df: DataFrame, group_col: str, value_col: str,
+                  p: int = 9, max_rho: int = 30) -> DataFrame:
+    """Per-group HyperLogLog (Flajolet et al. 2007) over the 48-bit hash,
+    entirely in integer fixed-point so the register state AND the raw
+    estimate are bit-exact across engines.
+
+    Register index = top ``p`` hash bits; rho = leading-zero rank of the
+    remaining ``48-p`` bits (clamped at ``max_rho``, which bounds every
+    2^(max_rho - M_j) term so the scaled harmonic sum stays in int64:
+    sum <= 2^(p + max_rho) = 2^39 at the defaults). Raw estimate
+    alpha_m * m^2 / sum(2^-M_j) is evaluated as
+    (alpha_micros * ((m*m << max_rho) DIV sum_scaled)) DIV 10^6 — floor
+    arithmetic only. The standard small/large-range bias corrections are
+    O(1) driver-side arithmetic on (v_zero, raw_est) and intentionally NOT
+    baked in: the frozen integer spec is the sketch; correction policy is
+    a caller choice (v_zero ships in the output so linear counting
+    m*ln(m/V) is one expression away).
+
+    Returns (group_col, n_present, v_zero, sum_scaled, hll_raw_est,
+    exact_distinct) — exact alongside, same demo convention as
+    cms_heavy_hitters.
+
+    Plan: one groupBy(group, bucket) max — a fixed <= m-row state per
+    group that partial aggregation collapses map-side regardless of
+    occurrence volume (THE reason HLL beats exact countDistinct at
+    100 TB: no (group, value) dedup shuffle) — then an m-row-per-group
+    agg. The exact column is the expensive dedup path, present only to
+    expose the sketch error.
+    """
+    m = 1 << p
+    rem_bits = 48 - p
+    alpha_micros = round(0.7213 / (1 + 1.079 / m) * 10**6)
+    h = h48(F.col(value_col))
+    bucket = F.expr(f"h DIV {1 << rem_bits}")
+    rem = F.expr(f"h % {1 << rem_bits}")
+    base = (df.select(F.col(group_col).alias("grp"), h.alias("h"))
+            .filter(F.col("h").isNotNull())
+            .select("grp", bucket.alias("bucket"), rem.alias("rem")))
+    bl = F.length(F.conv(F.col("rem"), 10, 2))
+    rho = (F.when(F.col("rem") == 0, F.lit(rem_bits + 1))
+           .otherwise(F.lit(rem_bits + 1) - bl))
+    regs = (base.withColumn("rho", F.least(rho, F.lit(max_rho)).cast("int"))
+            .groupBy("grp", "bucket").agg(F.max("rho").alias("M")))
+    # 2^(max_rho - M) as an exact integer shift (no float pow)
+    summary = (regs.withColumn(
+                    "term", F.expr(f"shiftleft(1L, {max_rho} - M)"))
+               .groupBy("grp")
+               .agg(F.count("*").alias("n_present"),
+                    F.sum("term").alias("sum_present")))
+    exact = (df.select(F.col(group_col).alias("grp"), F.col(value_col))
+             .groupBy("grp")
+             .agg(F.countDistinct(value_col).alias("exact_distinct")))
+    out = (summary
+           .withColumn("v_zero", (F.lit(m) - F.col("n_present")).cast("int"))
+           .withColumn("sum_scaled",
+                       F.col("sum_present")
+                       + F.col("v_zero").cast("long")
+                       * F.lit(1 << max_rho).cast("long"))
+           .withColumn("hll_raw_est", F.expr(
+               f"({alpha_micros}L * (({m}L * {m}L * {1 << max_rho}L)"
+               f" DIV sum_scaled)) DIV 1000000"))
+           .join(exact, "grp"))
+    return out.select(F.col("grp").alias(group_col),
+                      F.col("n_present").cast("int").alias("n_present"),
+                      "v_zero", "sum_scaled", "hll_raw_est",
+                      "exact_distinct")

@@ -52,7 +52,8 @@ HEADLINE = [
     "url_keep_latest", "recrawl_schedule", "events_asof", "events_interval",
     "events_tumbling", "events_sessions",
     "seen_antijoin", "url_hash64", "frontier_bfs", "pagerank",
-    "host_pagerank",
+    "host_pagerank", "host_hits", "host_components",
+    "winnow_fingerprints", "winnow_pairs", "dataset_split", "hll_distinct",
 ]
 
 
