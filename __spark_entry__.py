@@ -1009,6 +1009,28 @@ SELECT 'test,d' || (doc_id % 20) || ')/path' || doc_id
 FROM documents"""
 
 
+def q_cdx_lookup(spark, sf_dir):
+    """Prefix range scan over the SURT index — all captures of domain
+    d7.test via a sargable StringStartsWith on the range-sorted layout."""
+    from abot_dotnet_core_spark.functions.cdx import (
+        cdx_index, cdx_range_lookup)
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTP://WWW.D"), d % 20, F.lit(".TEST:80/Path"), d,
+        F.when(d % 2 == 1, F.concat(F.lit("?b=2&a="), d % 5))
+         .otherwise(F.lit("")))
+    captures = _docs(spark, sf_dir).select(
+        url.alias("url"),
+        (F.lit(1704067200) + d * 60).alias("warc_ts"))
+    return cdx_range_lookup(cdx_index(captures, num_partitions=8),
+                            "test,d7)")
+
+
+def sql_cdx_lookup():
+    return (f"SELECT * FROM ({sql_cdx_index()}\n) "
+            "WHERE surt_key LIKE 'test,d7)%'")
+
+
 def _host_edges(spark, sf_dir):
     """Two deterministic edges per doc: one cross-host, one self-host —
     identical construction in the oracle CTE."""
@@ -3887,6 +3909,62 @@ SELECT term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS total_tf,
 FROM tf GROUP BY term HAVING count(*) >= 2"""
 
 
+def q_phrase_search(spark, sf_dir):
+    """Exact phrase lookup ('slow hash batch') via positional equi-joins —
+    term i's postings shifted by -i, intersected on (doc, start)."""
+    from abot_dotnet_core_spark.functions.textfns import phrase_search
+    return phrase_search(_docs(spark, sf_dir), "slow hash batch")
+
+
+def sql_phrase_search():
+    terms = ["slow", "hash", "batch"]
+    joins = " JOIN ".join(f"m{i} USING (doc_id, start)" if i else "m0"
+                          for i in range(len(terms)))
+    ms = ",\n".join(
+        f"m{i} AS (SELECT doc_id, pos - {i} AS start FROM t "
+        f"WHERE term = '{w}')" for i, w in enumerate(terms))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents WHERE trim(text) <> ''),
+p AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM tok),
+t AS (SELECT doc_id, (i - 1)::int AS pos, toks[i::int] AS term FROM p),
+{ms}
+SELECT doc_id, count(*) AS n_matches, min(start)::int AS first_pos
+FROM {joins} GROUP BY doc_id"""
+
+
+def q_index_merge(spark, sf_dir):
+    """LSM-style inverted-index segment merge: base segment (docs < 400)
+    ∪ delta segment (docs >= 300, overlapping) minus tombstones
+    (doc_id % 37 == 0), per-term doc_freq + sorted-postings digest."""
+    from abot_dotnet_core_spark.functions.textfns import (
+        index_merge, tokens_col)
+    docs = _docs(spark, sf_dir)
+    pairs = docs.select(
+        "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("term"))
+    base = pairs.filter(F.col("doc_id") < 400)
+    delta = pairs.filter(F.col("doc_id") >= 300)
+    tomb = docs.filter(F.col("doc_id") % 37 == 0).select("doc_id")
+    return index_merge(base, delta, tomb)
+
+
+def sql_index_merge():
+    return """
+WITH occ AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''),
+pairs AS (
+  SELECT DISTINCT term, doc_id FROM occ WHERE doc_id < 400
+  UNION
+  SELECT DISTINCT term, doc_id FROM occ WHERE doc_id >= 300),
+live AS (SELECT * FROM pairs WHERE doc_id % 37 <> 0)
+SELECT term, count(*)::BIGINT AS doc_freq,
+       md5(array_to_string(list_sort(list(doc_id)), ',')) AS postings_md5
+FROM live GROUP BY term"""
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Per-document top-5 keywords by integer fixed-point tf/df score
     (score_micro = tf * 1e6 // df) — tf-idf-shaped keyword extraction with
@@ -3995,6 +4073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_pipeline": q_web_pipeline,
         "frontier_priority": q_frontier_priority,
         "cdx_index": q_cdx_index,
+        "cdx_lookup": q_cdx_lookup,
         "host_graph": q_host_graph,
         "host_degrees": q_host_degrees,
         "host_reciprocity": q_host_reciprocity,
@@ -4031,6 +4110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "vocab_topk": q_vocab_topk,
         "inverted_index": q_inverted_index,
+        "phrase_search": q_phrase_search,
+        "index_merge": q_index_merge,
         "tfidf_topk": q_tfidf_topk,
         "bigram_lm": q_bigram_lm,
         "chunk_documents": q_chunk_documents,
@@ -4112,6 +4193,7 @@ def oracle_sql() -> dict[str, str]:
         "web_pipeline": sql_web_pipeline(),
         "frontier_priority": sql_frontier_priority(),
         "cdx_index": sql_cdx_index(),
+        "cdx_lookup": sql_cdx_lookup(),
         "host_graph": sql_host_graph(),
         "host_degrees": sql_host_degrees(),
         "host_reciprocity": sql_host_reciprocity(),
@@ -4145,6 +4227,8 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": sql_token_stats(),
         "vocab_topk": sql_vocab_topk(),
         "inverted_index": sql_inverted_index(),
+        "phrase_search": sql_phrase_search(),
+        "index_merge": sql_index_merge(),
         "tfidf_topk": sql_tfidf_topk(),
         "bigram_lm": sql_bigram_lm(),
         "chunk_documents": sql_chunk_documents(),

@@ -60,3 +60,18 @@ def cdx_index(captures: DataFrame, url_col: str = "url",
     else:
         idx = idx.repartitionByRange("surt_key", "ts")
     return idx.sortWithinPartitions("surt_key", "ts")
+
+
+def cdx_range_lookup(idx: DataFrame, surt_prefix: str) -> DataFrame:
+    """All captures under a SURT prefix (a domain, a path subtree) from
+    the range-sorted index — the read path the CDX layout exists for.
+
+    ``startswith`` compiles to a StringStartsWith scan filter, which is
+    sargable against both parquet row-group min/max stats and the
+    range-partition boundaries cdx_index wrote: only shards whose
+    [min, max] SURT range intersects the prefix interval are read at all,
+    so a single-domain lookup over a 10^10-capture index touches O(1)
+    shards. No shuffle — the result stays in captured (surt, ts) order
+    per shard.
+    """
+    return idx.filter(F.col("surt_key").startswith(surt_prefix))

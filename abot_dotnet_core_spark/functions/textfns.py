@@ -402,3 +402,68 @@ def script_profile(df: DataFrame, text_col: str = "text",
         cols.append(F.floor(c * 1000 / n1).cast("long")
                     .alias(f"{name}_millis"))
     return df.select(*cols, script_dominant_col(t).alias("dominant"))
+
+
+def phrase_search(df: DataFrame, phrase: str, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Exact phrase lookup via positional equi-joins — the positional
+    inverted-index probe: term i's postings are (doc, pos - i), and a
+    phrase occurrence is one (doc, start) surviving the intersection of
+    all terms' shifted postings. Returns (doc_id, n_matches, first_pos).
+
+    Scale posture: each per-term postings set is a FILTER over the token
+    table (predicate pushdown against a materialized (term, doc, pos)
+    index would skip the tokenize entirely); the intersections are
+    equi-joins on (doc, start) — at index scale, join rarest term first
+    so every later join probes a shrinking set (AQE's size-based reorder
+    does this for materialized postings; the phrase-order joins here are
+    already bounded by the first term's match count). No windows, no
+    arrays carried across rows.
+    """
+    terms = phrase.lower().split()
+    if not terms:
+        raise ValueError("empty phrase")
+    toks = (df.select(F.col(id_col).alias("doc_id"),
+                      F.posexplode(tokens_col(F.lower(F.col(text_col))))
+                      .alias("pos", "term")))
+    out = None
+    for i, t in enumerate(terms):
+        p = (toks.filter(F.col("term") == t)
+             .select("doc_id", (F.col("pos") - i).alias("start")))
+        out = p if out is None else out.join(p, ["doc_id", "start"])
+    return (out.groupBy("doc_id")
+            .agg(F.count("*").alias("n_matches"),
+                 F.min("start").cast("int").alias("first_pos")))
+
+
+def index_merge(base: DataFrame, delta: DataFrame,
+                tombstones: DataFrame, id_col: str = "doc_id",
+                term_col: str = "term") -> DataFrame:
+    """Inverted-index segment merge: base ∪ delta posting pairs minus
+    tombstoned documents → per-term merged postings. The LSM-style
+    maintenance step every incremental index needs (new crawl round =
+    delta segment; recrawled/dropped pages = tombstones).
+
+    Inputs are exploded posting-pair tables (term, doc_id) — the form a
+    segment writer materializes; the output carries doc_freq and the
+    sorted-postings md5 digest, the same narrow verification convention
+    as inverted_index.
+
+    Scale posture: union → one distinct hash-agg on (term, doc) (map-side
+    combine; shuffle volume = distinct pairs), one broadcast-able
+    anti-join against tombstones (deleted docs are typically a tiny
+    fraction of a segment), one per-term agg. Merging N segments is the
+    same plan with an N-way union — no pairwise merge cascade.
+    """
+    pairs = (base.select(F.col(term_col).alias("term"),
+                         F.col(id_col).alias("doc_id"))
+             .union(delta.select(F.col(term_col).alias("term"),
+                                 F.col(id_col).alias("doc_id")))
+             .distinct())
+    live = pairs.join(tombstones.select(F.col(id_col).alias("doc_id")),
+                      "doc_id", "left_anti")
+    return (live.groupBy("term")
+            .agg(F.count("*").alias("doc_freq"),
+                 F.md5(F.concat_ws(",", F.transform(
+                     F.sort_array(F.collect_list("doc_id")),
+                     lambda d: d.cast("string")))).alias("postings_md5")))
