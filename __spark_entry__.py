@@ -518,6 +518,90 @@ l0 AS (SELECT node, node AS component FROM nodes)"""]
             + "\nSELECT node, component FROM l6")
 
 
+def _tri_edges(spark, sf_dir):
+    """Three deterministic directed edges per doc over 12 't'-hosts —
+    a ring (+1), a chord (+2), and a multiplicative map (3d+1); the
+    ring+chord pair guarantees triangles (s, s+1, s+2). Identical
+    construction in the triangle/k-core oracles."""
+    d = F.col("doc_id")
+    a = F.concat(F.lit("t"), (d % 12).cast("string"))
+    return _docs(spark, sf_dir).select(
+        a.alias("src"),
+        F.explode(F.array(
+            F.concat(F.lit("t"), ((d + 1) % 12).cast("string")),
+            F.concat(F.lit("t"), ((d + 2) % 12).cast("string")),
+            F.concat(F.lit("t"), ((d * 3 + 1) % 12).cast("string"))))
+        .alias("dst"))
+
+
+_TRI_EDGES_SQL = """raw AS (
+  SELECT 't' || (doc_id % 12)::varchar AS src,
+         't' || ((doc_id + 1) % 12)::varchar AS dst FROM documents
+  UNION ALL
+  SELECT 't' || (doc_id % 12)::varchar,
+         't' || ((doc_id + 2) % 12)::varchar FROM documents
+  UNION ALL
+  SELECT 't' || (doc_id % 12)::varchar,
+         't' || ((doc_id * 3 + 1) % 12)::varchar FROM documents),
+e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst)"""
+
+
+def q_host_triangles(spark, sf_dir):
+    """Exact per-host triangle participation (local cohesion / link-farm
+    density signal): canonical a<b edges, wedge join on the middle node,
+    closed against the edge set."""
+    from abot_dotnet_core_spark.functions.graph import triangle_counts
+    return triangle_counts(_tri_edges(spark, sf_dir))
+
+
+def sql_host_triangles():
+    return f"""
+WITH {_TRI_EDGES_SQL},
+w AS (SELECT x.a AS wa, x.b AS wb, y.b AS wc
+      FROM e x JOIN e y ON y.a = x.b),
+t AS (SELECT wa, wb, wc FROM w JOIN e z ON z.a = w.wa AND z.b = w.wc),
+c AS (SELECT unnest([wa, wb, wc]) AS node FROM t)
+SELECT node, count(*) AS n_triangles FROM c GROUP BY node"""
+
+
+def q_host_kcore(spark, sf_dir):
+    """Fixed-round k-core peel (k=3, 5 rounds) over the same host graph:
+    (node, in_kcore, last_degree) — the dense-web membership feature for
+    crawl prioritization."""
+    from abot_dotnet_core_spark.functions.graph import kcore_peel
+    edges = _tri_edges(spark, sf_dir)
+    nodes = _docs(spark, sf_dir).select(
+        F.concat(F.lit("t"), (F.col("doc_id") % 12).cast("string"))
+        .alias("host")).distinct()
+    return kcore_peel(nodes, edges, k=3, iterations=5)
+
+
+def sql_host_kcore():
+    k, iters = 3, 5
+    parts = [f"""{_TRI_EDGES_SQL},
+nodes AS (SELECT DISTINCT 't' || (doc_id % 12)::varchar AS node
+          FROM documents),
+al0 AS (SELECT node FROM nodes)"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""ea{i} AS (
+  SELECT e.a, e.b FROM e
+  JOIN al{i - 1} x ON x.node = e.a JOIN al{i - 1} y ON y.node = e.b),
+d{i} AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT a AS node FROM ea{i} UNION ALL SELECT b AS node FROM ea{i})
+  GROUP BY node),
+al{i} AS (SELECT al{i - 1}.node FROM al{i - 1}
+          JOIN d{i} USING (node) WHERE d >= {k})""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT n.node, (a.node IS NOT NULL) AS in_kcore,
+       (CASE WHEN a.node IS NOT NULL THEN coalesce(d.d, 0)
+             ELSE 0 END)::bigint AS last_degree
+FROM nodes n
+LEFT JOIN al{iters} a ON a.node = n.node
+LEFT JOIN d{iters} d ON d.node = n.node""")
+
+
 def sql_frontier_bfs():
     return f"""
 WITH RECURSIVE edges AS (
@@ -4094,6 +4178,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": q_host_pagerank,
         "host_hits": q_host_hits,
         "host_components": q_host_components,
+        "host_triangles": q_host_triangles,
+        "host_kcore": q_host_kcore,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
         "dataset_split": q_dataset_split,
@@ -4213,6 +4299,8 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": sql_host_pagerank(),
         "host_hits": sql_host_hits(),
         "host_components": sql_host_components(),
+        "host_triangles": sql_host_triangles(),
+        "host_kcore": sql_host_kcore(),
         "winnow_fingerprints": sql_winnow_fingerprints(),
         "winnow_pairs": sql_winnow_pairs(),
         "dataset_split": sql_dataset_split(),

@@ -227,3 +227,84 @@ def components_minlabel(nodes: DataFrame, edges: DataFrame,
                            .alias("component"))
                   .localCheckpoint(eager=True))
     return labels
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Exact per-node triangle participation over an undirected simple
+    graph: (node, n_triangles). Triangles are the local-cohesion signal
+    (link farms and tight mirror rings are triangle-dense; organic
+    hub-and-spoke link graphs are triangle-sparse).
+
+    Input edges are taken as undirected: both orientations are
+    canonicalized to (lo, hi), deduped, self-loops dropped. The count is
+    the classic two-join plan — wedges (a<b<c) from edge⋈edge on the
+    middle node, closed against the edge set — so every triangle is
+    enumerated exactly once in its sorted orientation.
+
+    Scale posture: the wedge join is the O(sum deg^2) step; production
+    deployments order each edge by degree first (so wedges pivot on the
+    LOWER-degree endpoint, the standard compact-forward cut) — that halves
+    the skew but changes no output; at host-graph scale (10^7 nodes) the
+    canonical-edge table broadcast is usually viable for the closing join.
+    Per-node counts come from exploding each triangle's three corners into
+    one hash-agg.
+    """
+    lo = F.least(F.col("src"), F.col("dst"))
+    hi = F.greatest(F.col("src"), F.col("dst"))
+    e = (edges.select(lo.alias("a"), hi.alias("b"))
+         .filter(F.col("a") != F.col("b")).distinct()
+         .localCheckpoint(eager=True))
+    x = e.select(F.col("a").alias("wa"), F.col("b").alias("wb"))
+    y = e.select(F.col("a").alias("wb"), F.col("b").alias("wc"))
+    wedges = x.join(y, "wb")                      # wa < wb < wc by const.
+    z = e.select(F.col("a").alias("wa"), F.col("b").alias("wc"))
+    tris = wedges.join(z, ["wa", "wc"])
+    corners = tris.select(F.explode(F.array("wa", "wb", "wc")).alias("node"))
+    return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+def kcore_peel(nodes: DataFrame, edges: DataFrame, k: int = 3,
+               iterations: int = 5) -> DataFrame:
+    """Fixed-round k-core peeling: (node, in_kcore, last_degree) after
+    ``iterations`` rounds of dropping nodes with alive-degree < k.
+
+    Exact k-core once ``iterations`` reaches the peel depth; fixed-round
+    by design (same rationale as components_minlabel: static plan depth,
+    CTE-replayable oracle). The k-core is the crawl-frontier's
+    "dense web" — spam clusters and heavily-interlinked boilerplate sites
+    survive high k; long-tail content peels out early, which makes
+    (in_kcore, last_degree) a cheap prioritization feature.
+
+    Per round: one degree agg over alive canonical edges + one semi-join
+    filter; edges shrink monotonically so later rounds cost less.
+    ``last_degree`` is the node's degree in the final alive subgraph
+    (0 for peeled nodes).
+    """
+    node_col = nodes.columns[0]
+    lo = F.least(F.col("src"), F.col("dst"))
+    hi = F.greatest(F.col("src"), F.col("dst"))
+    e = (edges.select(lo.alias("a"), hi.alias("b"))
+         .filter(F.col("a") != F.col("b")).distinct()
+         .localCheckpoint(eager=True))
+    alive = nodes.select(F.col(node_col).alias("node"))
+    deg = None
+    for _ in range(iterations):
+        ea = (e.join(alive.select(F.col("node").alias("a")), "a", "left_semi")
+              .join(alive.select(F.col("node").alias("b")), "b", "left_semi"))
+        deg = (ea.select(F.col("a").alias("node"))
+               .union(ea.select(F.col("b").alias("node")))
+               .groupBy("node").agg(F.count("*").alias("d")))
+        alive = (alive.join(deg, "node", "left")
+                 .filter(F.coalesce(F.col("d"), F.lit(0)) >= k)
+                 .select("node").localCheckpoint(eager=True))
+    final_deg = alive.join(deg, "node", "left") if deg is not None else \
+        alive.withColumn("d", F.lit(None).cast("long"))
+    surv = final_deg.select(
+        "node", F.lit(True).alias("in_kcore"),
+        F.coalesce(F.col("d"), F.lit(0)).cast("long").alias("last_degree"))
+    out = (nodes.select(F.col(node_col).alias("node"))
+           .join(surv, "node", "left")
+           .select("node",
+                   F.coalesce("in_kcore", F.lit(False)).alias("in_kcore"),
+                   F.coalesce("last_degree", F.lit(0)).alias("last_degree")))
+    return out

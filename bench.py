@@ -54,7 +54,7 @@ HEADLINE = [
     "seen_antijoin", "url_hash64", "frontier_bfs", "pagerank",
     "host_pagerank", "host_hits", "host_components",
     "winnow_fingerprints", "winnow_pairs", "dataset_split", "hll_distinct",
-    "phrase_search", "index_merge", "cdx_lookup",
+    "phrase_search", "index_merge", "cdx_lookup", "host_triangles", "host_kcore",
 ]
 
 

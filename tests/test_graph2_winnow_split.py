@@ -271,3 +271,53 @@ class TestHll:
         r = {x["source"]: x for x in hll_registers(
             self._occ(spark, {"a": 300}), "source", "tok").collect()}["a"]
         assert 100 <= r["hll_raw_est"] <= 900
+
+
+class TestTriangles:
+    def test_hand_counted(self, spark):
+        from abot_dotnet_core_spark.functions.graph import triangle_counts
+        # K4 on {a,b,c,d}: 4 triangles, each node in 3; plus pendant e-a
+        edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+                 ("b", "d"), ("c", "d"), ("e", "a")]
+        edf = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
+        got = {r["node"]: r["n_triangles"]
+               for r in triangle_counts(edf).collect()}
+        assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+    def test_direction_and_duplicates_ignored(self, spark):
+        from abot_dotnet_core_spark.functions.graph import triangle_counts
+        # same triangle given with mixed orientations, dups and a self-loop
+        edges = [("a", "b"), ("b", "a"), ("c", "b"), ("a", "c"),
+                 ("a", "c"), ("a", "a")]
+        edf = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
+        got = {r["node"]: r["n_triangles"]
+               for r in triangle_counts(edf).collect()}
+        assert got == {"a": 1, "b": 1, "c": 1}
+
+
+class TestKcore:
+    def test_peel_chain_keeps_clique(self, spark):
+        from abot_dotnet_core_spark.functions.graph import kcore_peel
+        # triangle {a,b,c} (2-core) with a tail c-d-e that peels at k=2
+        edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")]
+        ndf = spark.createDataFrame(
+            [Row(node=n) for n in ["a", "b", "c", "d", "e"]])
+        edf = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
+        got = {r["node"]: (r["in_kcore"], r["last_degree"])
+               for r in kcore_peel(ndf, edf, k=2, iterations=4).collect()}
+        assert got == {"a": (True, 2), "b": (True, 2), "c": (True, 2),
+                       "d": (False, 0), "e": (False, 0)}
+
+    def test_cascade_needs_multiple_rounds(self, spark):
+        from abot_dotnet_core_spark.functions.graph import kcore_peel
+        # path a-b-c-d at k=2: ends peel first, then the middle cascades
+        edges = [("a", "b"), ("b", "c"), ("c", "d")]
+        ndf = spark.createDataFrame(
+            [Row(node=n) for n in ["a", "b", "c", "d"]])
+        edf = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
+        after1 = {r["node"]: r["in_kcore"] for r in
+                  kcore_peel(ndf, edf, k=2, iterations=1).collect()}
+        assert after1 == {"a": False, "b": True, "c": True, "d": False}
+        after3 = {r["node"]: r["in_kcore"] for r in
+                  kcore_peel(ndf, edf, k=2, iterations=3).collect()}
+        assert after3 == {"a": False, "b": False, "c": False, "d": False}
