@@ -3101,6 +3101,87 @@ FROM agg JOIN top USING (source)"""
 _EPOCH_20260101 = 1767225600  # 2026-01-01T00:00:00Z
 
 
+def q_capture_stats(spark, sf_dir):
+    """Per-URL capture-history profile (operators/recrawl.py:capture_stats)
+    over a deterministic 5-captures-per-URL log with varied gaps — the
+    change-rate input for recrawl scheduling."""
+    from abot_dotnet_core_spark.operators.recrawl import capture_stats
+    d = F.col("doc_id")
+    caps = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://s"), (d % 100).cast("string"),
+                 F.lit(".test/page")).alias("url"),
+        (F.lit(1704067200) + d * 60 + (d % 7) * 11).alias("ts"))
+    return capture_stats(caps)
+
+
+def sql_capture_stats():
+    return """
+WITH caps AS (
+  SELECT 'http://s' || (doc_id % 100)::varchar || '.test/page' AS url,
+         (1704067200 + doc_id * 60 + (doc_id % 7) * 11)::bigint AS ts
+  FROM documents),
+g AS (SELECT url, ts,
+             ts - lag(ts) OVER (PARTITION BY url ORDER BY ts) AS gap
+      FROM caps)
+SELECT url, count(*) AS n_captures, min(ts) AS first_ts,
+       max(ts) AS last_ts,
+       (CASE WHEN count(*) > 1
+             THEN (max(ts) - min(ts)) // (count(*) - 1)
+             ELSE 0 END)::bigint AS mean_gap_s,
+       coalesce(max(gap), 0)::bigint AS max_gap_s
+FROM g GROUP BY url"""
+
+
+def q_url_variants(spark, sf_dir):
+    """Query-parameter variant collapse (urlsignals.py:url_param_variants):
+    per base URL, distinct ?-variant count + sorted parameter-key set —
+    the cleanURLFunc evidence report."""
+    from abot_dotnet_core_spark.functions.urlsignals import (
+        url_param_variants)
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("http://d"), (d % 10).cast("string"), F.lit(".test/p"),
+        (d % 25).cast("string"),
+        F.when(d % 4 == 1, F.concat(F.lit("?a="), (d % 5).cast("string")))
+         .when(d % 4 == 2, F.concat(F.lit("?b="), (d % 3).cast("string"),
+                                    F.lit("&a="), (d % 5).cast("string")))
+         .when(d % 4 == 3, F.lit("?c=1"))
+         .otherwise(F.lit("")))
+    return url_param_variants(_docs(spark, sf_dir).select(url.alias("url")))
+
+
+def sql_url_variants():
+    return """
+WITH urls AS (
+  SELECT 'http://d' || (doc_id % 10)::varchar || '.test/p'
+           || (doc_id % 25)::varchar
+           || CASE WHEN doc_id % 4 = 1 THEN '?a=' || (doc_id % 5)::varchar
+                   WHEN doc_id % 4 = 2 THEN '?b=' || (doc_id % 3)::varchar
+                                            || '&a=' || (doc_id % 5)::varchar
+                   WHEN doc_id % 4 = 3 THEN '?c=1'
+                   ELSE '' END AS url
+  FROM documents),
+u AS (
+  SELECT url,
+         CASE WHEN contains(url, '?') THEN split_part(url, '?', 1)
+              ELSE url END AS base_url,
+         CASE WHEN contains(url, '?')
+              THEN string_split(split_part(url, '?', 2), '&')
+              ELSE [] END AS kvs
+  FROM urls),
+k AS (SELECT base_url,
+             unnest(list_transform(kvs, x -> split_part(x, '=', 1))) AS pk
+      FROM u),
+agg AS (SELECT base_url,
+               array_to_string(list_sort(list(DISTINCT pk)), ',')
+                 AS param_keys
+        FROM k GROUP BY base_url),
+v AS (SELECT base_url, count(DISTINCT url) AS n_variants
+      FROM u GROUP BY base_url)
+SELECT v.base_url, v.n_variants, coalesce(a.param_keys, '') AS param_keys
+FROM v LEFT JOIN agg a ON a.base_url = v.base_url"""
+
+
 def q_url_keep_latest(spark, sf_dir):
     """Recrawl snapshot dedup: newest (url, warc_ts) snapshot wins — the
     steady-state corpus-compaction pass over the BASELINE input shape.
@@ -4232,6 +4313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": q_perplexity_buckets,
         "domain_stats": q_domain_stats,
         "url_keep_latest": q_url_keep_latest,
+        "capture_stats": q_capture_stats,
+        "url_variants": q_url_variants,
         "recrawl_schedule": q_recrawl_schedule,
         # container formats
         "warc_roundtrip": q_warc_roundtrip,
@@ -4350,6 +4433,8 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_buckets": sql_perplexity_buckets(),
         "domain_stats": sql_domain_stats(),
         "url_keep_latest": sql_url_keep_latest(),
+        "capture_stats": sql_capture_stats(),
+        "url_variants": sql_url_variants(),
         "recrawl_schedule": sql_recrawl_schedule(),
         "warc_roundtrip": sql_warc_roundtrip(),
         "multimodal_meta": sql_multimodal_meta(),

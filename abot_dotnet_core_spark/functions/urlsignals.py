@@ -128,3 +128,33 @@ def with_registered_domain(df: DataFrame,
     return (df.withColumn("host", host)
             .withColumn("public_suffix", cols["public_suffix"])
             .withColumn("registered_domain", cols["registered_domain"]))
+
+
+def url_param_variants(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Collapse query-parameter variants of the same resource: one row per
+    base URL (query stripped) with the variant count and the sorted set of
+    parameter keys seen — the companion to crawl-trap detection (calendars
+    and session ids manufacture unbounded ?-variants of one page) and the
+    evidence for a cleanURLFunc parameter-strip rule.
+
+    One hash-agg keyed by base URL; parameter keys come from a row-local
+    split (codegen), aggregated as a sorted-distinct join so the output is
+    deterministic and narrow. At index scale the base-URL agg shuffles
+    distinct bases only (map-side combine collapses variant floods).
+    """
+    url = F.col(url_col)
+    base = F.substring_index(url, "?", 1)
+    query = F.when(url.contains("?"),
+                   F.substring_index(url, "?", -1)).otherwise(F.lit(None))
+    keys = F.when(query.isNotNull(),
+                  F.transform(F.split(query, "&"),
+                              lambda kv: F.substring_index(kv, "=", 1))) \
+            .otherwise(F.array().cast("array<string>"))
+    rows = df.select(base.alias("base_url"), url.alias("__url"),
+                     F.explode(F.concat(keys, F.array(F.lit(None)
+                                                      .cast("string"))))
+                      .alias("param_key"))
+    return (rows.groupBy("base_url")
+            .agg(F.countDistinct("__url").alias("n_variants"),
+                 F.concat_ws(",", F.sort_array(
+                     F.collect_set("param_key"))).alias("param_keys")))

@@ -163,3 +163,30 @@ def snapshot_diff(old: DataFrame, new: DataFrame,
               .otherwise(F.lit("unchanged")))
     return (o.join(n, keys, "full_outer")
             .select(*keys, "old_fp", "new_fp", change.alias("change")))
+
+
+def capture_stats(df: DataFrame, url_col: str = "url",
+                  ts_col: str = "ts") -> DataFrame:
+    """Per-URL capture-history profile from a (url, ts) capture log (a CDX
+    index, the url_history table, a WARC manifest): capture count, first /
+    last timestamp, mean and max inter-capture gap in whole seconds.
+
+    The change-rate input for recrawl scheduling: URLs with short, regular
+    gaps are news-like (recrawl often); a large max/mean gap ratio marks
+    bursty histories (one-off edits). mean_gap_s is exact integer
+    (last-first) DIV (n-1) — no per-row gap pass needed; max_gap_s is the
+    one window pass (lag over ts within url, partition size = captures per
+    url, bounded by crawl frequency, never by corpus size).
+    """
+    w = W.partitionBy("__u").orderBy("__ts")
+    gaps = (df.select(F.col(url_col).alias("__u"),
+                      F.col(ts_col).cast("long").alias("__ts"))
+            .withColumn("__gap", F.col("__ts") - F.lag("__ts").over(w)))
+    return (gaps.groupBy(F.col("__u").alias(url_col))
+            .agg(F.count("*").alias("n_captures"),
+                 F.min("__ts").alias("first_ts"),
+                 F.max("__ts").alias("last_ts"),
+                 F.expr("CASE WHEN count(*) > 1 THEN "
+                        "(max(__ts) - min(__ts)) DIV (count(*) - 1) "
+                        "ELSE 0 END").alias("mean_gap_s"),
+                 F.coalesce(F.max("__gap"), F.lit(0)).alias("max_gap_s")))

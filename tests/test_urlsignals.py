@@ -110,3 +110,42 @@ class TestRegisteredDomain:
         r = out["a.blogspot.co.uk"]
         assert r.registered_domain == "blogspot.co.uk"
         assert r.public_suffix == "co.uk"
+
+
+class TestUrlParamVariants:
+    def test_variant_collapse(self, spark):
+        from pyspark.sql import Row
+        from abot_dotnet_core_spark.functions.urlsignals import (
+            url_param_variants)
+        urls = ["http://x/p", "http://x/p?a=1", "http://x/p?a=2&b=3",
+                "http://x/p?a=1",              # exact dup variant
+                "http://y/q"]
+        df = spark.createDataFrame([Row(url=u) for u in urls])
+        got = {r["base_url"]: (r["n_variants"], r["param_keys"])
+               for r in url_param_variants(df).collect()}
+        assert got["http://x/p"] == (3, "a,b")
+        assert got["http://y/q"] == (1, "")
+
+    def test_valueless_param_key(self, spark):
+        from pyspark.sql import Row
+        from abot_dotnet_core_spark.functions.urlsignals import (
+            url_param_variants)
+        df = spark.createDataFrame([Row(url="http://x/p?flag&z=1")])
+        got = url_param_variants(df).collect()[0]
+        assert got["param_keys"] == "flag,z"
+
+
+class TestCaptureStats:
+    def test_gap_arithmetic(self, spark):
+        from pyspark.sql import Row
+        from abot_dotnet_core_spark.operators.recrawl import capture_stats
+        rows = [Row(url="u1", ts=t) for t in (100, 160, 400)] + \
+               [Row(url="u2", ts=500)]
+        got = {r["url"]: r for r in capture_stats(
+            spark.createDataFrame(rows)).collect()}
+        # u1: gaps 60, 240 -> mean (400-100)//2 = 150, max 240
+        assert (got["u1"]["n_captures"], got["u1"]["mean_gap_s"],
+                got["u1"]["max_gap_s"]) == (3, 150, 240)
+        assert (got["u2"]["n_captures"], got["u2"]["mean_gap_s"],
+                got["u2"]["max_gap_s"]) == (1, 0, 0)
+        assert (got["u1"]["first_ts"], got["u1"]["last_ts"]) == (100, 400)
