@@ -1418,6 +1418,57 @@ WHERE round(coalesce(i.n_inter, 0)::double
             / (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)), 6) >= 0.2"""
 
 
+def q_dedup_recall(spark, sf_dir):
+    """Recall of the MinHash-LSH banding config (k=4, bands=2) against
+    exact >= 0.2-Jaccard ground truth — the dedup counterpart of
+    ann_recall, run on a sample before freezing banding parameters."""
+    from abot_dotnet_core_spark.functions.dedup import lsh_recall_eval
+    return lsh_recall_eval(_docs(spark, sf_dir), k=4, bands=2,
+                           threshold=0.2)
+
+
+def sql_dedup_recall():
+    shingle = ("list_transform(range(1, len(toks) - 1), "
+               "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3),
+sh AS (SELECT DISTINCT doc_id, unnest({shingle}) AS shingle FROM tok),
+sig AS (
+  SELECT doc_id, {_MH_LANES}
+  FROM sh GROUP BY doc_id),
+buckets AS (
+  SELECT doc_id, 0 AS band,
+         md5(mh_0::VARCHAR || '|' || mh_1::VARCHAR) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1, md5(mh_2::VARCHAR || '|' || mh_3::VARCHAR) FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+allp AS (
+  SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, count(*) AS n_inter
+  FROM sh sa JOIN sh sb ON sb.shingle = sa.shingle
+                       AND sa.doc_id < sb.doc_id
+  GROUP BY 1, 2),
+truth AS (
+  SELECT a.id_a, a.id_b
+  FROM allp a
+  JOIN sizes za ON za.doc_id = a.id_a
+  JOIN sizes zb ON zb.doc_id = a.id_b
+  WHERE round(a.n_inter::double
+              / (za.n_sh + zb.n_sh - a.n_inter), 6) >= 0.2),
+hit AS (SELECT t.id_a, t.id_b FROM truth t
+        JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b)
+SELECT (SELECT count(*) FROM truth)::bigint AS n_truth,
+       (SELECT count(*) FROM cand)::bigint AS n_candidates,
+       (SELECT count(*) FROM hit)::bigint AS n_hit,
+       ((SELECT count(*) FROM hit) * 1000
+        // greatest((SELECT count(*) FROM truth), 1))::int AS recall_millis"""
+
+
 def q_neardup_components(spark, sf_dir):
     """Near-dup cluster assignment: the verified LSH pairs (same pipeline as
     neardup_pairs) fed through alternating large-star/small-star connected
@@ -4251,6 +4302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
         "neardup_pairs": q_neardup_pairs,
+        "dedup_recall": q_dedup_recall,
         "neardup_components": q_neardup_components,
         "neardup_keep_best": q_neardup_keep_best,
         "substring_dedup": q_substring_dedup,
@@ -4374,6 +4426,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": sql_exact_dedup(),
         "minhash_signatures": sql_minhash_signatures(),
         "neardup_pairs": sql_neardup_pairs(),
+        "dedup_recall": sql_dedup_recall(),
         "neardup_components": sql_neardup_components(),
         "neardup_keep_best": sql_neardup_keep_best(),
         "substring_dedup": sql_substring_dedup(),

@@ -486,16 +486,26 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
     grouped/bucketed by fp_hash for the shared-fingerprint pair join.
     """
     grams = shingles_col(F.col(text_col), n=k)
-    base = (df.select(F.col(id_col), F.posexplode(grams).alias("pos", "gram"),
-                      (F.size(grams)).alias("n_grams"))
+    # do NOT also project size(grams) here: a sibling column of a
+    # posexplode is evaluated in the post-Generate Project, where
+    # projection collapse re-inlines the whole shingles expression PER
+    # EXPLODED ROW — O(tokens^2) per doc, measured 10x the whole pass at
+    # sf0.1. Window-start validity is derived below from a count over the
+    # SAME window frame instead (no extra column, no extra shuffle).
+    base = (df.select(F.col(id_col), F.posexplode(grams).alias("pos", "gram"))
             .filter(F.col("pos") < (1 << 20)))
     h40 = F.conv(F.substring(F.md5(F.col("gram")), 1, 10), 16, 10).cast("long")
     enc = h40 * F.lit(1 << 20) + (F.lit((1 << 20) - 1) - F.col("pos"))
     win = (W.partitionBy(id_col).orderBy("pos")
            .rowsBetween(0, window - 1))
-    return (base.withColumn("__m", F.min(enc).over(win))
-            .filter(F.col("pos") <= F.greatest(F.col("n_grams") - window,
-                                               F.lit(0)))
+    # a valid window START has a full frame ahead (count == window), plus
+    # pos 0 for documents shorter than one window (single-min boundary
+    # rule); min is over the projected __enc column, not the inline md5
+    # expression (a rows-frame re-evaluates its input per frame element)
+    sel = (base.withColumn("__enc", enc).drop("gram")
+           .withColumn("__m", F.min("__enc").over(win))
+           .withColumn("__n", F.count("*").over(win)))
+    return (sel.filter((F.col("__n") == window) | (F.col("pos") == 0))
             .select(F.col(id_col),
                     (F.lit((1 << 20) - 1) - F.col("__m") % F.lit(1 << 20))
                     .cast("int").alias("fp_pos"),
@@ -533,3 +543,53 @@ def winnow_shared_pairs(df: DataFrame, id_col: str = "doc_id",
     return (a.join(b, "fp_hash").filter(F.col("id_a") < F.col("id_b"))
             .groupBy("id_a", "id_b").agg(F.count("*").alias("n_shared"))
             .filter(F.col("n_shared") >= min_shared))
+
+
+def lsh_recall_eval(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 4, bands: int = 2,
+                    shingle_n: int = 3,
+                    threshold: float = 0.2) -> DataFrame:
+    """Recall evaluation of the MinHash-LSH banding config against exact
+    Jaccard ground truth — one row: (n_truth, n_candidates, n_hit,
+    recall_millis). The dedup counterpart of the ANN recall@k evaluator:
+    run it on a sample before freezing (k, bands) for a corpus-scale pass.
+
+    Ground truth needs no O(n^2) cross join: a pair with Jaccard > 0
+    shares >= 1 shingle, so all-pairs truth is the shingle equi-join
+    (sa ⋈ sb on shingle, id_a < id_b) + the same round-6 Jaccard filter
+    the verify step uses. That join IS the hot-shingle-skew-exposed step —
+    on an eval SAMPLE it is bounded; never run it corpus-wide (that is
+    what the banding being evaluated here is for).
+    """
+    sigs = minhash_signatures(df, id_col=id_col, text_col=text_col,
+                              k=k, shingle_n=shingle_n)
+    cand = lsh_candidate_pairs(sigs, id_col=id_col, k=k, bands=bands)
+    sh = (df.select(id_col,
+                    F.explode(shingles_col(F.col(text_col), shingle_n))
+                    .alias("shingle"))
+          .select(id_col, F.xxhash64("shingle").alias("sh_h"))
+          .dropDuplicates([id_col, "sh_h"]))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    allp = (sh.select(F.col(id_col).alias("id_a"), "sh_h")
+            .join(sh.select(F.col(id_col).alias("id_b"), "sh_h"),
+                  "sh_h")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter")))
+    truth = (allp
+             .join(sizes.select(F.col(id_col).alias("id_a"),
+                                F.col("n_sh").alias("n_a")), "id_a")
+             .join(sizes.select(F.col(id_col).alias("id_b"),
+                                F.col("n_sh").alias("n_b")), "id_b")
+             .filter(F.round(
+                 F.col("n_inter")
+                 / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6)
+                 >= threshold)
+             .select("id_a", "id_b")
+             .localCheckpoint(eager=True))
+    hit = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    t = truth.agg(F.count("*").alias("n_truth"))
+    c = cand.agg(F.count("*").alias("n_candidates"))
+    h = hit.agg(F.count("*").alias("n_hit"))
+    return (t.crossJoin(c).crossJoin(h)
+            .withColumn("recall_millis", F.expr(
+                "cast((n_hit * 1000) DIV greatest(n_truth, 1L) as int)")))

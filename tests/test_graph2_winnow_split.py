@@ -321,3 +321,20 @@ class TestKcore:
         after3 = {r["node"]: r["in_kcore"] for r in
                   kcore_peel(ndf, edf, k=2, iterations=3).collect()}
         assert after3 == {"a": False, "b": False, "c": False, "d": False}
+
+
+class TestDedupRecall:
+    def test_planted_dups_and_counts(self, spark):
+        from abot_dotnet_core_spark.functions.dedup import lsh_recall_eval
+        near = "the quick brown fox jumps over the lazy dog again today"
+        texts = [near, near + " extra", "totally different words here now",
+                 "yet another unrelated document about other things"]
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+        r = lsh_recall_eval(df, k=4, bands=2, threshold=0.2).collect()[0]
+        assert r["n_truth"] >= 1                  # the planted pair
+        assert r["n_hit"] <= r["n_truth"]
+        assert r["n_hit"] <= r["n_candidates"] or r["n_candidates"] == 0
+        assert 0 <= r["recall_millis"] <= 1000
+        # identical-prefix docs share every band -> must be recalled
+        assert r["recall_millis"] == 1000
