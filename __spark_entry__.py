@@ -2057,6 +2057,67 @@ SELECT lang, count(*) AS n_docs, {cols}
 FROM documents GROUP BY lang"""
 
 
+def q_segment_langs(spark, sf_dir):
+    """Mixed-language (code-switch) detection: 20-token segments language-
+    id'd independently (CCNet's paragraph-granularity move), per-doc mix
+    profile with n_foreign > 0 as the bilingual/boilerplate-wrapper flag."""
+    from abot_dotnet_core_spark.functions.textfns import segment_langs
+    return segment_langs(_docs(spark, sf_dir), seg_tokens=20)
+
+
+def sql_segment_langs():
+    from abot_dotnet_core_spark.functions.textfns import STOPWORDS
+    hits = ",\n         ".join(
+        "len(list_filter(seg_toks, x -> list_contains([{}], x)))"
+        " AS h_{}".format(",".join(f"'{w}'" for w in STOPWORDS[lang]), lang)
+        for lang in sorted(STOPWORDS))
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, seg, '{lang}' AS lang, h_{lang} AS hits FROM segs"
+        for lang in sorted(STOPWORDS))
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::varchar[]
+              ELSE list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                  x -> lower(x)) END AS toks
+  FROM documents),
+tok AS (
+  SELECT doc_id, (i - 1) // 20 AS seg, toks[i::int] AS tok
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t)),
+grp AS (SELECT doc_id, seg, list(tok) AS seg_toks
+        FROM tok GROUP BY doc_id, seg),
+segs AS (
+  SELECT doc_id, seg,
+         {hits}
+  FROM grp),
+scores AS ({unions}),
+best AS (
+  SELECT doc_id, seg, lang, hits,
+         row_number() OVER (PARTITION BY doc_id, seg
+                            ORDER BY hits DESC, lang DESC) AS rn
+  FROM scores),
+sp AS (SELECT doc_id, seg,
+              CASE WHEN hits > 0 THEN lang ELSE 'und' END AS seg_lang
+       FROM best WHERE rn = 1),
+counts AS (SELECT doc_id, seg_lang, count(*) AS n
+           FROM sp GROUP BY doc_id, seg_lang),
+domc AS (SELECT doc_id, seg_lang AS dom_lang, n AS n_dom,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY n DESC, seg_lang ASC) AS rn
+         FROM counts WHERE seg_lang <> 'und'),
+tot AS (SELECT doc_id, sum(n)::bigint AS n_segments,
+               sum(CASE WHEN seg_lang = 'und' THEN n ELSE 0 END)::bigint
+                 AS n_und
+        FROM counts GROUP BY doc_id)
+SELECT u.doc_id, u.n_segments,
+       coalesce(d.dom_lang, 'und') AS dom_lang,
+       coalesce(d.n_dom, 0)::bigint AS n_dom, u.n_und,
+       (u.n_segments - coalesce(d.n_dom, 0) - u.n_und)::bigint AS n_foreign
+FROM tot u
+LEFT JOIN (SELECT doc_id, dom_lang, n_dom FROM domc WHERE rn = 1) d
+  ON d.doc_id = u.doc_id"""
+
+
 def q_fingerprint(spark, sf_dir):
     from abot_dotnet_core_spark.functions.textfns import with_fingerprint
     return (with_fingerprint(_docs(spark, sf_dir))
@@ -4337,6 +4398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": q_mixture_weights,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
+        "segment_langs": q_segment_langs,
         "fingerprint": q_fingerprint,
         "length_profile": q_length_profile,
         "stratified_sample": q_stratified_sample,
@@ -4459,6 +4521,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_weights": sql_mixture_weights(),
         "quality_scores": sql_quality_scores(),
         "lang_id": sql_lang_id(),
+        "segment_langs": sql_segment_langs(),
         "fingerprint": sql_fingerprint(),
         "length_profile": sql_length_profile(),
         "stratified_sample": sql_stratified_sample(),

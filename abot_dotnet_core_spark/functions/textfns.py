@@ -467,3 +467,82 @@ def index_merge(base: DataFrame, delta: DataFrame,
                  F.md5(F.concat_ws(",", F.transform(
                      F.sort_array(F.collect_list("doc_id")),
                      lambda d: d.cast("string")))).alias("postings_md5")))
+
+
+def segment_langs(df: DataFrame, seg_tokens: int = 20,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Mixed-language (code-switch) detection: split each document into
+    fixed ``seg_tokens``-token segments, language-id each segment with the
+    same stopword-argmax rule as :func:`with_lang_id`, and profile the mix
+    per document — the CCNet move of scoring language at paragraph
+    granularity instead of document granularity, which catches boilerplate
+    wrappers around foreign content and bilingual pages that a whole-doc
+    vote averages away.
+
+    Returns (id, n_segments, dom_lang, n_dom, n_und, n_foreign):
+    dominant segment language (ties -> count desc, lang asc), segments
+    agreeing with it, undecided segments (no stopword hits), and segments
+    confidently voting for ANOTHER language — n_foreign > 0 is the
+    mixed-document flag.
+
+    Scale posture: entirely aggregation-shaped — tokens explode once with
+    positions, segment id = pos DIV seg_tokens, per-(doc, segment) lang
+    hits are conditional sums (map-side combine collapses token volume),
+    the per-segment argmax is a row-local sort of a #langs-length struct
+    array, and the doc profile is one more hash-agg. No token array is
+    ever carried beside a generator (see winnow_fingerprints for why),
+    no window functions, no UDF.
+    """
+    toks = tokens_col(F.lower(F.col(text_col)))
+    tokrows = (df.select(F.col(id_col).alias("doc_id"),
+                         F.posexplode(toks).alias("pos", "tok"))
+               .withColumn("seg", F.expr(f"pos DIV {seg_tokens}")))
+    hit_aggs = []
+    for lang in sorted(STOPWORDS):
+        sl = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        hit_aggs.append(F.sum(F.array_contains(sl, F.col("tok"))
+                              .cast("int")).alias(f"__h_{lang}"))
+    segs = tokrows.groupBy("doc_id", "seg").agg(*hit_aggs)
+    scores = F.array(*[
+        F.struct(F.col(f"__h_{lang}").alias("hits"),
+                 F.lit(lang).alias("lang")) for lang in sorted(STOPWORDS)])
+    best = F.sort_array(scores, asc=False)[0]
+    seg_pred = segs.select(
+        "doc_id",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+        .alias("seg_lang"))
+    counts = (seg_pred.groupBy("doc_id", "seg_lang")
+              .agg(F.count("*").alias("n")))
+    # dominant = argmax over DECIDED langs (count desc, lang asc — min_by
+    # on (-n, lang); rows failing the != 'und' guard carry a NULL ordering
+    # struct, which min_by skips); docs with only und segments fall back
+    # to dom_lang = 'und' via the coalesce below
+    prof = (counts.groupBy("doc_id")
+            .agg(F.sum("n").alias("n_segments"),
+                 F.min_by(F.when(F.col("seg_lang") != "und",
+                                 F.col("seg_lang")),
+                          F.when(F.col("seg_lang") != "und",
+                                 F.struct((-F.col("n")).alias("nn"),
+                                          F.col("seg_lang").alias("l"))))
+                 .alias("__dom_decided"),
+                 F.sum(F.when(F.col("seg_lang") == "und", F.col("n"))
+                       .otherwise(0)).alias("n_und")))
+    n_dom_src = (counts.select(F.col("doc_id").alias("d2"),
+                               "seg_lang", F.col("n").alias("n2")))
+    # join on the DECIDED dominant only: an all-und document has a NULL
+    # __dom_decided, never matches, and correctly reports n_dom = 0,
+    # n_foreign = 0 (its segments are all counted in n_und)
+    return (prof.join(n_dom_src,
+                      (prof.doc_id == n_dom_src.d2)
+                      & (n_dom_src.seg_lang == F.col("__dom_decided")),
+                      "left")
+            .select(F.col("doc_id").alias(id_col),
+                    "n_segments",
+                    F.coalesce(F.col("__dom_decided"), F.lit("und"))
+                    .alias("dom_lang"),
+                    F.coalesce(F.col("n2"), F.lit(0)).alias("n_dom"),
+                    "n_und",
+                    (F.col("n_segments")
+                     - F.coalesce(F.col("n2"), F.lit(0))
+                     - F.col("n_und")).alias("n_foreign")))

@@ -55,7 +55,7 @@ HEADLINE = [
     "host_pagerank", "host_hits", "host_components",
     "winnow_fingerprints", "winnow_pairs", "dataset_split", "hll_distinct",
     "phrase_search", "index_merge", "cdx_lookup", "host_triangles", "host_kcore",
-    "capture_stats", "url_variants", "dedup_recall",
+    "capture_stats", "url_variants", "dedup_recall", "segment_langs",
 ]
 
 

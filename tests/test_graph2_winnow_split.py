@@ -338,3 +338,32 @@ class TestDedupRecall:
         assert 0 <= r["recall_millis"] <= 1000
         # identical-prefix docs share every band -> must be recalled
         assert r["recall_millis"] == 1000
+
+
+class TestSegmentLangs:
+    def test_mix_profile(self, spark):
+        from abot_dotnet_core_spark.functions.textfns import (
+            STOPWORDS, segment_langs)
+        # exclusive stopwords only, so a segment votes unambiguously
+        def pure(lang):
+            other = {w for l2, ws in STOPWORDS.items() if l2 != lang
+                     for w in ws}
+            ws = [w for w in STOPWORDS[lang] if w not in other]
+            return " ".join((ws * 20)[:20])     # one full 20-token segment
+        en, de = pure("en"), pure("de")
+        texts = [
+            en + " " + de,                 # 1 en seg + 1 de seg
+            en,                            # single en segment
+            "zz qq ww ee rr",              # undecided
+            "",                            # no tokens -> no row
+            " ".join([de, de, en]),        # de dominant, en foreign
+        ]
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+        got = {r["doc_id"]: tuple(r)[1:] for r in segment_langs(df).collect()}
+        # doc 0: count tie 1-1 between de and en -> lang asc -> de wins
+        assert got[0] == (2, "de", 1, 0, 1)
+        assert got[1] == (1, "en", 1, 0, 0)
+        assert got[2] == (1, "und", 0, 1, 0)
+        assert 3 not in got
+        assert got[4] == (3, "de", 2, 0, 1)
