@@ -2248,6 +2248,71 @@ FROM b GROUP BY 1, 2"""
 # multimodal plumbing
 # ===========================================================================
 
+def q_bloom_fpr(spark, sf_dir):
+    """Measured false-positive rate of the reference Bloom construction
+    (BestM/BestK + md5 double hashing, operators/seenfilter.py) as one
+    relational plan: set bits = distinct positions of 400 inserted URL
+    keys; 100 disjoint probe keys are false-positive iff all k positions
+    hit. The T8 sizing harness."""
+    from abot_dotnet_core_spark.operators.seenfilter import bloom_fpr_eval
+    d = F.col("doc_id")
+    url = F.concat(F.lit("http://b"), d.cast("string"), F.lit(".test/x"))
+    docs = _docs(spark, sf_dir).select(url.alias("url"), "doc_id")
+    return bloom_fpr_eval(docs.filter(d < 400).select("url"),
+                          docs.filter(d >= 400).select("url"),
+                          capacity=400, error_rate=0.05)
+
+
+def sql_bloom_fpr():
+    from abot_dotnet_core_spark.operators.seenfilter import best_m_k
+    m, k = best_m_k(400, 0.05)
+    two32 = (1 << 32) % m
+
+    def le_word(o):
+        le = (f"substr(h, {o + 7}, 2) || substr(h, {o + 5}, 2) || "
+              f"substr(h, {o + 3}, 2) || substr(h, {o + 1}, 2)")
+        return ("list_aggregate(list_transform(range(1, 9), wp -> "
+                f"(CASE WHEN ascii(substr({le}, wp::int, 1)) >= 97 "
+                f"THEN ascii(substr({le}, wp::int, 1)) - 87 "
+                f"ELSE ascii(substr({le}, wp::int, 1)) - 48 END)::bigint "
+                "* (1::bigint << (4 * (8 - wp::int)))), 'sum')")
+
+    w0, w1, w2, w3 = le_word(0), le_word(8), le_word(16), le_word(24)
+    return f"""
+WITH keys AS (
+  SELECT 'http://b' || doc_id::varchar || '.test/x' AS url, doc_id
+  FROM documents),
+hh AS (
+  SELECT url, doc_id, md5(url) AS h FROM keys),
+hm AS (
+  SELECT url, doc_id,
+         ((({w0}) % {m}) + (({w1}) % {m}) * {two32}) % {m} AS h1m,
+         (((({w2}) + (CASE WHEN ({w2}) % 2 = 0 THEN 1 ELSE 0 END)) % {m})
+          + (({w3}) % {m}) * {two32}) % {m} AS h2m
+  FROM hh),
+pos AS (
+  SELECT url, doc_id, (h1m + i * h2m) % {m} AS pos
+  FROM hm, unnest(range(0, {k})) AS t(i)),
+set_bits AS (SELECT DISTINCT pos FROM pos WHERE doc_id < 400),
+ppos AS (SELECT DISTINCT url, pos FROM pos WHERE doc_id >= 400),
+per_probe AS (SELECT url, count(*) AS npos FROM ppos GROUP BY url),
+hit AS (SELECT p.url, count(*) AS nhit
+        FROM ppos p JOIN set_bits s ON s.pos = p.pos GROUP BY p.url),
+fp AS (SELECT count(*) AS n_fp
+       FROM per_probe pp LEFT JOIN hit h ON h.url = pp.url
+       WHERE coalesce(h.nhit, 0) = pp.npos)
+SELECT {m} AS m, {k} AS k,
+       (SELECT count(DISTINCT url) FROM keys WHERE doc_id < 400)::bigint
+         AS n_inserted,
+       (SELECT count(DISTINCT url) FROM keys WHERE doc_id >= 400)::bigint
+         AS n_probes,
+       n_fp::bigint AS n_fp,
+       ((n_fp * 1000) // greatest(
+          (SELECT count(DISTINCT url) FROM keys WHERE doc_id >= 400),
+          1))::int AS fpr_millis
+FROM fp"""
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Binary-column metadata pass (mapInPandas over Arrow batches; the
     payload is the utf-8 encoding of each document — deterministic)."""
@@ -2380,6 +2445,51 @@ SELECT o_custkey, o_orderkey, o_orderdate,
        row_number() OVER (PARTITION BY o_custkey
              ORDER BY o_orderdate, o_orderkey) AS order_rank
 FROM orders"""
+
+
+def q_window_funcs(spark, sf_dir):
+    """Ranking/distribution window-function coverage in one plan: ntile,
+    percent_rank, cume_dist, lag, lead over a single partition spec (one
+    shuffle; all six functions share the sort)."""
+    orders = _read(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    return (orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderpriority", "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.lag("o_orderkey", 1).over(w).alias("prev_key"),
+        F.lead("o_orderkey", 1).over(w).alias("next_key")))
+
+
+def sql_window_funcs():
+    return """
+SELECT o_orderpriority, o_orderkey,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       lag(o_orderkey, 1) OVER w AS prev_key,
+       lead(o_orderkey, 1) OVER w AS next_key
+FROM orders WHERE o_orderkey % 10 = 0
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)"""
+
+
+def q_cube_agg(spark, sf_dir):
+    """CUBE grouping-set coverage: all four (priority x status) grouping
+    combinations in one pass — the grouping-set expansion happens map-side
+    before one hash-agg shuffle."""
+    orders = _read(spark, sf_dir, "orders")
+    return (orders.cube("o_orderpriority", "o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 6).alias("total"))
+            .select("o_orderpriority", "o_orderstatus", "n_orders", "total"))
+
+
+def sql_cube_agg():
+    return """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+       round(sum(o_totalprice), 6) AS total
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)"""
 
 
 def q_rollup_agg(spark, sf_dir):
@@ -4433,6 +4543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # container formats
         "warc_roundtrip": q_warc_roundtrip,
         # multimodal plumbing
+        "bloom_fpr": q_bloom_fpr,
         "multimodal_meta": q_multimodal_meta,
         # streaming-shaped event analytics
         "events_tumbling": q_events_tumbling,
@@ -4446,6 +4557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "running_window": q_running_window,
         "rollup_agg": q_rollup_agg,
+        "cube_agg": q_cube_agg,
+        "window_funcs": q_window_funcs,
         "set_ops": q_set_ops,
         "pivot_agg": q_pivot_agg,
         "distinct_agg": q_distinct_agg,
@@ -4553,6 +4666,7 @@ def oracle_sql() -> dict[str, str]:
         "url_variants": sql_url_variants(),
         "recrawl_schedule": sql_recrawl_schedule(),
         "warc_roundtrip": sql_warc_roundtrip(),
+        "bloom_fpr": sql_bloom_fpr(),
         "multimodal_meta": sql_multimodal_meta(),
         "events_tumbling": sql_events_tumbling(),
         "events_sessions": sql_events_sessions(),
@@ -4564,6 +4678,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q3": sql_tpch_q3(),
         "running_window": sql_running_window(),
         "rollup_agg": sql_rollup_agg(),
+        "cube_agg": sql_cube_agg(),
+        "window_funcs": sql_window_funcs(),
         "set_ops": sql_set_ops(),
         "pivot_agg": sql_pivot_agg(),
         "distinct_agg": sql_distinct_agg(),

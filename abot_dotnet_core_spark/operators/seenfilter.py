@@ -469,3 +469,74 @@ def build_cuckoo_sidecar(seen: DataFrame, buckets: int = 32) -> DataFrame:
     with_bucket = seen.withColumn(
         "bucket", F.pmod(F.xxhash64("url_hash"), F.lit(buckets)).cast("int"))
     return with_bucket.groupBy("bucket").applyInPandas(build, CUCKOO_SCHEMA)
+
+
+def _le32_mod_cols(key, m: int):
+    """The four little-endian uint32 words of md5(key) reduced mod m, as
+    column expressions — the relational form of _h1_h2: h1 = w0 + w1*2^32,
+    h2 = (w2 | 1) + w3*2^32, both evaluated in modular arithmetic so no
+    intermediate exceeds k*m (the raw uint64s would overflow a signed
+    bigint). Shared by bloom_fpr_eval and its SQL oracle construction."""
+    h = F.md5(key)
+
+    def le_word(o):
+        le = F.concat(F.substring(h, o + 7, 2), F.substring(h, o + 5, 2),
+                      F.substring(h, o + 3, 2), F.substring(h, o + 1, 2))
+        return F.conv(le, 16, 10).cast("long")
+
+    w0, w1, w2, w3 = le_word(0), le_word(8), le_word(16), le_word(24)
+    two32 = (1 << 32) % m
+    h1m = ((w0 % m) + (w1 % m) * two32) % m
+    # | 1 on the little-endian low byte = +1 when the low word is even
+    w2or1 = w2 + F.when(w2 % 2 == 0, F.lit(1)).otherwise(F.lit(0))
+    h2m = ((w2or1 % m) + (w3 % m) * two32) % m
+    return h1m, h2m
+
+
+def bloom_fpr_eval(inserted: DataFrame, probes: DataFrame,
+                   key_col: str = "url", capacity: int = 400,
+                   error_rate: float = 0.05) -> DataFrame:
+    """Measure the ACTUAL false-positive rate of the reference Bloom
+    filter construction (BloomFilter.cs BestM/BestK + md5 double hashing)
+    against its configured target, as one relational plan — no bit array
+    materializes: the filter's set bits ARE the distinct positions of the
+    inserted keys, and a probe is positive iff every one of its k
+    positions is set (a semi-join + count equality).
+
+    Returns one row (m, k, n_inserted, n_probes, n_fp, fpr_millis).
+    Probes are assumed disjoint from inserted keys (the caller picks
+    them), so every positive probe is a false positive.
+
+    This is the evaluation harness for T8 sizing: run it on a key sample
+    before committing a capacity/error_rate pair for a 10^10-URL seen
+    set. Plan: positions explode keys k-ways (k is small), one distinct,
+    one broadcast-able semi-join (the set-bit dimension is <= m rows —
+    KBs), one agg.
+    """
+    m, k = best_m_k(capacity, error_rate)
+
+    def positions(df, idc):
+        h1m, h2m = _le32_mod_cols(F.col(key_col), m)
+        return (df.select(F.col(key_col).alias(idc),
+                          F.explode(F.array(*[
+                              F.lit(i) for i in range(k)])).alias("i"),
+                          h1m.alias("h1m"), h2m.alias("h2m"))
+                .select(idc, ((F.col("h1m") + F.col("i") * F.col("h2m"))
+                              % m).alias("pos"))
+                .distinct())
+
+    set_bits = positions(inserted, "__ik").select("pos").distinct()
+    ppos = positions(probes, "__pk")
+    per_probe = ppos.groupBy("__pk").agg(F.count("*").alias("npos"))
+    hit = (ppos.join(F.broadcast(set_bits), "pos", "left_semi")
+           .groupBy("__pk").agg(F.count("*").alias("nhit")))
+    fp = (per_probe.join(hit, "__pk", "left")
+          .filter(F.coalesce(F.col("nhit"), F.lit(0)) == F.col("npos"))
+          .agg(F.count("*").alias("n_fp")))
+    ni = inserted.agg(F.countDistinct(key_col).alias("n_inserted"))
+    np_ = probes.agg(F.countDistinct(key_col).alias("n_probes"))
+    return (ni.crossJoin(np_).crossJoin(fp)
+            .select(F.lit(m).alias("m"), F.lit(k).alias("k"),
+                    "n_inserted", "n_probes", "n_fp",
+                    F.expr("cast((n_fp * 1000) DIV greatest(n_probes, 1L)"
+                           " as int)").alias("fpr_millis")))

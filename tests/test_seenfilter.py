@@ -195,3 +195,39 @@ class TestMergeInt64Exactness:
         # and the off-by-rounding neighbours are NOT all present (would be
         # if the rounded value had been added instead)
         assert any(_key_of(h + 1) not in bf for (h,) in base)
+
+
+class TestBloomFprEval:
+    def test_matches_operational_filter(self, spark):
+        """The relational FPR plan must agree bit-for-bit with the
+        imperative BloomFilter over the same string keys."""
+        from pyspark.sql import Row
+        from abot_dotnet_core_spark.operators.seenfilter import (
+            BloomFilter, bloom_fpr_eval, best_m_k)
+        ins = [f"http://k{i}.test/x" for i in range(200)]
+        probes = [f"http://p{i}.test/y" for i in range(80)]
+        cap, err = 200, 0.05
+        bf = BloomFilter(cap, err)
+        bf.add_many(k.encode() for k in ins)
+        expected_fp = sum(1 for p in probes if p.encode() in bf)
+        r = bloom_fpr_eval(
+            spark.createDataFrame([Row(url=u) for u in ins]),
+            spark.createDataFrame([Row(url=u) for u in probes]),
+            capacity=cap, error_rate=err).collect()[0]
+        m, k = best_m_k(cap, err)
+        assert (r["m"], r["k"]) == (m, k)
+        assert (r["n_inserted"], r["n_probes"]) == (200, 80)
+        assert r["n_fp"] == expected_fp
+        assert r["fpr_millis"] == expected_fp * 1000 // 80
+
+    def test_inserted_keys_always_positive(self, spark):
+        """Sanity: probing the filter with its own keys reports 100%
+        'false'-positive (they are true members)."""
+        from pyspark.sql import Row
+        from abot_dotnet_core_spark.operators.seenfilter import (
+            bloom_fpr_eval)
+        ins = spark.createDataFrame(
+            [Row(url=f"http://k{i}.test/") for i in range(60)])
+        r = bloom_fpr_eval(ins, ins, capacity=60,
+                           error_rate=0.01).collect()[0]
+        assert r["n_fp"] == 60 and r["fpr_millis"] == 1000
