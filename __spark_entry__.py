@@ -602,6 +602,37 @@ LEFT JOIN al{iters} a ON a.node = n.node
 LEFT JOIN d{iters} d ON d.node = n.node""")
 
 
+def q_redirect_resolve(spark, sf_dir):
+    """Redirect-chain collapse by pointer doubling (graph.py:
+    resolve_redirects): chains 'http://rN' -> 'http://r(N-1)' down to the
+    nearest multiple of 5 (terminal pages), 4 doubling rounds."""
+    from abot_dotnet_core_spark.functions.graph import resolve_redirects
+    d = F.col("doc_id")
+    edges = (_docs(spark, sf_dir).filter(d % 5 != 0)
+             .select(F.concat(F.lit("http://r"), d.cast("string"))
+                     .alias("src"),
+                     F.concat(F.lit("http://r"), (d - 1).cast("string"))
+                     .alias("dst")))
+    return resolve_redirects(edges, doubling_rounds=4)
+
+
+def sql_redirect_resolve():
+    parts = ["""edges AS (
+  SELECT 'http://r' || doc_id::varchar AS src,
+         'http://r' || (doc_id - 1)::varchar AS dst
+  FROM documents WHERE doc_id % 5 <> 0),
+m0 AS (SELECT src, dst, 1::bigint AS hops FROM edges)"""]
+    for r in range(4):
+        parts.append(f"""m{r + 1} AS (
+  SELECT a.src, coalesce(b.dst, a.dst) AS dst,
+         a.hops + coalesce(b.hops, 0) AS hops
+  FROM m{r} a LEFT JOIN m{r} b ON b.src = a.dst)""")
+    return ("WITH " + ",\n".join(parts) + """
+SELECT m4.src, m4.dst AS final_url, m4.hops,
+       (s.src IS NULL) AS resolved
+FROM m4 LEFT JOIN (SELECT DISTINCT src FROM edges) s ON s.src = m4.dst""")
+
+
 def sql_frontier_bfs():
     return f"""
 WITH RECURSIVE edges AS (
@@ -4484,6 +4515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_components": q_host_components,
         "host_triangles": q_host_triangles,
         "host_kcore": q_host_kcore,
+        "redirect_resolve": q_redirect_resolve,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
         "dataset_split": q_dataset_split,
@@ -4612,6 +4644,7 @@ def oracle_sql() -> dict[str, str]:
         "host_components": sql_host_components(),
         "host_triangles": sql_host_triangles(),
         "host_kcore": sql_host_kcore(),
+        "redirect_resolve": sql_redirect_resolve(),
         "winnow_fingerprints": sql_winnow_fingerprints(),
         "winnow_pairs": sql_winnow_pairs(),
         "dataset_split": sql_dataset_split(),

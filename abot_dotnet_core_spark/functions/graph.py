@@ -308,3 +308,41 @@ def kcore_peel(nodes: DataFrame, edges: DataFrame, k: int = 3,
                    F.coalesce("in_kcore", F.lit(False)).alias("in_kcore"),
                    F.coalesce("last_degree", F.lit(0)).alias("last_degree")))
     return out
+
+
+def resolve_redirects(edges: DataFrame,
+                      doubling_rounds: int = 4) -> DataFrame:
+    """Collapse redirect chains to their final target by pointer doubling:
+    (src, final_url, hops, resolved). Each round composes the mapping with
+    itself (f := f∘f), so ``doubling_rounds`` rounds resolve chains up to
+    2^rounds hops — 4 rounds cover the 16-hop chains no sane crawler
+    follows anyway (the reference caps redirects far lower, P1).
+
+    resolved=false marks rows whose final target is still itself a
+    redirect source after all rounds: a longer-than-2^r chain or a
+    redirect CYCLE (a→b→a never terminates; its hops column doubles each
+    round — a cheap cycle signature).
+
+    The canonical-URL election step for archive dedup (CDX revisit
+    records point at redirect targets) and for collapsing www/https
+    variants before seen-set insertion. Plan: one self-equi-join per
+    round on the (shrinking-entropy) mapping table — O(log chain) rounds,
+    never O(chain) — the same doubling trick list-ranking uses; lineage
+    truncated per round.
+    """
+    m = edges.select("src", "dst", F.lit(1).cast("long").alias("hops"))
+    for _ in range(doubling_rounds):
+        nxt = m.select(F.col("src").alias("src2"),
+                       F.col("dst").alias("dst2"),
+                       F.col("hops").alias("h2"))
+        m = (m.join(nxt, m.dst == nxt.src2, "left")
+             .select("src",
+                     F.coalesce("dst2", "dst").alias("dst"),
+                     (F.col("hops") + F.coalesce(F.col("h2"), F.lit(0)))
+                     .alias("hops"))
+             .localCheckpoint(eager=True))
+    srcs = edges.select(F.col("src").alias("dst")).distinct() \
+                .withColumn("__still_src", F.lit(True))
+    return (m.join(srcs, "dst", "left")
+            .select("src", F.col("dst").alias("final_url"), "hops",
+                    F.col("__still_src").isNull().alias("resolved")))

@@ -367,3 +367,30 @@ class TestSegmentLangs:
         assert got[2] == (1, "und", 0, 1, 0)
         assert 3 not in got
         assert got[4] == (3, "de", 2, 0, 1)
+
+
+class TestRedirectResolve:
+    def test_chain_cycle_and_depth(self, spark):
+        from abot_dotnet_core_spark.functions.graph import resolve_redirects
+        edges = ([("a", "b"), ("b", "c"), ("c", "d")]       # 3-hop chain
+                 + [("x", "y"), ("y", "x")]                  # 2-cycle
+                 + [("lone", "end")])
+        edf = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
+        got = {r["src"]: (r["final_url"], r["hops"], r["resolved"])
+               for r in resolve_redirects(edf, doubling_rounds=3).collect()}
+        assert got["a"] == ("d", 3, True)
+        assert got["b"] == ("d", 2, True)
+        assert got["lone"] == ("end", 1, True)
+        # cycle members never resolve; final stays inside the cycle
+        assert got["x"][2] is False and got["x"][0] in ("x", "y")
+        assert got["y"][2] is False
+
+    def test_chain_longer_than_doubling_budget(self, spark):
+        from abot_dotnet_core_spark.functions.graph import resolve_redirects
+        # 5-hop chain with 1 doubling round (covers <= 2 hops)
+        edges = [(f"n{i}", f"n{i+1}") for i in range(5)]
+        edf = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
+        got = {r["src"]: r for r in
+               resolve_redirects(edf, doubling_rounds=1).collect()}
+        assert got["n0"]["resolved"] is False     # stuck mid-chain
+        assert got["n3"]["final_url"] == "n5" and got["n3"]["resolved"]
