@@ -458,23 +458,23 @@ nodes AS (SELECT DISTINCT src AS node FROM edges),
 r0 AS (SELECT node, {scale}::bigint AS auth, {scale}::bigint AS hub
        FROM nodes)"""]
     for k in range(3):
-        parts.append(f"""a{k}r AS (
+        parts.append(f"""a{k}r AS MATERIALIZED (
   SELECT n.node, n.hub, coalesce(s.ar, 0)::bigint AS ar
   FROM r{k} n LEFT JOIN (
     SELECT e.dst, sum(e.w * r.hub) AS ar
     FROM edges e JOIN r{k} r ON r.node = e.src GROUP BY e.dst) s
   ON s.dst = n.node),
 a{k}t AS (SELECT sum(ar) AS t FROM a{k}r),
-a{k} AS (SELECT node, hub, ((ar * {scale}) // greatest(t, 1))::bigint AS auth
+a{k} AS MATERIALIZED (SELECT node, hub, ((ar * {scale}) // greatest(t, 1))::bigint AS auth
          FROM a{k}r CROSS JOIN a{k}t),
-h{k}r AS (
+h{k}r AS MATERIALIZED (
   SELECT n.node, n.auth, coalesce(s.hr, 0)::bigint AS hr
   FROM a{k} n LEFT JOIN (
     SELECT e.src, sum(e.w * r.auth) AS hr
     FROM edges e JOIN a{k} r ON r.node = e.dst GROUP BY e.src) s
   ON s.src = n.node),
 h{k}t AS (SELECT sum(hr) AS t FROM h{k}r),
-r{k + 1} AS (SELECT node, auth, ((hr * {scale}) // greatest(t, 1))::bigint AS hub
+r{k + 1} AS MATERIALIZED (SELECT node, auth, ((hr * {scale}) // greatest(t, 1))::bigint AS hub
              FROM h{k}r CROSS JOIN h{k}t)""")
     return ("WITH " + ",\n".join(parts)
             + "\nSELECT node, auth AS auth_mass, hub AS hub_mass FROM r3")
@@ -504,10 +504,11 @@ def sql_host_components():
         || ((((doc_id // 4) % 12) * 5 + 1) % 12)::varchar AS dst
   FROM documents),
 nodes AS (SELECT DISTINCT src AS node FROM edges),
-sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
-l0 AS (SELECT node, node AS component FROM nodes)"""]
+sym AS MATERIALIZED (
+  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+l0 AS MATERIALIZED (SELECT node, node AS component FROM nodes)"""]
     for k in range(6):
-        parts.append(f"""l{k + 1} AS (
+        parts.append(f"""l{k + 1} AS MATERIALIZED (
   SELECT n.node,
          least(n.component, coalesce(s.nc, n.component)) AS component
   FROM l{k} n LEFT JOIN (
@@ -543,7 +544,8 @@ _TRI_EDGES_SQL = """raw AS (
   UNION ALL
   SELECT 't' || (doc_id % 12)::varchar,
          't' || ((doc_id * 3 + 1) % 12)::varchar FROM documents),
-e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+e AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+                   greatest(src, dst) AS b
       FROM raw WHERE src <> dst)"""
 
 
@@ -580,26 +582,33 @@ def q_host_kcore(spark, sf_dir):
 def sql_host_kcore():
     k, iters = 3, 5
     parts = [f"""{_TRI_EDGES_SQL},
-nodes AS (SELECT DISTINCT 't' || (doc_id % 12)::varchar AS node
-          FROM documents),
-al0 AS (SELECT node FROM nodes)"""]
+nodes AS MATERIALIZED (
+  SELECT DISTINCT 't' || (doc_id % 12)::varchar AS node FROM documents),
+al0 AS MATERIALIZED (SELECT node FROM nodes)"""]
     for i in range(1, iters + 1):
-        parts.append(f"""ea{i} AS (
+        parts.append(f"""ea{i} AS MATERIALIZED (
   SELECT e.a, e.b FROM e
   JOIN al{i - 1} x ON x.node = e.a JOIN al{i - 1} y ON y.node = e.b),
-d{i} AS (
+d{i} AS MATERIALIZED (
   SELECT node, count(*) AS d FROM (
     SELECT a AS node FROM ea{i} UNION ALL SELECT b AS node FROM ea{i})
   GROUP BY node),
-al{i} AS (SELECT al{i - 1}.node FROM al{i - 1}
+al{i} AS MATERIALIZED (SELECT al{i - 1}.node FROM al{i - 1}
           JOIN d{i} USING (node) WHERE d >= {k})""")
+    parts.append(f"""eaF AS MATERIALIZED (
+  SELECT e.a, e.b FROM e
+  JOIN al{iters} x ON x.node = e.a JOIN al{iters} y ON y.node = e.b),
+dF AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT a AS node FROM eaF UNION ALL SELECT b AS node FROM eaF)
+  GROUP BY node)""")
     return ("WITH " + ",\n".join(parts) + f"""
 SELECT n.node, (a.node IS NOT NULL) AS in_kcore,
        (CASE WHEN a.node IS NOT NULL THEN coalesce(d.d, 0)
              ELSE 0 END)::bigint AS last_degree
 FROM nodes n
 LEFT JOIN al{iters} a ON a.node = n.node
-LEFT JOIN d{iters} d ON d.node = n.node""")
+LEFT JOIN dF d ON d.node = n.node""")
 
 
 def q_redirect_resolve(spark, sf_dir):
@@ -621,7 +630,8 @@ def sql_redirect_resolve():
   SELECT 'http://r' || doc_id::varchar AS src,
          'http://r' || (doc_id - 1)::varchar AS dst
   FROM documents WHERE doc_id % 5 <> 0),
-m0 AS (SELECT src, dst, 1::bigint AS hops FROM edges)"""]
+m0 AS (SELECT src, min(dst) AS dst, 1::bigint AS hops
+       FROM edges GROUP BY src)"""]
     for r in range(4):
         parts.append(f"""m{r + 1} AS (
   SELECT a.src, coalesce(b.dst, a.dst) AS dst,
@@ -1474,9 +1484,13 @@ buckets AS (
          md5(mh_0::VARCHAR || '|' || mh_1::VARCHAR) AS bucket FROM sig
   UNION ALL
   SELECT doc_id, 1, md5(mh_2::VARCHAR || '|' || mh_3::VARCHAR) FROM sig),
+bsz AS (SELECT band, bucket, count(*) AS bn
+        FROM buckets GROUP BY band, bucket),
+bk AS (SELECT b.doc_id, b.band, b.bucket
+       FROM buckets b JOIN bsz USING (band, bucket) WHERE bn <= 1000),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
   WHERE a.doc_id < b.doc_id),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 allp AS (
@@ -3419,7 +3433,7 @@ u AS (
          CASE WHEN contains(url, '?') THEN split_part(url, '?', 1)
               ELSE url END AS base_url,
          CASE WHEN contains(url, '?')
-              THEN string_split(split_part(url, '?', 2), '&')
+              THEN string_split(substr(url, instr(url, '?') + 1), '&')
               ELSE [] END AS kvs
   FROM urls),
 k AS (SELECT base_url,

@@ -547,8 +547,8 @@ def winnow_shared_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def lsh_recall_eval(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", k: int = 4, bands: int = 2,
-                    shingle_n: int = 3,
-                    threshold: float = 0.2) -> DataFrame:
+                    shingle_n: int = 3, threshold: float = 0.2,
+                    boilerplate_cap: int = 1000) -> DataFrame:
     """Recall evaluation of the MinHash-LSH banding config against exact
     Jaccard ground truth — one row: (n_truth, n_candidates, n_hit,
     recall_millis). The dedup counterpart of the ANN recall@k evaluator:
@@ -563,7 +563,11 @@ def lsh_recall_eval(df: DataFrame, id_col: str = "doc_id",
     """
     sigs = minhash_signatures(df, id_col=id_col, text_col=text_col,
                               k=k, shingle_n=shingle_n)
-    cand = lsh_candidate_pairs(sigs, id_col=id_col, k=k, bands=bands)
+    # the cap is part of the evaluated config: an eval that silently
+    # dropped hot buckets while production ran uncapped would report a
+    # recall the real pass does not exhibit — surface it and pass it down
+    cand = lsh_candidate_pairs(sigs, id_col=id_col, k=k, bands=bands,
+                               boilerplate_cap=boilerplate_cap)
     sh = (df.select(id_col,
                     F.explode(shingles_col(F.col(text_col), shingle_n))
                     .alias("shingle"))

@@ -287,18 +287,23 @@ def kcore_peel(nodes: DataFrame, edges: DataFrame, k: int = 3,
          .filter(F.col("a") != F.col("b")).distinct()
          .localCheckpoint(eager=True))
     alive = nodes.select(F.col(node_col).alias("node"))
-    deg = None
+
+    def _alive_deg(al):
+        ea = (e.join(al.select(F.col("node").alias("a")), "a", "left_semi")
+              .join(al.select(F.col("node").alias("b")), "b", "left_semi"))
+        return (ea.select(F.col("a").alias("node"))
+                .union(ea.select(F.col("b").alias("node")))
+                .groupBy("node").agg(F.count("*").alias("d")))
+
     for _ in range(iterations):
-        ea = (e.join(alive.select(F.col("node").alias("a")), "a", "left_semi")
-              .join(alive.select(F.col("node").alias("b")), "b", "left_semi"))
-        deg = (ea.select(F.col("a").alias("node"))
-               .union(ea.select(F.col("b").alias("node")))
-               .groupBy("node").agg(F.count("*").alias("d")))
+        deg = _alive_deg(alive)
         alive = (alive.join(deg, "node", "left")
                  .filter(F.coalesce(F.col("d"), F.lit(0)) >= k)
                  .select("node").localCheckpoint(eager=True))
-    final_deg = alive.join(deg, "node", "left") if deg is not None else \
-        alive.withColumn("d", F.lit(None).cast("long"))
+    # last_degree is measured on the FINAL alive subgraph (one more agg
+    # after the loop) — the last in-loop deg predates the last peel and
+    # would overcount every survivor adjacent to a peel victim
+    final_deg = alive.join(_alive_deg(alive), "node", "left")
     surv = final_deg.select(
         "node", F.lit(True).alias("in_kcore"),
         F.coalesce(F.col("d"), F.lit(0)).cast("long").alias("last_degree"))
@@ -329,8 +334,15 @@ def resolve_redirects(edges: DataFrame,
     round on the (shrinking-entropy) mapping table — O(log chain) rounds,
     never O(chain) — the same doubling trick list-ranking uses; lineage
     truncated per round.
+
+    The mapping must be FUNCTIONAL (one dst per src) or the self-joins
+    fan out multiplicatively; capture logs routinely observe the same URL
+    redirecting differently across crawls, so a min(dst) election runs
+    first (deterministic; callers with timestamps should pre-elect the
+    latest capture with recrawl.keep_latest instead).
     """
-    m = edges.select("src", "dst", F.lit(1).cast("long").alias("hops"))
+    m = (edges.groupBy("src").agg(F.min("dst").alias("dst"))
+         .withColumn("hops", F.lit(1).cast("long")))
     for _ in range(doubling_rounds):
         nxt = m.select(F.col("src").alias("src2"),
                        F.col("dst").alias("dst2"),

@@ -144,8 +144,13 @@ def url_param_variants(df: DataFrame, url_col: str = "url") -> DataFrame:
     """
     url = F.col(url_col)
     base = F.substring_index(url, "?", 1)
+    # everything after the FIRST '?' — substring_index(url, '?', -1) would
+    # cut at the LAST '?', silently dropping keys when a '?' appears inside
+    # a query value (legal per RFC 3986, e.g. ...?q=what?&a=1)
     query = F.when(url.contains("?"),
-                   F.substring_index(url, "?", -1)).otherwise(F.lit(None))
+                   F.expr(f"substring({url_col}, "
+                          f"instr({url_col}, '?') + 1)")) \
+             .otherwise(F.lit(None))
     keys = F.when(query.isNotNull(),
                   F.transform(F.split(query, "&"),
                               lambda kv: F.substring_index(kv, "=", 1))) \

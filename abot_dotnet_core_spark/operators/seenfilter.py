@@ -509,11 +509,20 @@ def bloom_fpr_eval(inserted: DataFrame, probes: DataFrame,
 
     This is the evaluation harness for T8 sizing: run it on a key sample
     before committing a capacity/error_rate pair for a 10^10-URL seen
-    set. Plan: positions explode keys k-ways (k is small), one distinct,
-    one broadcast-able semi-join (the set-bit dimension is <= m rows —
-    KBs), one agg.
+    set — evaluate at a SCALED-DOWN capacity with the same error_rate
+    (FPR depends on k and the load factor n/m, both preserved under
+    proportional scaling), not at the production m itself: the modular
+    products here are bounded by m^2, so m must stay under ~3·10^9 to
+    fit int64 (guarded below). Plan: positions explode keys k-ways (k is
+    small), one distinct, one broadcast-able semi-join (the set-bit
+    dimension is <= m rows — KBs), one agg.
     """
     m, k = best_m_k(capacity, error_rate)
+    if m > 3_000_000_000:
+        raise ValueError(
+            f"m={m} overflows the int64 modular arithmetic (m^2 bound); "
+            "evaluate on a proportionally smaller capacity with the same "
+            "error_rate — FPR depends only on k and the load factor")
 
     def positions(df, idc):
         h1m, h2m = _le32_mod_cols(F.col(key_col), m)

@@ -394,3 +394,28 @@ class TestRedirectResolve:
                resolve_redirects(edf, doubling_rounds=1).collect()}
         assert got["n0"]["resolved"] is False     # stuck mid-chain
         assert got["n3"]["final_url"] == "n5" and got["n3"]["resolved"]
+
+
+class TestReviewRegressions:
+    def test_redirect_duplicate_src_elects_min(self, spark):
+        from abot_dotnet_core_spark.functions.graph import resolve_redirects
+        # same src observed redirecting differently across captures
+        edges = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "e")]
+        edf = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
+        rows = resolve_redirects(edf, doubling_rounds=3).collect()
+        got = {r["src"]: r for r in rows}
+        assert len(rows) == 3                      # one row per src
+        assert got["a"]["final_url"] == "d"        # min(dst)='b' then ->d
+
+    def test_kcore_last_degree_is_post_peel(self, spark):
+        from abot_dotnet_core_spark.functions.graph import kcore_peel
+        # path a-b-c-d, k=2, 1 round: ends peel; survivors b,c must report
+        # their degree IN THE ALIVE SUBGRAPH (1), not the pre-peel 2
+        edges = [("a", "b"), ("b", "c"), ("c", "d")]
+        ndf = spark.createDataFrame(
+            [Row(node=n) for n in ["a", "b", "c", "d"]])
+        edf = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
+        got = {r["node"]: (r["in_kcore"], r["last_degree"]) for r in
+               kcore_peel(ndf, edf, k=2, iterations=1).collect()}
+        assert got["b"] == (True, 1) and got["c"] == (True, 1)
+        assert got["a"] == (False, 0) and got["d"] == (False, 0)

@@ -149,3 +149,14 @@ class TestCaptureStats:
         assert (got["u2"]["n_captures"], got["u2"]["mean_gap_s"],
                 got["u2"]["max_gap_s"]) == (1, 0, 0)
         assert (got["u1"]["first_ts"], got["u1"]["last_ts"]) == (100, 400)
+
+    def test_question_mark_inside_query_value(self, spark):
+        # RFC 3986 allows '?' inside the query; keys must come from the
+        # FIRST '?' (a last-'?' cut would drop 'q' entirely)
+        from pyspark.sql import Row
+        from abot_dotnet_core_spark.functions.urlsignals import (
+            url_param_variants)
+        df = spark.createDataFrame([Row(url="http://x/p?q=what?&a=1")])
+        got = url_param_variants(df).collect()[0]
+        assert got["base_url"] == "http://x/p"
+        assert got["param_keys"] == "a,q"
