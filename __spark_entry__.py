@@ -4342,14 +4342,15 @@ FROM tf GROUP BY term HAVING count(*) >= 2"""
 
 
 def q_phrase_search(spark, sf_dir):
-    """Exact phrase lookup ('slow hash batch') via positional equi-joins —
-    term i's postings shifted by -i, intersected on (doc, start)."""
+    """Exact phrase lookup ('query big part' — present at every sf) via
+    positional equi-joins — term i's postings shifted by -i, intersected
+    on (doc, start)."""
     from abot_dotnet_core_spark.functions.textfns import phrase_search
-    return phrase_search(_docs(spark, sf_dir), "slow hash batch")
+    return phrase_search(_docs(spark, sf_dir), "query big part")
 
 
 def sql_phrase_search():
-    terms = ["slow", "hash", "batch"]
+    terms = ["query", "big", "part"]
     joins = " JOIN ".join(f"m{i} USING (doc_id, start)" if i else "m0"
                           for i in range(len(terms)))
     ms = ",\n".join(
