@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""N-vs-4N scaling evidence for the heavy CATALOG queries (the crawl's
+evidence lives in bench_scaling.py): each level runs in its own JVM,
+``taskset``-pinned to exactly its advertised core count (same control as
+bench_scaling.py — unpinned, JVM threads + Python workers would occupy
+2N cores), JIT-warmed by one throwaway pass, best-of-TRIALS per query.
+
+Usage: python scripts/query_scaling.py [q1 q2 ...]
+Env:   SCALE_N (default 4), QS_TRIALS (default 3), SPARK_GRAFT_SF_DIR.
+Prints one JSON line: per-query seconds at N and 4N + efficiency
+(t_N / t_4N / 4) — wall-time ratio form of the throughput definition.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+N = int(os.environ.get("SCALE_N", "4"))
+TRIALS = int(os.environ.get("QS_TRIALS", "3"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# At raw sf0.1 every headline query finishes in under ~3 s — fixed
+# job-scheduling cost dominates and NO core count helps (measured
+# efficiency ~0.25 = flat wall time). Scaling evidence needs enough work
+# per core, so the harness stages a replicated input (documents xDOC_REP
+# with per-replica unique doc ids + a uniquifying suffix token, lineitem
+# xLI_REP verbatim) unless QS_STAGE=0. The suffix keeps per-doc pipelines
+# honest while NOT quadratically exploding pair joins, which is also why
+# the default query set is the per-doc/linear family, not the pair joins.
+DOC_REP = int(os.environ.get("QS_DOC_REP", "50"))
+LI_REP = int(os.environ.get("QS_LI_REP", "10"))
+STAGE = os.environ.get("QS_STAGE", "1") == "1"
+STAGE_DIR = "/tmp/qscale_sf"
+DEFAULT_QUERIES = ["minhash_signatures", "winnow_fingerprints",
+                   "substring_dedup", "inverted_index", "tpch_q1"]
+
+
+def stage_input() -> str:
+    # staged with Spark into 64 files per table: a single-file, few-row-
+    # group parquet (what a one-connection DuckDB COPY produces) caps scan
+    # parallelism at the row-group count — the levels would both sit on
+    # ~10 effective splits and the comparison would measure split
+    # starvation, not operator scaling
+    import shutil
+    marker = os.path.join(STAGE_DIR, f"_STAGED_{DOC_REP}_{LI_REP}")
+    if os.path.exists(marker):
+        return STAGE_DIR
+    shutil.rmtree(STAGE_DIR, ignore_errors=True)
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import functions as F
+    from abot_dotnet_core_spark.session import get_spark
+    spark = get_spark("qscale-stage", cpus=8, shuffle_partitions=64)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    (docs.select("*", F.explode(F.sequence(
+            F.lit(0), F.lit(DOC_REP - 1))).alias("__r"))
+     .select((F.col("doc_id") * DOC_REP + F.col("__r")).alias("doc_id"),
+             F.concat(F.col("text"), F.lit(" uniq"),
+                      (F.col("doc_id") * DOC_REP + F.col("__r"))
+                      .cast("string")).alias("text"),
+             "lang", "source", "n_chars")
+     .repartition(64).write.parquet(f"{STAGE_DIR}/documents.parquet"))
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    (li.select("*", F.explode(F.sequence(
+            F.lit(0), F.lit(LI_REP - 1))).alias("__r")).drop("__r")
+     .repartition(64).write.parquet(f"{STAGE_DIR}/lineitem.parquet"))
+    spark.stop()
+    open(marker, "w").close()
+    return STAGE_DIR
+
+RUNNER = r"""
+import json, sys, time
+sys.path.insert(0, "/root/repo")
+from abot_dotnet_core_spark.session import get_spark
+import __spark_entry__ as E
+cpus, sf_dir, trials, names = (int(sys.argv[1]), sys.argv[2],
+                               int(sys.argv[3]), sys.argv[4:])
+spark = get_spark("qscale", cpus=cpus, shuffle_partitions=cpus)
+# the staged parquet has few, large row groups; without a small split
+# size the scan yields fewer input partitions than cores and the whole
+# comparison measures split starvation, not the operators
+spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+qs = E.queries()
+for name in names:                       # JIT/readahead warmup pass
+    qs[name](spark, sf_dir).count()
+out = {}
+for name in names:
+    best = None
+    for _ in range(trials):
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    out[name] = round(best, 3)
+print("QSCALE " + json.dumps(out))
+"""
+
+
+def run_level(cores: int, names: list[str], sf_dir: str) -> dict:
+    mask = f"0-{cores - 1}"
+    cmd = ["taskset", "-c", mask, sys.executable, "-c", RUNNER,
+           str(cores), sf_dir, "1", *names]
+    p = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    for ln in p.stdout.splitlines():
+        if ln.startswith("QSCALE "):
+            return json.loads(ln[len("QSCALE "):])
+    raise RuntimeError(f"no QSCALE line from {cores}-core run:\n{p.stderr[-2000:]}")
+
+
+def main() -> None:
+    names = sys.argv[1:] or DEFAULT_QUERIES
+    sf_dir = stage_input() if STAGE else SF_DIR
+    # interleave lo/hi invocations (fresh JVM each, 1 timed trial inside)
+    # so both levels sample the same ambient-drift window — the same
+    # control bench_scaling.py applies; min per level across rounds
+    lo: dict = {}
+    hi: dict = {}
+    for _ in range(TRIALS):
+        for cores, acc in ((N, lo), (4 * N, hi)):
+            got = run_level(cores, names, sf_dir)
+            for q, t in got.items():
+                acc[q] = min(acc.get(q, t), t)
+    eff = {k: round(lo[k] / hi[k] / 4, 3) for k in names}
+    print(json.dumps({"n_cores": N, "4n_cores": 4 * N, "sf_dir": sf_dir,
+                      "doc_rep": DOC_REP if STAGE else 1,
+                      "trials": TRIALS, "sec_at_n": lo, "sec_at_4n": hi,
+                      "efficiency": eff}))
+
+
+if __name__ == "__main__":
+    main()
