@@ -611,6 +611,44 @@ LEFT JOIN al{iters} a ON a.node = n.node
 LEFT JOIN dF d ON d.node = n.node""")
 
 
+def q_nepotism(spark, sf_dir):
+    """Same-registrant (eTLD+1) cross-host link rates per registrant —
+    Davison's nepotistic-link spam signal over the host graph."""
+    from abot_dotnet_core_spark.functions.graph import nepotism_rates
+    d = F.col("doc_id")
+    hg = (_docs(spark, sf_dir).select(
+        F.concat(F.lit("s"), (d % 7).cast("string"), F.lit(".site"),
+                 (d % 5).cast("string"), F.lit(".com")).alias("src_host"),
+        F.concat(F.lit("s"), ((d * 3 + 1) % 7).cast("string"),
+                 F.lit(".site"), ((d * 2 + 1) % 5).cast("string"),
+                 F.lit(".com")).alias("dst_host"))
+        .groupBy("src_host", "dst_host").agg(F.count("*").alias("n_links")))
+    return nepotism_rates(hg)
+
+
+def sql_nepotism():
+    return """
+WITH e AS (
+  SELECT 's' || (doc_id % 7)::varchar || '.site' || (doc_id % 5)::varchar
+           || '.com' AS src_host,
+         's' || ((doc_id * 3 + 1) % 7)::varchar || '.site'
+           || ((doc_id * 2 + 1) % 5)::varchar || '.com' AS dst_host
+  FROM documents),
+hg AS (SELECT src_host, dst_host, count(*)::bigint AS n_links
+       FROM e GROUP BY src_host, dst_host),
+p AS (SELECT string_split(src_host, '.') AS sp,
+             string_split(dst_host, '.') AS dp, n_links
+      FROM hg WHERE src_host <> dst_host),
+r AS (SELECT sp[-2] || '.' || sp[-1] AS registrant,
+             dp[-2] || '.' || dp[-1] AS dst_rd, n_links FROM p)
+SELECT registrant, sum(n_links)::bigint AS out_links,
+       sum(CASE WHEN registrant = dst_rd THEN n_links ELSE 0 END)::bigint
+         AS nepotistic_links,
+       ((sum(CASE WHEN registrant = dst_rd THEN n_links ELSE 0 END) * 1000)
+        // greatest(sum(n_links), 1))::int AS nepotism_millis
+FROM r GROUP BY registrant"""
+
+
 def q_redirect_resolve(spark, sf_dir):
     """Redirect-chain collapse by pointer doubling (graph.py:
     resolve_redirects): chains 'http://rN' -> 'http://r(N-1)' down to the
@@ -4531,6 +4569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_triangles": q_host_triangles,
         "host_kcore": q_host_kcore,
         "redirect_resolve": q_redirect_resolve,
+        "nepotism": q_nepotism,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
         "dataset_split": q_dataset_split,
@@ -4660,6 +4699,7 @@ def oracle_sql() -> dict[str, str]:
         "host_triangles": sql_host_triangles(),
         "host_kcore": sql_host_kcore(),
         "redirect_resolve": sql_redirect_resolve(),
+        "nepotism": sql_nepotism(),
         "winnow_fingerprints": sql_winnow_fingerprints(),
         "winnow_pairs": sql_winnow_pairs(),
         "dataset_split": sql_dataset_split(),

@@ -358,3 +358,36 @@ def resolve_redirects(edges: DataFrame,
     return (m.join(srcs, "dst", "left")
             .select("src", F.col("dst").alias("final_url"), "hops",
                     F.col("__still_src").isNull().alias("resolved")))
+
+
+def nepotism_rates(hg: DataFrame) -> DataFrame:
+    """Per-registrant nepotistic-link profile from the host graph:
+    (registrant, out_links, nepotistic_links, nepotism_millis) where a
+    link is nepotistic when source and destination hosts share an eTLD+1
+    registrant but are DIFFERENT hosts — the classic same-owner
+    link-farm signal (Davison's 'nepotistic links'), complementary to
+    host_reciprocity (rings across owners) and trap/triangle density.
+
+    Same-host self-loops are excluded (site navigation is not nepotism);
+    cross-host same-registrant links (blog1.example.com ->
+    blog2.example.com, example.com -> shop.example.com) are what link
+    farms manufacture. One row-local eTLD+1 projection on each side of
+    the (already combine-reduced) host-pair table + one hash-agg; exact
+    integer thousandths.
+    """
+    from .urlsignals import registered_domain_cols
+    src_rd = registered_domain_cols(F.lower(F.col("src_host")))[
+        "registered_domain"]
+    dst_rd = registered_domain_cols(F.lower(F.col("dst_host")))[
+        "registered_domain"]
+    pairs = (hg.filter(F.col("src_host") != F.col("dst_host"))
+             .select(src_rd.alias("registrant"), dst_rd.alias("dst_rd"),
+                     F.col("n_links")))
+    return (pairs.groupBy("registrant")
+            .agg(F.sum("n_links").alias("out_links"),
+                 F.sum(F.when(F.col("registrant") == F.col("dst_rd"),
+                              F.col("n_links")).otherwise(0))
+                 .alias("nepotistic_links"))
+            .withColumn("nepotism_millis", F.expr(
+                "cast((nepotistic_links * 1000) DIV greatest(out_links, 1L)"
+                " as int)")))

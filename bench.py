@@ -56,7 +56,7 @@ HEADLINE = [
     "winnow_fingerprints", "winnow_pairs", "dataset_split", "hll_distinct",
     "phrase_search", "index_merge", "cdx_lookup", "host_triangles", "host_kcore",
     "capture_stats", "url_variants", "dedup_recall", "segment_langs",
-    "window_funcs", "cube_agg", "bloom_fpr", "redirect_resolve",
+    "window_funcs", "cube_agg", "bloom_fpr", "redirect_resolve", "nepotism",
 ]
 
 

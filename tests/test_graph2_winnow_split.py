@@ -419,3 +419,25 @@ class TestReviewRegressions:
                kcore_peel(ndf, edf, k=2, iterations=1).collect()}
         assert got["b"] == (True, 1) and got["c"] == (True, 1)
         assert got["a"] == (False, 0) and got["d"] == (False, 0)
+
+
+class TestNepotism:
+    def test_same_registrant_cross_host_only(self, spark):
+        from abot_dotnet_core_spark.functions.graph import nepotism_rates
+        hg = spark.createDataFrame([
+            # same registrant, different hosts -> nepotistic
+            Row(src_host="a.example.com", dst_host="b.example.com", n_links=3),
+            # self-loop -> excluded entirely
+            Row(src_host="a.example.com", dst_host="a.example.com", n_links=9),
+            # cross-registrant -> counted, not nepotistic
+            Row(src_host="a.example.com", dst_host="other.org", n_links=1),
+            # multi-part suffix: same co.uk registrant across subdomains
+            Row(src_host="x.shop.co.uk", dst_host="y.shop.co.uk", n_links=2),
+        ])
+        got = {r["registrant"]: r for r in nepotism_rates(hg).collect()}
+        e = got["example.com"]
+        assert (e["out_links"], e["nepotistic_links"],
+                e["nepotism_millis"]) == (4, 3, 750)
+        s = got["shop.co.uk"]
+        assert (s["out_links"], s["nepotistic_links"],
+                s["nepotism_millis"]) == (2, 2, 1000)
