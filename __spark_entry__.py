@@ -636,9 +636,9 @@ WITH e AS (
   FROM documents),
 hg AS (SELECT src_host, dst_host, count(*)::bigint AS n_links
        FROM e GROUP BY src_host, dst_host),
-p AS (SELECT string_split(src_host, '.') AS sp,
-             string_split(dst_host, '.') AS dp, n_links
-      FROM hg WHERE src_host <> dst_host),
+p AS (SELECT string_split(lower(src_host), '.') AS sp,
+             string_split(lower(dst_host), '.') AS dp, n_links
+      FROM hg WHERE lower(src_host) <> lower(dst_host)),
 r AS (SELECT sp[-2] || '.' || sp[-1] AS registrant,
              dp[-2] || '.' || dp[-1] AS dst_rd, n_links FROM p)
 SELECT registrant, sum(n_links)::bigint AS out_links,

@@ -380,7 +380,11 @@ def nepotism_rates(hg: DataFrame) -> DataFrame:
         "registered_domain"]
     dst_rd = registered_domain_cols(F.lower(F.col("dst_host")))[
         "registered_domain"]
-    pairs = (hg.filter(F.col("src_host") != F.col("dst_host"))
+    # self-loop exclusion must be case-insensitive like the registrant
+    # comparison: hosts arrive as-crawled, and 'example.com' ->
+    # 'Example.COM' is same-host navigation, not nepotism
+    pairs = (hg.filter(F.lower(F.col("src_host"))
+                       != F.lower(F.col("dst_host")))
              .select(src_rd.alias("registrant"), dst_rd.alias("dst_rd"),
                      F.col("n_links")))
     return (pairs.groupBy("registrant")

@@ -43,8 +43,14 @@ def stage_input() -> str:
     # parallelism at the row-group count — the levels would both sit on
     # ~10 effective splits and the comparison would measure split
     # starvation, not operator scaling
+    import glob
+    import hashlib
     import shutil
-    marker = os.path.join(STAGE_DIR, f"_STAGED_{DOC_REP}_{LI_REP}")
+    # the marker keys on the SOURCE dir too: switching SPARK_GRAFT_SF_DIR
+    # must not silently reuse staging derived from another scale factor
+    src_tag = hashlib.md5(SF_DIR.encode()).hexdigest()[:8]
+    marker = os.path.join(STAGE_DIR,
+                          f"_STAGED_{DOC_REP}_{LI_REP}_{src_tag}")
     if os.path.exists(marker):
         return STAGE_DIR
     shutil.rmtree(STAGE_DIR, ignore_errors=True)
@@ -66,6 +72,12 @@ def stage_input() -> str:
             F.lit(0), F.lit(LI_REP - 1))).alias("__r")).drop("__r")
      .repartition(64).write.parquet(f"{STAGE_DIR}/lineitem.parquet"))
     spark.stop()
+    # symlink every other source table through, so ANY catalog query can
+    # run against the staged dir (only documents/lineitem are replicated)
+    for src in glob.glob(os.path.join(SF_DIR, "*.parquet")):
+        dst = os.path.join(STAGE_DIR, os.path.basename(src))
+        if not os.path.exists(dst):
+            os.symlink(src, dst)
     open(marker, "w").close()
     return STAGE_DIR
 
@@ -101,11 +113,13 @@ def run_level(cores: int, names: list[str], sf_dir: str) -> dict:
     mask = f"0-{cores - 1}"
     cmd = ["taskset", "-c", mask, sys.executable, "-c", RUNNER,
            str(cores), sf_dir, "1", *names]
-    p = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    p = subprocess.run(cmd, capture_output=True, text=True)
     for ln in p.stdout.splitlines():
         if ln.startswith("QSCALE "):
             return json.loads(ln[len("QSCALE "):])
-    raise RuntimeError(f"no QSCALE line from {cores}-core run:\n{p.stderr[-2000:]}")
+    raise RuntimeError(
+        f"{cores}-core run failed (rc={p.returncode}); no QSCALE line.\n"
+        f"stderr tail:\n{p.stderr[-2000:]}")
 
 
 def main() -> None:
