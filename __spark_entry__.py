@@ -431,6 +431,59 @@ r0 AS (SELECT host AS node, ({total} // n)::bigint AS mass
             + f"\nSELECT node, mass AS rank_mass FROM r{iters}")
 
 
+def q_trustrank(spark, sf_dir):
+    """TrustRank over the same weighted host graph host_pagerank uses:
+    teleport mass returns only to the 3 trusted seed hosts, so trust
+    decays with link distance from the seeds — the spam-demotion
+    companion ranking (high pagerank + low trustrank = spam candidate)."""
+    from abot_dotnet_core_spark.functions.graph import trustrank_mass
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 23).cast("string"))
+    dst = F.concat(F.lit("h"), ((d * 5 + 3) % 23).cast("string"))
+    docs = _docs(spark, sf_dir)
+    nodes = docs.select(host.alias("host")).distinct()
+    edges = docs.select(host.alias("src"), dst.alias("dst"),
+                        (d % 7 + 1).alias("n_links"))
+    seeds = spark.createDataFrame([("h0",), ("h1",), ("h2",)], ["host"])
+    return trustrank_mass(nodes, edges, seeds, iterations=5,
+                          weight_col="n_links")
+
+
+def sql_trustrank():
+    total, iters, n_seeds = 10**12, 5, 3
+    base = total // n_seeds
+    teleport = 15 * base // 100
+    parts = [f"""edges AS MATERIALIZED (
+  SELECT 'h' || (doc_id % 23)::varchar AS src,
+         'h' || ((doc_id * 5 + 3) % 23)::varchar AS dst,
+         (doc_id % 7 + 1)::bigint AS w
+  FROM documents),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS host FROM edges),
+outdeg AS MATERIALIZED (SELECT src, sum(w)::bigint AS od
+                        FROM edges GROUP BY src),
+seeds AS (SELECT unnest(['h0', 'h1', 'h2']) AS host),
+r0 AS MATERIALIZED (
+  SELECT n.host AS node,
+         (CASE WHEN s.host IS NOT NULL THEN {base} ELSE 0 END)::bigint
+           AS mass
+  FROM nodes n LEFT JOIN seeds s ON s.host = n.host)"""]
+    for k in range(iters):
+        parts.append(f"""r{k + 1} AS MATERIALIZED (
+  SELECT d.host AS node,
+         ((CASE WHEN se.host IS NOT NULL THEN {teleport} ELSE 0 END)
+          + (85 * coalesce(s.m, 0)) // 100)::bigint AS mass
+  FROM nodes d
+  LEFT JOIN seeds se ON se.host = d.host
+  LEFT JOIN (
+    SELECT e.dst, SUM((r.mass * e.w) // o.od) AS m
+    FROM edges e
+    JOIN r{k} r ON r.node = e.src
+    JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst) s ON s.dst = d.host)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, mass AS trust_mass FROM r{iters}")
+
+
 def q_host_hits(spark, sf_dir):
     """HITS hubs/authorities over the same deterministic host graph
     host_pagerank uses — weighted, 3 rounds, integer fixed-point with
@@ -4564,6 +4617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "pagerank": q_pagerank,
         "host_pagerank": q_host_pagerank,
+        "trustrank": q_trustrank,
         "host_hits": q_host_hits,
         "host_components": q_host_components,
         "host_triangles": q_host_triangles,
@@ -4694,6 +4748,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination": sql_contamination(),
         "pagerank": sql_pagerank(),
         "host_pagerank": sql_host_pagerank(),
+        "trustrank": sql_trustrank(),
         "host_hits": sql_host_hits(),
         "host_components": sql_host_components(),
         "host_triangles": sql_host_triangles(),

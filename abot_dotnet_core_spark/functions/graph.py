@@ -395,3 +395,61 @@ def nepotism_rates(hg: DataFrame) -> DataFrame:
             .withColumn("nepotism_millis", F.expr(
                 "cast((nepotistic_links * 1000) DIV greatest(out_links, 1L)"
                 " as int)")))
+
+
+def trustrank_mass(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
+                   iterations: int = 5, total_mass: int = 10**12,
+                   damping_pct: int = 85,
+                   weight_col: str | None = None) -> DataFrame:
+    """TrustRank (Gyöngyi/Garcia-Molina/Pedersen 2004): PageRank whose
+    teleport mass returns ONLY to a hand-vetted seed set, so trust decays
+    with link distance from the seeds — the canonical spam-demotion
+    companion to PageRank (a host with high rank_mass but near-zero
+    trust_mass earns its rank from outside the trusted web: the classic
+    spam candidate, and a crawl-frontier down-weight).
+
+    Same deterministic integer fixed-point discipline as
+    :func:`pagerank_mass` (bigint masses, floor division, per-round
+    localCheckpoint): ranks start as total_mass split over the seeds;
+    each round every node receives damping% of weighted in-link mass and
+    seeds additionally receive the (100-damping)% teleport share. Plan
+    shape per round is identical to pagerank_mass — one edges⋈ranks join
+    + one groupBy(dst) sum + one nodes-left-join — so the same bucketing
+    advice applies at 10^10 edges.
+
+    Returns (node, trust_mass). Seeds not present in ``nodes`` are
+    ignored (inner-join semantics via the nodes frame driving output).
+    """
+    node_col = nodes.columns[0]
+    seed_col = seeds.columns[0]
+    n_seeds = seeds.count()
+    if n_seeds == 0:
+        raise ValueError("TrustRank needs a non-empty seed set")
+    base = total_mass // n_seeds
+    teleport = (100 - damping_pct) * base // 100
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1)
+    edges = edges.select("src", "dst", w.alias("__w"))
+    outdeg = edges.groupBy("src").agg(F.sum("__w").alias("od"))
+    seed_tel = (seeds.select(F.col(seed_col).alias("node")).distinct()
+                .withColumn("tel", F.lit(teleport).cast("long"))
+                .localCheckpoint(eager=True))
+    ranks = (nodes.select(F.col(node_col).alias("node"))
+             .join(seed_tel.select("node"), "node", "left_semi")
+             .withColumn("mass", F.lit(base).cast("long"))
+             .union(nodes.select(F.col(node_col).alias("node"))
+                    .join(seed_tel.select("node"), "node", "left_anti")
+                    .withColumn("mass", F.lit(0).cast("long"))))
+    for _ in range(iterations):
+        contrib = (edges.join(ranks, edges.src == ranks.node)
+                   .join(outdeg, "src")
+                   .select(F.col("dst"),
+                           F.expr("(mass * __w) DIV od").alias("c")))
+        incoming = contrib.groupBy("dst").agg(F.sum("c").alias("m"))
+        ranks = (nodes.select(F.col(node_col).alias("node"))
+                 .join(incoming, F.col("node") == F.col("dst"), "left")
+                 .join(seed_tel, "node", "left")
+                 .select("node", F.expr(
+                     f"coalesce(tel, 0L) + ({damping_pct}L *"
+                     f" coalesce(m, 0L)) DIV 100").alias("mass"))
+                 .localCheckpoint(eager=True))
+    return ranks.select("node", F.col("mass").alias("trust_mass"))

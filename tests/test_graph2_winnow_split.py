@@ -441,3 +441,45 @@ class TestNepotism:
         s = got["shop.co.uk"]
         assert (s["out_links"], s["nepotistic_links"],
                 s["nepotism_millis"]) == (2, 2, 1000)
+
+
+class TestTrustrank:
+    def _py_trust(self, nodes, edges, seeds, iters=3,
+                  total=10**12, damping=85):
+        base = total // len(seeds)
+        tel = (100 - damping) * base // 100
+        od = {}
+        for s, d, w in edges:
+            od[s] = od.get(s, 0) + w
+        mass = {n: (base if n in seeds else 0) for n in nodes}
+        for _ in range(iters):
+            inc = {n: 0 for n in nodes}
+            for s, d, w in edges:
+                inc[d] += mass[s] * w // od[s]
+            mass = {n: (tel if n in seeds else 0) + damping * inc[n] // 100
+                    for n in nodes}
+        return mass
+
+    def test_matches_sequential_and_decays_from_seeds(self, spark):
+        from abot_dotnet_core_spark.functions.graph import trustrank_mass
+        nodes = ["s", "a", "b", "far"]
+        edges = [("s", "a", 1), ("a", "b", 1), ("b", "far", 1),
+                 ("far", "far", 1)]
+        ndf = spark.createDataFrame([Row(node=n) for n in nodes])
+        edf = spark.createDataFrame(
+            [Row(src=s, dst=d, w=w) for s, d, w in edges])
+        sdf = spark.createDataFrame([Row(node="s")])
+        got = {r["node"]: r["trust_mass"] for r in
+               trustrank_mass(ndf, edf, sdf, iterations=3,
+                              weight_col="w").collect()}
+        assert got == self._py_trust(nodes, edges, {"s"})
+        # trust decays with distance from the seed
+        assert got["s"] > 0 and got["a"] > got["b"] > 0
+
+    def test_empty_seed_set_raises(self, spark):
+        from abot_dotnet_core_spark.functions.graph import trustrank_mass
+        ndf = spark.createDataFrame([Row(node="a")])
+        edf = spark.createDataFrame([Row(src="a", dst="a")])
+        sdf = spark.createDataFrame([], "node string")
+        with pytest.raises(ValueError):
+            trustrank_mass(ndf, edf, sdf)
