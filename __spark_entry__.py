@@ -602,6 +602,77 @@ e AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
       FROM raw WHERE src <> dst)"""
 
 
+def q_host_communities(spark, sf_dir):
+    """Triangle-supported (k-truss style) communities over two dense
+    10-node ring+chord clusters joined by a single bridge edge — the
+    triangle-free bridge drops, so the clusters stay separate where plain
+    connected components would merge them."""
+    from abot_dotnet_core_spark.functions.graph import truss_communities
+    d = F.col("doc_id")
+    g = (d % 2).cast("string")
+    i = F.expr("((doc_id DIV 2) % 12) % 10")
+    node = F.concat(F.lit("g"), g, F.lit("m"), i.cast("string"))
+    mk = lambda off: F.concat(F.lit("g"), g, F.lit("m"),
+                              ((i + off) % 10).cast("string"))
+    docs = _docs(spark, sf_dir)
+    ring = docs.select(node.alias("src"), mk(1).alias("dst"))
+    chord = docs.select(node.alias("src"), mk(2).alias("dst"))
+    bridge = (docs.filter(d == 0)
+              .select(F.lit("g0m0").alias("src"), F.lit("g1m0").alias("dst")))
+    edges = ring.union(chord).union(bridge).distinct()
+    nodes = edges.select(F.col("src").alias("host")).distinct()
+    return truss_communities(nodes, edges, min_support=1, cc_iterations=6)
+
+
+def sql_host_communities():
+    parts = ["""raw AS (
+  SELECT 'g' || (doc_id % 2)::varchar || 'm'
+           || (((doc_id // 2) % 12) % 10)::varchar AS src,
+         'g' || (doc_id % 2)::varchar || 'm'
+           || ((((doc_id // 2) % 12) % 10 + 1) % 10)::varchar AS dst
+  FROM documents
+  UNION ALL
+  SELECT 'g' || (doc_id % 2)::varchar || 'm'
+           || (((doc_id // 2) % 12) % 10)::varchar,
+         'g' || (doc_id % 2)::varchar || 'm'
+           || ((((doc_id // 2) % 12) % 10 + 2) % 10)::varchar
+  FROM documents
+  UNION ALL
+  SELECT 'g0m0', 'g1m0' FROM documents WHERE doc_id = 0),
+edges0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges0),
+e AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges0 WHERE src <> dst),
+w AS MATERIALIZED (
+  SELECT x.a AS wa, x.b AS wb, y.b AS wc
+  FROM e x JOIN e y ON y.a = x.b),
+t AS MATERIALIZED (
+  SELECT wa, wb, wc FROM w JOIN e z ON z.a = w.wa AND z.b = w.wc),
+sup AS MATERIALIZED (
+  SELECT a, b, count(*) AS cnt FROM (
+    SELECT wa AS a, wb AS b FROM t
+    UNION ALL SELECT wb, wc FROM t
+    UNION ALL SELECT wa, wc FROM t)
+  GROUP BY a, b),
+kept AS MATERIALIZED (
+  SELECT e.a AS src, e.b AS dst FROM e
+  JOIN sup ON sup.a = e.a AND sup.b = e.b AND sup.cnt >= 1),
+sym AS MATERIALIZED (
+  SELECT src, dst FROM kept UNION ALL SELECT dst, src FROM kept),
+l0 AS MATERIALIZED (SELECT node, node AS community FROM nodes)"""]
+    for k in range(6):
+        parts.append(f"""l{k + 1} AS MATERIALIZED (
+  SELECT n.node,
+         least(n.community, coalesce(s.nc, n.community)) AS community
+  FROM l{k} n LEFT JOIN (
+    SELECT m.dst, min(l.community) AS nc
+    FROM sym m JOIN l{k} l ON l.node = m.src GROUP BY m.dst) s
+  ON s.dst = n.node)""")
+    return ("WITH " + ",\n".join(parts)
+            + "\nSELECT node, community FROM l6")
+
+
 def q_host_triangles(spark, sf_dir):
     """Exact per-host triangle participation (local cohesion / link-farm
     density signal): canonical a<b edges, wedge join on the middle node,
@@ -4620,6 +4691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank": q_trustrank,
         "host_hits": q_host_hits,
         "host_components": q_host_components,
+        "host_communities": q_host_communities,
         "host_triangles": q_host_triangles,
         "host_kcore": q_host_kcore,
         "redirect_resolve": q_redirect_resolve,
@@ -4751,6 +4823,7 @@ def oracle_sql() -> dict[str, str]:
         "trustrank": sql_trustrank(),
         "host_hits": sql_host_hits(),
         "host_components": sql_host_components(),
+        "host_communities": sql_host_communities(),
         "host_triangles": sql_host_triangles(),
         "host_kcore": sql_host_kcore(),
         "redirect_resolve": sql_redirect_resolve(),

@@ -57,7 +57,7 @@ HEADLINE = [
     "phrase_search", "index_merge", "cdx_lookup", "host_triangles", "host_kcore",
     "capture_stats", "url_variants", "dedup_recall", "segment_langs",
     "window_funcs", "cube_agg", "bloom_fpr", "redirect_resolve", "nepotism",
-    "trustrank",
+    "trustrank", "host_communities",
 ]
 
 

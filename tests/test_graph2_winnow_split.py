@@ -483,3 +483,49 @@ class TestTrustrank:
         sdf = spark.createDataFrame([], "node string")
         with pytest.raises(ValueError):
             trustrank_mass(ndf, edf, sdf)
+
+
+class TestTrussCommunities:
+    def test_two_clusters_bridge_drops(self, spark):
+        from abot_dotnet_core_spark.functions.graph import truss_communities
+        # two triangles joined by one triangle-free bridge: the bridge has
+        # zero support and drops, so the clusters stay separate communities
+        # (components_minlabel over the raw edges would merge them)
+        edges = [("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+                 ("b1", "b2"), ("b2", "b3"), ("b1", "b3"),
+                 ("a1", "b1")]
+        edf = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
+        ndf = spark.createDataFrame(
+            [Row(node=n) for n in ["a1", "a2", "a3", "b1", "b2", "b3"]])
+        got = {r["node"]: r["community"]
+               for r in truss_communities(ndf, edf).collect()}
+        assert got == {"a1": "a1", "a2": "a1", "a3": "a1",
+                       "b1": "b1", "b2": "b1", "b3": "b1"}
+
+    def test_chain_becomes_singletons(self, spark):
+        from abot_dotnet_core_spark.functions.graph import truss_communities
+        # a path has no triangles at all: every edge drops, every node is
+        # its own (singleton) community
+        edges = [("p", "q"), ("q", "r")]
+        ndf = spark.createDataFrame(
+            [Row(node=n) for n in ["p", "q", "r"]])
+        edf = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
+        got = {r["node"]: r["community"]
+               for r in truss_communities(ndf, edf).collect()}
+        assert got == {"p": "p", "q": "q", "r": "r"}
+
+    def test_min_support_two(self, spark):
+        from abot_dotnet_core_spark.functions.graph import truss_communities
+        # K4 minus nothing: every edge is in 2 triangles -> survives
+        # min_support=2; a lone appended triangle's edges (support 1) drop
+        k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+              ("b", "d"), ("c", "d")]
+        tri = [("x", "y"), ("y", "z"), ("x", "z"), ("d", "x")]
+        ndf = spark.createDataFrame(
+            [Row(node=n) for n in "abcdxyz"])
+        edf = spark.createDataFrame(
+            [Row(src=s, dst=d) for s, d in k4 + tri])
+        got = {r["node"]: r["community"] for r in
+               truss_communities(ndf, edf, min_support=2).collect()}
+        assert got["a"] == got["b"] == got["c"] == got["d"] == "a"
+        assert got["x"] == "x" and got["y"] == "y" and got["z"] == "z"
