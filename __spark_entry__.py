@@ -4587,6 +4587,48 @@ SELECT doc_id, term, tf, df, score_micro, rnk::int AS rank
 FROM r WHERE rnk <= 5"""
 
 
+def q_bm25_search(spark, sf_dir):
+    """BM25-shaped ranked retrieval for the bag-of-terms query
+    {query, big, part} (terms present at every sf): top-10 documents by
+    integer fixed-point score — tf saturation (k1=1.2) + doc-length
+    normalization (b=0.75) + log-free odds idf (no float log, same
+    convention as tfidf_topk)."""
+    from abot_dotnet_core_spark.functions.textfns import bm25_topk
+    return bm25_topk(_docs(spark, sf_dir), ["query", "big", "part"], k=10)
+
+
+def sql_bm25_search():
+    return """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_len
+          FROM dl),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+       WHERE term IN ('query', 'big', 'part') GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT t.doc_id,
+         ((2 * (s.n_docs - d.df) + 1) * 1000000 // (2 * d.df + 1))
+         * (t.tf * 2200000 * 1000000
+            // (t.tf * 1000000
+                + (1200000 * ((1000000 - 750000)
+                              + (750000 * (l.dl * 1000000 * s.n_docs
+                                           // s.total_len) // 1000000))
+                   // 1000000)))
+         // 1000000 AS contrib
+  FROM tf t JOIN dfq d USING (term) JOIN dl l USING (doc_id), stats s),
+per_doc AS (
+  SELECT doc_id, count(*)::int AS n_hits, sum(contrib)::BIGINT AS score_micro
+  FROM scored GROUP BY doc_id),
+r AS (SELECT *, row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rnk
+      FROM per_doc)
+SELECT doc_id, n_hits, score_micro, rnk::int AS rank
+FROM r WHERE rnk <= 10"""
+
+
 def q_bigram_lm(spark, sf_dir):
     """Bigram language-model table (KenLM-prep): fixed-point conditional
     probability per bigram with the context count, min_count=2 pruning."""
@@ -4715,6 +4757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "index_merge": q_index_merge,
         "tfidf_topk": q_tfidf_topk,
+        "bm25_search": q_bm25_search,
         "bigram_lm": q_bigram_lm,
         "chunk_documents": q_chunk_documents,
         "mixture_weights": q_mixture_weights,
@@ -4845,6 +4888,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": sql_phrase_search(),
         "index_merge": sql_index_merge(),
         "tfidf_topk": sql_tfidf_topk(),
+        "bm25_search": sql_bm25_search(),
         "bigram_lm": sql_bigram_lm(),
         "chunk_documents": sql_chunk_documents(),
         "mixture_weights": sql_mixture_weights(),
