@@ -484,6 +484,76 @@ r0 AS MATERIALIZED (
             + f"\nSELECT node, mass AS trust_mass FROM r{iters}")
 
 
+def q_hyperball(spark, sf_dir):
+    """HyperBall (Boldi-Vigna) r-neighborhood sizes for r=0..3 over a
+    deterministic out-degree-3 host graph (101 hosts, 3 affine dst
+    families): HLL registers propagated along edges, bucket-wise max per
+    round — per-node ball-size estimates whose register state is
+    bit-identical to the sketch of the exact membership set (the oracle
+    recomputes it from unrolled reachability)."""
+    from abot_dotnet_core_spark.functions.graph import hyperball
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 101).cast("string"))
+    docs = _docs(spark, sf_dir)
+    nodes = docs.select(host.alias("host")).distinct()
+    dsts = [(d * 13 + 7) % 101, (d * 29 + 3) % 101, (d * 57 + 31) % 101]
+    edges = docs.select(
+        host.alias("src"),
+        F.explode(F.array(*[F.concat(F.lit("h"), x.cast("string"))
+                            for x in dsts])).alias("dst"))
+    return hyperball(nodes, edges, radius=3, p=6, max_rho=30)
+
+
+def sql_hyperball():
+    p, max_rho, radius = 6, 30, 3
+    m = 1 << p
+    rem_bits = 48 - p
+    alpha_micros = round(0.7213 / (1 + 1.079 / m) * 10**6)
+    parts = ["""edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'h' || (doc_id % 101)::varchar AS src,
+           'h' || ((doc_id * 13 + 7) % 101)::varchar AS dst FROM documents
+    UNION ALL
+    SELECT 'h' || (doc_id % 101)::varchar,
+           'h' || ((doc_id * 29 + 3) % 101)::varchar FROM documents
+    UNION ALL
+    SELECT 'h' || (doc_id % 101)::varchar,
+           'h' || ((doc_id * 57 + 31) % 101)::varchar FROM documents)),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+b0 AS MATERIALIZED (SELECT node, node AS member FROM nodes)"""]
+    for r in range(1, radius + 1):
+        parts.append(f"""b{r} AS MATERIALIZED (
+  SELECT DISTINCT node, member FROM (
+    SELECT node, member FROM b{r - 1}
+    UNION ALL
+    SELECT e.src AS node, b.member
+    FROM edges e JOIN b{r - 1} b ON b.node = e.dst))""")
+    summaries = []
+    for r in range(radius + 1):
+        parts.append(f"""h{r} AS (
+  SELECT node, {_hex12_sql('md5(member)')} AS h FROM b{r}),
+rg{r} AS (
+  SELECT node, h // {1 << rem_bits} AS bucket,
+         max(least(CASE WHEN h % {1 << rem_bits} = 0 THEN {rem_bits + 1}
+                        ELSE {rem_bits + 1}
+                             - length(bin(h % {1 << rem_bits})) END,
+                   {max_rho})) AS M
+  FROM h{r} GROUP BY 1, 2),
+s{r} AS (
+  SELECT node, {r} AS r, count(*)::int AS n_present,
+         (sum(1::bigint << ({max_rho} - M))
+          + ({m} - count(*)) * (1::bigint << {max_rho}))::bigint
+           AS sum_scaled
+  FROM rg{r} GROUP BY node)""")
+        summaries.append(
+            f"SELECT node, r, n_present, sum_scaled,\n"
+            f"       (({alpha_micros} * (({m}::bigint * {m}"
+            f" * (1::bigint << {max_rho})) // sum_scaled))"
+            f" // 1000000)::bigint AS ball_est FROM s{r}")
+    return ("WITH " + ",\n".join(parts) + "\n"
+            + "\nUNION ALL\n".join(summaries))
+
+
 def q_host_hits(spark, sf_dir):
     """HITS hubs/authorities over the same deterministic host graph
     host_pagerank uses — weighted, 3 rounds, integer fixed-point with
@@ -4732,6 +4802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": q_host_pagerank,
         "trustrank": q_trustrank,
         "host_hits": q_host_hits,
+        "hyperball": q_hyperball,
         "host_components": q_host_components,
         "host_communities": q_host_communities,
         "host_triangles": q_host_triangles,
@@ -4865,6 +4936,7 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": sql_host_pagerank(),
         "trustrank": sql_trustrank(),
         "host_hits": sql_host_hits(),
+        "hyperball": sql_hyperball(),
         "host_components": sql_host_components(),
         "host_communities": sql_host_communities(),
         "host_triangles": sql_host_triangles(),

@@ -497,3 +497,84 @@ def truss_communities(nodes: DataFrame, edges: DataFrame,
             .select(F.col("a").alias("src"), F.col("b").alias("dst")))
     return (components_minlabel(nodes, kept, iterations=cc_iterations)
             .withColumnRenamed("component", "community"))
+
+
+def hyperball(nodes: DataFrame, edges: DataFrame, radius: int = 3,
+              p: int = 6, max_rho: int = 30) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013): per-node r-neighborhood-size
+    estimates for r = 0..``radius`` by propagating HyperLogLog registers
+    along the link graph — the distance-distribution / effective-diameter
+    primitive for web graphs, where exact per-node BFS is O(n*m).
+
+    Each node starts with the registers of {itself}; one round replaces a
+    node's registers with the bucket-wise max over itself and its
+    out-neighbors' registers, which is EXACTLY the HLL state of the union
+    of their balls (max is associative, commutative, idempotent) — so
+    after r rounds a node holds the sketch of every node reachable within
+    r hops. Register arithmetic is the frozen integer spec of
+    sketches.py:hll_registers (48-bit md5 hash, top-``p`` bucket bits,
+    clamped rho, floor-div raw estimate), so the propagated state is
+    bit-identical to the sketch an oracle computes from the exact
+    membership set.
+
+    Returns (node, r, n_present, sum_scaled, ball_est), one row per node
+    per radius. Neighbors outside ``nodes`` are dangling and contribute
+    nothing (their registers never exist).
+
+    Scale posture: per round ONE equi-join (edges against the register
+    table on dst) + ONE groupBy(node, bucket) max with map-side combine —
+    state is <= m rows per node (m = 2^p, 64 at the default) no matter how
+    big the ball gets, the whole point vs exact frontier expansion whose
+    state is the ball itself. Lineage is truncated per round like
+    pagerank_mass. Estimates for every r ship at the end as a union of
+    per-round summaries (each summary aggregates the checkpointed state —
+    no recomputation)."""
+    m = 1 << p
+    rem_bits = 48 - p
+    alpha_micros = round(0.7213 / (1 + 1.079 / m) * 10**6)
+    node_col = nodes.columns[0]
+
+    from .sketches import h48
+    bl = F.length(F.conv(F.col("rem"), 10, 2))
+    rho = (F.when(F.col("rem") == 0, F.lit(rem_bits + 1))
+           .otherwise(F.lit(rem_bits + 1) - bl))
+    regs = (nodes.select(F.col(node_col).alias("node"),
+                         h48(F.col(node_col)).alias("h"))
+            .filter(F.col("h").isNotNull())
+            .select("node",
+                    F.expr(f"h DIV {1 << rem_bits}").alias("bucket"),
+                    F.expr(f"h % {1 << rem_bits}").alias("rem"))
+            .withColumn("M", F.least(rho, F.lit(max_rho)).cast("int"))
+            .select("node", "bucket", "M")
+            .localCheckpoint(eager=True))
+
+    def summary(rg: DataFrame, r: int) -> DataFrame:
+        s = (rg.withColumn("term", F.expr(f"shiftleft(1L, {max_rho} - M)"))
+             .groupBy("node")
+             .agg(F.count("*").alias("n_present"),
+                  F.sum("term").alias("sum_present")))
+        return (s.withColumn(
+                    "sum_scaled",
+                    F.col("sum_present")
+                    + (F.lit(m) - F.col("n_present")).cast("long")
+                    * F.lit(1 << max_rho).cast("long"))
+                .select("node", F.lit(r).cast("int").alias("r"),
+                        F.col("n_present").cast("int").alias("n_present"),
+                        "sum_scaled",
+                        F.expr(f"({alpha_micros}L * (({m}L * {m}L *"
+                               f" {1 << max_rho}L) DIV sum_scaled))"
+                               " DIV 1000000").alias("ball_est")))
+
+    e = edges.select("src", "dst").distinct()
+    outs = [summary(regs, 0)]
+    for r in range(1, radius + 1):
+        prop = (e.join(regs, e.dst == regs.node)
+                .select(F.col("src").alias("node"), "bucket", "M"))
+        regs = (regs.unionByName(prop)
+                .groupBy("node", "bucket").agg(F.max("M").alias("M"))
+                .localCheckpoint(eager=True))
+        outs.append(summary(regs, r))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
