@@ -554,6 +554,77 @@ s{r} AS (
             + "\nUNION ALL\n".join(summaries))
 
 
+def q_spam_mass(spark, sf_dir):
+    """Spam mass (Gyöngyi et al. 2006) over the same weighted host graph
+    as host_pagerank/trustrank: per-host share of PageRank NOT flowing
+    from the h0-h2 trusted core, in exact thousandths — the quantified
+    spam-demotion score (≈1000 = rank earned entirely outside the
+    trusted web)."""
+    from abot_dotnet_core_spark.functions.graph import spam_mass
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 23).cast("string"))
+    dst = F.concat(F.lit("h"), ((d * 5 + 3) % 23).cast("string"))
+    docs = _docs(spark, sf_dir)
+    nodes = docs.select(host.alias("host")).distinct()
+    edges = docs.select(host.alias("src"), dst.alias("dst"),
+                        (d % 7 + 1).alias("n_links"))
+    seeds = spark.createDataFrame([("h0",), ("h1",), ("h2",)], ["host"])
+    return spam_mass(nodes, edges, seeds, iterations=5,
+                     weight_col="n_links")
+
+
+def sql_spam_mass():
+    total, iters, n_seeds = 10**12, 5, 3
+    sbase = total // n_seeds
+    steleport = 15 * sbase // 100
+    parts = [f"""edges AS MATERIALIZED (
+  SELECT 'h' || (doc_id % 23)::varchar AS src,
+         'h' || ((doc_id * 5 + 3) % 23)::varchar AS dst,
+         (doc_id % 7 + 1)::bigint AS w
+  FROM documents),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS host FROM edges),
+cnt AS (SELECT count(*) AS n FROM nodes),
+outdeg AS MATERIALIZED (SELECT src, sum(w)::bigint AS od
+                        FROM edges GROUP BY src),
+seeds AS (SELECT unnest(['h0', 'h1', 'h2']) AS host),
+pr0 AS (SELECT host AS node, ({total} // n)::bigint AS mass
+        FROM nodes, cnt),
+tr0 AS MATERIALIZED (
+  SELECT n.host AS node,
+         (CASE WHEN s.host IS NOT NULL THEN {sbase} ELSE 0 END)::bigint
+           AS mass
+  FROM nodes n LEFT JOIN seeds s ON s.host = n.host)"""]
+    for k in range(iters):
+        parts.append(f"""pr{k + 1} AS (
+  SELECT d.host AS node,
+         ((15 * ({total} // c.n) // 100)
+          + (85 * coalesce(s.m, 0)) // 100)::bigint AS mass
+  FROM nodes d CROSS JOIN cnt c
+  LEFT JOIN (
+    SELECT e.dst, SUM((r.mass * e.w) // o.od) AS m
+    FROM edges e
+    JOIN pr{k} r ON r.node = e.src
+    JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst) s ON s.dst = d.host)""")
+        parts.append(f"""tr{k + 1} AS MATERIALIZED (
+  SELECT d.host AS node,
+         ((CASE WHEN se.host IS NOT NULL THEN {steleport} ELSE 0 END)
+          + (85 * coalesce(s.m, 0)) // 100)::bigint AS mass
+  FROM nodes d
+  LEFT JOIN seeds se ON se.host = d.host
+  LEFT JOIN (
+    SELECT e.dst, SUM((r.mass * e.w) // o.od) AS m
+    FROM edges e
+    JOIN tr{k} r ON r.node = e.src
+    JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst) s ON s.dst = d.host)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT p.node, p.mass AS rank_mass, t.mass AS trust_mass,
+       ((greatest(p.mass - t.mass, 0) * 1000) // p.mass)::bigint
+         AS spam_millis
+FROM pr{iters} p JOIN tr{iters} t ON t.node = p.node""")
+
+
 def q_host_hits(spark, sf_dir):
     """HITS hubs/authorities over the same deterministic host graph
     host_pagerank uses — weighted, 3 rounds, integer fixed-point with
@@ -4803,6 +4874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank": q_trustrank,
         "host_hits": q_host_hits,
         "hyperball": q_hyperball,
+        "spam_mass": q_spam_mass,
         "host_components": q_host_components,
         "host_communities": q_host_communities,
         "host_triangles": q_host_triangles,
@@ -4937,6 +5009,7 @@ def oracle_sql() -> dict[str, str]:
         "trustrank": sql_trustrank(),
         "host_hits": sql_host_hits(),
         "hyperball": sql_hyperball(),
+        "spam_mass": sql_spam_mass(),
         "host_components": sql_host_components(),
         "host_communities": sql_host_communities(),
         "host_triangles": sql_host_triangles(),

@@ -578,3 +578,39 @@ def hyperball(nodes: DataFrame, edges: DataFrame, radius: int = 3,
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def spam_mass(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
+              iterations: int = 5, total_mass: int = 10**12,
+              damping_pct: int = 85,
+              weight_col: str | None = None) -> DataFrame:
+    """Spam mass (Gyöngyi, Berkhin, Garcia-Molina, Pedersen 2006): the
+    share of a node's PageRank that does NOT flow from the trusted core —
+    the quantified version of the "high rank + low trust" candidate rule
+    the trustrank docstring names. Runs :func:`pagerank_mass` and
+    :func:`trustrank_mass` over the same graph (same iterations / damping
+    / weights / total mass) and reports per node::
+
+        spam_millis = (rank_mass - trust_mass) * 1000 div rank_mass
+
+    clamped below at 0 (seed-adjacent nodes can hold more trust than
+    rank; negative mass just means "trusted", and clamping keeps every
+    division non-negative so Spark's truncating DIV and an oracle's floor
+    division agree). rank_mass >= teleport > 0 for every node, so the
+    division is total. ~1000 = rank earned entirely outside the trusted
+    web: demote or down-crawl.
+
+    Returns (node, rank_mass, trust_mass, spam_millis). Plan: the two
+    fixed-point loops share the edges/outdeg shape (bucket edges by src
+    once, both reuse it); the final join is node-keyed, no new shuffle
+    beyond the loops' own."""
+    pr = pagerank_mass(nodes, edges, iterations=iterations,
+                       total_mass=total_mass, damping_pct=damping_pct,
+                       weight_col=weight_col)
+    tr = trustrank_mass(nodes, edges, seeds, iterations=iterations,
+                        total_mass=total_mass, damping_pct=damping_pct,
+                        weight_col=weight_col)
+    return (pr.join(tr, "node")
+            .select("node", "rank_mass", "trust_mass",
+                    F.expr("(greatest(rank_mass - trust_mass, 0L) * 1000)"
+                           " DIV rank_mass").alias("spam_millis")))

@@ -529,3 +529,49 @@ class TestTrussCommunities:
                truss_communities(ndf, edf, min_support=2).collect()}
         assert got["a"] == got["b"] == got["c"] == got["d"] == "a"
         assert got["x"] == "x" and got["y"] == "y" and got["z"] == "z"
+
+
+class TestSpamMass:
+    def _py_masses(self, nodes, edges, seeds, iters=3,
+                   total=10**12, damping=85):
+        od = {}
+        for s, d, w in edges:
+            od[s] = od.get(s, 0) + w
+
+        def loop(init, tel_of):
+            mass = dict(init)
+            for _ in range(iters):
+                inc = {n: 0 for n in nodes}
+                for s, d, w in edges:
+                    inc[d] += mass[s] * w // od[s]
+                mass = {n: tel_of(n) + damping * inc[n] // 100
+                        for n in nodes}
+            return mass
+
+        base = total // len(nodes)
+        pr = loop({n: base for n in nodes},
+                  lambda n: (100 - damping) * base // 100)
+        sbase = total // len(seeds)
+        stel = (100 - damping) * sbase // 100
+        tr = loop({n: (sbase if n in seeds else 0) for n in nodes},
+                  lambda n: stel if n in seeds else 0)
+        return {n: (pr[n], tr[n], max(pr[n] - tr[n], 0) * 1000 // pr[n])
+                for n in nodes}
+
+    def test_matches_sequential_and_orders_spam(self, spark):
+        from abot_dotnet_core_spark.functions.graph import spam_mass
+        # seed s feeds a; spamfarm f1<->f2 earns rank with no trust inflow
+        nodes = ["s", "a", "f1", "f2"]
+        edges = [("s", "a", 2), ("a", "s", 1),
+                 ("f1", "f2", 5), ("f2", "f1", 5)]
+        ndf = spark.createDataFrame([Row(node=n) for n in nodes])
+        edf = spark.createDataFrame(
+            [Row(src=s, dst=d, w=w) for s, d, w in edges])
+        sdf = spark.createDataFrame([Row(node="s")])
+        got = {r["node"]: (r["rank_mass"], r["trust_mass"], r["spam_millis"])
+               for r in spam_mass(ndf, edf, sdf, iterations=3,
+                                  weight_col="w").collect()}
+        assert got == self._py_masses(nodes, edges, {"s"})
+        # farm hosts carry (near-)total spam mass; the seed is clamped at 0
+        assert got["f1"][2] > 990 and got["f2"][2] > 990
+        assert got["s"][2] == 0
