@@ -4770,6 +4770,35 @@ SELECT doc_id, n_hits, score_micro, rnk::int AS rank
 FROM r WHERE rnk <= 10"""
 
 
+def q_readability(spark, sf_dir):
+    """Flesch reading-ease + Flesch-Kincaid grade per document in integer
+    milli-units (vowel-group syllables, [.!?]+ sentences) — prose-
+    complexity quality features, all row-local regexp counts."""
+    from abot_dotnet_core_spark.functions.textfns import readability
+    return readability(_docs(spark, sf_dir))
+
+
+def sql_readability():
+    return """
+WITH c AS (
+  SELECT doc_id,
+         (CASE WHEN trim(text) = '' THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+           ::BIGINT AS n_words,
+         len(regexp_extract_all(text, '[.!?]+'))::BIGINT AS n_sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+           AS n_syllables
+  FROM documents)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       (206835 - (1015 * n_words) // greatest(n_sentences, 1)
+               - (84600 * n_syllables) // greatest(n_words, 1))::BIGINT
+         AS fre_millis,
+       ((390 * n_words) // greatest(n_sentences, 1)
+        + (11800 * n_syllables) // greatest(n_words, 1) - 15590)::BIGINT
+         AS fkg_millis
+FROM c"""
+
+
 def q_bigram_lm(spark, sf_dir):
     """Bigram language-model table (KenLM-prep): fixed-point conditional
     probability per bigram with the context count, min_count=2 pruning."""
@@ -4901,6 +4930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_merge": q_index_merge,
         "tfidf_topk": q_tfidf_topk,
         "bm25_search": q_bm25_search,
+        "readability": q_readability,
         "bigram_lm": q_bigram_lm,
         "chunk_documents": q_chunk_documents,
         "mixture_weights": q_mixture_weights,
@@ -5034,6 +5064,7 @@ def oracle_sql() -> dict[str, str]:
         "index_merge": sql_index_merge(),
         "tfidf_topk": sql_tfidf_topk(),
         "bm25_search": sql_bm25_search(),
+        "readability": sql_readability(),
         "bigram_lm": sql_bigram_lm(),
         "chunk_documents": sql_chunk_documents(),
         "mixture_weights": sql_mixture_weights(),

@@ -628,3 +628,43 @@ def bm25_topk(df: DataFrame, query_terms: list, k: int = 10,
                     F.col("n_hits").cast("int").alias("n_hits"),
                     F.col("score_micro").cast("long").alias("score_micro"),
                     "rank"))
+
+
+def readability(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade in integer fixed point
+    (milli-units) — the classic prose-complexity features next to the
+    Gopher gates in a cleaning cascade (very low ease flags legalese /
+    keyword stuffing; negative-grade flags token soup).
+
+    Counting rules (frozen, shared with the SQL oracle):
+      words      = whitespace tokens
+      sentences  = runs of [.!?]+ (floored at 1)
+      syllables  = runs of [aeiouy]+ in the lowercased text (the standard
+                   vowel-group approximation, deliberately unsmoothed)
+
+    fre_millis  = 206835 - (1015 * words) div max(sentences,1)
+                         - (84600 * syllables) div max(words,1)
+    fkg_millis  = (390 * words) div max(sentences,1)
+                + (11800 * syllables) div max(words,1) - 15590
+
+    Every division has positive operands, so Spark's truncating DIV and
+    the oracle's floor division agree; the final values may be negative
+    only through subtraction. Scale posture: three regexp counts + pure
+    arithmetic, all row-local whole-stage codegen — no shuffle, no UDF.
+    """
+    t = F.col(text_col)
+    words = F.size(tokens_col(t)).cast("long")
+    sentences = F.regexp_count(t, F.lit("[.!?]+")).cast("long")
+    syllables = F.regexp_count(F.lower(t), F.lit("[aeiouy]+")).cast("long")
+    return (df.select(F.col(id_col),
+                      words.alias("n_words"),
+                      sentences.alias("n_sentences"),
+                      syllables.alias("n_syllables"))
+            .withColumn("fre_millis", F.expr(
+                "206835 - (1015 * n_words) DIV greatest(n_sentences, 1L)"
+                " - (84600 * n_syllables) DIV greatest(n_words, 1L)"))
+            .withColumn("fkg_millis", F.expr(
+                "(390 * n_words) DIV greatest(n_sentences, 1L)"
+                " + (11800 * n_syllables) DIV greatest(n_words, 1L)"
+                " - 15590")))

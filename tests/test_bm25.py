@@ -92,3 +92,39 @@ class TestBm25:
         assert [d for d, *_ in got] == [0, 1, 2]
         assert len({s for _, _, s, _ in got}) == 1
         assert [r for *_, r in got] == [1, 2, 3]
+
+
+class TestReadability:
+    def _run(self, spark, texts):
+        from abot_dotnet_core_spark.functions.textfns import readability
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+        return {r["doc_id"]: r for r in readability(df).collect()}
+
+    def test_counts_and_formulas(self, spark):
+        got = self._run(spark, [
+            "The cat sat. The dog ran!",     # 6 words, 2 sentences
+            "",                              # all-zero, floors kick in
+            "aaa?!?... bbb. ccc",            # one [.!?]+ run per cluster
+        ])
+        r = got[0]
+        assert (r["n_words"], r["n_sentences"]) == (6, 2)
+        syl = r["n_syllables"]
+        assert syl == 6  # e,a,a,e,o,a vowel groups
+        assert r["fre_millis"] == (206835 - (1015 * 6) // 2
+                                   - (84600 * syl) // 6)
+        assert r["fkg_millis"] == ((390 * 6) // 2
+                                   + (11800 * syl) // 6 - 15590)
+        z = got[1]
+        assert (z["n_words"], z["n_sentences"], z["n_syllables"]) == (0, 0, 0)
+        assert z["fre_millis"] == 206835  # floors make both terms 0
+        assert got[2]["n_sentences"] == 2
+
+    def test_complex_text_scores_lower(self, spark):
+        simple = "The cat sat on the mat. It was fun. We ran."
+        dense = ("Notwithstanding institutional considerations, "
+                 "implementation of infrastructural reorganization "
+                 "necessitates comprehensive optimization.")
+        got = self._run(spark, [simple, dense])
+        assert got[0]["fre_millis"] > got[1]["fre_millis"]
+        assert got[0]["fkg_millis"] < got[1]["fkg_millis"]
