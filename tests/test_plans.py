@@ -370,3 +370,43 @@ class TestRound2AdditionPlans:
         plan = simple_plan(e.q_shuffle_shards(spark, SF))
         assert "Window" not in plan, plan
         assert "MapInArrow" in plan, plan
+
+
+class TestRound2cAdditionPlans:
+    def test_readability_zero_shuffle_no_python(self, spark):
+        """Three regexp counts + arithmetic: one narrow codegen map —
+        no Exchange, no Python, at any corpus size."""
+        import __spark_entry__ as e
+        plan = simple_plan(e.q_readability(spark, SF))
+        assert "Exchange" not in plan, plan
+        assert "Python" not in plan, plan
+
+    def test_bm25_takeordered_no_python(self, spark):
+        """BM25: query-term filter before the tf hash-agg, the corpus
+        stats scalar broadcasts, the top-k is a TakeOrdered (no global
+        sort) and the rank window runs over the <= k survivors only."""
+        import __spark_entry__ as e
+        plan = simple_plan(e.q_bm25_search(spark, SF))
+        assert "Python" not in plan, plan
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_hyperball_agg_state_no_python(self, spark):
+        """HyperBall: per-round state is checkpointed (plan shows scans of
+        materialized RDDs, not a re-derivation cascade), summaries are
+        hash aggs; no Python, no cartesian."""
+        import __spark_entry__ as e
+        plan = simple_plan(e.q_hyperball(spark, SF))
+        assert "Python" not in plan, plan
+        assert "HashAggregate" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_spam_mass_node_join_no_python(self, spark):
+        """Spam mass: the two checkpointed rank tables meet in ONE
+        node-keyed equi-join; no Python, no cartesian."""
+        import __spark_entry__ as e
+        plan = simple_plan(e.q_spam_mass(spark, SF))
+        assert "Python" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") \
+            + plan.count("BroadcastHashJoin") == 1, plan
