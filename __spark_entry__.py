@@ -1762,6 +1762,62 @@ WHERE round(coalesce(i.n_inter, 0)::double
             / (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)), 6) >= 0.2"""
 
 
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric n-gram containment (Broder) over the same MinHash-LSH
+    candidates as neardup_pairs: |S(A)∩S(B)| / |S(side)| per direction in
+    exact integer thousandths — catches quotes / syndicated excerpts
+    where Jaccard stays low because the union is dominated by the big
+    document."""
+    from abot_dotnet_core_spark.functions.dedup import (
+        containment_pairs, lsh_candidate_pairs, minhash_signatures)
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(docs, k=4)
+    pairs = lsh_candidate_pairs(sigs, k=4, bands=2)
+    return containment_pairs(docs, pairs, min_millis=200)
+
+
+def sql_containment_pairs():
+    shingle = ("list_transform(range(1, len(toks) - 1), "
+               "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3),
+sh AS (SELECT DISTINCT doc_id, unnest({shingle}) AS shingle FROM tok),
+sig AS (
+  SELECT doc_id, {_MH_LANES}
+  FROM sh GROUP BY doc_id),
+buckets AS (
+  SELECT doc_id, 0 AS band,
+         md5(mh_0::VARCHAR || '|' || mh_1::VARCHAR) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1, md5(mh_2::VARCHAR || '|' || mh_3::VARCHAR) FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b),
+fin AS (
+  SELECT c.id_a, c.id_b, coalesce(i.n_inter, 0)::BIGINT AS n_inter,
+         za.n_sh::BIGINT AS n_a, zb.n_sh::BIGINT AS n_b,
+         ((coalesce(i.n_inter, 0) * 1000) // za.n_sh)::BIGINT
+           AS cont_a_millis,
+         ((coalesce(i.n_inter, 0) * 1000) // zb.n_sh)::BIGINT
+           AS cont_b_millis
+  FROM cand c
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes za ON za.doc_id = c.id_a
+  JOIN sizes zb ON zb.doc_id = c.id_b)
+SELECT * FROM fin
+WHERE cont_a_millis >= 200 OR cont_b_millis >= 200"""
+
+
 def q_dedup_recall(spark, sf_dir):
     """Recall of the MinHash-LSH banding config (k=4, bands=2) against
     exact >= 0.2-Jaccard ground truth — the dedup counterpart of
@@ -4893,6 +4949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
         "neardup_pairs": q_neardup_pairs,
+        "containment_pairs": q_containment_pairs,
         "dedup_recall": q_dedup_recall,
         "neardup_components": q_neardup_components,
         "neardup_keep_best": q_neardup_keep_best,
@@ -5029,6 +5086,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": sql_exact_dedup(),
         "minhash_signatures": sql_minhash_signatures(),
         "neardup_pairs": sql_neardup_pairs(),
+        "containment_pairs": sql_containment_pairs(),
         "dedup_recall": sql_dedup_recall(),
         "neardup_components": sql_neardup_components(),
         "neardup_keep_best": sql_neardup_keep_best(),

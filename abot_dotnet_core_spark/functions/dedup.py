@@ -597,3 +597,61 @@ def lsh_recall_eval(df: DataFrame, id_col: str = "doc_id",
     return (t.crossJoin(c).crossJoin(h)
             .withColumn("recall_millis", F.expr(
                 "cast((n_hit * 1000) DIV greatest(n_truth, 1L) as int)")))
+
+
+def containment_pairs(df: DataFrame, pairs: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      shingle_n: int = 3,
+                      min_millis: int = 0) -> DataFrame:
+    """Exact n-gram containment (Broder 1997) for given (id_a, id_b)
+    candidate pairs: cont(A in B) = |S(A) ∩ S(B)| / |S(A)| — the
+    ASYMMETRIC companion to :func:`jaccard_pairs` that catches quotes,
+    syndicated excerpts, and page-inside-template copies, where the
+    smaller document is nearly contained in the larger one but Jaccard
+    stays low because the union is dominated by the big side.
+
+    Returns (id_a, id_b, n_inter, n_a, n_b, cont_a_millis, cont_b_millis)
+    in exact integer thousandths (n_inter * 1000 div n_side — no float,
+    hash-stable vs any oracle); rows kept when EITHER direction reaches
+    ``min_millis``. Pairs where a side has no shingles (< shingle_n
+    tokens) are dropped — containment of an empty set is undefined, and
+    the LSH candidate generators never emit such docs anyway.
+
+    Plan shape: identical to jaccard_pairs (same semi-join -> explode ->
+    xxhash64 dedup -> pair equi-join), so the same scale notes apply:
+    shuffled volume tracks candidate docs, the intersection moves longs.
+    """
+    pairs = pairs.localCheckpoint(eager=True)
+    pair_ids = (pairs.select(F.col("id_a").alias(id_col))
+                .union(pairs.select(F.col("id_b").alias(id_col)))
+                .distinct())
+    ex = (df.join(pair_ids, id_col, "left_semi")
+          .select(id_col, F.explode(shingles_col(F.col(text_col), shingle_n))
+                  .alias("shingle"))
+          .select(id_col, F.xxhash64("shingle").alias("sh_h"))
+          .dropDuplicates([id_col, "sh_h"]))
+    sizes = ex.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    inter = (pairs
+             .join(ex.select(F.col(id_col).alias("id_a"),
+                             F.col("sh_h")), "id_a")
+             .join(ex.select(F.col(id_col).alias("id_b"),
+                             F.col("sh_h")), ["id_b", "sh_h"])
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter")))
+    out = (pairs.join(inter, ["id_a", "id_b"], "left")
+           .fillna({"n_inter": 0})
+           .join(sizes.select(F.col(id_col).alias("id_a"),
+                              F.col("n_sh").alias("n_a")), "id_a")
+           .join(sizes.select(F.col(id_col).alias("id_b"),
+                              F.col("n_sh").alias("n_b")), "id_b")
+           .withColumn("cont_a_millis",
+                       F.expr("(n_inter * 1000) DIV n_a"))
+           .withColumn("cont_b_millis",
+                       F.expr("(n_inter * 1000) DIV n_b")))
+    return (out.filter((F.col("cont_a_millis") >= min_millis)
+                       | (F.col("cont_b_millis") >= min_millis))
+            .select("id_a", "id_b",
+                    F.col("n_inter").cast("long").alias("n_inter"),
+                    F.col("n_a").cast("long").alias("n_a"),
+                    F.col("n_b").cast("long").alias("n_b"),
+                    F.col("cont_a_millis").cast("long").alias("cont_a_millis"),
+                    F.col("cont_b_millis").cast("long").alias("cont_b_millis")))

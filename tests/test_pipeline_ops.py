@@ -6,7 +6,7 @@ import hashlib
 
 import numpy as np
 import pytest
-from pyspark.sql import functions as F
+from pyspark.sql import Row, functions as F
 
 SF = "/root/testdata/sf0.01"
 
@@ -845,3 +845,46 @@ class TestScriptProfile:
         assert out[0].n_chars == 0
         assert out[1].dominant == "none"
         assert out[1].latin_millis == 0
+
+
+class TestContainment:
+    def test_quote_high_containment_low_jaccard(self, spark):
+        from abot_dotnet_core_spark.functions.dedup import (
+            containment_pairs, jaccard_pairs)
+        big = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+               "lam mu nu xi omicron pi rho sigma tau upsilon")
+        quote = "delta epsilon zeta eta theta"   # 5 tokens -> 3 shingles
+        df = spark.createDataFrame(
+            [Row(doc_id=0, text=big), Row(doc_id=1, text=quote)])
+        pairs = spark.createDataFrame([Row(id_a=0, id_b=1)])
+        got = containment_pairs(df, pairs).collect()[0]
+        # all 3 of the quote's shingles occur in big (18 shingles)
+        assert (got["n_inter"], got["n_a"], got["n_b"]) == (3, 18, 3)
+        assert got["cont_b_millis"] == 1000   # quote fully inside big
+        assert got["cont_a_millis"] == 3 * 1000 // 18
+        jac = jaccard_pairs(df, pairs).collect()[0]["jaccard"]
+        assert jac < 0.2                      # jaccard misses the quote
+
+    def test_min_millis_filters_either_direction(self, spark):
+        from abot_dotnet_core_spark.functions.dedup import containment_pairs
+        df = spark.createDataFrame([
+            Row(doc_id=0, text="a b c d e f"),
+            Row(doc_id=1, text="a b c x y z"),     # 2/4 shingles shared? no:
+            Row(doc_id=2, text="p q r s t u"),     # disjoint
+        ])
+        pairs = spark.createDataFrame(
+            [Row(id_a=0, id_b=1), Row(id_a=0, id_b=2)])
+        rows = containment_pairs(df, pairs, min_millis=200).collect()
+        kept = {(r["id_a"], r["id_b"]): r for r in rows}
+        assert (0, 1) in kept and (0, 2) not in kept
+        r = kept[(0, 1)]
+        # shared shingles: only 'a b c' -> 1 of 4 per side = 250 millis
+        assert r["n_inter"] == 1
+        assert r["cont_a_millis"] == r["cont_b_millis"] == 250
+
+    def test_no_shingle_doc_dropped(self, spark):
+        from abot_dotnet_core_spark.functions.dedup import containment_pairs
+        df = spark.createDataFrame([
+            Row(doc_id=0, text="a b c d"), Row(doc_id=1, text="xy")])
+        pairs = spark.createDataFrame([Row(id_a=0, id_b=1)])
+        assert containment_pairs(df, pairs).count() == 0
