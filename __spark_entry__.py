@@ -4242,6 +4242,36 @@ FROM events v JOIN events c
 WHERE v.event_type = 'view' AND c.event_type = 'click'"""
 
 
+def q_events_funnel(spark, sf_dir):
+    """Ordered conversion funnel signup→view→click→purchase: per user the
+    earliest completion time of each stage STRICTLY after the previous
+    stage (epoch-microsecond bigints; NULL = unreached), one collect-agg
+    pass + row-local fold — no per-stage join cascade."""
+    from abot_dotnet_core_spark.streaming.metrics_stream import funnel_stages
+    ev = _read(spark, sf_dir, "events")
+    return funnel_stages(ev, ["signup", "view", "click", "purchase"])
+
+
+def sql_events_funnel():
+    stages = ["signup", "view", "click", "purchase"]
+    parts = [f"""s0 AS (
+  SELECT user_id AS usr, min(epoch_us(ts))::BIGINT AS t_{stages[0]}
+  FROM events WHERE event_type = '{stages[0]}' GROUP BY 1)"""]
+    for i, st in enumerate(stages[1:], start=1):
+        parts.append(f"""s{i} AS (
+  SELECT e.user_id AS usr, min(epoch_us(e.ts))::BIGINT AS t_{st}
+  FROM events e JOIN s{i - 1} p ON p.usr = e.user_id
+  WHERE e.event_type = '{st}' AND epoch_us(e.ts) > p.t_{stages[i - 1]}
+  GROUP BY 1)""")
+    joins = "".join(f"\nLEFT JOIN s{i} USING (usr)"
+                    for i in range(1, len(stages)))
+    n = " + ".join(f"(t_{st} IS NOT NULL)::int" for st in stages)
+    sel = ", ".join(f"t_{st}" for st in stages)
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT usr AS user, {sel}, ({n})::int AS n_stages"
+            + f"\nFROM s0{joins}")
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings (8
     deterministic centroids + 1 Lloyd step — the same quantizer as ivf_topk)
@@ -5036,6 +5066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": q_events_sliding,
         "events_asof": q_events_asof,
         "events_interval": q_events_interval,
+        "events_funnel": q_events_funnel,
         "events_json_agg": q_events_json_agg,
         # relational core
         "tpch_q1": q_tpch_q1,
@@ -5167,6 +5198,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding": sql_events_sliding(),
         "events_asof": sql_events_asof(),
         "events_interval": sql_events_interval(),
+        "events_funnel": sql_events_funnel(),
         "events_json_agg": sql_events_json_agg(),
         "tpch_q1": sql_tpch_q1(),
         "tpch_q3": sql_tpch_q3(),

@@ -203,3 +203,62 @@ def stream_tumbling_counts(spark, source_path: str, checkpoint: str,
             .trigger(availableNow=True)
             .option("checkpointLocation", checkpoint)
             .format("parquet").option("path", out_path))
+
+
+def funnel_stages(events: DataFrame, stages: list,
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type") -> DataFrame:
+    """Ordered funnel analysis: for each user, the earliest time each
+    stage was completed IN ORDER — stage k counts only strictly after the
+    user's stage-k-1 completion time (first signup, first view AFTER
+    that, ...). The classic conversion-funnel query, here as one
+    conditional-min aggregation pass per stage over the pre-aggregated
+    (user, stage) -> min/sorted-ts table.
+
+    Returns (user, t_<stage>... as epoch-microsecond bigints, n_stages)
+    for every user with at least stage 1; NULL ts marks an unreached
+    stage. Epoch integers, not timestamps, so the output hashes
+    identically across engines regardless of timezone normalization.
+
+    Scale posture: ONE groupBy(user, type) collecting each user's sorted
+    event-time array per stage type (shuffle volume = users x stages,
+    event volume collapses map-side), then a row-local fold across the
+    <= |stages| arrays — no per-stage join cascade, no window over the
+    raw event stream. Array sizes are per-user-per-type event counts;
+    a pathological single user with 10^8 events of one type would need
+    the windowed variant instead (documented, not guarded)."""
+    sl = list(stages)
+    ev = (events
+          .where(F.col(type_col).isin(sl))
+          .select(F.col(user_col).alias("user"),
+                  F.col(type_col).alias("etype"),
+                  F.col(ts_col).cast("timestamp").alias("t")))
+    per = (ev.groupBy("user", "etype")
+           .agg(F.sort_array(F.collect_list(
+               F.unix_micros(F.col("t")))).alias("ts_sorted")))
+    wide = (per.groupBy("user")
+            .pivot("etype", sl)
+            .agg(F.first("ts_sorted")))
+    # fold: t_0 = min(arr_0); t_k = min over arr_k of values > t_{k-1}
+    prev = None
+    cols = [F.col("user")]
+    names = []
+    for i, st in enumerate(sl):
+        arr = F.coalesce(F.col(st), F.array().cast("array<long>"))
+        if prev is None:
+            t = F.try_element_at(arr, F.lit(1))
+        else:
+            t = F.when(prev.isNotNull(),
+                       F.try_element_at(F.filter(arr, lambda x: x > prev),
+                                        F.lit(1)))
+        t = t.alias(f"t_{st}")
+        names.append(f"t_{st}")
+        cols.append(t)
+        prev = F.col(f"t_{st}")
+        wide = wide.select(*cols, *[F.col(s) for s in sl[i + 1:]])
+        cols = [F.col("user")] + [F.col(n) for n in names]
+    n_stages = sum(F.when(F.col(n).isNotNull(), 1).otherwise(0)
+                   for n in names)
+    return (wide.select("user", *names,
+                        n_stages.cast("int").alias("n_stages"))
+            .where(F.col(names[0]).isNotNull()))

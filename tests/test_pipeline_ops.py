@@ -888,3 +888,49 @@ class TestContainment:
             Row(doc_id=0, text="a b c d"), Row(doc_id=1, text="xy")])
         pairs = spark.createDataFrame([Row(id_a=0, id_b=1)])
         assert containment_pairs(df, pairs).count() == 0
+
+
+class TestFunnel:
+    def _ev(self, spark, rows):
+        from datetime import datetime
+        return spark.createDataFrame(
+            [Row(user_id=u, event_type=t,
+                 ts=datetime(2024, 1, 1, 0, 0, s)) for u, t, s in rows])
+
+    def test_strict_order_and_stage_counts(self, spark):
+        from abot_dotnet_core_spark.streaming.metrics_stream import (
+            funnel_stages)
+        ev = self._ev(spark, [
+            # u1 completes everything in order
+            (1, "signup", 10), (1, "view", 20), (1, "click", 30),
+            (1, "purchase", 40),
+            # u2: view BEFORE signup doesn't count; no later view
+            (2, "view", 5), (2, "signup", 10), (2, "click", 30),
+            # u3: no signup at all -> excluded
+            (3, "view", 1), (3, "click", 2), (3, "purchase", 3),
+            # u4: view at the SAME second as signup is not strictly after
+            (4, "signup", 10), (4, "view", 10), (4, "view", 11),
+        ])
+        got = {r["user"]: r for r in funnel_stages(
+            ev, ["signup", "view", "click", "purchase"]).collect()}
+        assert set(got) == {1, 2, 4}
+        base = got[1]
+        assert base["n_stages"] == 4
+        assert (base["t_signup"] < base["t_view"] < base["t_click"]
+                < base["t_purchase"])
+        u2 = got[2]
+        # click can't count either: stage order is signup->view->click
+        assert u2["n_stages"] == 1
+        assert u2["t_view"] is None and u2["t_click"] is None
+        u4 = got[4]
+        assert u4["n_stages"] == 2
+        assert u4["t_view"] - u4["t_signup"] == 1_000_000  # the 11s view
+
+    def test_earliest_valid_not_global_min(self, spark):
+        from abot_dotnet_core_spark.streaming.metrics_stream import (
+            funnel_stages)
+        # two views after signup: the EARLIER one wins
+        ev = self._ev(spark, [(1, "signup", 10), (1, "view", 50),
+                              (1, "view", 20)])
+        r = funnel_stages(ev, ["signup", "view"]).collect()[0]
+        assert (r["t_view"] - r["t_signup"]) == 10_000_000
