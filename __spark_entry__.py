@@ -4272,6 +4272,28 @@ def sql_events_funnel():
             + f"\nFROM s0{joins}")
 
 
+def q_events_retention(spark, sf_dir):
+    """Cohort retention matrix over the events stream: users bucketed by
+    first-activity week (integer weeks since epoch, pure bigint — no
+    calendar functions), distinct-active counts per week-offset."""
+    from abot_dotnet_core_spark.streaming.metrics_stream import (
+        retention_cohorts)
+    return retention_cohorts(_read(spark, sf_dir, "events"))
+
+
+def sql_events_retention():
+    return """
+WITH uw AS (
+  SELECT DISTINCT user_id AS usr,
+         (epoch_us(ts) // 604800000000)::BIGINT AS week
+  FROM events),
+cohort AS (SELECT usr, min(week) AS cohort_week FROM uw GROUP BY usr)
+SELECT c.cohort_week, (u.week - c.cohort_week)::BIGINT AS week_offset,
+       count(*)::BIGINT AS n_users
+FROM uw u JOIN cohort c USING (usr)
+GROUP BY 1, 2"""
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings (8
     deterministic centroids + 1 Lloyd step — the same quantizer as ivf_topk)
@@ -5067,6 +5089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "events_interval": q_events_interval,
         "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
         "events_json_agg": q_events_json_agg,
         # relational core
         "tpch_q1": q_tpch_q1,
@@ -5199,6 +5222,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof": sql_events_asof(),
         "events_interval": sql_events_interval(),
         "events_funnel": sql_events_funnel(),
+        "events_retention": sql_events_retention(),
         "events_json_agg": sql_events_json_agg(),
         "tpch_q1": sql_tpch_q1(),
         "tpch_q3": sql_tpch_q3(),

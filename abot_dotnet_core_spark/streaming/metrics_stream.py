@@ -262,3 +262,28 @@ def funnel_stages(events: DataFrame, stages: list,
     return (wide.select("user", *names,
                         n_stages.cast("int").alias("n_stages"))
             .where(F.col(names[0]).isNotNull()))
+
+
+def retention_cohorts(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts") -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week
+    (integer weeks since epoch — pure bigint arithmetic, no calendar
+    functions, so every engine agrees), counted as active at each
+    week-offset from their cohort. The standard retention triangle.
+
+    Returns (cohort_week, week_offset, n_users) with n_users = distinct
+    users of that cohort active in that offset week.
+
+    Scale posture: one (user, week) dedup hash-agg (map-side combine
+    collapses event volume), one per-user min, a broadcast-able join
+    back (users dimension), one final hash-agg. No windows, no UDF."""
+    uw = (events.select(F.col(user_col).alias("user"),
+                        F.expr(f"unix_micros(cast({ts_col} as timestamp))"
+                               " DIV 604800000000").alias("week"))
+          .distinct())
+    cohort = uw.groupBy("user").agg(F.min("week").alias("cohort_week"))
+    return (uw.join(cohort, "user")
+            .groupBy("cohort_week",
+                     (F.col("week") - F.col("cohort_week"))
+                     .alias("week_offset"))
+            .agg(F.count("*").alias("n_users")))

@@ -934,3 +934,28 @@ class TestFunnel:
                               (1, "view", 20)])
         r = funnel_stages(ev, ["signup", "view"]).collect()[0]
         assert (r["t_view"] - r["t_signup"]) == 10_000_000
+
+
+class TestRetention:
+    def test_cohorts_and_offsets(self, spark):
+        from datetime import datetime
+        from abot_dotnet_core_spark.streaming.metrics_stream import (
+            retention_cohorts)
+        # week boundaries in weeks-since-epoch land: 1970-01-01 was a
+        # Thursday, but pure integer weeks don't care about weekday
+        def at_week(w, plus_sec=0):
+            return datetime.utcfromtimestamp(w * 604800 + plus_sec)
+        ev = spark.createDataFrame([
+            # u1: weeks 100, 101, 103 (two events in 100 dedup to one)
+            Row(user_id=1, ts=at_week(100)),
+            Row(user_id=1, ts=at_week(100, 30)),
+            Row(user_id=1, ts=at_week(101)),
+            Row(user_id=1, ts=at_week(103)),
+            # u2: cohort 101, returns week 103
+            Row(user_id=2, ts=at_week(101, 5)),
+            Row(user_id=2, ts=at_week(103)),
+        ])
+        got = {(r["cohort_week"], r["week_offset"]): r["n_users"]
+               for r in retention_cohorts(ev).collect()}
+        assert got == {(100, 0): 1, (100, 1): 1, (100, 3): 1,
+                       (101, 0): 1, (101, 2): 1}
