@@ -554,6 +554,25 @@ s{r} AS (
             + "\nUNION ALL\n".join(summaries))
 
 
+def q_neighborhood_fn(spark, sf_dir):
+    """Neighborhood function N(r) (the HyperBall/ANF output): estimated
+    reachable pairs within r hops = sum of per-node ball estimates, for
+    r = 0..3 over the same 101-host graph as hyperball — the distance
+    distribution an effective-diameter read-off needs (smallest r with
+    N(r) >= 90% of N(r_max))."""
+    hb = q_hyperball(spark, sf_dir)
+    return (hb.groupBy("r")
+            .agg(F.count("*").cast("long").alias("n_nodes"),
+                 F.sum("ball_est").cast("long").alias("pairs_est")))
+
+
+def sql_neighborhood_fn():
+    return (f"SELECT r, count(*)::BIGINT AS n_nodes,"
+            f" sum(ball_est)::BIGINT AS pairs_est FROM (\n"
+            + sql_hyperball()
+            + "\n) hb GROUP BY r")
+
+
 def q_spam_mass(spark, sf_dir):
     """Spam mass (Gyöngyi et al. 2006) over the same weighted host graph
     as host_pagerank/trustrank: per-host share of PageRank NOT flowing
@@ -5012,6 +5031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank": q_trustrank,
         "host_hits": q_host_hits,
         "hyperball": q_hyperball,
+        "neighborhood_fn": q_neighborhood_fn,
         "spam_mass": q_spam_mass,
         "host_components": q_host_components,
         "host_communities": q_host_communities,
@@ -5151,6 +5171,7 @@ def oracle_sql() -> dict[str, str]:
         "trustrank": sql_trustrank(),
         "host_hits": sql_host_hits(),
         "hyperball": sql_hyperball(),
+        "neighborhood_fn": sql_neighborhood_fn(),
         "spam_mass": sql_spam_mass(),
         "host_components": sql_host_components(),
         "host_communities": sql_host_communities(),

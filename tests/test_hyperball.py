@@ -100,3 +100,22 @@ class TestHyperball:
         for v in nodes:
             sums = [got[(v, r)][1] for r in range(4)]
             assert sums == sorted(sums, reverse=True)
+
+
+class TestNeighborhoodFn:
+    def test_monotone_and_saturates(self, spark):
+        """N(r) is nondecreasing in r; on a strongly-connected cycle it
+        saturates at the all-pairs sketch estimate."""
+        from pyspark.sql import functions as F
+        nodes = [f"c{i}" for i in range(6)]
+        edges = [(f"c{i}", f"c{(i + 1) % 6}") for i in range(6)]
+        ndf = spark.createDataFrame([Row(host=n) for n in nodes])
+        edf = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
+        hb = hyperball(ndf, edf, radius=5, p=P, max_rho=MAX_RHO)
+        nf = {r["r"]: r["pairs_est"] for r in
+              (hb.groupBy("r")
+               .agg(F.sum("ball_est").alias("pairs_est"))).collect()}
+        vals = [nf[r] for r in range(6)]
+        assert vals == sorted(vals)
+        # radius 5 on a 6-cycle reaches everything: N(5) = 6 * est({all})
+        assert nf[5] == 6 * _summary(set(nodes))[2]
