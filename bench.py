@@ -58,6 +58,8 @@ HEADLINE = [
     "capture_stats", "url_variants", "dedup_recall", "segment_langs",
     "window_funcs", "cube_agg", "bloom_fpr", "redirect_resolve", "nepotism",
     "trustrank", "host_communities",
+    "bm25_search", "readability", "hyperball", "neighborhood_fn",
+    "spam_mass", "containment_pairs", "events_funnel", "events_retention",
 ]
 
 
