@@ -67,6 +67,14 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
     qs = entrymod.queries()
+    # JIT warmup: exercise codegen/shuffle/parquet-scan paths once so the
+    # first measured query isn't charged the fresh-JVM compile constant
+    # (same rationale as warmup_crawl; tpch_q1 was absorbing ~8 s of it)
+    from pyspark.sql import functions as F
+    spark.range(2_000_000).groupBy((F.col("id") % 97).alias("k")) \
+        .count().orderBy("k").collect()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .groupBy("l_returnflag").count().collect()
     out = {}
     for name in HEADLINE:
         fn = qs[name]
