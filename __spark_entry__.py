@@ -2315,6 +2315,65 @@ SELECT doc_id,
 FROM best WHERE rn = 1"""
 
 
+def q_corpus_report(spark, sf_dir):
+    """Per-source corpus datasheet: doc/token/char volume, empty docs,
+    language spread, dominant language + share — the summary table a
+    training-mix decision starts from (one lang-id pass + two hash-aggs,
+    shuffle volume = sources x langs)."""
+    from abot_dotnet_core_spark.functions.textfns import corpus_report
+    return corpus_report(_docs(spark, sf_dir))
+
+
+def sql_corpus_report():
+    from abot_dotnet_core_spark.functions.textfns import STOPWORDS
+    unions = []
+    for lang in sorted(STOPWORDS):
+        stops = ",".join(f"'{w}'" for w in STOPWORDS[lang])
+        unions.append(
+            f"SELECT doc_id, '{lang}' AS lang, "
+            f"len(list_filter(toks, x -> list_contains([{stops}], x)))"
+            f" AS hits FROM t")
+    u = " UNION ALL ".join(unions)
+    return f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text) = '' THEN []::varchar[]
+              ELSE list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                  x -> lower(x)) END AS toks,
+         len(coalesce(text, '')) AS nc,
+         (trim(coalesce(text, '')) = '')::int AS is_empty
+  FROM documents),
+scores AS ({u}),
+best AS (
+  SELECT doc_id, lang, hits,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY hits DESC, lang DESC) AS rn
+  FROM scores),
+pred AS (
+  SELECT t.doc_id, t.source, len(t.toks) AS nt, t.nc, t.is_empty,
+         CASE WHEN b.hits > 0 THEN b.lang ELSE 'und' END AS lang_pred
+  FROM t JOIN best b ON b.doc_id = t.doc_id AND b.rn = 1),
+per_lang AS (
+  SELECT source, lang_pred, count(*) AS n FROM pred GROUP BY 1, 2),
+ranked AS (
+  SELECT source, lang_pred, n,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n DESC, lang_pred) AS rn,
+         count(*) OVER (PARTITION BY source) AS nl
+  FROM per_lang),
+dom AS (
+  SELECT source, nl::int AS n_langs, lang_pred AS dom_lang,
+         n::BIGINT AS dom_docs
+  FROM ranked WHERE rn = 1),
+stats AS (
+  SELECT source, count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS total_tokens,
+         sum(nc)::BIGINT AS total_chars, sum(is_empty)::BIGINT AS n_empty
+  FROM pred GROUP BY source)
+SELECT s.source, s.n_docs, s.total_tokens, s.total_chars, s.n_empty,
+       d.n_langs, d.dom_lang, d.dom_docs
+FROM stats s JOIN dom d USING (source)"""
+
+
 # training-mix sampling + packing ------------------------------------------
 
 SAMPLE_FRACTIONS = {"en": 0.5, "es": 0.25, "de": 0.1}
@@ -5065,6 +5124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": q_mixture_weights,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
+        "corpus_report": q_corpus_report,
         "segment_langs": q_segment_langs,
         "fingerprint": q_fingerprint,
         "length_profile": q_length_profile,
@@ -5203,6 +5263,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_weights": sql_mixture_weights(),
         "quality_scores": sql_quality_scores(),
         "lang_id": sql_lang_id(),
+        "corpus_report": sql_corpus_report(),
         "segment_langs": sql_segment_langs(),
         "fingerprint": sql_fingerprint(),
         "length_profile": sql_length_profile(),

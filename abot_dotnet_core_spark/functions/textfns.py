@@ -668,3 +668,49 @@ def readability(df: DataFrame, id_col: str = "doc_id",
                 "(390 * n_words) DIV greatest(n_sentences, 1L)"
                 " + (11800 * n_syllables) DIV greatest(n_words, 1L)"
                 " - 15590")))
+
+
+def corpus_report(df: DataFrame, group_col: str = "source",
+                  text_col: str = "text") -> DataFrame:
+    """Per-source corpus datasheet (Gebru et al.'s "datasheets for
+    datasets", the summary table a training-mix decision starts from):
+    document / token / char volume, empty-doc count, language spread and
+    the dominant language with its share, per grouping column.
+
+    Returns (group, n_docs, total_tokens, total_chars, n_empty, n_langs,
+    dom_lang, dom_docs). Dominant = most docs (ties -> lang asc);
+    n_langs counts distinct predicted languages ('und' included).
+
+    Scale posture: one row-local pass for lang-id + token counts (the
+    stopword argmax is a sorted struct array, no UDF), one
+    (group, lang) hash-agg, one group hash-agg, a row-local argmax over
+    the <= #langs-row array per group, one broadcast-able join. Shuffle
+    volume = groups x langs."""
+    base = (with_lang_id(df, text_col=text_col)
+            .select(F.col(group_col).alias("grp"),
+                    F.col("lang_pred"),
+                    F.size(tokens_col(F.col(text_col))).alias("__nt"),
+                    F.length(F.coalesce(F.col(text_col), F.lit("")))
+                     .alias("__nc"),
+                    (F.trim(F.coalesce(F.col(text_col), F.lit(""))) == "")
+                    .cast("int").alias("__empty")))
+    per_lang = (base.groupBy("grp", "lang_pred")
+                .agg(F.count("*").alias("n")))
+    dom = (per_lang.groupBy("grp")
+           .agg(F.count("*").cast("int").alias("n_langs"),
+                F.min_by(F.struct(F.col("lang_pred").alias("dom_lang"),
+                                  F.col("n").alias("dom_docs")),
+                         F.struct((-F.col("n")).alias("nn"),
+                                  F.col("lang_pred").alias("l")))
+                 .alias("__d")))
+    stats = (base.groupBy("grp")
+             .agg(F.count("*").cast("long").alias("n_docs"),
+                  F.sum("__nt").cast("long").alias("total_tokens"),
+                  F.sum("__nc").cast("long").alias("total_chars"),
+                  F.sum("__empty").cast("long").alias("n_empty")))
+    return (stats.join(dom, "grp")
+            .select(F.col("grp").alias(group_col),
+                    "n_docs", "total_tokens", "total_chars", "n_empty",
+                    "n_langs",
+                    F.col("__d.dom_lang").alias("dom_lang"),
+                    F.col("__d.dom_docs").cast("long").alias("dom_docs")))

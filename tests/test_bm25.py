@@ -128,3 +128,33 @@ class TestReadability:
         got = self._run(spark, [simple, dense])
         assert got[0]["fre_millis"] > got[1]["fre_millis"]
         assert got[0]["fkg_millis"] < got[1]["fkg_millis"]
+
+
+class TestCorpusReport:
+    def test_volumes_langs_and_dominance(self, spark):
+        from abot_dotnet_core_spark.functions.textfns import corpus_report
+        df = spark.createDataFrame([
+            Row(doc_id=0, source="a", text="the cat and the dog"),   # en
+            Row(doc_id=1, source="a", text="el perro es un gato"),   # es
+            Row(doc_id=2, source="a", text="the mat is on it"),      # en
+            Row(doc_id=3, source="b", text=""),                      # empty/und
+            Row(doc_id=4, source="b", text="zz qq ww"),              # und
+        ])
+        got = {r["source"]: r for r in corpus_report(df).collect()}
+        a = got["a"]
+        assert (a["n_docs"], a["total_tokens"], a["n_empty"]) == (3, 15, 0)
+        assert a["total_chars"] == len("the cat and the dog") + \
+            len("el perro es un gato") + len("the mat is on it")
+        assert (a["n_langs"], a["dom_lang"], a["dom_docs"]) == (2, "en", 2)
+        b = got["b"]
+        assert (b["n_docs"], b["n_empty"], b["dom_lang"]) == (2, 1, "und")
+        assert b["total_tokens"] == 3  # empty doc counts 0 tokens
+
+    def test_dominance_tie_breaks_lang_asc(self, spark):
+        from abot_dotnet_core_spark.functions.textfns import corpus_report
+        df = spark.createDataFrame([
+            Row(doc_id=0, source="s", text="the cat and the dog"),   # en
+            Row(doc_id=1, source="s", text="el perro es un gato"),   # es
+        ])
+        r = corpus_report(df).collect()[0]
+        assert (r["n_langs"], r["dom_lang"], r["dom_docs"]) == (2, "en", 1)
