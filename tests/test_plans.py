@@ -410,3 +410,44 @@ class TestRound2cAdditionPlans:
         assert "CartesianProduct" not in plan, plan
         assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") \
             + plan.count("BroadcastHashJoin") == 1, plan
+
+
+class TestRound2dAdditionPlans:
+    def test_containment_reuses_jaccard_shape(self, spark):
+        """Containment: candidate-only shingling (semi-join before the
+        explode), long-key intersection joins, no cartesian, no Python."""
+        import __spark_entry__ as e
+        plan = simple_plan(e.q_containment_pairs(spark, SF))
+        assert "LeftSemi" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "Python" not in plan, plan
+
+    def test_funnel_no_per_stage_join_cascade(self, spark):
+        """Funnel: ONE collect-agg + pivot over (user, stage) — the stage
+        fold is row-local, so no join at all and no raw-stream window."""
+        import __spark_entry__ as e
+        plan = simple_plan(e.q_events_funnel(spark, SF))
+        assert "Python" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") \
+            + plan.count("BroadcastHashJoin") == 0, plan
+        assert "Window" not in plan, plan
+
+    def test_retention_two_aggs_one_join(self, spark):
+        """Retention: (user, week) dedup agg + per-user min + one user-keyed
+        join + final agg; no window, no Python."""
+        import __spark_entry__ as e
+        plan = simple_plan(e.q_events_retention(spark, SF))
+        assert "Python" not in plan, plan
+        assert "Window" not in plan, plan
+        assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") \
+            + plan.count("BroadcastHashJoin") == 1, plan
+
+    def test_corpus_report_no_python_no_cartesian(self, spark):
+        """Datasheet report: row-local lang argmax + two hash-aggs + one
+        group-keyed join; no UDF, no cartesian."""
+        import __spark_entry__ as e
+        plan = simple_plan(e.q_corpus_report(spark, SF))
+        assert "Python" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "HashAggregate" in plan, plan
