@@ -644,6 +644,39 @@ SELECT p.node, p.mass AS rank_mass, t.mass AS trust_mass,
 FROM pr{iters} p JOIN tr{iters} t ON t.node = p.node""")
 
 
+def q_crawl_budget(spark, sf_dir):
+    """Trust-weighted crawl-budget allocation: Hamilton largest-remainder
+    apportionment of 10,000 fetch slots across hosts proportional to
+    their TrustRank mass (same graph/seeds as the trustrank entry) —
+    exact integer allocation summing to the budget, remainder rank via
+    the range-partitioned global sequencer (no single-partition
+    window)."""
+    from abot_dotnet_core_spark.operators.prioritize import budget_apportion
+    tr = q_trustrank(spark, sf_dir).select(
+        F.col("node").alias("host"), F.col("trust_mass").alias("weight"))
+    return budget_apportion(tr, 10_000)
+
+
+def sql_crawl_budget():
+    budget = 10_000
+    return (f"""
+WITH tr AS ({sql_trustrank()}),
+w AS (SELECT node AS host, trust_mass AS weight FROM tr),
+tot AS (SELECT sum(weight)::BIGINT AS W FROM w),
+a AS (
+  SELECT host, weight,
+         ({budget} * weight) // t.W AS base_alloc,
+         ({budget} * weight) % t.W AS rem
+  FROM w, tot t),
+lo AS (SELECT ({budget} - sum(base_alloc))::BIGINT AS R FROM a),
+r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, host) - 1 AS rk
+      FROM a)
+SELECT r.host, r.weight::BIGINT AS weight, r.base_alloc::BIGINT AS base_alloc,
+       (r.rk < lo.R)::int AS plus_one,
+       (r.base_alloc + (r.rk < lo.R)::int)::BIGINT AS alloc
+FROM r, lo""")
+
+
 def q_host_hits(spark, sf_dir):
     """HITS hubs/authorities over the same deterministic host graph
     host_pagerank uses — weighted, 3 rounds, integer fixed-point with
@@ -5092,6 +5125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperball": q_hyperball,
         "neighborhood_fn": q_neighborhood_fn,
         "spam_mass": q_spam_mass,
+        "crawl_budget": q_crawl_budget,
         "host_components": q_host_components,
         "host_communities": q_host_communities,
         "host_triangles": q_host_triangles,
@@ -5233,6 +5267,7 @@ def oracle_sql() -> dict[str, str]:
         "hyperball": sql_hyperball(),
         "neighborhood_fn": sql_neighborhood_fn(),
         "spam_mass": sql_spam_mass(),
+        "crawl_budget": sql_crawl_budget(),
         "host_components": sql_host_components(),
         "host_communities": sql_host_communities(),
         "host_triangles": sql_host_triangles(),

@@ -57,3 +57,49 @@ def prioritized_order(frontier_with_priority: DataFrame,
     single-partition sort at any frontier size."""
     return assign_global_seq(frontier_with_priority,
                              ["priority_millis", "url"], out_col)
+
+
+def budget_apportion(weights: DataFrame, budget: int,
+                     key_col: str = "host",
+                     weight_col: str = "weight") -> DataFrame:
+    """Exact largest-remainder apportionment (Hamilton's method) of an
+    integer crawl budget across hosts proportional to a weight column —
+    the per-round "how many fetch slots does each host get" allocation a
+    trust/rank-driven crawl scheduler runs. Hamilton's method minimizes
+    total |alloc - exact_share| among integer allocations summing to the
+    budget, and every step here is integer-exact, so the result is unique
+    and engine-portable (ties in the remainder rank break by key asc).
+
+        base_i = budget * w_i div W      rem_i = (budget * w_i) mod W
+        leftover R = budget - sum(base)  (0 <= R < #hosts)
+        +1 to the R largest remainders (ties -> key asc)
+
+    Requires sum(w) > 0 and w >= 0 (raises otherwise); budget * max(w)
+    must stay in int64 (10^4 budget x 10^12 rank mass = 10^16, fine).
+
+    Returns (key, weight, base_alloc, plus_one, alloc), sum(alloc) ==
+    budget exactly. Scale posture: one scalar agg, row-local arithmetic,
+    and the remainder rank via the two-pass range-partitioned global
+    sequencer (assign_global_seq) — never a single-partition window, so
+    the allocation runs at 10^8-host scale."""
+    w = weights.select(F.col(key_col).alias("key"),
+                       F.col(weight_col).cast("long").alias("w"))
+    tot = w.agg(F.sum("w").alias("W"),
+                F.min("w").alias("mn")).collect()[0]
+    W, mn = tot["W"] or 0, tot["mn"]
+    if W <= 0 or (mn is not None and mn < 0):
+        raise ValueError("budget_apportion needs non-negative weights "
+                         "with a positive sum")
+    alloc = (w.withColumn("base_alloc", F.expr(f"({budget}L * w) DIV {W}L"))
+             .withColumn("rem", F.expr(f"({budget}L * w) % {W}L"))
+             .withColumn("neg_rem", -F.col("rem")))
+    base_sum = alloc.agg(F.sum("base_alloc")).collect()[0][0]
+    leftover = budget - base_sum
+    ranked = assign_global_seq(alloc, ["neg_rem", "key"], "__rk")
+    return (ranked
+            .withColumn("plus_one", (F.col("__rk") < leftover).cast("int"))
+            .select(F.col("key").alias(key_col),
+                    F.col("w").alias(weight_col),
+                    "base_alloc", "plus_one",
+                    (F.col("base_alloc") + F.col("plus_one"))
+                    .cast("long").alias("alloc")))

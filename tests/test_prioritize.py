@@ -104,3 +104,54 @@ class TestEngineComposition:
         seq = {r["url"]: r["priority_seq"] for r in
                eng.store.read_table(spark, "frontier", 0).collect()}
         assert seq == {"http://d1.test/": 0, "http://d0.test/": 1}
+
+
+class TestBudgetApportion:
+    def _run(self, spark, pairs, budget):
+        from pyspark.sql import Row
+        from abot_dotnet_core_spark.operators.prioritize import (
+            budget_apportion)
+        df = spark.createDataFrame(
+            [Row(host=h, weight=w) for h, w in pairs])
+        return {r["host"]: r for r in
+                budget_apportion(df, budget).collect()}
+
+    def test_exact_sum_and_largest_remainder(self, spark):
+        # weights 3:3:1 over budget 10 -> bases 30//7, 30//7, 10//7 =
+        # 4,4,1 (sum 9) with remainders 2,2,3; the single leftover slot
+        # goes to c, whose remainder (3) is the largest
+        got = self._run(spark, [("a", 3), ("b", 3), ("c", 1)], 10)
+        assert sum(r["alloc"] for r in got.values()) == 10
+        assert (got["a"]["alloc"], got["b"]["alloc"], got["c"]["alloc"]) \
+            == (4, 4, 2)
+        assert got["c"]["plus_one"] == 1
+
+    def test_zero_weight_gets_zero_and_hamilton_quota(self, spark):
+        got = self._run(spark, [("a", 0), ("b", 1), ("c", 1)], 7)
+        assert got["a"]["alloc"] == 0
+        assert sum(r["alloc"] for r in got.values()) == 7
+        # Hamilton: each alloc within 1 of its exact share 3.5
+        assert {got["b"]["alloc"], got["c"]["alloc"]} == {3, 4}
+        # the 3/4 split tie-breaks by host asc on the equal remainders
+        assert got["b"]["alloc"] == 4
+
+    def test_negative_or_zero_total_raises(self, spark):
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            self._run(spark, [("a", 0)], 5)
+        with _pytest.raises(ValueError):
+            self._run(spark, [("a", -1), ("b", 5)], 5)
+
+    def test_matches_sequential_hamilton(self, spark):
+        ws = [(f"h{i}", (i * 37 + 11) % 29) for i in range(40)]
+        budget = 1234
+        got = self._run(spark, ws, budget)
+        W = sum(w for _, w in ws)
+        base = {h: budget * w // W for h, w in ws}
+        rem = {h: (budget * w) % W for h, w in ws}
+        R = budget - sum(base.values())
+        order = sorted(ws, key=lambda p: (-rem[p[0]], p[0]))
+        plus = {h for h, _ in order[:R]}
+        for h, w in ws:
+            assert got[h]["alloc"] == base[h] + (1 if h in plus else 0), h
+        assert sum(r["alloc"] for r in got.values()) == budget
