@@ -4889,6 +4889,38 @@ SELECT doc_id, count(*) AS n_matches, min(start)::int AS first_pos
 FROM {joins} GROUP BY doc_id"""
 
 
+def q_proximity_search(spark, sf_dir):
+    """Proximity (sloppy-phrase) lookup: docs where 'query' and 'part'
+    co-occur within an 8-token window in any order; match count,
+    tightest span, earliest window start — the positional-index slop
+    companion to phrase_search."""
+    from abot_dotnet_core_spark.functions.textfns import proximity_search
+    return proximity_search(_docs(spark, sf_dir), ["query", "part"],
+                            window=8)
+
+
+def sql_proximity_search():
+    w = 8
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents WHERE trim(text) <> ''),
+p AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM tok),
+t AS (SELECT doc_id, (i - 1)::int AS pos, toks[i::int] AS term FROM p),
+m0 AS (SELECT doc_id, pos AS p0 FROM t WHERE term = 'query'),
+m1 AS (SELECT doc_id, pos AS p1 FROM t WHERE term = 'part'),
+tuples AS (
+  SELECT m0.doc_id, p0, p1,
+         greatest(p0, p1) - least(p0, p1) + 1 AS span,
+         least(p0, p1) AS start
+  FROM m0 JOIN m1 ON m1.doc_id = m0.doc_id
+   AND p1 - p0 < {w} AND p0 - p1 < {w})
+SELECT doc_id, count(*) AS n_matches, min(span)::int AS min_span,
+       min(start)::int AS first_pos
+FROM tuples WHERE span <= {w}
+GROUP BY doc_id"""
+
+
 def q_index_merge(spark, sf_dir):
     """LSM-style inverted-index segment merge: base segment (docs < 400)
     ∪ delta segment (docs >= 300, overlapping) minus tombstones
@@ -5149,6 +5181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
+        "proximity_search": q_proximity_search,
         "index_merge": q_index_merge,
         "tfidf_topk": q_tfidf_topk,
         "bm25_search": q_bm25_search,
@@ -5289,6 +5322,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": sql_vocab_topk(),
         "inverted_index": sql_inverted_index(),
         "phrase_search": sql_phrase_search(),
+        "proximity_search": sql_proximity_search(),
         "index_merge": sql_index_merge(),
         "tfidf_topk": sql_tfidf_topk(),
         "bm25_search": sql_bm25_search(),

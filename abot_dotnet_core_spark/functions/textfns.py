@@ -714,3 +714,57 @@ def corpus_report(df: DataFrame, group_col: str = "source",
                     "n_langs",
                     F.col("__d.dom_lang").alias("dom_lang"),
                     F.col("__d.dom_docs").cast("long").alias("dom_docs")))
+
+
+def proximity_search(df: DataFrame, terms: list, window: int = 8,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Proximity (sloppy-phrase) lookup: documents where ALL query terms
+    co-occur within a ``window``-token span, in any order — the
+    positional-index companion to :func:`phrase_search` for "near each
+    other" queries (entity + attribute mentions, quote attribution).
+    Terms must be distinct (each match binds one position per term; a
+    duplicated term would just re-bind the same position).
+
+    A match is a tuple of one position per term with
+    max(pos) - min(pos) + 1 <= window. Returns (doc_id, n_matches,
+    min_span, first_pos): match-tuple count, the tightest span, and the
+    earliest window start.
+
+    Scale posture: per-term postings are filters over the token table
+    (same pushdown note as phrase_search); the k-way intersection joins
+    carry the |pos_i - pos_0| < window bound IN the join condition, so
+    the tuple set stays near-linear for natural text (per-doc tf
+    products only inside the window, not across the document).
+    Pathological single-token-repeated docs blow up combinatorially —
+    the same caveat as any positional slop query; cap tf upstream if the
+    corpus has them. No windows, no arrays across rows."""
+    qt = [t.lower() for t in terms]
+    if len(qt) < 2:
+        raise ValueError("proximity_search needs >= 2 terms")
+    if len(set(qt)) != len(qt):
+        raise ValueError("proximity_search terms must be distinct")
+    if window < len(qt):
+        raise ValueError("window smaller than the term count can't match")
+    toks = (df.select(F.col(id_col).alias("doc_id"),
+                      F.posexplode(tokens_col(F.lower(F.col(text_col))))
+                      .alias("pos", "term")))
+    out = (toks.filter(F.col("term") == qt[0])
+           .select("doc_id", F.col("pos").alias("p0")))
+    for i, t in enumerate(qt[1:], start=1):
+        p = (toks.filter(F.col("term") == t)
+             .select(F.col("doc_id").alias("__d"),
+                     F.col("pos").alias(f"p{i}")))
+        cond = ((out.doc_id == p.__d)
+                & (p[f"p{i}"] - out.p0 < window)
+                & (out.p0 - p[f"p{i}"] < window))
+        out = out.join(p, cond).drop("__d")
+    ps = [F.col(f"p{i}") for i in range(len(qt))]
+    span = F.greatest(*ps) - F.least(*ps) + 1
+    return (out.withColumn("__span", span)
+            .filter(F.col("__span") <= window)
+            .withColumn("__start", F.least(*ps))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_matches"),
+                 F.min("__span").cast("int").alias("min_span"),
+                 F.min("__start").cast("int").alias("first_pos")))

@@ -60,7 +60,7 @@ HEADLINE = [
     "trustrank", "host_communities",
     "bm25_search", "readability", "hyperball", "neighborhood_fn",
     "spam_mass", "containment_pairs", "events_funnel", "events_retention",
-    "corpus_report", "crawl_budget",
+    "corpus_report", "crawl_budget", "proximity_search",
 ]
 
 

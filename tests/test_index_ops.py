@@ -93,3 +93,50 @@ class TestCdxLookup:
         plan = formatted_plan(df)
         assert "StartsWith" in plan, plan      # sargable: reaches the scan
         assert df.count() == 10
+
+
+class TestProximitySearch:
+    def _df(self, spark, texts):
+        return spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+
+    def test_window_and_span(self, spark):
+        from abot_dotnet_core_spark.functions.textfns import proximity_search
+        df = self._df(spark, [
+            "alpha x x beta",          # span 4: within window 4
+            "alpha x x x beta",        # span 5: outside window 4
+            "beta alpha",              # order-free, span 2
+            "alpha only here",
+            "nothing at all",
+        ])
+        got = {r["doc_id"]: (r["n_matches"], r["min_span"], r["first_pos"])
+               for r in proximity_search(df, ["alpha", "beta"],
+                                         window=4).collect()}
+        assert got == {0: (1, 4, 0), 2: (1, 2, 0)}
+
+    def test_three_terms_and_counts(self, spark):
+        from abot_dotnet_core_spark.functions.textfns import proximity_search
+        # a..b..c tight cluster + a second far 'a' that still pairs with
+        # nothing (b,c out of its window)
+        df = self._df(spark, ["a b c x x x x x x x x x a"])
+        got = proximity_search(df, ["a", "b", "c"], window=3).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r["n_matches"], r["min_span"], r["first_pos"]) == (1, 3, 0)
+
+    def test_repeated_positions_count_tuples(self, spark):
+        from abot_dotnet_core_spark.functions.textfns import proximity_search
+        # two alphas near one beta -> two match tuples
+        df = self._df(spark, ["alpha alpha beta"])
+        r = proximity_search(df, ["alpha", "beta"], window=3).collect()[0]
+        assert (r["n_matches"], r["min_span"]) == (2, 2)
+
+    def test_input_validation(self, spark):
+        from abot_dotnet_core_spark.functions.textfns import proximity_search
+        df = self._df(spark, ["x"])
+        with pytest.raises(ValueError):
+            proximity_search(df, ["one"])
+        with pytest.raises(ValueError):
+            proximity_search(df, ["dup", "dup"])
+        with pytest.raises(ValueError):
+            proximity_search(df, ["a", "b", "c"], window=2)
