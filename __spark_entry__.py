@@ -265,7 +265,8 @@ def sql_domain_budget():
     return """
 SELECT doc_id, domain, rk FROM (
   SELECT doc_id, 'd' || (doc_id % 17) || '.test' AS domain,
-         row_number() OVER (PARTITION BY (doc_id % 17) ORDER BY doc_id) AS rk
+         row_number() OVER (PARTITION BY (doc_id % 17) ORDER BY doc_id)::int
+           AS rk
   FROM documents) WHERE rk <= 3"""
 
 
@@ -1562,25 +1563,29 @@ def q_host_degrees(spark, sf_dir):
 
 
 def sql_host_degrees():
+    # every sum() is cast ::BIGINT at the aggregation site: DuckDB promotes
+    # integer sum() to HUGEINT, and downstream HUGEINT arithmetic / cell
+    # formatting is a DuckDB-version-dependent surface the driver's comparator
+    # sees even when str()-normalization locally does not (VERDICT r02 item 1).
     return f"""
 WITH {_HOST_EDGES_SQL},
 outs AS (
   SELECT src_host AS host, count(DISTINCT dst_host) AS out_hosts,
-         sum(n_links) AS out_links,
-         sum(CASE WHEN src_host = dst_host THEN n_links ELSE 0 END)
+         sum(n_links)::BIGINT AS out_links,
+         sum(CASE WHEN src_host = dst_host THEN n_links ELSE 0 END)::BIGINT
            AS internal_links
   FROM hg GROUP BY 1),
 ins AS (
   SELECT dst_host AS host, count(DISTINCT src_host) AS in_hosts,
-         sum(n_links) AS in_links
+         sum(n_links)::BIGINT AS in_links
   FROM hg GROUP BY 1)
 SELECT coalesce(o.host, i.host) AS host,
-       coalesce(o.out_hosts, 0) AS out_hosts,
-       coalesce(o.out_links, 0) AS out_links,
-       coalesce(i.in_hosts, 0) AS in_hosts,
-       coalesce(i.in_links, 0) AS in_links,
-       ((coalesce(o.internal_links, 0) * 1000)
-         // greatest(coalesce(o.out_links, 0), 1))::int
+       coalesce(o.out_hosts, 0)::BIGINT AS out_hosts,
+       coalesce(o.out_links, 0)::BIGINT AS out_links,
+       coalesce(i.in_hosts, 0)::BIGINT AS in_hosts,
+       coalesce(i.in_links, 0)::BIGINT AS in_links,
+       ((coalesce(o.internal_links, 0)::BIGINT * 1000)
+         // greatest(coalesce(o.out_links, 0)::BIGINT, 1))::int
          AS internal_rate_millis
 FROM outs o FULL OUTER JOIN ins i ON o.host = i.host"""
 
@@ -1712,7 +1717,7 @@ sc AS (
          len(t) < {SOFT404_SHORT_CHARS} AS is_short
   FROM fx)
 SELECT doc_id, text, phrase_hits, is_short,
-       least(1000, phrase_hits * 400 + is_short::int * 200)
+       least(1000, phrase_hits * 400 + is_short::int * 200)::int
          AS soft404_score_millis,
        least(1000, phrase_hits * 400 + is_short::int * 200) >= 600
          AS is_soft404
@@ -2063,7 +2068,7 @@ sims AS (
   SELECT d.doc_id, coalesce(s.simhash, 0::UBIGINT) AS simhash
   FROM documents d LEFT JOIN sims0 s USING (doc_id))
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       bit_count(xor(a.simhash, b.simhash))::int AS hamming
 FROM sims a JOIN sims b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 8"""
 
@@ -2097,7 +2102,8 @@ ranked AS (
   SELECT q_id, vec_id, cosine,
          row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
   FROM scored)
-SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5"""
+SELECT q_id, rank::int AS rank, vec_id, cosine FROM ranked
+WHERE rank <= 5"""
 
 
 def q_embedding_neardup(spark, sf_dir):
@@ -2183,7 +2189,8 @@ ranked AS (SELECT q_id, vec_id, cosine,
                   row_number() OVER (PARTITION BY q_id
                       ORDER BY cosine DESC, vec_id) AS rank
            FROM scored)
-SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5"""
+SELECT q_id, rank::int AS rank, vec_id, cosine FROM ranked
+WHERE rank <= 5"""
 
 
 def q_ann_recall(spark, sf_dir):
@@ -2259,7 +2266,8 @@ ranked AS (
   SELECT q_id, vec_id, cosine,
          row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
   FROM scored)
-SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5"""
+SELECT q_id, rank::int AS rank, vec_id, cosine FROM ranked
+WHERE rank <= 5"""
 
 
 # ===========================================================================
@@ -2276,9 +2284,11 @@ def sql_token_stats():
     return """
 SELECT doc_id,
        CASE WHEN trim(text) = '' THEN 0
-            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
-       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_subtokens,
-       length(text) AS n_chars_seen
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::int
+         AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))::int
+         AS n_subtokens,
+       length(text)::int AS n_chars_seen
 FROM documents"""
 
 
@@ -2300,7 +2310,7 @@ WITH t AS (
   FROM documents),
 feat AS (
   SELECT doc_id,
-         len(toks) AS n_tokens,
+         len(toks)::int AS n_tokens,
          round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::double
                / greatest(length(text), 1), 6) AS punct_ratio,
          round(len(list_filter(toks, x -> list_contains([{stops}], lower(x))))::double
@@ -2344,7 +2354,7 @@ best AS (
   FROM scores)
 SELECT doc_id,
        CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_pred,
-       hits AS lang_hits
+       hits::int AS lang_hits
 FROM best WHERE rn = 1"""
 
 
@@ -2491,8 +2501,8 @@ p AS (
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
            AS prec
   FROM tok)
-SELECT doc_id, source, n_tokens,
-       prec // 512 AS shard_id, prec % 512 AS shard_offset
+SELECT doc_id, source, n_tokens::int AS n_tokens,
+       (prec // 512)::BIGINT AS shard_id, (prec % 512)::BIGINT AS shard_offset
 FROM p"""
 
 
@@ -2517,8 +2527,8 @@ p AS (
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
            AS prec
   FROM t)
-SELECT doc_id, source, n_tokens,
-       prec // 512 AS shard_id, prec % 512 AS shard_offset
+SELECT doc_id, source, n_tokens::int AS n_tokens,
+       (prec // 512)::BIGINT AS shard_id, (prec % 512)::BIGINT AS shard_offset
 FROM p"""
 
 
@@ -2754,7 +2764,7 @@ b AS (
   FROM h)
 SELECT CASE WHEN bucket < 10 THEN 'test'
             WHEN bucket < 20 THEN 'valid' ELSE 'train' END AS split,
-       lang, count(*) AS n_docs, sum(n_chars) AS n_chars_total,
+       lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS n_chars_total,
        min(doc_id) AS min_doc, max(doc_id) AS max_doc
 FROM b GROUP BY 1, 2"""
 
@@ -2881,7 +2891,7 @@ sess AS (
          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM marked)
-SELECT user_id, session_id, count(*) AS n_events,
+SELECT user_id, session_id::BIGINT AS session_id, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end,
        round(sum(value), 6) AS sum_value
 FROM sess GROUP BY user_id, session_id"""
@@ -2958,7 +2968,7 @@ SELECT o_custkey, o_orderkey, o_orderdate,
              ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 6)
          AS running_total,
        row_number() OVER (PARTITION BY o_custkey
-             ORDER BY o_orderdate, o_orderkey) AS order_rank
+             ORDER BY o_orderdate, o_orderkey)::int AS order_rank
 FROM orders"""
 
 
@@ -2980,7 +2990,7 @@ def q_window_funcs(spark, sf_dir):
 def sql_window_funcs():
     return """
 SELECT o_orderpriority, o_orderkey,
-       ntile(4) OVER w AS quartile,
+       (ntile(4) OVER w)::int AS quartile,
        round(percent_rank() OVER w, 6) AS pct_rank,
        round(cume_dist() OVER w, 6) AS cume,
        lag(o_orderkey, 1) OVER w AS prev_key,
@@ -3115,7 +3125,7 @@ WITH t AS (
          ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
   FROM documents),
 w AS (
-  SELECT doc_id, len(toks) AS n_words,
+  SELECT doc_id, len(toks)::int AS n_words,
          round((len(toks) - len(list_distinct(toks)))::double
                / greatest(len(toks), 1), 6) AS dup_word_frac, toks
   FROM t),
@@ -3172,11 +3182,11 @@ def sql_pii_scrub():
     return f"""
 WITH p AS (SELECT doc_id, {_PII_TEXT_SQL} AS t FROM documents),
 e AS (SELECT doc_id,
-             len(regexp_extract_all(t, '{EMAIL_RE}')) AS n_emails,
+             len(regexp_extract_all(t, '{EMAIL_RE}'))::int AS n_emails,
              regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g') AS t2
       FROM p)
 SELECT doc_id, n_emails,
-       len(regexp_extract_all(t2, '{PHONE_RE}')) AS n_phones,
+       len(regexp_extract_all(t2, '{PHONE_RE}'))::int AS n_phones,
        regexp_replace(t2, '{PHONE_RE}', '<PHONE>', 'g') AS clean_text
 FROM e"""
 
@@ -3239,7 +3249,7 @@ reb AS (
   SELECT doc_id, count(*) AS n_kept,
          string_agg(line, chr(10) ORDER BY pos) AS clean_text
   FROM kept GROUP BY 1)
-SELECT d.doc_id, len(d.lines) AS n_lines,
+SELECT d.doc_id, len(d.lines)::int AS n_lines,
        coalesce(reb.n_kept, 0) AS n_kept,
        coalesce(reb.clean_text, '') AS clean_text
 FROM d LEFT JOIN reb USING (doc_id)"""
@@ -3593,7 +3603,7 @@ k AS (
                     >= {C4_MIN_WORDS_PER_LINE}
                 AND NOT contains(lower(x), 'javascript')) AS kept
   FROM d)
-SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept,
+SELECT doc_id, len(lines)::int AS n_lines, len(kept)::int AS n_kept,
        (NOT (contains(lower(array_to_string(lines, chr(10))), 'lorem ipsum')
              OR contains(array_to_string(lines, chr(10)), '{{')
              OR contains(array_to_string(lines, chr(10)), '}}'))
@@ -3645,7 +3655,7 @@ reb AS (
   SELECT doc_id, count(*) AS n_kept,
          md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5
   FROM kept GROUP BY 1)
-SELECT d.doc_id, len(d.lines) AS n_lines,
+SELECT d.doc_id, len(d.lines)::int AS n_lines,
        coalesce(reb.n_kept, 0) AS n_kept,
        coalesce(reb.clean_md5, md5('')) AS clean_md5
 FROM d LEFT JOIN reb USING (doc_id)"""
@@ -3746,8 +3756,8 @@ def sql_badwords_filter():
     lst = ", ".join(f"'{w}'" for w in C4_BADWORDS)
     return f"""
 WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
-SELECT doc_id, len(toks) AS n_words,
-       len(list_filter(toks, x -> x IN ({lst}))) AS n_bad,
+SELECT doc_id, len(toks)::int AS n_words,
+       len(list_filter(toks, x -> x IN ({lst})))::int AS n_bad,
        (len(list_filter(toks, x -> x IN ({lst}))) = 0) AS keep
 FROM t"""
 
@@ -3767,7 +3777,7 @@ def sql_quality_classifier():
          f" * {QC_WEIGHT_MULT}) % {QC_WEIGHT_MOD} - 1000")
     return f"""
 WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
-SELECT doc_id, len(toks) AS n_words,
+SELECT doc_id, len(toks)::int AS n_words,
        CASE WHEN len(toks) > 0
             THEN round(list_sum(list_transform(toks, x -> {w}))
                        / (len(toks) * 1000.0), 6)
@@ -3821,7 +3831,7 @@ WITH pl AS (
   SELECT source, lang, count(*) AS c, sum(n_chars) AS chars
   FROM documents GROUP BY 1, 2),
 agg AS (
-  SELECT source, sum(c) AS n_docs, sum(chars) AS n_chars,
+  SELECT source, sum(c)::BIGINT AS n_docs, sum(chars)::BIGINT AS n_chars,
          count(*) AS n_langs
   FROM pl GROUP BY 1),
 top AS (
@@ -4499,7 +4509,7 @@ h AS (SELECT DISTINCT source, {_hex12_sql('md5(tok)')} AS h FROM occ),
 r AS (SELECT source, h,
              row_number() OVER (PARTITION BY source ORDER BY h) AS r
       FROM h)
-SELECT source, count(*)::bigint AS n_tracked, max(h) AS kth_hash,
+SELECT source, count(*)::bigint AS n_tracked, max(h)::BIGINT AS kth_hash,
        (CASE WHEN count(*) < 64 THEN count(*)::bigint
              ELSE {63 * (1 << 48)} // greatest(max(h), 1) END)::bigint
          AS est_distinct

@@ -18,7 +18,9 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _dot(a, b):
@@ -156,10 +158,55 @@ def ivf_fit_centroids(corpus: DataFrame, n_centroids: int,
     return cents
 
 
+# Above this many centroids the literal/codegen assignment path is replaced
+# by one Arrow-batched numpy matmul: n_centroids * dim literal expressions
+# per row stop being a plan, they become a compile bomb (the SemDeDup paper's
+# ~1e5 clusters would mean 1e5 expressions x 64 literals each).
+IVF_ARROW_THRESHOLD = 256
+
+
+def _ivf_assign_arrow(df: DataFrame, cents: list[list[float]],
+                      vec_col: str, out_col: str) -> DataFrame:
+    """Scale path for nearest-centroid assignment: the centroid matrix is a
+    proper Spark broadcast (NOT closure-pickled into every task binary) and
+    each Arrow batch does ONE float64 matmul + row-norm divide + argmax.
+    Semantics mirror the literal path exactly: cosine rounded to 6 decimals
+    first, then argmax with first-index (= lowest centroid id) tie-break.
+
+    Cost per row is the same O(n_centroids * dim) flops as the literal path,
+    but amortized over a BLAS matmul per Arrow batch instead of 1e5 codegen
+    expressions — the only viable shape at the ~1e5-cluster scale SemDeDup
+    (Abbas et al. 2023) itself uses. One Python eval node in the plan
+    (pinned by tests/test_similarity_scale.py), everything else stays JVM."""
+    sc = df.sparkSession.sparkContext
+    cmat = np.asarray(cents, dtype=np.float64)
+    bc = sc.broadcast(cmat)
+
+    @pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        cm = bc.value
+        cn = np.linalg.norm(cm, axis=1)
+        out = np.empty(len(v), dtype=np.int32)
+        mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        vn = np.linalg.norm(mat, axis=1)
+        cos = (mat @ cm.T) / (vn[:, None] * cn[None, :])
+        out[:] = np.argmax(np.round(cos, 6), axis=1)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _assign(F.col(vec_col)))
+
+
 def ivf_assign(df: DataFrame, cents: list[list[float]],
                vec_col: str, out_col: str = "cluster") -> DataFrame:
-    """Nearest-centroid assignment, JVM-side: an array of rounded cosines to
-    each centroid, argmax with first-index (= lowest centroid id) tie-break."""
+    """Nearest-centroid assignment. Small centroid sets (< IVF_ARROW_THRESHOLD)
+    stay JVM-side: an array of rounded cosines to each centroid, argmax with
+    first-index (= lowest centroid id) tie-break — whole-stage codegen,
+    bit-exact vs the SQL oracles. Above the threshold the identical-semantics
+    Arrow/numpy path takes over (see _ivf_assign_arrow): broadcast centroid
+    matrix + one vectorized matmul-argmax per batch, because 1e5 codegen
+    expressions is not a plan Catalyst can compile."""
+    if len(cents) >= IVF_ARROW_THRESHOLD:
+        return _ivf_assign_arrow(df, cents, vec_col, out_col)
     cos_arr = F.array(*[
         F.round(cosine_col(F.col(vec_col),
                            F.array(*[F.lit(x) for x in c])), 6)
@@ -188,17 +235,41 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     cents = ivf_fit_centroids(corpus, n_centroids, lloyd_iters, dim,
                               id_col, vec_col)
     inv = ivf_assign(corpus, cents, vec_col)
-    qcos = F.array(*[
-        F.round(cosine_col(F.col(q_vec_col),
-                           F.array(*[F.lit(x) for x in c])), 6)
-        for c in cents])
-    wq = W.partitionBy(q_id_col).orderBy(F.col("__qc").desc(), F.col("cluster"))
-    qprobe = (queries
-              .select(q_id_col, q_vec_col,
-                      F.posexplode(qcos).alias("cluster", "__qc"))
-              .withColumn("__pr", F.row_number().over(wq))
-              .filter(F.col("__pr") <= nprobe)
-              .select(q_id_col, q_vec_col, "cluster"))
+    if n_centroids >= IVF_ARROW_THRESHOLD:
+        # same compile-bomb avoidance as ivf_assign: one Arrow matmul per
+        # batch emits the nprobe nearest cluster ids directly (rounded-cosine
+        # desc, cluster-id-asc tie-break — identical to the window below)
+        bc = queries.sparkSession.sparkContext.broadcast(
+            np.asarray(cents, dtype=np.float64))
+
+        @pandas_udf("array<int>")
+        def _probe(v: pd.Series) -> pd.Series:
+            cm = bc.value
+            cn = np.linalg.norm(cm, axis=1)
+            mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+            vn = np.linalg.norm(mat, axis=1)
+            cos = np.round((mat @ cm.T) / (vn[:, None] * cn[None, :]), 6)
+            # lexsort: primary -cosine desc, secondary cluster id asc
+            order = np.argsort(-cos, axis=1, kind="stable")
+            return pd.Series([row[:nprobe].astype(np.int32).tolist()
+                              for row in order])
+
+        qprobe = (queries
+                  .select(q_id_col, q_vec_col,
+                          F.explode(_probe(F.col(q_vec_col))).alias("cluster")))
+    else:
+        qcos = F.array(*[
+            F.round(cosine_col(F.col(q_vec_col),
+                               F.array(*[F.lit(x) for x in c])), 6)
+            for c in cents])
+        wq = W.partitionBy(q_id_col).orderBy(F.col("__qc").desc(),
+                                             F.col("cluster"))
+        qprobe = (queries
+                  .select(q_id_col, q_vec_col,
+                          F.posexplode(qcos).alias("cluster", "__qc"))
+                  .withColumn("__pr", F.row_number().over(wq))
+                  .filter(F.col("__pr") <= nprobe)
+                  .select(q_id_col, q_vec_col, "cluster"))
     cand = (inv.join(F.broadcast(qprobe), "cluster")
             .filter(F.col(id_col) != F.col(q_id_col)))
     scored = cand.withColumn(

@@ -1,0 +1,126 @@
+"""Large-n_centroids (Arrow/numpy) path for IVF assignment + SemDeDup.
+
+VERDICT r02 item 2: the literal/codegen nearest-centroid assignment is exact
+and oracle-friendly at 8-64 centroids but a compile bomb at the ~1e5
+clusters the SemDeDup paper uses. The scale path broadcasts the centroid
+matrix and does one matmul-argmax per Arrow batch. These tests pin:
+
+  1. identical assignments literal-vs-Arrow on the same centroids (the
+     threshold is monkeypatched so both paths run at a size the literal
+     path can still compile);
+  2. the Arrow path at n_centroids >= 1024 matches an independent pure-
+     Python per-row oracle computed in the test;
+  3. the big-path plan contains exactly ONE Python eval node, not
+     n_centroids expressions.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from abot_dotnet_core_spark.functions import similarity as S
+from abot_dotnet_core_spark.plans.inspect import simple_plan
+
+
+def _vec(i: int, dim: int) -> list[float]:
+    # deterministic, no RNG: pseudo-random-ish but reproducible coordinates
+    return [math.sin(0.7 * i + 1.3 * d) + 0.01 * ((i * 31 + d * 17) % 7)
+            for d in range(dim)]
+
+
+def _corpus(spark, n: int, dim: int):
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=_vec(i, dim)) for i in range(n)])
+
+
+def _py_assign(vec, cents):
+    """Independent per-row oracle: plain-Python cosine, round 6, first-max."""
+    best_j, best_c = 0, None
+    vn = math.sqrt(sum(x * x for x in vec))
+    for j, c in enumerate(cents):
+        cn = math.sqrt(sum(x * x for x in c))
+        dot = sum(x * y for x, y in zip(vec, c))
+        cos = round(dot / (vn * cn), 6)
+        if best_c is None or cos > best_c:
+            best_j, best_c = j, cos
+    return best_j
+
+
+class TestIvfArrowPath:
+    def test_arrow_matches_literal_same_centroids(self, spark, monkeypatch):
+        """Both paths on the SAME 300 centroids -> identical cluster ids."""
+        dim, n = 8, 360
+        corpus = _corpus(spark, n, dim)
+        cents = [_vec(1000 + i, dim) for i in range(300)]
+
+        monkeypatch.setattr(S, "IVF_ARROW_THRESHOLD", 10 ** 9)
+        lit_rows = {r["vec_id"]: r["cluster"] for r in
+                    S.ivf_assign(corpus, cents, "embedding").collect()}
+        monkeypatch.setattr(S, "IVF_ARROW_THRESHOLD", 256)
+        arr_rows = {r["vec_id"]: r["cluster"] for r in
+                    S.ivf_assign(corpus, cents, "embedding").collect()}
+        assert lit_rows == arr_rows
+
+    def test_arrow_1024_centroids_vs_python_oracle(self, spark):
+        dim, n = 8, 120
+        corpus = _corpus(spark, n, dim)
+        cents = [_vec(5000 + i, dim) for i in range(1024)]
+        got = {r["vec_id"]: r["cluster"] for r in
+               S.ivf_assign(corpus, cents, "embedding").collect()}
+        want = {i: _py_assign(_vec(i, dim), cents) for i in range(n)}
+        assert got == want
+
+    def test_big_path_plan_single_python_eval(self, spark):
+        dim = 8
+        corpus = _corpus(spark, 50, dim)
+        cents = [_vec(5000 + i, dim) for i in range(1024)]
+        plan = simple_plan(S.ivf_assign(corpus, cents, "embedding"))
+        assert plan.count("ArrowEvalPython") == 1, plan
+        # and the small path stays pure JVM
+        plan_small = simple_plan(
+            S.ivf_assign(corpus, [_vec(9000 + i, dim) for i in range(8)],
+                         "embedding"))
+        assert "ArrowEvalPython" not in plan_small, plan_small
+
+    def test_ivf_topk_big_equals_small_semantics(self, spark, monkeypatch):
+        """ivf_topk end-to-end: force the Arrow branch at n_centroids=16 and
+        compare against the literal branch — identical top-k tables."""
+        dim = 8
+        corpus = _corpus(spark, 200, dim)
+        queries = spark.createDataFrame(
+            [Row(q_id=i, q_vec=_vec(i, dim)) for i in (3, 77)])
+
+        def run():
+            return sorted(
+                tuple(r) for r in S.ivf_topk(
+                    corpus, queries, k=5, n_centroids=16, nprobe=4,
+                    lloyd_iters=1, dim=dim).collect())
+
+        monkeypatch.setattr(S, "IVF_ARROW_THRESHOLD", 10 ** 9)
+        small = run()
+        monkeypatch.setattr(S, "IVF_ARROW_THRESHOLD", 16)
+        big = run()
+        assert small == big
+        assert len(small) == 10
+
+    def test_semdedup_big_equals_small_semantics(self, spark, monkeypatch):
+        dim = 8
+        base = [Row(vec_id=i, embedding=_vec(i, dim)) for i in range(80)]
+        # exact duplicates so the threshold actually drops rows
+        dups = [Row(vec_id=100 + i, embedding=_vec(i, dim)) for i in range(6)]
+        corpus = spark.createDataFrame(base + dups)
+
+        def run():
+            return sorted(
+                tuple(r) for r in S.semdedup(
+                    corpus, n_clusters=12, threshold=0.999999,
+                    lloyd_iters=1, dim=dim).collect())
+
+        monkeypatch.setattr(S, "IVF_ARROW_THRESHOLD", 10 ** 9)
+        small = run()
+        monkeypatch.setattr(S, "IVF_ARROW_THRESHOLD", 12)
+        big = run()
+        assert small == big
+        dropped = {t[0] for t in small if not t[2]}
+        assert dropped == {100 + i for i in range(6)}
