@@ -86,6 +86,14 @@ class CrawlConfig:
     # Consolidate the last N per-round seen appends into one directory every
     # N rounds (bounded incremental merge; 0 disables).
     seen_compact_every: int = 8
+    # Total Bloom-sidecar blob bytes above which the prefilter stops
+    # collecting blobs to the driver + broadcasting and switches to the
+    # bucket-aligned probe (blobs stay a bucketed state table; candidates
+    # repartition by bucket; each task reads only its co-located blobs).
+    # At the tens-of-GB blob volume a 10^10-key seen set needs, driver
+    # memory and broadcast both break — the bucketed path has no such
+    # ceiling.
+    bloom_broadcast_max_bytes: int = 268_435_456
     # P4 survivor-set size (remaining budget + retries + probes) above which
     # the budget predicate switches from TakeOrdered + single-partition
     # window to the two-pass range-partitioned running sum

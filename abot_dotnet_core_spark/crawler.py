@@ -143,7 +143,13 @@ class CrawlEngine:
         # incremental Bloom sidecar: driver dict bucket -> (n_keys, blob);
         # blob None = saturated bucket (exact join decides). Built once,
         # merged with each round's seen_new, broadcast for the probe.
+        # Above cfg.bloom_broadcast_max_bytes total blob bytes the sidecar
+        # leaves the driver for good: _sidecar_bucketed flips on, blobs live
+        # only in the bloom_sidecar state table (round=_sidecar_round), and
+        # probing goes through the bucket-aligned mapInArrow path.
         self._sidecar: dict | None = None
+        self._sidecar_bucketed = False
+        self._sidecar_round: int | None = None
 
     # ------------------------------------------------------------------ #
     # setup
@@ -474,13 +480,32 @@ class CrawlEngine:
             eng._root_domains_df = spark.read.parquet(rd_path)
         sc_path = os.path.join(store_root, "bloom_sidecar", f"round={last}")
         if os.path.isdir(sc_path):
-            import pandas as pd
-            pdf = pd.read_parquet(sc_path)
-            eng._sidecar = {
-                int(row["bucket"]): (int(row["n_keys"]),
-                                     bytes(row["blob"])
-                                     if row["blob"] is not None else None)
-                for _, row in pdf.iterrows()}
+            # mode gate from parquet FOOTER metadata only — a sidecar past
+            # the broadcast ceiling must not be materialized on the driver
+            # just to decide it shouldn't be
+            import glob
+
+            import pyarrow.parquet as pq
+            blob_bytes = 0
+            for fpath in glob.glob(os.path.join(sc_path, "*.parquet")):
+                md = pq.ParquetFile(fpath).metadata
+                for rg in range(md.num_row_groups):
+                    for c in range(md.num_columns):
+                        col = md.row_group(rg).column(c)
+                        if col.path_in_schema == "blob":
+                            blob_bytes += col.total_uncompressed_size
+            if blob_bytes > cfg.bloom_broadcast_max_bytes:
+                eng._sidecar_bucketed = True
+                eng._sidecar_round = last
+            else:
+                import pandas as pd
+                pdf = pd.read_parquet(sc_path)
+                eng._sidecar = {
+                    int(row["bucket"]): (int(row["n_keys"]),
+                                         bytes(row["blob"])
+                                         if row["blob"] is not None else None)
+                    for _, row in pdf.iterrows()}
+                eng._sidecar_round = last
         eng._robots_df = eng._load_robots()
         ov_path = os.path.join(store_root, "robots_overridden", "round=0")
         if eng._robots_df is not None and os.path.isdir(ov_path):
@@ -1108,17 +1133,39 @@ class CrawlEngine:
             # The sidecar is INCREMENTAL: built from the seen set once (seed
             # or resume without a persisted sidecar), then merged with each
             # round's seen_new — never rebuilt from the full seen table.
-            from .operators.seenfilter import bloom_prefilter, build_bloom_sidecar
-            if self._sidecar is None:
-                self._sidecar = {
-                    int(r["bucket"]): (int(r["n_keys"]),
-                                       bytes(r["blob"])
-                                       if r["blob"] is not None else None)
-                    for r in build_bloom_sidecar(
-                        seen, buckets=cfg.state_buckets).collect()}
-            links = bloom_prefilter(
-                links, {b: blob for b, (_n, blob) in self._sidecar.items()},
-                spark=spark, hash_col="dst_hash", buckets=cfg.state_buckets)
+            from .operators.seenfilter import (bloom_prefilter,
+                                               bloom_prefilter_bucketed,
+                                               build_bloom_sidecar)
+            if self._sidecar is None and not self._sidecar_bucketed:
+                built = build_bloom_sidecar(
+                    seen, buckets=cfg.state_buckets).localCheckpoint(eager=True)
+                size = built.agg(
+                    F.sum(F.length("blob")).alias("s")).collect()[0]["s"] or 0
+                if size > cfg.bloom_broadcast_max_bytes:
+                    # too big for driver/broadcast: the blobs go straight to
+                    # the bucketed state table; probing is bucket-aligned
+                    self.store.write_table("bloom_sidecar", built,
+                                           self.round + 1)
+                    self._sidecar_bucketed = True
+                    self._sidecar_round = self.round + 1
+                else:
+                    self._sidecar = {
+                        int(r["bucket"]): (int(r["n_keys"]),
+                                           bytes(r["blob"])
+                                           if r["blob"] is not None else None)
+                        for r in built.collect()}
+            if self._sidecar_bucketed:
+                import os as _os
+                links = bloom_prefilter_bucketed(
+                    links, _os.path.join(self.store.root, "bloom_sidecar",
+                                         f"round={self._sidecar_round}"),
+                    hash_col="dst_hash", buckets=cfg.state_buckets)
+            else:
+                links = bloom_prefilter(
+                    links,
+                    {b: blob for b, (_n, blob) in self._sidecar.items()},
+                    spark=spark, hash_col="dst_hash",
+                    buckets=cfg.state_buckets)
             maybe = (links.filter(F.col("maybe_seen"))
                      .join(seen_d, "dst_hash", "left"))
             fresh = (links.filter(~F.col("maybe_seen"))
@@ -1761,8 +1808,26 @@ class CrawlEngine:
         # into the per-bucket blobs; cost is O(new keys + B blobs) per
         # round, never a full-seen rebuild. Blobs persist driver-side for
         # resume (write_pandas, no Spark job).
-        if self.use_bloom_prefilter and self._sidecar is not None:
-            from .operators.seenfilter import BLOOM_SCHEMA, merge_bloom_sidecar
+        if self.use_bloom_prefilter and self._sidecar_bucketed:
+            # bucketed mode: merge entirely on the cluster — read the previous
+            # sidecar table, fold new hashes, write the new round's table.
+            # No blob ever reaches the driver. localCheckpoint breaks lineage
+            # to the input files before the (possibly same-path) overwrite.
+            from .operators.seenfilter import merge_bloom_sidecar
+            import os as _os
+            old = spark.read.parquet(_os.path.join(
+                self.store.root, "bloom_sidecar",
+                f"round={self._sidecar_round}"))
+            merged = merge_bloom_sidecar(
+                old, self.store.read_table(spark, "seen", r),
+                buckets=cfg.state_buckets).localCheckpoint(eager=True)
+            self.store.write_table("bloom_sidecar", merged, r)
+            self._sidecar_round = r
+            _mark("sidecar_merge")
+        elif self.use_bloom_prefilter and self._sidecar is not None:
+            from .operators.seenfilter import (BLOOM_SCHEMA,
+                                               merge_bloom_sidecar,
+                                               sidecar_blob_bytes)
             old = spark.createDataFrame(
                 [(b, n, blob) for b, (n, blob) in self._sidecar.items()],
                 BLOOM_SCHEMA)
@@ -1778,6 +1843,13 @@ class CrawlEngine:
             self.store.write_pandas("bloom_sidecar", pd.DataFrame(
                 [{"bucket": b, "n_keys": n, "blob": blob}
                  for b, (n, blob) in self._sidecar.items()]), r)
+            self._sidecar_round = r
+            if sidecar_blob_bytes(self._sidecar) > \
+                    cfg.bloom_broadcast_max_bytes:
+                # grown past the broadcast ceiling: the table just written is
+                # authoritative from here on; free the driver copy
+                self._sidecar = None
+                self._sidecar_bucketed = True
             _mark("sidecar_merge")
 
         # -- lineage + metrics: tiny, written driver-side (no Spark jobs) ----

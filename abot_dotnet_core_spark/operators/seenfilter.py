@@ -247,6 +247,89 @@ def bloom_prefilter(candidates: DataFrame, sidecar, spark=None,
     return out
 
 
+def sidecar_blob_bytes(sidecar: dict) -> int:
+    """Total blob payload of a driver-side sidecar dict
+    {bucket: (n_keys, blob|None)} — the broadcast-vs-bucketed mode gate."""
+    return sum(len(blob) for _n, blob in sidecar.values() if blob is not None)
+
+
+def bloom_prefilter_bucketed(candidates: DataFrame, sidecar_path: str,
+                             hash_col: str = "url_hash", buckets: int = 32,
+                             lossy: bool = False) -> DataFrame:
+    """Bucket-aligned sidecar probe — the 10^10-seen-URL path.
+
+    The broadcast probe (``bloom_prefilter``) collects every blob through the
+    driver and ships the full set to every executor; at the tens-of-GB blob
+    volume a 10^10-key seen set needs for a useful FP rate, both driver
+    memory and the broadcast break (VERDICT r02 item 3). Here the blobs stay
+    a bucketed state-store table: candidates repartition on the SAME bucket
+    key the blobs are partitioned by, and a ``mapInArrow`` probe lazily reads
+    only the blob rows for buckets present in its partition straight from
+    shared storage — per task that is O(blobs/partitions) bytes, the driver
+    never touches a blob, and nothing broadcasts.
+
+    mapInArrow (not pandas) keeps int64 hash columns exact: the pandas
+    round-trip turns nullable int64 into float64 and silently rounds hashes
+    above 2^53 (same hazard documented at merge_bloom_sidecar).
+
+    Admission semantics are identical to ``bloom_prefilter``: absent bucket
+    -> definitely new; saturated blob (None) -> maybe_seen, the exact
+    anti-join decides; otherwise the reference md5 double-hash membership
+    probe. The extra candidate shuffle (repartition by bucket) is the price
+    of co-location — candidates are one round's links, orders of magnitude
+    below the seen table this prefilter protects."""
+    import pyarrow as pa
+
+    withb = candidates.withColumn(
+        "__bucket", F.pmod(F.xxhash64(hash_col), F.lit(buckets)).cast("int"))
+    out_schema = T.StructType(
+        withb.schema.fields + [T.StructField("maybe_seen", T.BooleanType())])
+    rep = withb.repartition(buckets, "__bucket")
+
+    def probe(batches):
+        import pyarrow.parquet as pq
+        cache: dict = {}
+        _ABSENT = object()
+
+        def get(bucket: int):
+            if bucket not in cache:
+                tbl = pq.read_table(sidecar_path,
+                                    filters=[("bucket", "=", bucket)],
+                                    columns=["bucket", "blob"])
+                if tbl.num_rows == 0:
+                    cache[bucket] = _ABSENT
+                else:
+                    blob = tbl.column("blob")[0].as_py()
+                    cache[bucket] = (BloomFilter.from_bytes(bytes(blob))
+                                     if blob is not None else None)
+            return cache[bucket]
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            bcol = batch.column("__bucket").to_numpy(zero_copy_only=False)
+            hcol = batch.column(batch.schema.get_field_index(hash_col)) \
+                .to_numpy(zero_copy_only=False)
+            out = np.zeros(n, dtype=bool)
+            for b in np.unique(bcol):
+                entry = get(int(b))
+                idx = np.nonzero(bcol == b)[0]
+                if entry is _ABSENT:
+                    continue                       # bucket never seeded
+                if entry is None:                  # saturated: exact join owns
+                    out[idx] = True
+                else:
+                    for i in idx:
+                        out[i] = _key_of(int(hcol[i])) in entry
+            yield batch.append_column("maybe_seen", pa.array(out))
+
+    res = rep.mapInArrow(probe, out_schema).drop("__bucket")
+    if lossy:
+        return res.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    return res
+
+
 # --------------------------------------------------------------------------
 # Whole-queue URL bloom (the fetch-join scan pushdown)
 # --------------------------------------------------------------------------

@@ -45,12 +45,12 @@ class TestSidecarMerge:
         assert out.filter(~F.col("maybe_seen")).count() == 0
 
 
-def run(spark, corpus_dir, tmp, bloom):
+def run(spark, corpus_dir, tmp, bloom, cfg=None, name=None):
     eng = CrawlEngine(
-        spark, CrawlConfig(),
+        spark, cfg or CrawlConfig(),
         corpus_path=f"{corpus_dir}/corpus.parquet",
         corpus_meta_path=f"{corpus_dir}/corpus_meta.parquet",
-        store_root=str(tmp / ("b" if bloom else "x") / "state"),
+        store_root=str(tmp / (name or ("b" if bloom else "x")) / "state"),
         robots_path=f"{corpus_dir}/robots.parquet",
         bloom_prefilter=bloom)
     eng.seed([SEED])
@@ -93,6 +93,99 @@ def test_sidecar_built_once_then_incremental(spark, tiny_corpus_dir,
     assert n_rounds >= 3
     assert calls["build"] == 1, "full-seen rebuild ran more than once"
     assert calls["merge"] == n_rounds
+
+
+class TestBucketedProbe:
+    """VERDICT r02 item 3: above cfg.bloom_broadcast_max_bytes the sidecar
+    must never ride through the driver or a broadcast — blobs stay a
+    bucketed state table, probed via repartition-by-bucket + mapInArrow."""
+
+    def test_bucketed_probe_matches_broadcast_probe(self, spark, tmp_path):
+        from abot_dotnet_core_spark.operators.seenfilter import (
+            bloom_prefilter, bloom_prefilter_bucketed, build_bloom_sidecar)
+        seen = spark.range(0, 400).select(
+            (F.col("id") * 7919 + 3).alias("url_hash"))
+        sidecar = build_bloom_sidecar(seen, buckets=4, min_capacity=256)
+        path = str(tmp_path / "sc" / "round=1")
+        sidecar.write.mode("overwrite").parquet(path)
+        probes = spark.range(0, 900).select(
+            (F.col("id") * 7919 + 3).alias("url_hash"))
+        via_bc = {(r["url_hash"], r["maybe_seen"]) for r in bloom_prefilter(
+            probes, spark.read.parquet(path), spark=spark,
+            buckets=4).collect()}
+        via_bk = {(r["url_hash"], r["maybe_seen"])
+                  for r in bloom_prefilter_bucketed(
+                      probes, path, buckets=4).collect()}
+        assert via_bc == via_bk
+        # all 400 inserted keys maybe_seen; FP rate on the rest is tiny
+        assert all(ms for h, ms in via_bk if (h - 3) // 7919 < 400)
+
+    def test_bucketed_absent_bucket_is_definitely_new(self, spark, tmp_path):
+        from abot_dotnet_core_spark.operators.seenfilter import (
+            bloom_prefilter_bucketed, build_bloom_sidecar)
+        # seed only a few keys so some of the 8 buckets never get a blob row
+        seen = spark.range(0, 3).select((F.col("id") * 31).alias("url_hash"))
+        path = str(tmp_path / "sc2" / "round=1")
+        build_bloom_sidecar(seen, buckets=8, min_capacity=64) \
+            .write.mode("overwrite").parquet(path)
+        probes = spark.range(0, 500).select(
+            (F.col("id") * 17 + 5).alias("url_hash"))
+        out = bloom_prefilter_bucketed(probes, path, buckets=8)
+        # probes landing in never-seeded buckets must come back False
+        assert out.filter(~F.col("maybe_seen")).count() > 0
+
+    def test_tiny_threshold_crawl_identical_admission(self, spark,
+                                                      tiny_corpus_dir,
+                                                      tmp_path):
+        """bloom_broadcast_max_bytes=0 forces the bucketed path from the
+        first build; the crawl must be indistinguishable from exact-only."""
+        exact = run(spark, tiny_corpus_dir, tmp_path, bloom=False)
+        bk = run(spark, tiny_corpus_dir, tmp_path, bloom=True,
+                 cfg=CrawlConfig(bloom_broadcast_max_bytes=0), name="bk")
+        assert bk._sidecar_bucketed and bk._sidecar is None
+        e = [(r["url"], r["status"], r["depth"], r["crawl_order"]) for r in
+             exact.store.read_events(spark, "crawled")
+             .orderBy("crawl_order").collect()]
+        b = [(r["url"], r["status"], r["depth"], r["crawl_order"]) for r in
+             bk.store.read_events(spark, "crawled")
+             .orderBy("crawl_order").collect()]
+        assert e == b
+        assert ({r["url_hash"] for r in exact._read_seen().collect()}
+                == {r["url_hash"] for r in bk._read_seen().collect()})
+
+    def test_bucketed_resume(self, spark, tiny_corpus_dir, tmp_path):
+        cfg = CrawlConfig(bloom_broadcast_max_bytes=0)
+        store = str(tmp_path / "bkr" / "state")
+        eng = CrawlEngine(
+            spark, cfg,
+            corpus_path=f"{tiny_corpus_dir}/corpus.parquet",
+            corpus_meta_path=f"{tiny_corpus_dir}/corpus_meta.parquet",
+            store_root=store,
+            robots_path=f"{tiny_corpus_dir}/robots.parquet",
+            bloom_prefilter=True)
+        eng.seed([SEED])
+        eng.run(max_rounds=2)
+        assert eng._sidecar_bucketed
+
+        eng2 = CrawlEngine.resume(
+            spark, cfg,
+            corpus_path=f"{tiny_corpus_dir}/corpus.parquet",
+            corpus_meta_path=f"{tiny_corpus_dir}/corpus_meta.parquet",
+            store_root=store,
+            robots_path=f"{tiny_corpus_dir}/robots.parquet",
+            bloom_prefilter=True)
+        # footer-metadata gate must choose bucketed without loading blobs
+        assert eng2._sidecar_bucketed and eng2._sidecar is None
+        eng2.run(max_rounds=50)
+        exact = run(spark, tiny_corpus_dir, tmp_path / "bkr_exact",
+                    bloom=False)
+        e = [(r["url"], r["crawl_order"]) for r in
+             exact.store.read_events(spark, "crawled")
+             .orderBy("crawl_order").collect()]
+        g = [(r["url"], r["crawl_order"]) for r in
+             eng2.store.read_events(spark, "crawled")
+             .orderBy("crawl_order").collect()]
+        assert e == g
 
 
 def test_sidecar_survives_resume(spark, tiny_corpus_dir, tmp_path):
