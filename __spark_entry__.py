@@ -2849,12 +2849,78 @@ def q_multimodal_meta(spark, sf_dir):
 
 
 def sql_multimodal_meta():
+    # mirrors sniff_media_type for every magic an utf-8 text CAN start with
+    # (jpeg/png magics are invalid utf-8 lead bytes, so octet-stream is
+    # exact for them); order matches the _MAGIC list
     return """
 SELECT doc_id AS media_id,
-       'application/octet-stream' AS mime,
+       CASE WHEN text LIKE 'GIF87a%' OR text LIKE 'GIF89a%' THEN 'image/gif'
+            WHEN text LIKE 'RIFF%' THEN 'audio/wav'
+            WHEN text LIKE 'ID3%' THEN 'audio/mpeg'
+            WHEN text LIKE chr(0) || chr(0) || chr(0) || '%' THEN 'video/mp4'
+            WHEN text LIKE 'BM%' THEN 'image/bmp'
+            WHEN text LIKE 'P5%' THEN 'image/x-portable-graymap'
+            WHEN text LIKE 'P6%' THEN 'image/x-portable-pixmap'
+            WHEN text = '' THEN 'application/octet-stream'
+            ELSE 'application/octet-stream' END AS mime,
        octet_length(encode(text)) AS n_bytes,
        md5(text) AS content_md5
 FROM documents"""
+
+
+def q_image_decode(spark, sf_dir):
+    """REAL image decode (VERDICT r02 item 4): pure-Python PNG/BMP/PPM
+    codecs (imagecodec.py — zlib + numpy, no PIL). Deterministic fixture
+    images are synthesized per document (format rotates PNG/BMP/PPM by
+    doc_id % 3; size w=4+id%5, h=3+id%4; RGB sample j = (j+id) % 251),
+    then decode_image_meta recovers dimensions + the exact integer sample
+    mean FROM THE ENCODED BYTES. The oracle recomputes the same quantities
+    from the generation rule in closed form — a decoder bug (filtering,
+    stride, channel order, header parse) breaks the value hash."""
+    from abot_dotnet_core_spark.functions.multimodal import decode_image_meta
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        from abot_dotnet_core_spark.functions.imagecodec import (
+            encode_bmp, encode_png, encode_ppm)
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 4 + i % 5, 3 + i % 4
+                px = ((np.arange(h * w * 3, dtype=np.int64) + i) % 251) \
+                    .astype(np.uint8).reshape(h, w, 3)
+                ids.append(i)
+                payloads.append((encode_png, encode_bmp, encode_ppm)[i % 3](px))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        gen, "media_id long, payload binary")
+    return decode_image_meta(media)
+
+
+def sql_image_decode():
+    # sum_{j=0}^{n-1} (j + id) % 251 in closed form: with a = id % 251 and
+    # n = w*h*3 <= 144 < 251 the ramp wraps at most once — m = min(n, 251-a)
+    # terms before the wrap (arithmetic series from a), n-m after (from 0)
+    return """
+WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+           FROM documents),
+m AS (SELECT doc_id, w, h, w * h * 3 AS n,
+             least(w * h * 3, 251 - (doc_id % 251)) AS m0,
+             doc_id % 251 AS a
+      FROM d),
+s AS (SELECT doc_id, w, h,
+             (m0 * a + (m0 * (m0 - 1)) // 2
+              + ((n - m0) * (n - m0 - 1)) // 2)::BIGINT AS tot
+      FROM m)
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/bmp'
+            ELSE 'image/x-portable-pixmap' END AS mime,
+       w::int AS width, h::int AS height, 3 AS channels,
+       ((tot * 1000) // (w * h * 3))::int AS mean_millis
+FROM s"""
 
 
 # ===========================================================================
@@ -5239,6 +5305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing
         "bloom_fpr": q_bloom_fpr,
         "multimodal_meta": q_multimodal_meta,
+        "image_decode": q_image_decode,
         # streaming-shaped event analytics
         "events_tumbling": q_events_tumbling,
         "events_sessions": q_events_sessions,
@@ -5377,6 +5444,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_roundtrip": sql_warc_roundtrip(),
         "bloom_fpr": sql_bloom_fpr(),
         "multimodal_meta": sql_multimodal_meta(),
+        "image_decode": sql_image_decode(),
         "events_tumbling": sql_events_tumbling(),
         "events_sessions": sql_events_sessions(),
         "events_sliding": sql_events_sliding(),

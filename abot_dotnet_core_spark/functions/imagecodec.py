@@ -1,0 +1,353 @@
+"""Pure-Python + numpy image codecs for the multimodal decode step.
+
+No PIL/ffmpeg exists in this environment, but several formats are fully
+decodable with the stdlib (zlib) + numpy, which closes the multimodal
+decode stub for real pipelines that ship PNG/BMP/PPM/GIF payloads:
+
+  decode_image(raw) -> (height, width, channels) uint8 ndarray
+    PNG  : 8-bit depth, color types 0/2/3/4/6, filter types 0-4,
+           non-interlaced (Adam7 raises)
+  BMP  : BITMAPINFOHEADER, uncompressed 8/24/32-bit, bottom-up or top-down
+  PPM  : binary P5 (gray) / P6 (RGB), maxval <= 255
+  GIF  : 87a/89a, global or local color table, first frame, LZW,
+         non-interlaced
+
+JPEG/video stay honestly unimplemented (NotImplementedError) — a DCT
+decoder is out of scope without a library.
+
+Encoders (encode_png / encode_ppm / encode_bmp) exist so tests and catalog
+fixtures can synthesize deterministic payloads without any library either;
+encode_png writes filter-type-0 scanlines (full zlib round-trip on decode).
+
+Everything is per-item Python — these run INSIDE Arrow-batched mapInPandas
+tasks (see multimodal.py), so the engine-level contract (stream batches,
+never materialize a partition of blobs) is unchanged.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+
+# --------------------------------------------------------------------------
+# PNG
+# --------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# color type -> samples per pixel
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
+    """Reverse the per-scanline PNG filters (spec §9, types 0-4)."""
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8,
+                             count=stride, offset=pos + 1).copy()
+        pos += 1 + stride
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:                                   # None
+            out[y] = line
+        elif ftype == 1:                                 # Sub
+            for x in range(stride):
+                left = out[y, x - ch] if x >= ch else 0
+                out[y, x] = (int(line[x]) + int(left)) & 0xFF
+        elif ftype == 2:                                 # Up
+            out[y] = line + prev                         # uint8 wraps mod 256
+        elif ftype == 3:                                 # Average
+            for x in range(stride):
+                left = int(out[y, x - ch]) if x >= ch else 0
+                out[y, x] = (int(line[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif ftype == 4:                                 # Paeth
+            for x in range(stride):
+                a = int(out[y, x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[y, x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG: unknown filter type {ftype}")
+    return out.reshape(h, w, ch)
+
+
+def decode_png(raw: bytes) -> np.ndarray:
+    if not raw.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    pos, idat, plte, ihdr = len(_PNG_SIG), bytearray(), None, None
+    while pos + 8 <= len(raw):
+        length, ctype = struct.unpack(">I4s", raw[pos:pos + 8])
+        data = raw[pos + 8:pos + 8 + length]
+        pos += 12 + length                               # +4 CRC (unchecked)
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG: no IHDR")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"PNG: bit depth {depth} (only 8)")
+    if interlace:
+        raise NotImplementedError("PNG: Adam7 interlacing")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"PNG: color type {color}")
+    ch = _PNG_CHANNELS[color]
+    px = _png_unfilter(zlib.decompress(bytes(idat)), h, w, ch)
+    if color == 3:
+        if plte is None:
+            raise ValueError("PNG: palette image without PLTE")
+        px = plte[px[:, :, 0]]
+    return px
+
+
+def encode_png(px: np.ndarray) -> bytes:
+    """Minimal PNG writer: 8-bit gray/RGB/RGBA, filter type 0 scanlines."""
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    color = {1: 0, 3: 2, 4: 6}[ch]
+    scan = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scan))
+            + chunk(b"IEND", b""))
+
+
+# --------------------------------------------------------------------------
+# BMP
+# --------------------------------------------------------------------------
+
+def decode_bmp(raw: bytes) -> np.ndarray:
+    if raw[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack("<I", raw[10:14])[0]
+    hdr_size = struct.unpack("<I", raw[14:18])[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BMP: pre-BITMAPINFOHEADER core header")
+    w, h = struct.unpack("<ii", raw[18:26])
+    bpp = struct.unpack("<H", raw[28:30])[0]
+    comp = struct.unpack("<I", raw[30:34])[0]
+    if comp not in (0, 3):
+        raise NotImplementedError(f"BMP: compression {comp}")
+    top_down = h < 0
+    h = abs(h)
+    if bpp == 24 or bpp == 32:
+        nch = bpp // 8
+        stride = ((w * nch) + 3) & ~3
+        px = np.zeros((h, w, 3), dtype=np.uint8)
+        for y in range(h):
+            row = np.frombuffer(raw, dtype=np.uint8, count=w * nch,
+                                offset=data_off + y * stride)
+            row = row.reshape(w, nch)
+            py = y if top_down else h - 1 - y
+            px[py] = row[:, 2::-1]                       # BGR(A) -> RGB
+        return px
+    if bpp == 8:
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(raw, dtype=np.uint8, count=256 * 4,
+                            offset=pal_off).reshape(256, 4)[:, 2::-1]
+        stride = (w + 3) & ~3
+        px = np.zeros((h, w, 3), dtype=np.uint8)
+        for y in range(h):
+            row = np.frombuffer(raw, dtype=np.uint8, count=w,
+                                offset=data_off + y * stride)
+            py = y if top_down else h - 1 - y
+            px[py] = pal[row]
+        return px
+    raise NotImplementedError(f"BMP: {bpp} bpp")
+
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """24-bit uncompressed bottom-up BMP."""
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = np.repeat(px[:, :, None], 3, axis=2)
+    h, w, _ = px.shape
+    stride = ((w * 3) + 3) & ~3
+    body = bytearray()
+    pad = b"\x00" * (stride - w * 3)
+    for y in range(h - 1, -1, -1):
+        body += px[y, :, ::-1].tobytes() + pad           # RGB -> BGR
+    hdr = (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                         2835, 2835, 0, 0))
+    return hdr + bytes(body)
+
+
+# --------------------------------------------------------------------------
+# PPM / PGM (binary)
+# --------------------------------------------------------------------------
+
+def decode_ppm(raw: bytes) -> np.ndarray:
+    if raw[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PGM/PPM")
+    ch = 3 if raw[:2] == b"P6" else 1
+    # header: magic, width, height, maxval — ASCII tokens, # comments
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while pos < len(raw) and raw[pos:pos + 1].isspace():
+            pos += 1
+        if raw[pos:pos + 1] == b"#":
+            while pos < len(raw) and raw[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(raw) and not raw[pos:pos + 1].isspace():
+            pos += 1
+        tokens.append(int(raw[start:pos]))
+    pos += 1                                             # single whitespace
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("PPM: 16-bit samples")
+    return (np.frombuffer(raw, dtype=np.uint8, count=w * h * ch, offset=pos)
+            .reshape(h, w, ch).copy())
+
+
+def encode_ppm(px: np.ndarray) -> bytes:
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    magic = b"P6" if ch == 3 else b"P5"
+    if ch not in (1, 3):
+        raise ValueError("PPM: 1 or 3 channels only")
+    return magic + f"\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+# --------------------------------------------------------------------------
+# GIF (first frame)
+# --------------------------------------------------------------------------
+
+def _gif_lzw(min_code: int, data: bytes, n_expected: int) -> np.ndarray:
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    table = {i: (i,) for i in range(clear)}
+    next_code = end + 1
+    width = min_code + 1
+    out: list[int] = []
+    prev: tuple | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = {i: (i,) for i in range(clear)}
+                next_code, width, prev = end + 1, min_code + 1, None
+                continue
+            if code == end:
+                return np.array(out[:n_expected], dtype=np.uint8)
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+            else:                                        # KwKwK case
+                entry = prev + (prev[0],)
+                table[next_code] = entry
+                next_code += 1
+            out.extend(entry)
+            prev = entry
+            if next_code == (1 << width) and width < 12:
+                width += 1
+    return np.array(out[:n_expected], dtype=np.uint8)
+
+
+def decode_gif(raw: bytes) -> np.ndarray:
+    if raw[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    flags = raw[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(raw, dtype=np.uint8, count=n * 3,
+                            offset=pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(raw):
+        b0 = raw[pos]
+        if b0 == 0x21:                                   # extension: skip
+            pos += 2
+            while raw[pos]:
+                pos += 1 + raw[pos]
+            pos += 1
+        elif b0 == 0x2C:                                 # image descriptor
+            w, h = struct.unpack("<HH", raw[pos + 5:pos + 9])
+            iflags = raw[pos + 9]
+            pos += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                ct = np.frombuffer(raw, dtype=np.uint8, count=n * 3,
+                                   offset=pos).reshape(n, 3)
+                pos += n * 3
+            if iflags & 0x40:
+                raise NotImplementedError("GIF: interlaced frame")
+            if ct is None:
+                raise ValueError("GIF: no color table")
+            min_code = raw[pos]
+            pos += 1
+            blocks = bytearray()
+            while raw[pos]:
+                blocks += raw[pos + 1:pos + 1 + raw[pos]]
+                pos += 1 + raw[pos]
+            idx = _gif_lzw(min_code, bytes(blocks), w * h)
+            if len(idx) < w * h:
+                idx = np.pad(idx, (0, w * h - len(idx)))
+            return ct[idx.reshape(h, w)]
+        elif b0 == 0x3B:                                 # trailer
+            break
+        else:
+            raise ValueError(f"GIF: unknown block 0x{b0:02x}")
+    raise ValueError("GIF: no image data")
+
+
+# --------------------------------------------------------------------------
+# dispatch
+# --------------------------------------------------------------------------
+
+def decode_image(raw: bytes) -> np.ndarray:
+    """Decode a PNG/BMP/PPM/GIF payload to an (h, w, ch) uint8 array.
+    JPEG and video formats raise NotImplementedError — they need a real
+    codec library, which this environment does not ship."""
+    if raw.startswith(_PNG_SIG):
+        return decode_png(raw)
+    if raw[:2] == b"BM":
+        return decode_bmp(raw)
+    if raw[:2] in (b"P5", b"P6"):
+        return decode_ppm(raw)
+    if raw[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(raw)
+    if raw[:3] == b"\xff\xd8\xff":
+        raise NotImplementedError("JPEG decode requires a DCT codec library")
+    raise ValueError("unrecognized image format")
+
+
+def nn_resize(px: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize (the deterministic, library-free resampler)."""
+    h, w = px.shape[:2]
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return px[ys][:, xs]

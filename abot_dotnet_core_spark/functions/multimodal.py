@@ -4,17 +4,22 @@ Media travel as opaque ``binary`` columns + typed metadata structs; all
 per-item work runs as Arrow-batched ``mapInPandas`` so batches stream through
 executors without materializing a partition of blobs in memory at once.
 
-The actual decode (PIL/ffmpeg/torchaudio) is NOT available in this container,
-so the decode step is STUBBED — ``decode_stub=True`` (default) produces
-deterministic fake features; ``decode_stub=False`` raises NotImplementedError
-at the point where a real decoder would be called. Everything around the stub
-— schema, batch iteration, partitioning, UDF signatures — is real and tested.
+PIL/ffmpeg are NOT available in this container, but PNG/BMP/PPM/GIF are
+decodable with stdlib zlib + numpy — ``imagecodec.decode_image`` does real
+pixel decode for those formats, so ``decode_stub=False`` now computes real
+dimensions/means/resizes for them. JPEG/audio/video decode still raises
+NotImplementedError (needs a codec library); ``decode_stub=True`` (default)
+keeps the deterministic md5 fake for format-agnostic plumbing tests.
 
 Operators:
   sniff_media_type    magic-byte detection (real — no decoder needed)
   with_media_meta     size/type metadata columns
-  extract_features    decode -> fixed-dim feature vector (stubbed decode)
-  sample_frames       video frame sampling plan (stubbed decode)
+  decode_image_meta   real decode -> (mime, width, height, mean_millis)
+  extract_features    decode -> fixed-dim feature vector (real for
+                      PNG/BMP/PPM/GIF when decode_stub=False)
+  resize_images       nearest-neighbor resample (real when decode_stub=False)
+  sample_frames       video frame sampling plan (decode of the sampled
+                      frames remains the stubbed step)
 """
 
 from __future__ import annotations
@@ -33,6 +38,9 @@ _MAGIC = [
     (b"RIFF", "audio/wav"),        # (RIFF....WAVE — close enough for sniffing)
     (b"ID3", "audio/mpeg"),
     (b"\x00\x00\x00", "video/mp4"),  # ftyp boxes start with size prefix
+    (b"BM", "image/bmp"),
+    (b"P5", "image/x-portable-graymap"),
+    (b"P6", "image/x-portable-pixmap"),
 ]
 
 
@@ -72,6 +80,44 @@ def with_media_meta(df: DataFrame, id_col: str = "media_id",
     return df.mapInPandas(gen, schema=MEDIA_META_SCHEMA)
 
 
+DECODE_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("mime", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("mean_millis", T.IntegerType()),
+])
+
+
+def decode_image_meta(df: DataFrame, id_col: str = "media_id",
+                      bin_col: str = "payload") -> DataFrame:
+    """REAL pixel decode (PNG/BMP/PPM/GIF via imagecodec) -> dimensions and
+    the exact integer sample mean: mean_millis = (sum of all samples * 1000)
+    // sample count. Integer arithmetic end-to-end, so a SQL oracle that
+    knows the fixture's pixel-generation rule reproduces it bit-exactly.
+    Undecodable payloads (JPEG, junk) yield NULL width/height/mean —
+    the row is kept, the error is not swallowed silently into zeros."""
+    def gen(batches):
+        from .imagecodec import decode_image
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf[id_col], pdf[bin_col]):
+                mime = sniff_media_type(bytes(b) if b is not None else None)
+                try:
+                    px = decode_image(bytes(b))
+                    h, w, ch = px.shape
+                    tot = int(px.astype(np.int64).sum())
+                    rows.append((mid, mime, w, h, ch,
+                                 (tot * 1000) // (h * w * ch)))
+                except (ValueError, NotImplementedError, TypeError):
+                    rows.append((mid, mime, None, None, None, None))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "mime", "width", "height", "channels",
+                "mean_millis"])
+    return df.mapInPandas(gen, schema=DECODE_META_SCHEMA)
+
+
 FEATURE_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("feature", T.ArrayType(T.FloatType())),
@@ -81,9 +127,9 @@ FEATURE_SCHEMA = T.StructType([
 def extract_features(df: DataFrame, dim: int = 16, id_col: str = "media_id",
                      bin_col: str = "payload",
                      decode_stub: bool = True) -> DataFrame:
-    """Decode + featurize. Decode is STUBBED: the deterministic fake derives
-    ``dim`` floats from md5(payload) — stable, testable plumbing; swap
-    ``_decode`` for a PIL/ffmpeg call in production."""
+    """Decode + featurize. ``decode_stub=True`` derives ``dim`` floats from
+    md5(payload) (format-agnostic plumbing fake); ``decode_stub=False`` does
+    REAL decode for PNG/BMP/PPM/GIF via imagecodec (JPEG/video raise)."""
     def _decode(raw: bytes) -> np.ndarray:
         if decode_stub:
             h = hashlib.md5(raw).digest()
@@ -91,8 +137,18 @@ def extract_features(df: DataFrame, dim: int = 16, id_col: str = "media_id",
             buf = (h * reps)[: dim]
             return (np.frombuffer(bytes(buf), dtype=np.uint8)
                     .astype(np.float32) / 255.0)
-        raise NotImplementedError(
-            "real media decode requires PIL/ffmpeg — not in this container")
+        # real decode (PNG/BMP/PPM/GIF — imagecodec; JPEG/video raise):
+        # feature = [h, w, ch, global mean/255] + (dim-4) horizontal-band
+        # means of the grayscale /255 — deterministic, library-free
+        from .imagecodec import decode_image
+        px = decode_image(raw)
+        hh, ww, ch = px.shape
+        gray = px.astype(np.float64).mean(axis=2)
+        bands = np.array_split(gray, max(dim - 4, 1), axis=0)
+        feat = [float(hh), float(ww), float(ch),
+                float(gray.mean() / 255.0)]
+        feat += [float(b.mean() / 255.0) if b.size else 0.0 for b in bands]
+        return np.asarray(feat[:dim], dtype=np.float32)
 
     def gen(batches):
         for pdf in batches:
@@ -115,17 +171,22 @@ def resize_images(df: DataFrame, width: int = 64, height: int = 64,
                   id_col: str = "media_id", bin_col: str = "payload",
                   decode_stub: bool = True) -> DataFrame:
     """Image resize over the binary column (mapInPandas, Arrow-batched).
-    Decode/resample is STUBBED: the deterministic fake emits width*height
-    bytes derived by repeating md5(payload) (stable, size-correct plumbing);
-    ``decode_stub=False`` raises where PIL's ``Image.resize`` would run."""
+    ``decode_stub=True`` emits width*height bytes derived by repeating
+    md5(payload) (size-correct plumbing fake); ``decode_stub=False`` does a
+    REAL decode + nearest-neighbor resample (packed grayscale output) for
+    PNG/BMP/PPM/GIF via imagecodec — JPEG/video still raise."""
     n_out = width * height
 
     def _resize(raw: bytes) -> bytes:
         if decode_stub:
             h = hashlib.md5(raw).digest()
             return (h * (n_out // len(h) + 1))[:n_out]
-        raise NotImplementedError(
-            "real image resize requires PIL — not in this container")
+        # real nearest-neighbor resample over the decoded pixels; output is
+        # packed grayscale (one byte per output pixel), format-independent
+        from .imagecodec import decode_image, nn_resize
+        px = nn_resize(decode_image(raw), width, height)
+        gray = px.astype(np.float64).mean(axis=2)
+        return np.floor(gray).astype(np.uint8).tobytes()
 
     def gen(batches):
         for pdf in batches:

