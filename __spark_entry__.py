@@ -560,7 +560,16 @@ def q_neighborhood_fn(spark, sf_dir):
     reachable pairs within r hops = sum of per-node ball estimates, for
     r = 0..3 over the same 101-host graph as hyperball — the distance
     distribution an effective-diameter read-off needs (smallest r with
-    N(r) >= 90% of N(r_max))."""
+    N(r) >= 90% of N(r_max)).
+
+    Estimator caveat (see hyperball): pairs_est sums RAW HLL estimates,
+    which are strongly biased upward while balls are << m = 2^p (a
+    radius-0 ball of 1 reads ~45 at p=6) — real effective-diameter use
+    must apply the linear-counting correction m*ln(m/(m-n_present))
+    per node first (n_present is in hyperball's output) or raise p; this
+    catalog entry keeps the raw sum because the oracle pins the frozen
+    raw-estimator spec, not because the raw sum is a good diameter
+    statistic at this graph size."""
     hb = q_hyperball(spark, sf_dir)
     return (hb.groupBy("r")
             .agg(F.count("*").cast("long").alias("n_nodes"),
@@ -5079,14 +5088,15 @@ tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
 dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
 scored AS (
   SELECT t.doc_id,
-         ((2 * (s.n_docs - d.df) + 1) * 1000000 // (2 * d.df + 1))
-         * (t.tf * 2200000 * 1000000
-            // (t.tf * 1000000
-                + (1200000 * ((1000000 - 750000)
-                              + (750000 * (l.dl * 1000000 * s.n_docs
-                                           // s.total_len) // 1000000))
-                   // 1000000)))
-         // 1000000 AS contrib
+         (((2 * (s.n_docs - d.df) + 1) * 1000000 // (2 * d.df + 1))
+          // 1000)
+         * ((t.tf * 2200000 * 1000000
+             // (t.tf * 1000000
+                 + (1200000 * ((1000000 - 750000)
+                               + (750000 * (l.dl * 1000000 * s.n_docs
+                                            // s.total_len) // 1000000))
+                    // 1000000)))
+            // 1000) AS contrib
   FROM tf t JOIN dfq d USING (term) JOIN dl l USING (doc_id), stats s),
 per_doc AS (
   SELECT doc_id, count(*)::int AS n_hits, sum(contrib)::BIGINT AS score_micro

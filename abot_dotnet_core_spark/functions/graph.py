@@ -528,7 +528,18 @@ def hyperball(nodes: DataFrame, edges: DataFrame, radius: int = 3,
     state is the ball itself. Lineage is truncated per round like
     pagerank_mass. Estimates for every r ship at the end as a union of
     per-round summaries (each summary aggregates the checkpointed state —
-    no recomputation)."""
+    no recomputation).
+
+    Estimator caveat: ``ball_est`` is the RAW HLL estimator (the frozen
+    sketches.py spec — no small-range correction), which is WILDLY biased
+    when a ball is much smaller than m = 2^p: a radius-0 singleton at
+    p = 6 estimates ~45, not 1. ``n_present`` ships precisely so the
+    caller can apply linear counting where it applies —
+    ``m * ln(m / (m - n_present))`` is the standard small-range estimate
+    whenever ``n_present < m`` and the raw estimate is below ~2.5m.
+    Effective-diameter read-offs over small-radius balls (and anything
+    summing ball_est, e.g. neighborhood_fn's pairs_est) MUST correct
+    first or raise p until balls are >> m."""
     m = 1 << p
     rem_bits = 48 - p
     alpha_micros = round(0.7213 / (1 + 1.079 / m) * 10**6)

@@ -567,12 +567,18 @@ def bm25_topk(df: DataFrame, query_terms: list, k: int = 10,
         K       = k1 * ((1e6 - b) + b * dl_norm div 1e6) div 1e6
         tf_part = tf * (k1 + 1e6) * 1e6 div (tf * 1e6 + K)
         idf     = (2*(N - df) + 1) * 1e6 div (2*df + 1)
-        score   = sum over query terms of idf * tf_part div 1e6
+        score   = sum over query terms of (idf div 1000) * (tf_part div 1000)
 
-    Overflow bounds (int64 max 9.2e18): ``dl*1e6*N`` caps N ~ 1e8 at
-    1e4-token docs — beyond that precompute avgdl once and use
-    ``dl*1e6 div avgdl``; ``idf*tf_part`` caps ``(2N+1)*2.2e6`` ~ N 2e12.
-    Both far past any single query's candidate set; noted, not guarded.
+    The contrib product drops each factor to milli precision BEFORE
+    multiplying: idf is micro units and already carries a factor N for a
+    rare (df=1) term — the naive ``idf * tf_part div 1e6`` product is
+    ~1.5e12*N and silently wraps int64 (non-ANSI Spark) at corpus
+    N ~ 7e6 docs, i.e. the overflow grows with CORPUS size, not the
+    candidate set. In milli units the product caps at ~1.5e6*N — ceiling
+    N ~ 6e12 docs, comfortably past the 1e8-doc posture. Cost: the last
+    3 decimal digits of each factor (score stays micro-unit scaled).
+    Remaining bound: ``dl*1e6*N`` caps N ~ 1e8 at 1e4-token docs —
+    beyond that precompute avgdl once and use ``dl*1e6 div avgdl``.
 
     Output: (doc_id, n_hits, score_micro, rank) — docs matching >= 1 query
     term, ranked by score desc then doc_id asc.
@@ -615,7 +621,8 @@ def bm25_topk(df: DataFrame, query_terms: list, k: int = 10,
               .withColumn("idf", F.expr(
                   "(2 * (n_docs - df) + 1) * CAST(1000000 AS BIGINT) "
                   "div (2 * df + 1)"))
-              .withColumn("contrib", F.expr("idf * tf_part div 1000000")))
+              .withColumn("contrib", F.expr(
+                  "(idf div 1000) * (tf_part div 1000)")))
     per_doc = (scored.groupBy("doc_id")
                .agg(F.count("*").alias("n_hits"),
                     F.sum("contrib").alias("score_micro")))

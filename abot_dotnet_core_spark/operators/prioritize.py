@@ -84,6 +84,13 @@ def budget_apportion(weights: DataFrame, budget: int,
     the allocation runs at 10^8-host scale."""
     w = weights.select(F.col(key_col).alias("key"),
                        F.col(weight_col).cast("long").alias("w"))
+    # pin the weights ONCE: the plan below evaluates them three times (W/mn
+    # agg, base_sum agg, final ranked output) — without this a
+    # nondeterministic upstream could make the collected W diverge from the
+    # recomputed base_alloc and break sum(alloc) == budget, and an expensive
+    # upstream (q_crawl_budget's 5-round trustrank) would re-run per pass
+    # (same convention as containment_pairs / the graph loops)
+    w = w.localCheckpoint(eager=True)
     tot = w.agg(F.sum("w").alias("W"),
                 F.min("w").alias("mn")).collect()[0]
     W, mn = tot["W"] or 0, tot["mn"]

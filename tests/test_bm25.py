@@ -37,7 +37,7 @@ def _mirror(texts, query, k=10):
         kk = K1 * ((M - B) + B * dl_norm // M) // M
         tf_part = c * (K1 + M) * M // (c * M + kk)
         idf = (2 * (n - df[w]) + 1) * M // (2 * df[w] + 1)
-        contrib = idf * tf_part // M
+        contrib = (idf // 1000) * (tf_part // 1000)
         hits, score = per_doc.get(d, (0, 0))
         per_doc[d] = (hits + 1, score + contrib)
     ranked = sorted(per_doc.items(), key=lambda kv: (-kv[1][1], kv[0]))[:k]
