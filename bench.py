@@ -197,7 +197,8 @@ def bench_crawl(spark, n_pages: int, workdir: str,
 
 
 def bench_crawl_mega(spark, n_pages: int, workdir: str,
-                     body_repeat: int = 32, warmup: bool = True) -> dict:
+                     body_repeat: int = 32, warmup: bool = True,
+                     politeness: bool = False, max_rounds: int = 2) -> dict:
     """The 10^10-frontier-style regime the BASELINE metric names: ONE round
     over a frontier holding the whole corpus (steady-state/recrawl shape),
     instead of the multi-round BFS ramp-up from seeds. Fetch + extract +
@@ -239,7 +240,7 @@ def bench_crawl_mega(spark, n_pages: int, workdir: str,
     urls = spark.read.parquet(f"{corpus_dir}/corpus_meta.parquet").select("url")
     eng.seed_from_frontier(urls)
     t0 = time.time()
-    stats = eng.run(max_rounds=2)
+    stats = eng.run(max_rounds=max_rounds, politeness=politeness)
     dt = time.time() - t0
     per_round = [{"round": s.round, "fetched": s.fetched,
                   "links": s.links_extracted, "sec": s.wall_sec,

@@ -62,6 +62,13 @@ MEGA = os.environ.get("BENCH_MEGA", "1") == "1"
 # UDF daemons inherit the mask. MODE=local is the legacy
 # one-JVM-per-level local[N] regime.
 MODE = os.environ.get("BENCH_MODE", "local")
+# BENCH_POLITE=1: same mega-frontier crawl with the budgeted politeness
+# admission ON (salted-shard windows + robots crawl-delay budgets) — the
+# path VERDICT r02 item 5 flagged as having no N-vs-4N evidence. Appends a
+# polite-regime efficiency section to BENCH/BASELINE.md instead of
+# overwriting the politeness-off report.
+POLITE = os.environ.get("BENCH_POLITE", "0") == "1"
+POLITE_ROUNDS = int(os.environ.get("BENCH_POLITE_ROUNDS", "3"))
 CORES_PER_EXEC = int(os.environ.get("BENCH_CORES_PER_EXEC", "4"))
 SERVICE_CORES = os.environ.get("BENCH_SERVICE_CORES", "28-31")
 
@@ -162,6 +169,10 @@ def repin_executors(k, mask):
 """
 
 
+POLITE_ARGS = (f", politeness=True, max_rounds={POLITE_ROUNDS}"
+               if POLITE and MEGA else "")
+
+
 def run_at(cpus: int) -> dict:
     env = dict(os.environ,
                SPARK_GRAFT_CPUS=str(cpus),
@@ -183,7 +194,7 @@ def run_at(cpus: int) -> dict:
             f"shuffle_partitions={max(cpus, 8)})\n"
             f"repin_executors({n_exec}, '0-{cpus - 1}')\n"
             f"res = bench.{fn}(spark, {PAGES}, '/root/repo/.bench', "
-            f"body_repeat={BODY_REPEAT})\n"
+            f"body_repeat={BODY_REPEAT}{POLITE_ARGS})\n"
             "print('SCALERESULT ' + json.dumps(res))\n"
             "spark.stop()\n"
         )
@@ -198,7 +209,7 @@ def run_at(cpus: int) -> dict:
             f"spark = get_spark('scale', cpus={cpus}, "
             f"shuffle_partitions={max(cpus, 8)})\n"
             f"res = bench.{fn}(spark, {PAGES}, '/root/repo/.bench', "
-            f"body_repeat={BODY_REPEAT})\n"
+            f"body_repeat={BODY_REPEAT}{POLITE_ARGS})\n"
             "print('SCALERESULT ' + json.dumps(res))\n"
         )
         cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", code]
@@ -279,6 +290,54 @@ def main() -> None:
     s_lo, heavy_rounds = steady(lo)
     s_hi, _ = steady(hi)
     eff_steady = (s_hi / s_lo) / 4
+
+    def level_label_polite(cores):
+        if MODE == "cluster":
+            return (f"{cores // CORES_PER_EXEC} exec x "
+                    f"{CORES_PER_EXEC} cores")
+        return f"local[{cores}]"
+
+    if POLITE:
+        # compact append-only section: the politeness-off report above it
+        # stays authoritative for the unconstrained regime
+        sec = f"""
+
+## Polite-regime scaling (budgeted admission ON — same mega-frontier)
+
+Same deterministic {PAGES}-page mega-frontier crawl, {POLITE_ROUNDS} rounds,
+with S3 politeness active: per-domain budgets floor(round_length / delay)
+(robots Crawl-delay 1/5/20 s on a third of domains, +20 ms fudge elsewhere),
+enforced by windows over salted domain shards. Methodology identical to the
+table above (same pinning/interleaving/min-of-{TRIALS}-trials).
+
+| parallelism | rounds | fetched | links | wall sec | URLs/sec | steady URLs/sec |
+|---|---|---|---|---|---|---|
+| {level_label_polite(N)} | {lo['rounds']} | {lo['fetched']} | {lo['links_extracted']} | {lo['sec']} | {lo['urls_per_sec']} | {s_lo:.1f} |
+| {level_label_polite(4 * N)} | {hi['rounds']} | {hi['fetched']} | {hi['links_extracted']} | {hi['sec']} | {hi['urls_per_sec']} | {s_hi:.1f} |
+
+**Polite whole-crawl efficiency = {eff:.3f}; steady-round = {eff_steady:.3f}**
+(heavy rounds {heavy_rounds}; target >= 0.8).
+
+```json
+{json.dumps({'polite': True, 'N': N, 'pages': PAGES,
+             'rounds': POLITE_ROUNDS, 'trials': TRIALS,
+             'lo_urls_per_sec': lo['urls_per_sec'],
+             'hi_urls_per_sec': hi['urls_per_sec'],
+             'efficiency_total': round(eff, 4),
+             'steady_lo': round(s_lo, 1), 'steady_hi': round(s_hi, 1),
+             'efficiency_steady': round(eff_steady, 4)}, indent=2)}
+```
+"""
+        os.makedirs("/root/repo/BENCH", exist_ok=True)
+        with open("/root/repo/BENCH/BASELINE.md", "a") as f:
+            f.write(sec)
+        print(json.dumps({"polite": True, "N": N,
+                          "lo_total": lo["urls_per_sec"],
+                          "hi_total": hi["urls_per_sec"],
+                          "efficiency_total": round(eff, 4),
+                          "efficiency_steady": round(eff_steady, 4)}))
+        return
+
     st_lo = stage_bench(N)
     st_hi = stage_bench(4 * N)
     eff_stage = (st_lo / st_hi) / 4

