@@ -18,23 +18,26 @@ sys.path.insert(0, "/root/repo/tests")
 from abot_dotnet_core_spark.crawler import CrawlEngine
 from abot_dotnet_core_spark.session import get_spark
 from abot_dotnet_core_spark.sources.corpus import write_parquet
-from test_engine_fuzz_parity import (SEED_URL, draw_case, draw_polite_case,
-                                     engine_kwargs, simulator_result)
+from test_engine_fuzz_parity import (SEED_URL, draw_case, draw_delegates,
+                                     draw_polite_case, engine_kwargs,
+                                     simulator_result)
 
 
 def run_case(spark, case_seed: int, polite: bool,
              resume_after: int = 0) -> list[str]:
     spec, cfg = (draw_polite_case if polite else draw_case)(case_seed)
+    dg = None if polite else draw_delegates(case_seed)
     tmp = tempfile.mkdtemp(prefix=f"fuzz{case_seed}_")
     errs = []
     try:
         write_parquet(spec, f"{tmp}/corpus", with_edges=False)
-        sim = simulator_result(spec, cfg)
+        sim = simulator_result(spec, cfg, delegates=dg)
         kw = dict(
             corpus_path=f"{tmp}/corpus/corpus.parquet",
             corpus_meta_path=f"{tmp}/corpus/corpus_meta.parquet",
             store_root=f"{tmp}/state",
             robots_path=f"{tmp}/corpus/robots.parquet",
+            delegates=dg,
             **({} if polite else engine_kwargs(case_seed)),
         )
         eng = CrawlEngine(spark, cfg, **kw)

@@ -96,7 +96,42 @@ def engine_kwargs(case_seed: int) -> dict:
     return {"bloom_prefilter": random.Random(0xB100 + case_seed).random() < 0.5}
 
 
-def simulator_result(spec: CorpusSpec, cfg: CrawlConfig):
+def draw_delegates(case_seed: int):
+    """User-delegate fuzz dimension (VERDICT r02 task 9): half the cases run
+    a random delegate drawn from a deterministic family — URL-token vetoes
+    on each of the four page/link/download surfaces, plus a combined
+    depth-gate + recrawl-veto case. Orthogonal rng (0xDE7E) so the existing
+    pinned seeds' CorpusSpec/CrawlConfig draws are untouched; parity holds
+    because the SAME CrawlDelegates drives both the engine and the
+    simulator oracle."""
+    rng = random.Random(0xDE7E + case_seed)
+    if rng.random() < 0.5:
+        return None
+    from abot_dotnet_core_spark.operators.delegates import CrawlDelegates
+    tok = f"p{rng.randrange(1, 9)}"
+    which = rng.randrange(5)
+    if which == 0:
+        return CrawlDelegates(
+            should_crawl_page=lambda url, depth, is_internal, t=tok:
+                ~url.str.contains(t, regex=False))
+    if which == 1:
+        return CrawlDelegates(
+            should_schedule_link=lambda src, dst, t=tok:
+                ~dst.str.contains(t, regex=False))
+    if which == 2:
+        return CrawlDelegates(
+            should_crawl_page_links=lambda url, depth, is_internal, t=tok:
+                ~url.str.endswith("/" + t))
+    if which == 3:
+        return CrawlDelegates(
+            should_download_page_content=lambda url, status, ct, t=tok:
+                ~url.str.endswith("/" + t))
+    return CrawlDelegates(
+        should_crawl_page=lambda url, depth, is_internal: depth <= 3,
+        should_recrawl_page=lambda url, status, rc: rc < 1)
+
+
+def simulator_result(spec: CorpusSpec, cfg: CrawlConfig, delegates=None):
     corpus = to_simulator_corpus(spec)
     robots_map = {}
     if cfg.is_respect_robots_dot_text_enabled:
@@ -104,7 +139,8 @@ def simulator_result(spec: CorpusSpec, cfg: CrawlConfig):
             txt = robots_txt_for(spec, i)
             if txt is not None:
                 robots_map[f"http://{domain_name(i)}/"] = parse_robots(txt)
-    return CrawlSimulator(corpus, cfg, robots_map).crawl(SEED_URL)
+    return CrawlSimulator(corpus, cfg, robots_map,
+                          delegates=delegates).crawl(SEED_URL)
 
 
 def draw_polite_case(case_seed: int) -> tuple[CorpusSpec, CrawlConfig]:
@@ -145,9 +181,10 @@ def draw_polite_case(case_seed: int) -> tuple[CorpusSpec, CrawlConfig]:
 @pytest.mark.parametrize("case_seed", range(14))
 def test_fuzz_parity(spark, tmp_path, case_seed):
     spec, cfg = draw_case(case_seed)
+    dg = draw_delegates(case_seed)
     d = tmp_path / "corpus"
     write_parquet(spec, str(d), with_edges=False)
-    sim = simulator_result(spec, cfg)
+    sim = simulator_result(spec, cfg, delegates=dg)
 
     eng = CrawlEngine(
         spark, cfg,
@@ -155,6 +192,7 @@ def test_fuzz_parity(spark, tmp_path, case_seed):
         corpus_meta_path=f"{d}/corpus_meta.parquet",
         store_root=str(tmp_path / "state"),
         robots_path=f"{d}/robots.parquet",
+        delegates=dg,
         **engine_kwargs(case_seed),
     )
     eng.seed([SEED_URL])
