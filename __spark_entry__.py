@@ -4783,7 +4783,7 @@ def q_bpe_merges(spark, sf_dir):
     return bpe_train(words, n_merges=10)
 
 
-def _bpe_ctes(n_merges: int = 10) -> str:
+def _bpe_ctes(n_merges: int = 10, keep_word: bool = False) -> str:
     """Unrolled-CTE mirror of the BPE loop (shared by sql_bpe_merges and
     sql_bpe_compression): symbol sequences ride as sentinel-wrapped
     strings (chr(30) around every token, so the doubled separator makes
@@ -4798,13 +4798,14 @@ def _bpe_ctes(n_merges: int = 10) -> str:
                                                   '\\s+') END) AS word
     FROM documents) t
   WHERE regexp_matches(word, '^[a-z]+$')
-  GROUP BY word ORDER BY cnt DESC, word LIMIT 500)""", """v0 AS (
-  SELECT cnt,
+  GROUP BY word ORDER BY cnt DESC, word LIMIT 500)""", f"""v0 AS (
+  SELECT {'word, ' if keep_word else ''}cnt,
          chr(30) || array_to_string(
            list_append(list_transform(range(1, len(word) + 1),
                                       i -> substr(word, i::int, 1)),
                        '</w>'), chr(30) || chr(30)) || chr(30) AS seq
   FROM w)"""]
+    carry = "word, " if keep_word else ""
     for k in range(1, n_merges + 1):
         ctes.append(f"""p{k} AS (
   SELECT toks[i::int] AS left_sym, toks[(i + 1)::int] AS right_sym,
@@ -4818,7 +4819,7 @@ def _bpe_ctes(n_merges: int = 10) -> str:
   SELECT left_sym, right_sym, pair_count FROM p{k}
   ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1)""")
         ctes.append(f"""v{k} AS (
-  SELECT cnt, replace(seq,
+  SELECT {carry}cnt, replace(seq,
            chr(30) || left_sym || chr(30) || chr(30) || right_sym
              || chr(30),
            chr(30) || left_sym || right_sym || chr(30)) AS seq
@@ -4880,6 +4881,39 @@ nw AS (SELECT count(*)::int AS n FROM v0)
 SELECT nw.n AS n_word_types, tb.t AS tokens_before, ta.t AS tokens_after,
        ((tb.t - ta.t) * 1000 // tb.t)::bigint AS saved_millis
 FROM nw, tb, ta"""
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Tokenizer ENCODE step (functions/bpe.py:bpe_encode_words): the 10
+    learned merges applied to every word type -> per-word subword sequence
+    + token count. Row-local codegen folds over the vocab table, zero
+    shuffle after training; the corpus never re-shuffles (token counts
+    join back to documents by word)."""
+    from abot_dotnet_core_spark.functions.bpe import (bpe_encode_words,
+                                                      bpe_train)
+    from abot_dotnet_core_spark.functions.textfns import tokens_col
+    words = (_docs(spark, sf_dir)
+             .select(F.explode(tokens_col(F.lower(F.col("text"))))
+                     .alias("word"))
+             .filter(F.col("word").rlike("^[a-z]+$"))
+             .groupBy("word").agg(F.count("*").alias("cnt"))
+             .orderBy(F.desc("cnt"), "word").limit(500))
+    words = words.localCheckpoint(eager=True)
+    merges = [(r.left_sym, r.right_sym)
+              for r in bpe_train(words, n_merges=10)
+              .orderBy("rank").collect()]
+    return bpe_encode_words(words, merges)
+
+
+def sql_bpe_encode():
+    # v10 carries word alongside the sentinel-encoded symbol string
+    return f"""WITH {_bpe_ctes(10, keep_word=True)}
+SELECT word, cnt,
+       len(string_split(substr(seq, 2, len(seq) - 2),
+                        chr(30) || chr(30)))::int AS n_tokens,
+       array_to_string(string_split(substr(seq, 2, len(seq) - 2),
+                                    chr(30) || chr(30)), ' ') AS encoded
+FROM v10"""
 
 
 def q_chunk_documents(spark, sf_dir):
@@ -5298,6 +5332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bpe_merges": q_bpe_merges,
         "bpe_compression": q_bpe_compression,
+        "bpe_encode": q_bpe_encode,
         "length_quantiles": q_length_quantiles,
         "script_profile": q_script_profile,
         "span_dedup": q_span_dedup,
@@ -5439,6 +5474,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters": sql_cms_heavy_hitters(),
         "bpe_merges": sql_bpe_merges(),
         "bpe_compression": sql_bpe_compression(),
+        "bpe_encode": sql_bpe_encode(),
         "length_quantiles": sql_length_quantiles(),
         "script_profile": sql_script_profile(),
         "span_dedup": sql_span_dedup(),
