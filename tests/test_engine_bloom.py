@@ -120,6 +120,22 @@ class TestBucketedProbe:
         # all 400 inserted keys maybe_seen; FP rate on the rest is tiny
         assert all(ms for h, ms in via_bk if (h - 3) // 7919 < 400)
 
+    def test_bucketed_probe_plan_no_broadcast(self, spark, tmp_path):
+        """The whole point: the bucketed probe plan must contain the Arrow
+        probe and NO broadcast exchange — blobs reach tasks via co-located
+        reads, not the driver."""
+        from abot_dotnet_core_spark.operators.seenfilter import (
+            bloom_prefilter_bucketed, build_bloom_sidecar)
+        from abot_dotnet_core_spark.plans.inspect import simple_plan
+        seen = spark.range(0, 50).select(F.col("id").alias("url_hash"))
+        path = str(tmp_path / "scp" / "round=1")
+        build_bloom_sidecar(seen, buckets=4, min_capacity=64) \
+            .write.mode("overwrite").parquet(path)
+        probes = spark.range(0, 100).select(F.col("id").alias("url_hash"))
+        plan = simple_plan(bloom_prefilter_bucketed(probes, path, buckets=4))
+        assert "MapInArrow" in plan, plan
+        assert "BroadcastExchange" not in plan, plan
+
     def test_bucketed_absent_bucket_is_definitely_new(self, spark, tmp_path):
         from abot_dotnet_core_spark.operators.seenfilter import (
             bloom_prefilter_bucketed, build_bloom_sidecar)
