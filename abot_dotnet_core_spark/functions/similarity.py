@@ -304,9 +304,82 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .select(q_id_col, "rank", id_col, "cosine"))
 
 
+def _cap_clusters(assigned: DataFrame, max_cluster_size: int,
+                  id_col: str, vec_col: str) -> DataFrame:
+    """Bound the pair-join group sizes: re-split every cluster above
+    ``max_cluster_size`` into a ``sub`` level, in two deterministic passes.
+
+    1. SEMANTIC split — for each oversized cluster, the ceil(size/max)
+       lowest-id members become sub-seeds and every member assigns to its
+       max-cosine sub-seed (one equi-join on cluster + a struct-max agg;
+       cost sum(size_c * k_c), no driver loop, no codegen blowup). This is
+       the hierarchical-k-means move the SemDeDup paper implies; exact
+       duplicates land on the same sub-seed because assignment is a pure
+       function of the vector.
+    2. HASH fallback — k-means does not promise balance, so any
+       (cluster, sub) still above the cap is chunked by a hash of the
+       VECTOR FINGERPRINT (rounded coordinate string) mod ceil(size/max) —
+       chunks are ~max in expectation (hash-uniform), which is what bounds
+       the pair join; identical vectors share the fingerprint, so exact
+       duplicates are never separated, and near-duplicate pairs split
+       across chunks are the documented recall cost of the bound.
+
+    Returns ``assigned`` plus a ``sub`` column (0 for small clusters);
+    pair comparison then groups on (cluster, sub)."""
+    from pyspark.sql import Window as W
+
+    sizes = assigned.groupBy("cluster").agg(F.count("*").alias("__n"))
+    withn = assigned.join(F.broadcast(sizes), "cluster")
+    small = (withn.filter(F.col("__n") <= max_cluster_size)
+             .select(id_col, "cluster", vec_col, F.lit(0).alias("sub")))
+    big = withn.filter(F.col("__n") > max_cluster_size)
+
+    w = W.partitionBy("cluster").orderBy(id_col)
+    seeds = (big.withColumn("__rk", F.row_number().over(w))
+             .filter(F.col("__rk") <= F.ceil(F.col("__n")
+                                             / max_cluster_size))
+             .select("cluster", (F.col("__rk") - 1).alias("__seed_sub"),
+                     F.col(vec_col).alias("__seed_vec")))
+    scored = (big.join(seeds, "cluster")
+              .withColumn("__cos", F.round(
+                  cosine_col(F.col(vec_col), F.col("__seed_vec")), 6))
+              .groupBy(id_col)
+              .agg(F.max(F.struct(F.col("__cos"),
+                                  (-F.col("__seed_sub")).alias("__ns"),
+                                  F.col("cluster"),
+                                  F.col(vec_col).alias("__v"))).alias("m"))
+              .select(id_col, F.col("m.cluster").alias("cluster"),
+                      F.col("m.__v").alias(vec_col),
+                      (-F.col("m.__ns")).cast("int").alias("sub")))
+
+    # hash fallback on still-oversized (cluster, sub) groups: fingerprint =
+    # xxhash64 of the rounded coordinate string (identical vectors -> same
+    # chunk, so exact dups are never split)
+    fp = F.xxhash64(F.array_join(
+        F.transform(F.col(vec_col),
+                    lambda x: F.round(x.cast("double"), 6).cast("string")),
+        ","))
+    sub_sizes = scored.groupBy("cluster", "sub").agg(
+        F.count("*").alias("__sn"))
+    # disjoint renumbering: untouched groups take sub*4096, chunked ones
+    # sub*4096 + 1 + chunk — no cross-group collision for < 4095 chunks
+    capped = (scored.join(F.broadcast(sub_sizes), ["cluster", "sub"])
+              .withColumn("__chunks",
+                          F.ceil(F.col("__sn") / max_cluster_size))
+              .withColumn("sub",
+                          F.when(F.col("__sn") <= max_cluster_size,
+                                 F.col("sub") * 4096)
+                          .otherwise(F.col("sub") * 4096
+                                     + 1 + F.pmod(fp, F.col("__chunks"))
+                                     .cast("int")))
+              .select(id_col, "cluster", vec_col, "sub"))
+    return small.unionByName(capped)
+
+
 def semdedup(corpus: DataFrame, n_clusters: int = 8, threshold: float = 0.95,
              lloyd_iters: int = 1, dim: int = 64,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             max_cluster_size: int | None = None) -> DataFrame:
     """SemDeDup (Abbas et al., 2023, arXiv:2303.09540): semantic dedup over
     an embedding column — k-means-cluster the corpus, compare vectors
     pairwise WITHIN each cluster only, and drop every vector whose cosine to
@@ -323,9 +396,17 @@ def semdedup(corpus: DataFrame, n_clusters: int = 8, threshold: float = 0.95,
     the pair stage is then a self equi-join on the cluster id in which only
     cluster-mates shuffle, and the centroid fit (ivf_fit_centroids) runs
     over a sample. All vector math is JVM-side (zip_with/aggregate), no
-    Python in the hot path. Hot-cluster skew is the known failure mode at
-    scale: cap cluster sizes (re-split oversized clusters with a second
-    k-means level) before the self-join.
+    Python in the hot path (Arrow path above IVF_ARROW_THRESHOLD
+    centroids). Hot-cluster skew is the known failure mode at scale:
+    ``max_cluster_size`` bounds every pair-join group via
+    :func:`_cap_clusters` (semantic sub-seed re-split, then a
+    vector-fingerprint hash chunking fallback whose chunks are
+    ~max_cluster_size in expectation — hash-uniform, so the pair join is
+    O(n * max) not O(hot_cluster^2); exact duplicates are never separated
+    because identical vectors share the fingerprint; near-dup pairs split
+    across chunks are the documented recall cost of the bound). None
+    (default) keeps the paper's one-level behavior and the oracle's
+    exact semantics.
     """
     cents = ivf_fit_centroids(corpus, n_clusters, lloyd_iters, dim,
                               id_col, vec_col)
@@ -334,11 +415,16 @@ def semdedup(corpus: DataFrame, n_clusters: int = 8, threshold: float = 0.95,
     # is the dominant cost — without this the plan re-derives it three times
     assigned = (ivf_assign(corpus.select(id_col, vec_col), cents, vec_col)
                 .localCheckpoint(eager=True))
-    a = assigned.select(F.col(id_col).alias("id_a"), "cluster",
+    group = ["cluster"]
+    if max_cluster_size is not None:
+        assigned = _cap_clusters(assigned, max_cluster_size,
+                                 id_col, vec_col).localCheckpoint(eager=True)
+        group = ["cluster", "sub"]
+    a = assigned.select(F.col(id_col).alias("id_a"), *group,
                         F.col(vec_col).alias("vec_a"))
-    b = assigned.select(F.col(id_col).alias("id_b"), "cluster",
+    b = assigned.select(F.col(id_col).alias("id_b"), *group,
                         F.col(vec_col).alias("vec_b"))
-    dropped = (a.join(b, "cluster")
+    dropped = (a.join(b, group)
                .filter(F.col("id_a") < F.col("id_b"))
                .withColumn("cosine",
                            F.round(cosine_col(F.col("vec_a"),

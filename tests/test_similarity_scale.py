@@ -104,6 +104,54 @@ class TestIvfArrowPath:
         assert small == big
         assert len(small) == 10
 
+    def test_semdedup_cap_inactive_is_identical(self, spark):
+        """max_cluster_size larger than every cluster -> byte-identical
+        output to the uncapped path."""
+        dim = 8
+        corpus = spark.createDataFrame(
+            [Row(vec_id=i, embedding=_vec(i, dim)) for i in range(60)])
+        base = sorted(tuple(r) for r in S.semdedup(
+            corpus, n_clusters=6, threshold=0.999999, dim=dim).collect())
+        capped = sorted(tuple(r) for r in S.semdedup(
+            corpus, n_clusters=6, threshold=0.999999, dim=dim,
+            max_cluster_size=10_000).collect())
+        assert base == capped
+
+    def test_semdedup_cap_bounds_hot_cluster_and_keeps_dups(self, spark):
+        """One hot semantic cluster (all vectors near-identical direction)
+        plus exact duplicates: with the cap on, (cluster, sub) group sizes
+        come down to ~max, and every exact duplicate is still dropped."""
+        dim = 8
+        # hot cluster: tiny DISTINCT perturbations of one direction => one
+        # k-means cluster holds everything, but no accidental exact dups
+        # (the fingerprint chunking never splits identical vectors, so a
+        # fixture of repeated patterns would defeat the size assertion)
+        base = [Row(vec_id=i,
+                    embedding=[1.0 + 1e-4 * ((i * 31 + d * 17) % 97)
+                               for d in range(dim)])
+                for i in range(120)]
+        dups = [Row(vec_id=1000 + i, embedding=list(base[i].embedding))
+                for i in range(10)]
+        corpus = spark.createDataFrame(base + dups)
+        out = S.semdedup(corpus, n_clusters=4, threshold=0.9999999,
+                         dim=dim, max_cluster_size=12)
+        rows = sorted(tuple(r) for r in out.collect())
+        dropped = {t[0] for t in rows if not t[2]}
+        # every exact duplicate flagged (fingerprint chunking never splits
+        # identical vectors)
+        assert {1000 + i for i in range(10)} <= dropped
+        # and the pair-join groups are actually bounded: reconstruct group
+        # sizes from the capped assignment
+        assigned = S._cap_clusters(
+            S.ivf_assign(corpus.select("vec_id", "embedding"),
+                         S.ivf_fit_centroids(corpus, 4, 1, dim),
+                         "embedding"),
+            12, "vec_id", "embedding")
+        sizes = [r["n"] for r in assigned.groupBy("cluster", "sub")
+                 .agg(F.count("*").alias("n")).collect()]
+        assert max(sizes) <= 3 * 12   # hash-uniform: ~max in expectation
+        assert len(sizes) >= 130 // 12  # actually split, not one group
+
     def test_semdedup_big_equals_small_semantics(self, spark, monkeypatch):
         dim = 8
         base = [Row(vec_id=i, embedding=_vec(i, dim)) for i in range(80)]
