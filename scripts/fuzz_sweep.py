@@ -19,14 +19,15 @@ from abot_dotnet_core_spark.crawler import CrawlEngine
 from abot_dotnet_core_spark.session import get_spark
 from abot_dotnet_core_spark.sources.corpus import write_parquet
 from test_engine_fuzz_parity import (SEED_URL, draw_case, draw_delegates,
-                                     draw_polite_case, engine_kwargs,
-                                     simulator_result)
+                                     draw_polite_case, draw_polite_delegates,
+                                     engine_kwargs, simulator_result)
 
 
 def run_case(spark, case_seed: int, polite: bool,
              resume_after: int = 0) -> list[str]:
     spec, cfg = (draw_polite_case if polite else draw_case)(case_seed)
-    dg = None if polite else draw_delegates(case_seed)
+    dg = (draw_polite_delegates(case_seed) if polite
+          else draw_delegates(case_seed))
     tmp = tempfile.mkdtemp(prefix=f"fuzz{case_seed}_")
     errs = []
     try:

@@ -131,6 +131,35 @@ def draw_delegates(case_seed: int):
         should_recrawl_page=lambda url, status, rc: rc < 1)
 
 
+def draw_polite_delegates(case_seed: int):
+    """Polite-mode delegate draw: only the URL-token veto families — their
+    effect is a pure function of the URL, so the crawled/seen/disallowed
+    SETS stay order-invariant and the FIFO simulator remains a valid
+    oracle. The depth-gate family is excluded: first-discovery depth
+    legitimately differs when admission is deferred."""
+    rng = random.Random(0xD0117E + case_seed)
+    if rng.random() < 0.5:
+        return None
+    from abot_dotnet_core_spark.operators.delegates import CrawlDelegates
+    tok = f"p{rng.randrange(1, 9)}"
+    which = rng.randrange(4)
+    if which == 0:
+        return CrawlDelegates(
+            should_crawl_page=lambda url, depth, is_internal, t=tok:
+                ~url.str.contains(t, regex=False))
+    if which == 1:
+        return CrawlDelegates(
+            should_schedule_link=lambda src, dst, t=tok:
+                ~dst.str.contains(t, regex=False))
+    if which == 2:
+        return CrawlDelegates(
+            should_crawl_page_links=lambda url, depth, is_internal, t=tok:
+                ~url.str.endswith("/" + t))
+    return CrawlDelegates(
+        should_download_page_content=lambda url, status, ct, t=tok:
+            ~url.str.endswith("/" + t))
+
+
 def simulator_result(spec: CorpusSpec, cfg: CrawlConfig, delegates=None):
     corpus = to_simulator_corpus(spec)
     robots_map = {}
@@ -227,9 +256,10 @@ def test_fuzz_politeness_invariants(spark, tmp_path, case_seed):
     excluded: the first-discovery parent can legitimately differ when
     admission is deferred)."""
     spec, cfg = draw_polite_case(case_seed)
+    dg = draw_polite_delegates(case_seed)
     d = tmp_path / "corpus"
     write_parquet(spec, str(d), with_edges=False)
-    sim = simulator_result(spec, cfg)
+    sim = simulator_result(spec, cfg, delegates=dg)
 
     eng = CrawlEngine(
         spark, cfg,
@@ -237,6 +267,7 @@ def test_fuzz_politeness_invariants(spark, tmp_path, case_seed):
         corpus_meta_path=f"{d}/corpus_meta.parquet",
         store_root=str(tmp_path / "state"),
         robots_path=f"{d}/robots.parquet",
+        delegates=dg,
     )
     eng.seed([SEED_URL])
     eng.run(max_rounds=300, politeness=True)
