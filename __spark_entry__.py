@@ -4916,6 +4916,59 @@ SELECT word, cnt,
 FROM v10"""
 
 
+def q_image_resize(spark, sf_dir):
+    """REAL nearest-neighbor image resample (resize_images with
+    decode_stub=False): the same synthesized PNG/BMP/PPM ramp fixtures as
+    image_decode, resized to 4x3 packed grayscale; the hex of the output
+    bytes is compared against the closed-form oracle (source index
+    ys=(y*h)//3, xs=(x*w)//4; gray = floor(mean of the 3 ramp channel
+    values)). A stride/index/rounding bug anywhere in decode->resample->
+    pack changes the hex."""
+    from abot_dotnet_core_spark.functions.multimodal import resize_images
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        from abot_dotnet_core_spark.functions.imagecodec import (
+            encode_bmp, encode_png, encode_ppm)
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 4 + i % 5, 3 + i % 4
+                px = ((np.arange(h * w * 3, dtype=np.int64) + i) % 251) \
+                    .astype(np.uint8).reshape(h, w, 3)
+                ids.append(i)
+                payloads.append((encode_png, encode_bmp, encode_ppm)[i % 3](px))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        gen, "media_id long, payload binary")
+    out = resize_images(media, width=4, height=3, decode_stub=False)
+    return out.select("media_id", "width", "height",
+                      F.lower(F.hex("payload")).alias("resized_hex"))
+
+
+def sql_image_resize():
+    return """
+WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+           FROM documents),
+g AS (SELECT doc_id, w, h, yy.yo, xx.xo,
+             (yy.yo * h) // 3 AS ys, (xx.xo * w) // 4 AS xs
+      FROM d,
+           (SELECT unnest(range(0, 3)) AS yo) yy,
+           (SELECT unnest(range(0, 4)) AS xo) xx),
+v AS (SELECT doc_id, yo, xo,
+             (((ys * w + xs) * 3 + 0 + doc_id) % 251
+              + ((ys * w + xs) * 3 + 1 + doc_id) % 251
+              + ((ys * w + xs) * 3 + 2 + doc_id) % 251) // 3 AS gray
+      FROM g)
+SELECT doc_id AS media_id, 4 AS width, 3 AS height,
+       string_agg(lpad(lower(to_hex(gray)), 2, '0'), ''
+                  ORDER BY yo, xo) AS resized_hex
+FROM v GROUP BY doc_id"""
+
+
 def q_chunk_documents(spark, sf_dir):
     """Fixed-size character chunking with overlap (512-char windows, stride
     384): the long-document -> training-example transform. Emits the digest
@@ -5351,6 +5404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_fpr": q_bloom_fpr,
         "multimodal_meta": q_multimodal_meta,
         "image_decode": q_image_decode,
+        "image_resize": q_image_resize,
         # streaming-shaped event analytics
         "events_tumbling": q_events_tumbling,
         "events_sessions": q_events_sessions,
@@ -5491,6 +5545,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_fpr": sql_bloom_fpr(),
         "multimodal_meta": sql_multimodal_meta(),
         "image_decode": sql_image_decode(),
+        "image_resize": sql_image_resize(),
         "events_tumbling": sql_events_tumbling(),
         "events_sessions": sql_events_sessions(),
         "events_sliding": sql_events_sliding(),
