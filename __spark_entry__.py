@@ -4969,6 +4969,54 @@ SELECT doc_id AS media_id, 4 AS width, 3 AS height,
 FROM v GROUP BY doc_id"""
 
 
+def q_audio_decode(spark, sf_dir):
+    """REAL audio decode (imagecodec.decode_wav — RIFF/WAVE PCM, pure
+    stdlib): deterministic 16-bit PCM fixtures per document (96 samples,
+    channels 1+id%2, rate 8000+4000*(id%3), sample j =
+    (j*37 + id*11) % 4001 - 2000) -> decode_audio_meta recovers the header
+    fields and exact integer amplitude stats FROM THE BYTES; the oracle
+    recomputes them from the generation rule."""
+    from abot_dotnet_core_spark.functions.multimodal import decode_audio_meta
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        from abot_dotnet_core_spark.functions.imagecodec import encode_wav
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                c = 1 + i % 2
+                rate = 8000 + 4000 * (i % 3)
+                s = ((np.arange(96, dtype=np.int64) * 37 + i * 11) % 4001
+                     - 2000).astype(np.int16).reshape(-1, c)
+                ids.append(i)
+                payloads.append(encode_wav(s, rate))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        gen, "media_id long, payload binary")
+    return decode_audio_meta(media)
+
+
+def sql_audio_decode():
+    return """
+WITH d AS (SELECT doc_id, 1 + doc_id % 2 AS c,
+                  8000 + 4000 * (doc_id % 3) AS rate
+           FROM documents),
+v AS (SELECT doc_id,
+             abs((jj.j * 37 + doc_id * 11) % 4001 - 2000) AS a
+      FROM documents, (SELECT unnest(range(0, 96)) AS j) jj),
+s AS (SELECT doc_id, sum(a)::BIGINT AS sum_abs, max(a)::int AS peak
+      FROM v GROUP BY doc_id)
+SELECT d.doc_id AS media_id, 'audio/wav' AS mime,
+       d.rate::int AS sample_rate, d.c::int AS channels,
+       (96 // d.c)::int AS n_frames,
+       ((96 // d.c) * 1000000 // d.rate)::int AS duration_micros,
+       s.sum_abs, s.peak
+FROM d JOIN s USING (doc_id)"""
+
+
 def q_chunk_documents(spark, sf_dir):
     """Fixed-size character chunking with overlap (512-char windows, stride
     384): the long-document -> training-example transform. Emits the digest
@@ -5405,6 +5453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "image_decode": q_image_decode,
         "image_resize": q_image_resize,
+        "audio_decode": q_audio_decode,
         # streaming-shaped event analytics
         "events_tumbling": q_events_tumbling,
         "events_sessions": q_events_sessions,
@@ -5546,6 +5595,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": sql_multimodal_meta(),
         "image_decode": sql_image_decode(),
         "image_resize": sql_image_resize(),
+        "audio_decode": sql_audio_decode(),
         "events_tumbling": sql_events_tumbling(),
         "events_sessions": sql_events_sessions(),
         "events_sliding": sql_events_sliding(),

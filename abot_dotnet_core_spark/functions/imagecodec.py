@@ -325,6 +325,63 @@ def decode_gif(raw: bytes) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
+# WAV (RIFF PCM) — the audio leg of the multimodal decode
+# --------------------------------------------------------------------------
+
+def decode_wav(raw: bytes) -> tuple[np.ndarray, int]:
+    """Decode a RIFF/WAVE PCM payload to ((n_samples, channels) int32
+    array, sample_rate). 8-bit unsigned and 16/24/32-bit signed PCM
+    (format tag 1); compressed formats (mp3-in-wav, float, ADPCM) raise."""
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(raw):
+        cid, size = raw[pos:pos + 4], struct.unpack(
+            "<I", raw[pos + 4:pos + 8])[0]
+        body = raw[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)                     # chunks are padded
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV: missing fmt/data chunk")
+    tag, channels, rate, _br, _ba, bits = fmt
+    if tag != 1:
+        raise NotImplementedError(f"WAV: format tag {tag} (PCM only)")
+    if bits == 8:
+        samples = (np.frombuffer(data, dtype=np.uint8)
+                   .astype(np.int32) - 128)
+    elif bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.int32)
+    elif bits == 24:
+        b3 = np.frombuffer(data, dtype=np.uint8)
+        b3 = b3[: (len(b3) // 3) * 3].reshape(-1, 3).astype(np.int32)
+        samples = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+        samples = np.where(samples >= 1 << 23, samples - (1 << 24), samples)
+    elif bits == 32:
+        samples = np.frombuffer(data, dtype="<i4").astype(np.int32)
+    else:
+        raise NotImplementedError(f"WAV: {bits}-bit PCM")
+    n = (len(samples) // channels) * channels
+    return samples[:n].reshape(-1, channels), rate
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Minimal 16-bit PCM WAV writer ((n, channels) or (n,) input)."""
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    channels = s.shape[1]
+    data = s.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * channels * 2, channels * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+# --------------------------------------------------------------------------
 # dispatch
 # --------------------------------------------------------------------------
 

@@ -4,17 +4,21 @@ Media travel as opaque ``binary`` columns + typed metadata structs; all
 per-item work runs as Arrow-batched ``mapInPandas`` so batches stream through
 executors without materializing a partition of blobs in memory at once.
 
-PIL/ffmpeg are NOT available in this container, but PNG/BMP/PPM/GIF are
-decodable with stdlib zlib + numpy — ``imagecodec.decode_image`` does real
-pixel decode for those formats, so ``decode_stub=False`` now computes real
-dimensions/means/resizes for them. JPEG/audio/video decode still raises
-NotImplementedError (needs a codec library); ``decode_stub=True`` (default)
-keeps the deterministic md5 fake for format-agnostic plumbing tests.
+PIL/ffmpeg are NOT available in this container, but PNG/BMP/PPM/GIF and
+RIFF/WAVE PCM are decodable with stdlib zlib/struct + numpy —
+``imagecodec.decode_image`` / ``decode_wav`` do real decode for those
+formats, so ``decode_stub=False`` computes real dimensions/means/resizes
+and real audio stats. JPEG/compressed-audio/video decode still raises
+NotImplementedError (needs a codec library); ``decode_stub=True``
+(default) keeps the deterministic md5 fake for format-agnostic plumbing
+tests.
 
 Operators:
   sniff_media_type    magic-byte detection (real — no decoder needed)
   with_media_meta     size/type metadata columns
   decode_image_meta   real decode -> (mime, width, height, mean_millis)
+  decode_audio_meta   real WAV/PCM decode -> rate/channels/frames/
+                      duration + exact amplitude stats
   extract_features    decode -> fixed-dim feature vector (real for
                       PNG/BMP/PPM/GIF when decode_stub=False)
   resize_images       nearest-neighbor resample (real when decode_stub=False)
@@ -25,6 +29,7 @@ Operators:
 from __future__ import annotations
 
 import hashlib
+from struct import error as struct_error
 
 import numpy as np
 import pandas as pd
@@ -116,6 +121,47 @@ def decode_image_meta(df: DataFrame, id_col: str = "media_id",
                 "media_id", "mime", "width", "height", "channels",
                 "mean_millis"])
     return df.mapInPandas(gen, schema=DECODE_META_SCHEMA)
+
+
+AUDIO_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("mime", T.StringType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("duration_micros", T.IntegerType()),
+    T.StructField("sum_abs", T.LongType()),
+    T.StructField("peak", T.IntegerType()),
+])
+
+
+def decode_audio_meta(df: DataFrame, id_col: str = "media_id",
+                      bin_col: str = "payload") -> DataFrame:
+    """REAL audio decode for RIFF/WAVE PCM (imagecodec.decode_wav —
+    8/16/24/32-bit): sample rate, channel count, frame count, duration and
+    exact integer amplitude stats (sum of |sample|, peak). Compressed
+    audio (mp3, float WAV, ADPCM) yields NULL stats — kept, not faked."""
+    def gen(batches):
+        from .imagecodec import decode_wav
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf[id_col], pdf[bin_col]):
+                mime = sniff_media_type(bytes(b) if b is not None else None)
+                try:
+                    samples, rate = decode_wav(bytes(b))
+                    frames, ch = samples.shape
+                    a = np.abs(samples.astype(np.int64))
+                    rows.append((mid, mime, rate, ch, frames,
+                                 frames * 1_000_000 // max(rate, 1),
+                                 int(a.sum()), int(a.max()) if a.size else 0))
+                except (ValueError, NotImplementedError, TypeError,
+                        IndexError, struct_error):
+                    rows.append((mid, mime, None, None, None, None,
+                                 None, None))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "mime", "sample_rate", "channels", "n_frames",
+                "duration_micros", "sum_abs", "peak"])
+    return df.mapInPandas(gen, schema=AUDIO_META_SCHEMA)
 
 
 FEATURE_SCHEMA = T.StructType([

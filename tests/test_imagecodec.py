@@ -164,6 +164,66 @@ class TestGif:
         assert (C.decode_image(gif) == want).all()
 
 
+class TestWav:
+    def test_roundtrip_16bit_stereo(self):
+        s = ((np.arange(200).reshape(100, 2) * 131) % 4001 - 2000) \
+            .astype(np.int16)
+        dec, rate = C.decode_wav(C.encode_wav(s, 12000))
+        assert rate == 12000 and (dec == s).all()
+
+    def test_roundtrip_mono_extremes(self):
+        mono = np.array([0, 100, -100, 32767, -32768], dtype=np.int16)
+        dec, rate = C.decode_wav(C.encode_wav(mono, 8000))
+        assert (dec[:, 0] == mono).all() and dec.shape == (5, 1)
+
+    def test_8_and_24_bit(self):
+        import struct as st
+        # hand-build an 8-bit unsigned mono WAV: values 0..255 -> -128..127
+        data = bytes(range(256))
+        fmt = st.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        wav = (b"RIFF" + st.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+               + b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+               + b"data" + st.pack("<I", len(data)) + data)
+        dec, rate = C.decode_wav(wav)
+        assert (dec[:, 0] == np.arange(256) - 128).all()
+        # 24-bit: -(2^23), -1, 0, 1, 2^23-1
+        vals = [-(1 << 23), -1, 0, 1, (1 << 23) - 1]
+        data = b"".join(v.to_bytes(3, "little", signed=True) for v in vals)
+        fmt = st.pack("<HHIIHH", 1, 1, 8000, 24000, 3, 24)
+        wav = (b"RIFF" + st.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+               + b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+               + b"data" + st.pack("<I", len(data)) + data)
+        dec, _ = C.decode_wav(wav)
+        assert dec[:, 0].tolist() == vals
+
+    def test_honest_failures(self):
+        with pytest.raises(ValueError):
+            C.decode_wav(b"RIFFxxxxNOPE")
+        import struct as st
+        fmt = st.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # float WAV
+        wav = (b"RIFF" + st.pack("<I", 4 + 8 + len(fmt) + 8)
+               + b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+               + b"data" + st.pack("<I", 0))
+        with pytest.raises(NotImplementedError):
+            C.decode_wav(wav)
+
+    def test_decode_audio_meta_spark(self, spark):
+        from abot_dotnet_core_spark.functions.multimodal import (
+            decode_audio_meta)
+        s = np.array([[100, -200], [300, -400]], dtype=np.int16)
+        df = spark.createDataFrame([
+            Row(media_id=0, payload=bytearray(C.encode_wav(s, 16000))),
+            Row(media_id=1, payload=bytearray(b"\xff\xd8\xff not audio")),
+        ])
+        rows = {r["media_id"]: r for r in decode_audio_meta(df).collect()}
+        r0 = rows[0]
+        assert (r0["sample_rate"], r0["channels"], r0["n_frames"]) \
+            == (16000, 2, 2)
+        assert r0["sum_abs"] == 1000 and r0["peak"] == 400
+        assert r0["duration_micros"] == 2 * 1_000_000 // 16000
+        assert rows[1]["sum_abs"] is None
+
+
 class TestSparkDecodePaths:
     def _media(self, spark):
         px = _img3(6, 5)
