@@ -2893,15 +2893,22 @@ def q_image_decode(spark, sf_dir):
         import pandas as pd
         from abot_dotnet_core_spark.functions.imagecodec import (
             encode_bmp, encode_png, encode_ppm)
+        from abot_dotnet_core_spark.functions.imagecodec import encode_gif
         for pdf in batches:
             ids, payloads = [], []
             for i in pdf["doc_id"]:
                 i = int(i)
                 w, h = 4 + i % 5, 3 + i % 4
-                px = ((np.arange(h * w * 3, dtype=np.int64) + i) % 251) \
-                    .astype(np.uint8).reshape(h, w, 3)
+                if i % 4 == 3:
+                    idx = ((np.arange(h * w, dtype=np.int64) + i) % 251) \
+                        .astype(np.uint8).reshape(h, w)
+                    payloads.append(encode_gif(idx))
+                else:
+                    px = ((np.arange(h * w * 3, dtype=np.int64) + i) % 251) \
+                        .astype(np.uint8).reshape(h, w, 3)
+                    payloads.append(
+                        (encode_png, encode_bmp, encode_ppm)[i % 4](px))
                 ids.append(i)
-                payloads.append((encode_png, encode_bmp, encode_ppm)[i % 3](px))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     media = _docs(spark, sf_dir).select("doc_id").mapInPandas(
@@ -2911,24 +2918,30 @@ def q_image_decode(spark, sf_dir):
 
 def sql_image_decode():
     # sum_{j=0}^{n-1} (j + id) % 251 in closed form: with a = id % 251 and
-    # n = w*h*3 <= 144 < 251 the ramp wraps at most once — m = min(n, 251-a)
-    # terms before the wrap (arithmetic series from a), n-m after (from 0)
+    # n <= 144 < 251 the ramp wraps at most once — m = min(n, 251-a) terms
+    # before the wrap (arithmetic series from a), n-m after (from 0).
+    # GIF docs (id%4=3) ramp over w*h grayscale indices; decoded RGB is
+    # (v,v,v), so their mean over samples equals the mean over indices.
     return """
 WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
            FROM documents),
-m AS (SELECT doc_id, w, h, w * h * 3 AS n,
-             least(w * h * 3, 251 - (doc_id % 251)) AS m0,
+m AS (SELECT doc_id, w, h,
+             CASE WHEN doc_id % 4 = 3 THEN w * h ELSE w * h * 3 END AS n,
+             least(CASE WHEN doc_id % 4 = 3 THEN w * h
+                        ELSE w * h * 3 END,
+                   251 - (doc_id % 251)) AS m0,
              doc_id % 251 AS a
       FROM d),
-s AS (SELECT doc_id, w, h,
+s AS (SELECT doc_id, w, h, n,
              (m0 * a + (m0 * (m0 - 1)) // 2
               + ((n - m0) * (n - m0 - 1)) // 2)::BIGINT AS tot
       FROM m)
 SELECT doc_id AS media_id,
-       CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/bmp'
-            ELSE 'image/x-portable-pixmap' END AS mime,
+       CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/bmp'
+            WHEN 2 THEN 'image/x-portable-pixmap'
+            ELSE 'image/gif' END AS mime,
        w::int AS width, h::int AS height, 3 AS channels,
-       ((tot * 1000) // (w * h * 3))::int AS mean_millis
+       ((tot * 1000) // n)::int AS mean_millis
 FROM s"""
 
 

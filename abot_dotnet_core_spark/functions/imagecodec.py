@@ -324,6 +324,67 @@ def decode_gif(raw: bytes) -> np.ndarray:
     raise ValueError("GIF: no image data")
 
 
+def _gif_lzw_encode(idx: np.ndarray, min_code: int = 8) -> bytes:
+    """Reference GIF-LZW compressor (matches _gif_lzw's width-growth rule;
+    round-trip pinned by tests)."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    table = {(i,): i for i in range(clear)}
+    next_code, codes, prev = end + 1, [clear], ()
+    for v in idx.reshape(-1).tolist():
+        cand = prev + (v,)
+        if cand in table:
+            prev = cand
+        else:
+            codes.append(table[prev])
+            if next_code < 4096:
+                table[cand] = next_code
+                next_code += 1
+            prev = (v,)
+    if prev:
+        codes.append(table[prev])
+    codes.append(end)
+    out, acc, nbits = bytearray(), 0, 0
+    width, n_entries = min_code + 1, end + 1
+    for c in codes:
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        if c == clear:
+            n_entries, width = end + 1, min_code + 1
+        else:
+            n_entries += 1
+            if n_entries == (1 << width) and width < 12:
+                width += 1
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(idx: np.ndarray, palette: np.ndarray | None = None) -> bytes:
+    """Minimal GIF89a writer: one frame of 8-bit indexed pixels with a
+    256-entry global color table (default: grayscale k -> (k,k,k))."""
+    idx = np.asarray(idx, dtype=np.uint8)
+    h, w = idx.shape
+    if palette is None:
+        ramp = np.arange(256, dtype=np.uint8)
+        palette = np.stack([ramp, ramp, ramp], axis=1)
+    lzw = _gif_lzw_encode(idx)
+    blocks = bytearray()
+    i = 0
+    while i < len(lzw):
+        n = min(255, len(lzw) - i)
+        blocks += bytes([n]) + lzw[i:i + n]
+        i += n
+    blocks += b"\x00"
+    return (b"GIF89a" + struct.pack("<HH", w, h) + bytes([0x80 | 7, 0, 0])
+            + np.asarray(palette, dtype=np.uint8).tobytes()
+            + b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+            + bytes([8]) + bytes(blocks) + b"\x3B")
+
+
 # --------------------------------------------------------------------------
 # WAV (RIFF PCM) — the audio leg of the multimodal decode
 # --------------------------------------------------------------------------

@@ -163,6 +163,19 @@ class TestGif:
         assert (C.decode_gif(gif) == want).all()
         assert (C.decode_image(gif) == want).all()
 
+    def test_encode_gif_roundtrip(self):
+        idx = ((np.arange(9 * 14) * 89) % 256).astype(np.uint8) \
+            .reshape(9, 14)
+        dec = C.decode_gif(C.encode_gif(idx))
+        # default grayscale palette: decoded RGB = (v, v, v)
+        assert dec.shape == (9, 14, 3)
+        assert (dec[:, :, 0] == idx).all()
+        assert (dec[:, :, 1] == idx).all() and (dec[:, :, 2] == idx).all()
+        pal = ((np.arange(256 * 3) * 3) % 256).astype(np.uint8) \
+            .reshape(256, 3)
+        dec2 = C.decode_gif(C.encode_gif(idx, pal))
+        assert (dec2 == pal[idx]).all()
+
 
 class TestWav:
     def test_roundtrip_16bit_stereo(self):
