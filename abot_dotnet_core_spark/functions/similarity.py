@@ -305,17 +305,24 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 
 def _cap_clusters(assigned: DataFrame, max_cluster_size: int,
-                  id_col: str, vec_col: str) -> DataFrame:
+                  id_col: str, vec_col: str,
+                  semantic_max_subseeds: int = 64) -> DataFrame:
     """Bound the pair-join group sizes: re-split every cluster above
     ``max_cluster_size`` into a ``sub`` level, in two deterministic passes.
 
-    1. SEMANTIC split — for each oversized cluster, the ceil(size/max)
+    1. SEMANTIC split — for each oversized cluster needing
+       k_c = ceil(size/max) <= ``semantic_max_subseeds`` sub-seeds, the k_c
        lowest-id members become sub-seeds and every member assigns to its
        max-cosine sub-seed (one equi-join on cluster + a struct-max agg;
        cost sum(size_c * k_c), no driver loop, no codegen blowup). This is
        the hierarchical-k-means move the SemDeDup paper implies; exact
        duplicates land on the same sub-seed because assignment is a pure
-       function of the vector.
+       function of the vector. The k_c cap matters: WITHOUT it a
+       degenerate mega-cluster (size >> max * kcap) would need size/max
+       sub-seeds and the seed join would cost size^2/max — quadratic in
+       exactly the skew case this function exists to kill. Such clusters
+       skip straight to pass 2 (cost O(size), semantic locality traded
+       for survival).
     2. HASH fallback — k-means does not promise balance, so any
        (cluster, sub) still above the cap is chunked by a hash of the
        VECTOR FINGERPRINT (rounded coordinate string) mod ceil(size/max) —
@@ -332,7 +339,13 @@ def _cap_clusters(assigned: DataFrame, max_cluster_size: int,
     withn = assigned.join(F.broadcast(sizes), "cluster")
     small = (withn.filter(F.col("__n") <= max_cluster_size)
              .select(id_col, "cluster", vec_col, F.lit(0).alias("sub")))
-    big = withn.filter(F.col("__n") > max_cluster_size)
+    sem_limit = max_cluster_size * semantic_max_subseeds
+    # degenerate mega-clusters: no semantic pass (see docstring), sub=0
+    # rows flow into the hash fallback which chunks them in O(size)
+    huge = (withn.filter(F.col("__n") > sem_limit)
+            .select(id_col, "cluster", vec_col, F.lit(0).alias("sub")))
+    big = withn.filter((F.col("__n") > max_cluster_size)
+                       & (F.col("__n") <= sem_limit))
 
     w = W.partitionBy("cluster").orderBy(id_col)
     seeds = (big.withColumn("__rk", F.row_number().over(w))
@@ -359,6 +372,7 @@ def _cap_clusters(assigned: DataFrame, max_cluster_size: int,
         F.transform(F.col(vec_col),
                     lambda x: F.round(x.cast("double"), 6).cast("string")),
         ","))
+    scored = scored.unionByName(huge)
     sub_sizes = scored.groupBy("cluster", "sub").agg(
         F.count("*").alias("__sn"))
     # disjoint renumbering: untouched groups take sub*4096, chunked ones

@@ -152,6 +152,33 @@ class TestIvfArrowPath:
         assert max(sizes) <= 3 * 12   # hash-uniform: ~max in expectation
         assert len(sizes) >= 130 // 12  # actually split, not one group
 
+    def test_cap_degenerate_megacluster_skips_semantic(self, spark):
+        """A cluster needing more than semantic_max_subseeds sub-seeds must
+        bypass the quadratic seed join and go straight to hash chunking —
+        still bounded, exact dups still co-located."""
+        dim = 8
+        base = [Row(vec_id=i,
+                    embedding=[1.0 + 1e-4 * ((i * 31 + d * 17) % 97)
+                               for d in range(dim)])
+                for i in range(100)]
+        dups = [Row(vec_id=1000 + i, embedding=list(base[i].embedding))
+                for i in range(5)]
+        corpus = spark.createDataFrame(base + dups)
+        assigned = S.ivf_assign(corpus.select("vec_id", "embedding"),
+                                S.ivf_fit_centroids(corpus, 2, 1, dim),
+                                "embedding")
+        capped = S._cap_clusters(assigned, 10, "vec_id", "embedding",
+                                 semantic_max_subseeds=2)
+        # hot cluster (>= 10*2 rows) skipped semantic: it got chunked
+        sizes = [r["n"] for r in capped.groupBy("cluster", "sub")
+                 .agg(F.count("*").alias("n")).collect()]
+        assert max(sizes) <= 3 * 10 and len(sizes) >= 5
+        # identical vectors share the fingerprint chunk
+        sub_of = {r["vec_id"]: (r["cluster"], r["sub"])
+                  for r in capped.collect()}
+        for i in range(5):
+            assert sub_of[i] == sub_of[1000 + i]
+
     def test_semdedup_big_equals_small_semantics(self, spark, monkeypatch):
         dim = 8
         base = [Row(vec_id=i, embedding=_vec(i, dim)) for i in range(80)]
