@@ -277,7 +277,11 @@ def bloom_prefilter_bucketed(candidates: DataFrame, sidecar_path: str,
     anti-join decides; otherwise the reference md5 double-hash membership
     probe. The extra candidate shuffle (repartition by bucket) is the price
     of co-location — candidates are one round's links, orders of magnitude
-    below the seen table this prefilter protects."""
+    below the seen table this prefilter protects. Probe parallelism equals
+    ``buckets`` (one partition per bucket): at the scale that activates
+    this path, raise ``cfg.state_buckets`` (the same knob that bounds
+    per-bucket blob size) — e.g. 4096 buckets at 10^10 keys gives both
+    ~task-sized blobs and full cluster parallelism."""
     import pyarrow as pa
 
     withb = candidates.withColumn(
