@@ -2864,7 +2864,10 @@ def sql_multimodal_meta():
     return """
 SELECT doc_id AS media_id,
        CASE WHEN text LIKE 'GIF87a%' OR text LIKE 'GIF89a%' THEN 'image/gif'
-            WHEN text LIKE 'RIFF%' THEN 'audio/wav'
+            WHEN text LIKE 'RIFF%' THEN
+              CASE substr(text, 9, 4) WHEN 'WAVE' THEN 'audio/wav'
+                   WHEN 'AVI ' THEN 'video/x-msvideo'
+                   ELSE 'application/octet-stream' END
             WHEN text LIKE 'ID3%' THEN 'audio/mpeg'
             WHEN text LIKE chr(0) || chr(0) || chr(0) || '%' THEN 'video/mp4'
             WHEN text LIKE 'BM%' THEN 'image/bmp'
@@ -5030,6 +5033,60 @@ SELECT d.doc_id AS media_id, 'audio/wav' AS mime,
 FROM d JOIN s USING (doc_id)"""
 
 
+def q_video_decode(spark, sf_dir):
+    """REAL video decode (imagecodec.decode_avi — uncompressed RIFF/AVI,
+    raw 24-bit DIB frames): deterministic fixtures per document
+    (w=4+id%3, h=3+id%2, frames=2+id%3, 25 fps, sample J =
+    (J + id) % 251 ramping across ALL frames) -> decode_video_meta
+    recovers dimensions/frame count/fps and the exact integer sample mean
+    FROM THE BYTES; the oracle recomputes them in closed form (multi-wrap
+    arithmetic series — full 251-cycles sum to 31375 each)."""
+    from abot_dotnet_core_spark.functions.multimodal import decode_video_meta
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        from abot_dotnet_core_spark.functions.imagecodec import encode_avi
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h, nf = 4 + i % 3, 3 + i % 2, 2 + i % 3
+                fr = ((np.arange(nf * h * w * 3, dtype=np.int64) + i) % 251) \
+                    .astype(np.uint8).reshape(nf, h, w, 3)
+                ids.append(i)
+                payloads.append(encode_avi(fr, us_per_frame=40_000))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        gen, "media_id long, payload binary")
+    return decode_video_meta(media)
+
+
+def sql_video_decode():
+    # sum over J in [0, n) of (J + a) % 251: each full 251-cycle sums to
+    # 250*251/2 = 31375 (phase-independent); the r remaining terms are the
+    # single-wrap arithmetic-series split used by image_decode
+    return """
+WITH d AS (SELECT doc_id, 4 + doc_id % 3 AS w, 3 + doc_id % 2 AS h,
+                  2 + doc_id % 3 AS nf
+           FROM documents),
+m AS (SELECT doc_id, w, h, nf, nf * w * h * 3 AS n, doc_id % 251 AS a
+      FROM d),
+m2 AS (SELECT doc_id, w, h, nf, n, a, n % 251 AS r, n // 251 AS q,
+              least(n % 251, 251 - a) AS m0
+       FROM m),
+s AS (SELECT doc_id, w, h, nf, n,
+             (q * 31375 + m0 * a + (m0 * (m0 - 1)) // 2
+              + ((r - m0) * (r - m0 - 1)) // 2)::BIGINT AS tot
+      FROM m2)
+SELECT doc_id AS media_id, 'video/x-msvideo' AS mime,
+       w::int AS width, h::int AS height, nf::int AS n_frames,
+       25000 AS fps_millis,
+       ((tot * 1000) // n)::int AS mean_millis
+FROM s"""
+
+
 def q_chunk_documents(spark, sf_dir):
     """Fixed-size character chunking with overlap (512-char windows, stride
     384): the long-document -> training-example transform. Emits the digest
@@ -5467,6 +5524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode": q_image_decode,
         "image_resize": q_image_resize,
         "audio_decode": q_audio_decode,
+        "video_decode": q_video_decode,
         # streaming-shaped event analytics
         "events_tumbling": q_events_tumbling,
         "events_sessions": q_events_sessions,
@@ -5609,6 +5667,7 @@ def oracle_sql() -> dict[str, str]:
         "image_decode": sql_image_decode(),
         "image_resize": sql_image_resize(),
         "audio_decode": sql_audio_decode(),
+        "video_decode": sql_video_decode(),
         "events_tumbling": sql_events_tumbling(),
         "events_sessions": sql_events_sessions(),
         "events_sliding": sql_events_sliding(),

@@ -443,6 +443,92 @@ def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
 
 
 # --------------------------------------------------------------------------
+# AVI (RIFF, uncompressed DIB frames) — the video leg
+# --------------------------------------------------------------------------
+
+def decode_avi(raw: bytes) -> tuple[np.ndarray, int]:
+    """Decode an uncompressed RIFF/AVI (raw 24-bit DIB '00db' frames,
+    bottom-up BGR like BMP) to ((n_frames, h, w, 3) uint8 array,
+    micros_per_frame). Compressed streams (anything whose strh handler is
+    not DIB/raw and whose frames aren't 00db) raise NotImplementedError."""
+    if raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+
+    w = h = None
+    us_per_frame = 0
+    frames: list[np.ndarray] = []
+
+    def walk(buf: bytes) -> None:
+        nonlocal w, h, us_per_frame
+        pos = 0
+        while pos + 8 <= len(buf):
+            cid = buf[pos:pos + 4]
+            size = struct.unpack("<I", buf[pos + 4:pos + 8])[0]
+            body = buf[pos + 8:pos + 8 + size]
+            pos += 8 + size + (size & 1)
+            if cid == b"LIST":
+                walk(body[4:])                       # skip the list type id
+            elif cid == b"avih":
+                us_per_frame = struct.unpack("<I", body[0:4])[0]
+                w = struct.unpack("<I", body[32:36])[0]
+                h = struct.unpack("<I", body[36:40])[0]
+            elif cid == b"strh":
+                if body[:4] == b"vids" and body[4:8] not in (
+                        b"DIB ", b"\x00\x00\x00\x00"):
+                    raise NotImplementedError(
+                        f"AVI: compressed video handler {body[4:8]!r}")
+            elif cid in (b"00db", b"01db"):
+                frames.append(np.frombuffer(body, dtype=np.uint8))
+            elif cid in (b"00dc", b"01dc"):
+                raise NotImplementedError("AVI: compressed frame chunk")
+
+    walk(raw[12:])
+    if w is None or h is None or not frames:
+        raise ValueError("AVI: missing avih header or frames")
+    stride = ((w * 3) + 3) & ~3
+    out = np.zeros((len(frames), h, w, 3), dtype=np.uint8)
+    for f, data in enumerate(frames):
+        for y in range(h):
+            row = data[y * stride: y * stride + w * 3].reshape(w, 3)
+            out[f, h - 1 - y] = row[:, ::-1]          # BGR -> RGB, bottom-up
+    return out, us_per_frame
+
+
+def encode_avi(frames: np.ndarray, us_per_frame: int = 40_000) -> bytes:
+    """Minimal uncompressed AVI writer: (n, h, w, 3) uint8 RGB frames as
+    raw bottom-up BGR '00db' chunks with a DIB vids stream header."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    n, h, w, _ = frames.shape
+    stride = ((w * 3) + 3) & ~3
+    pad = b"\x00" * (stride - w * 3)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body \
+            + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack("<IIIIIIIIII", us_per_frame, stride * h * 25, 0,
+                       0x10, n, 0, 1, stride * h, w, h) + b"\x00" * 16
+    strh = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
+                                            us_per_frame, 1_000_000, 0, n,
+                                            stride * h, 0, 0)
+            + struct.pack("<hhhh", 0, 0, w, h))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h,
+                       2835, 2835, 0, 0)
+    movi_body = b"".join(
+        chunk(b"00db", b"".join(
+            frames[f, h - 1 - y, :, ::-1].tobytes() + pad
+            for y in range(h)))
+        for f in range(n))
+    body = (lst(b"hdrl", chunk(b"avih", avih)
+                + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+            + lst(b"movi", movi_body))
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+
+
+# --------------------------------------------------------------------------
 # dispatch
 # --------------------------------------------------------------------------
 

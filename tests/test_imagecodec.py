@@ -237,6 +237,49 @@ class TestWav:
         assert rows[1]["sum_abs"] is None
 
 
+class TestAvi:
+    def test_roundtrip(self):
+        fr = ((np.arange(3 * 5 * 7 * 3) * 11) % 256).astype(np.uint8) \
+            .reshape(3, 5, 7, 3)
+        dec, us = C.decode_avi(C.encode_avi(fr, 33367))
+        assert us == 33367 and (dec == fr).all()
+
+    def test_odd_width_stride_padding(self):
+        fr = ((np.arange(2 * 4 * 5 * 3) * 7) % 256).astype(np.uint8) \
+            .reshape(2, 4, 5, 3)
+        dec, _ = C.decode_avi(C.encode_avi(fr))
+        assert (dec == fr).all()
+
+    def test_honest_failures(self):
+        with pytest.raises(ValueError):
+            C.decode_avi(b"RIFFxxxxWAVE")            # not an AVI
+        # compressed frame chunk raises
+        import struct as st
+        fr = np.zeros((1, 2, 2, 3), dtype=np.uint8)
+        good = C.encode_avi(fr)
+        bad = good.replace(b"00db", b"00dc")
+        with pytest.raises(NotImplementedError):
+            C.decode_avi(bad)
+
+    def test_decode_video_meta_spark(self, spark):
+        from abot_dotnet_core_spark.functions.multimodal import (
+            decode_video_meta)
+        fr = ((np.arange(2 * 3 * 4 * 3) * 13) % 256).astype(np.uint8) \
+            .reshape(2, 3, 4, 3)
+        df = spark.createDataFrame([
+            Row(media_id=0, payload=bytearray(C.encode_avi(fr, 40_000))),
+            Row(media_id=1, payload=bytearray(b"GIF89a not a video")),
+        ])
+        rows = {r["media_id"]: r for r in decode_video_meta(df).collect()}
+        r0 = rows[0]
+        assert (r0["width"], r0["height"], r0["n_frames"]) == (4, 3, 2)
+        assert r0["mime"] == "video/x-msvideo"
+        assert r0["fps_millis"] == 25000
+        want = (int(fr.astype(np.int64).sum()) * 1000) // fr.size
+        assert r0["mean_millis"] == want
+        assert rows[1]["width"] is None
+
+
 class TestSparkDecodePaths:
     def _media(self, spark):
         px = _img3(6, 5)
