@@ -262,15 +262,23 @@ def _gif_lzw(min_code: int, data: bytes, n_expected: int) -> np.ndarray:
                 entry = table[code]
             elif code in table:
                 entry = table[code]
-                table[next_code] = prev + (entry[0],)
-                next_code += 1
+                if next_code < 4096:                     # encoder caps at 12 bits
+                    table[next_code] = prev + (entry[0],)
+                    next_code += 1
             else:                                        # KwKwK case
+                if code != next_code or next_code >= 4096:
+                    raise ValueError("GIF: corrupt LZW stream")
                 entry = prev + (prev[0],)
                 table[next_code] = entry
                 next_code += 1
             out.extend(entry)
             prev = entry
-            if next_code == (1 << width) and width < 12:
+            # The decoder's next_code lags the encoder's by one (no table
+            # entry is added for the first code after a clear), so code width
+            # must grow one code EARLIER than the naive next_code == 2**width
+            # rule or the bit reader desyncs at every 9->10/10->11/11->12
+            # boundary (any frame with >= ~254 emitted codes).
+            if next_code == (1 << width) - 1 and width < 12:
                 width += 1
     return np.array(out[:n_expected], dtype=np.uint8)
 

@@ -29,11 +29,20 @@ Operators:
 from __future__ import annotations
 
 import hashlib
+import zlib
 from struct import error as struct_error
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
+
+# Everything a junk/truncated/corrupt payload can raise out of the pure-
+# stdlib decoders: struct.error (short headers), zlib.error (corrupt PNG
+# IDAT), KeyError/IndexError (corrupt LZW/chunk tables). The decode_*_meta
+# contract is "undecodable payloads yield NULL", so the net must cover all
+# of them or one bad blob fails the whole Spark job.
+_DECODE_ERRORS = (ValueError, NotImplementedError, TypeError, IndexError,
+                  KeyError, struct_error, zlib.error)
 
 _MAGIC = [
     (b"\xff\xd8\xff", "image/jpeg"),
@@ -120,7 +129,7 @@ def decode_image_meta(df: DataFrame, id_col: str = "media_id",
                     tot = int(px.astype(np.int64).sum())
                     rows.append((mid, mime, w, h, ch,
                                  (tot * 1000) // (h * w * ch)))
-                except (ValueError, NotImplementedError, TypeError):
+                except _DECODE_ERRORS:
                     rows.append((mid, mime, None, None, None, None))
             yield pd.DataFrame(rows, columns=[
                 "media_id", "mime", "width", "height", "channels",
@@ -158,8 +167,7 @@ def decode_video_meta(df: DataFrame, id_col: str = "media_id",
                     rows.append((mid, mime, w, h, n,
                                  1_000_000_000 // max(us, 1),
                                  (tot * 1000) // frames.size))
-                except (ValueError, NotImplementedError, TypeError,
-                        IndexError, struct_error):
+                except _DECODE_ERRORS:
                     rows.append((mid, mime, None, None, None, None, None))
             yield pd.DataFrame(rows, columns=[
                 "media_id", "mime", "width", "height", "n_frames",
@@ -198,8 +206,7 @@ def decode_audio_meta(df: DataFrame, id_col: str = "media_id",
                     rows.append((mid, mime, rate, ch, frames,
                                  frames * 1_000_000 // max(rate, 1),
                                  int(a.sum()), int(a.max()) if a.size else 0))
-                except (ValueError, NotImplementedError, TypeError,
-                        IndexError, struct_error):
+                except _DECODE_ERRORS:
                     rows.append((mid, mime, None, None, None, None,
                                  None, None))
             yield pd.DataFrame(rows, columns=[

@@ -176,6 +176,21 @@ class TestGif:
         dec2 = C.decode_gif(C.encode_gif(idx, pal))
         assert (dec2 == pal[idx]).all()
 
+    def test_roundtrip_code_width_boundaries(self):
+        # >= ~254 emitted codes crosses 9->10 bits; 64x64 random crosses
+        # 10->11; 128x128 random crosses 11->12 AND the 4096-entry table
+        # cap (regression: decoder width growth lagged the encoder by one
+        # code, so every frame this size desynced or KeyError'd).
+        rng = np.random.default_rng(7)
+        for shape in [(40, 40), (64, 64), (128, 128)]:
+            idx = rng.integers(0, 256, size=shape).astype(np.uint8)
+            dec = C.decode_gif(C.encode_gif(idx))
+            assert dec.shape == shape + (3,)
+            assert (dec[:, :, 0] == idx).all(), shape
+        # low-entropy frame: long runs reuse table entries heavily
+        patt = np.tile(np.arange(256, dtype=np.uint8), 64).reshape(128, 128)
+        assert (C.decode_gif(C.encode_gif(patt))[:, :, 0] == patt).all()
+
 
 class TestWav:
     def test_roundtrip_16bit_stereo(self):
@@ -332,3 +347,29 @@ class TestSparkDecodePaths:
         for mid in (0, 1, 2):
             assert bytes(rows[mid]["payload"]) == want
             assert (rows[mid]["width"], rows[mid]["height"]) == (3, 2)
+
+    def test_junk_payloads_yield_null_not_job_failure(self, spark):
+        """Real-world junk raises struct.error / zlib.error / KeyError out
+        of the stdlib decoders — the decode_*_meta contract is NULL stats,
+        never a failed Spark job (regression for the narrow except net)."""
+        from abot_dotnet_core_spark.functions.multimodal import (
+            decode_audio_meta, decode_image_meta, decode_video_meta)
+        png = bytearray(C.encode_png(_img3(6, 5)))
+        corrupt_png = bytes(png[:40]) + b"\x00" * 8 + bytes(png[48:])
+        junk = [
+            Row(media_id=0, payload=bytearray(b"BM\x01\x02")),       # struct
+            Row(media_id=1, payload=bytearray(corrupt_png)),         # zlib
+            Row(media_id=2, payload=bytearray(
+                b"GIF89a\x05\x00\x05\x00\x87\x00\x00" + b"\x00" * 768
+                + b"\x2c\x00\x00\x00\x00\x05\x00\x05\x00\x00"
+                + bytes([8, 2, 0xFF, 0x3F, 0]) + b"\x3b")),          # LZW
+            Row(media_id=3, payload=bytearray(b"RIFF\x04\x00\x00\x00WAVE")),
+            Row(media_id=4, payload=bytearray(b"\x89PNG\r\n\x1a\n\x00")),
+        ]
+        df = spark.createDataFrame(junk)
+        for fn, stat in [(decode_image_meta, "width"),
+                         (decode_audio_meta, "sample_rate"),
+                         (decode_video_meta, "n_frames")]:
+            rows = fn(df).collect()
+            assert len(rows) == 5
+            assert all(r[stat] is None for r in rows)
