@@ -27,9 +27,24 @@ the semantics-defining reference shape, exact for any N.
 
 from __future__ import annotations
 
+from bisect import bisect_right
+
 from pyspark.sql import DataFrame, functions as F
 
 END_MARK = "</w>"
+
+# Above this many merge rules, bpe_segment/bpe_encode_words switch from the
+# chained-F.aggregate codegen projection to one Arrow-batched mapInPandas
+# pass that applies the (broadcast) merge list per word in Python. The
+# codegen chain generates one higher-order-function layer PER merge — fine
+# for a handful, but Catalyst analysis/janino compile cost grows
+# superlinearly in chain depth and a real tokenizer's ~32k merges is
+# infeasible as a single expression tree. The Python path's cost is bounded
+# by |vocab| rows (the corpus never reaches it), and per word it only
+# touches merges whose pair actually occurs, so it is O(|word| * merges
+# applied), not O(|merges|). Same gate pattern as similarity.py's
+# IVF_ARROW_THRESHOLD.
+BPE_ARROW_THRESHOLD = 8
 
 
 def word_symbols(words: DataFrame, word_col: str = "word",
@@ -100,12 +115,105 @@ def bpe_train(words: DataFrame, n_merges: int = 10,
         "rank int, left_sym string, right_sym string, pair_count long")
 
 
+def _merge_pass_py(syms: list[str], left: str, right: str) -> list[str]:
+    """One greedy leftmost non-overlapping merge pass — the exact Python
+    mirror of _apply_merge's fold (tail == left and current == right merge
+    into left+right, which cannot re-match left)."""
+    merged = left + right
+    out: list[str] = []
+    for x in syms:
+        if out and out[-1] == left and x == right:
+            out[-1] = merged
+        else:
+            out.append(x)
+    return out
+
+
+def _apply_merges_py(syms: list[str], merges: list[tuple[str, str]],
+                     ranks: dict[tuple[str, str], list[int]]) -> list[str]:
+    """Apply an ordered merge list to one word, skipping absent pairs.
+
+    Sequential rank-order application (the codegen chain's semantics) is
+    equivalent to: repeatedly apply the lowest-rank pass whose pair is
+    currently present AND whose rank is greater than the last applied
+    rank. (Skipped passes are identities, and a pass can only create
+    pairs considered at strictly later ranks — a lower-rank pair created
+    afterwards stays unmerged, exactly like the chain.) This makes the
+    cost O(|word| * passes applied) instead of O(|merges|) per word."""
+    prev = 0
+    while True:
+        best = None
+        for pair in zip(syms, syms[1:]):
+            rs = ranks.get(pair)
+            if rs is None:
+                continue
+            i = bisect_right(rs, prev)
+            if i < len(rs) and (best is None or rs[i] < best):
+                best = rs[i]
+        if best is None:
+            return syms
+        left, right = merges[best - 1]
+        syms = _merge_pass_py(syms, left, right)
+        prev = best
+
+
+def _merge_ranks(merges: list[tuple[str, str]]
+                 ) -> dict[tuple[str, str], list[int]]:
+    ranks: dict[tuple[str, str], list[int]] = {}
+    for i, (left, right) in enumerate(merges, start=1):
+        ranks.setdefault((left, right), []).append(i)
+    return ranks
+
+
+def _segment_arrow(words: DataFrame, merges: list[tuple[str, str]],
+                   word_col: str, count_col: str,
+                   encode: bool) -> DataFrame:
+    """Arrow path: ONE mapInPandas pass applying the broadcast merge list
+    per word in Python. Input is the |vocab|-row word table, never the
+    corpus, so the Python boundary cost is bounded by vocab size."""
+    import pandas as pd
+
+    bc = words.sparkSession.sparkContext.broadcast(list(merges))
+    src = words.select(F.col(word_col).alias("word"),
+                       F.col(count_col).cast("long").alias("cnt"))
+
+    def gen(batches):
+        mg = bc.value
+        ranks = _merge_ranks(mg)
+        for pdf in batches:
+            syms_out = [
+                _apply_merges_py(list(w) + [END_MARK], mg, ranks)
+                for w in pdf["word"]]
+            if encode:
+                yield pd.DataFrame({
+                    "word": pdf["word"], "cnt": pdf["cnt"],
+                    "n_tokens": [len(s) for s in syms_out],
+                    "encoded": [" ".join(s) for s in syms_out]})
+            else:
+                yield pd.DataFrame({"cnt": pdf["cnt"], "syms": syms_out})
+
+    if encode:
+        return src.mapInPandas(
+            gen, schema="word string, cnt long, n_tokens int, encoded string")
+    return src.mapInPandas(gen, schema="cnt long, syms array<string>")
+
+
+def _use_arrow(merges: list[tuple[str, str]], arrow: bool | None) -> bool:
+    return (len(merges) > BPE_ARROW_THRESHOLD) if arrow is None else arrow
+
+
 def bpe_segment(words: DataFrame, merges: list[tuple[str, str]],
-                word_col: str = "word",
-                count_col: str = "cnt") -> DataFrame:
+                word_col: str = "word", count_col: str = "cnt",
+                arrow: bool | None = None) -> DataFrame:
     """Apply an ordered merge list to a word table: (cnt, syms) after all
-    merges — the tokenizer's encode step for whole words. Each merge is
-    one row-local fold; the chain is a single codegen projection."""
+    merges — the tokenizer's encode step for whole words. Up to
+    BPE_ARROW_THRESHOLD merges each merge is one row-local fold and the
+    chain is a single codegen projection; above it (or with arrow=True)
+    the whole list is applied in one Arrow-batched Python pass over the
+    vocab table — identical output, pinned by tests."""
+    if _use_arrow(merges, arrow):
+        return _segment_arrow(words, merges, word_col, count_col,
+                              encode=False)
     out = word_symbols(words, word_col, count_col)
     syms = F.col("syms")
     for left, right in merges:
@@ -114,16 +222,22 @@ def bpe_segment(words: DataFrame, merges: list[tuple[str, str]],
 
 
 def bpe_encode_words(words: DataFrame, merges: list[tuple[str, str]],
-                     word_col: str = "word",
-                     count_col: str = "cnt") -> DataFrame:
+                     word_col: str = "word", count_col: str = "cnt",
+                     arrow: bool | None = None) -> DataFrame:
     """The user-facing encode step: apply an ordered merge list to each
     word and return (word, cnt, n_tokens, encoded) — ``encoded`` is the
     space-joined subword sequence (with the </w> marker), ``n_tokens`` the
-    token count this tokenizer assigns the word. Same row-local merge
-    folds as bpe_segment (one codegen projection, zero shuffle, zero
-    Python); at 100 TB the corpus first collapses to its word-frequency
-    table, this runs over the |vocab| rows, and token counts join back to
-    documents by word — the corpus text itself is never re-shuffled."""
+    token count this tokenizer assigns the word. Small merge lists run as
+    row-local codegen folds (one projection, zero shuffle, zero Python);
+    above BPE_ARROW_THRESHOLD the ordered list ships as a broadcast into
+    one mapInPandas pass (a ~32k-merge production vocab cannot be a single
+    expression tree). Either way: at 100 TB the corpus first collapses to
+    its word-frequency table, this runs over the |vocab| rows, and token
+    counts join back to documents by word — the corpus text itself is
+    never re-shuffled."""
+    if _use_arrow(merges, arrow):
+        return _segment_arrow(words, merges, word_col, count_col,
+                              encode=True)
     out = words.select(F.col(word_col).alias("word"),
                        F.col(count_col).cast("long").alias("cnt"),
                        F.concat(F.split(F.col(word_col), "(?!$)"),
