@@ -547,10 +547,15 @@ s{r} AS (
            AS sum_scaled
   FROM rg{r} GROUP BY node)""")
         summaries.append(
-            f"SELECT node, r, n_present, sum_scaled,\n"
+            f"SELECT node, r, n_present, sum_scaled, ball_est,\n"
+            f"       CASE WHEN n_present < {m} AND ball_est * 2 <= {5 * m}\n"
+            f"            THEN round({m}::double"
+            f" * ln({m}::double / ({m} - n_present)))::bigint\n"
+            f"            ELSE ball_est END AS ball_est_lc\n"
+            f"FROM (SELECT node, r, n_present, sum_scaled,\n"
             f"       (({alpha_micros} * (({m}::bigint * {m}"
             f" * (1::bigint << {max_rho})) // sum_scaled))"
-            f" // 1000000)::bigint AS ball_est FROM s{r}")
+            f" // 1000000)::bigint AS ball_est FROM s{r}) raw{r}")
     return ("WITH " + ",\n".join(parts) + "\n"
             + "\nUNION ALL\n".join(summaries))
 
@@ -564,21 +569,22 @@ def q_neighborhood_fn(spark, sf_dir):
 
     Estimator caveat (see hyperball): pairs_est sums RAW HLL estimates,
     which are strongly biased upward while balls are << m = 2^p (a
-    radius-0 ball of 1 reads ~45 at p=6) — real effective-diameter use
-    must apply the linear-counting correction m*ln(m/(m-n_present))
-    per node first (n_present is in hyperball's output) or raise p; this
-    catalog entry keeps the raw sum because the oracle pins the frozen
-    raw-estimator spec, not because the raw sum is a good diameter
-    statistic at this graph size."""
+    radius-0 ball of 1 reads ~45 at p=6) — kept because the oracle pins
+    the frozen raw-estimator spec. pairs_est_lc sums hyperball's
+    small-range-corrected ball_est_lc (linear counting below 2.5m) and is
+    the column an effective-diameter read-off should use (smallest r with
+    pairs_est_lc >= 90% of the r_max value)."""
     hb = q_hyperball(spark, sf_dir)
     return (hb.groupBy("r")
             .agg(F.count("*").cast("long").alias("n_nodes"),
-                 F.sum("ball_est").cast("long").alias("pairs_est")))
+                 F.sum("ball_est").cast("long").alias("pairs_est"),
+                 F.sum("ball_est_lc").cast("long").alias("pairs_est_lc")))
 
 
 def sql_neighborhood_fn():
     return (f"SELECT r, count(*)::BIGINT AS n_nodes,"
-            f" sum(ball_est)::BIGINT AS pairs_est FROM (\n"
+            f" sum(ball_est)::BIGINT AS pairs_est,"
+            f" sum(ball_est_lc)::BIGINT AS pairs_est_lc FROM (\n"
             + sql_hyperball()
             + "\n) hb GROUP BY r")
 

@@ -431,6 +431,12 @@ class CrawlEngine:
             "next_seq": self.next_seq,
             "n_root_domains": self.n_root_domains,
             "max_not_before": self.max_not_before,
+            # authoritative sidecar mode for resume: derived from EXACT blob
+            # byte lengths at merge time, so restarts never re-decide the
+            # broadcast-vs-bucketed gate from parquet footer sizes (which
+            # include encoding overhead and can flip the mode near the
+            # ceiling)
+            "sidecar_bucketed": self._sidecar_bucketed,
         }
 
     @classmethod
@@ -480,21 +486,27 @@ class CrawlEngine:
             eng._root_domains_df = spark.read.parquet(rd_path)
         sc_path = os.path.join(store_root, "bloom_sidecar", f"round={last}")
         if os.path.isdir(sc_path):
-            # mode gate from parquet FOOTER metadata only — a sidecar past
-            # the broadcast ceiling must not be materialized on the driver
-            # just to decide it shouldn't be
-            import glob
+            # mode gate: the manifest records the EXACT decision made at
+            # merge time (same metric as the build/merge gates), so resume
+            # never flips broadcast-vs-bucketed near the ceiling. Fallback
+            # for pre-counter checkpoints: parquet FOOTER metadata only —
+            # a sidecar past the broadcast ceiling must not be materialized
+            # on the driver just to decide it shouldn't be.
+            bucketed = counters.get("sidecar_bucketed")
+            if bucketed is None:
+                import glob
 
-            import pyarrow.parquet as pq
-            blob_bytes = 0
-            for fpath in glob.glob(os.path.join(sc_path, "*.parquet")):
-                md = pq.ParquetFile(fpath).metadata
-                for rg in range(md.num_row_groups):
-                    for c in range(md.num_columns):
-                        col = md.row_group(rg).column(c)
-                        if col.path_in_schema == "blob":
-                            blob_bytes += col.total_uncompressed_size
-            if blob_bytes > cfg.bloom_broadcast_max_bytes:
+                import pyarrow.parquet as pq
+                blob_bytes = 0
+                for fpath in glob.glob(os.path.join(sc_path, "*.parquet")):
+                    md = pq.ParquetFile(fpath).metadata
+                    for rg in range(md.num_row_groups):
+                        for c in range(md.num_columns):
+                            col = md.row_group(rg).column(c)
+                            if col.path_in_schema == "blob":
+                                blob_bytes += col.total_uncompressed_size
+                bucketed = blob_bytes > cfg.bloom_broadcast_max_bytes
+            if bucketed:
                 eng._sidecar_bucketed = True
                 eng._sidecar_round = last
             else:

@@ -517,9 +517,9 @@ def hyperball(nodes: DataFrame, edges: DataFrame, radius: int = 3,
     bit-identical to the sketch an oracle computes from the exact
     membership set.
 
-    Returns (node, r, n_present, sum_scaled, ball_est), one row per node
-    per radius. Neighbors outside ``nodes`` are dangling and contribute
-    nothing (their registers never exist).
+    Returns (node, r, n_present, sum_scaled, ball_est, ball_est_lc), one
+    row per node per radius. Neighbors outside ``nodes`` are dangling and
+    contribute nothing (their registers never exist).
 
     Scale posture: per round ONE equi-join (edges against the register
     table on dst) + ONE groupBy(node, bucket) max with map-side combine —
@@ -533,13 +533,14 @@ def hyperball(nodes: DataFrame, edges: DataFrame, radius: int = 3,
     Estimator caveat: ``ball_est`` is the RAW HLL estimator (the frozen
     sketches.py spec — no small-range correction), which is WILDLY biased
     when a ball is much smaller than m = 2^p: a radius-0 singleton at
-    p = 6 estimates ~45, not 1. ``n_present`` ships precisely so the
-    caller can apply linear counting where it applies —
-    ``m * ln(m / (m - n_present))`` is the standard small-range estimate
-    whenever ``n_present < m`` and the raw estimate is below ~2.5m.
-    Effective-diameter read-offs over small-radius balls (and anything
-    summing ball_est, e.g. neighborhood_fn's pairs_est) MUST correct
-    first or raise p until balls are >> m."""
+    p = 6 estimates ~45, not 1. ``ball_est_lc`` applies the standard HLL
+    small-range rule: linear counting ``round(m * ln(m / (m - n_present)))``
+    whenever ``n_present < m`` AND the raw estimate is <= 2.5m, else the
+    raw estimate — directly usable for effective-diameter read-offs
+    (anything summing estimates, e.g. neighborhood_fn's pairs_est_lc,
+    should sum THIS column, not the raw one). The LC values for each
+    possible n_present sit >= 9e-5 away from an integer-rounding boundary
+    at p=6, so the column stays engine-exact despite the ln()."""
     m = 1 << p
     rem_bits = 48 - p
     alpha_micros = round(0.7213 / (1 + 1.079 / m) * 10**6)
@@ -574,7 +575,17 @@ def hyperball(nodes: DataFrame, edges: DataFrame, radius: int = 3,
                         "sum_scaled",
                         F.expr(f"({alpha_micros}L * (({m}L * {m}L *"
                                f" {1 << max_rho}L) DIV sum_scaled))"
-                               " DIV 1000000").alias("ball_est")))
+                               " DIV 1000000").alias("ball_est"))
+                .withColumn(
+                    "ball_est_lc",
+                    F.when((F.col("n_present") < m)
+                           & (F.col("ball_est") * 2 <= 5 * m),
+                           F.round(F.lit(float(m))
+                                   * F.log(F.lit(float(m))
+                                           / (F.lit(m) - F.col("n_present"))
+                                           .cast("double")), 0)
+                           .cast("long"))
+                    .otherwise(F.col("ball_est"))))
 
     e = edges.select("src", "dst").distinct()
     outs = [summary(regs, 0)]

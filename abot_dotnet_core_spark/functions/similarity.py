@@ -38,11 +38,29 @@ def cosine_col(a, b):
     return _dot(ad, bd) / (_norm(ad) * _norm(bd))
 
 
+# brute_force_topk broadcasts the query set against every corpus row; past
+# this many queries the broadcast (and the |corpus| x |queries| score
+# volume) stops being a plan — the guard fails fast with a pointer to the
+# bucketed paths instead of letting the broadcast OOM an executor.
+BRUTE_FORCE_MAX_QUERIES = 10_000
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
-    """Exact cosine top-k per query. ``queries`` must be broadcast-small."""
+                     q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+                     max_queries: int = BRUTE_FORCE_MAX_QUERIES) -> DataFrame:
+    """Exact cosine top-k per query. ``queries`` must be broadcast-small:
+    more than ``max_queries`` rows raises ValueError — use ``lsh_topk`` or
+    ``ivf_topk`` (bucketed candidate generation) for large query sets."""
     from pyspark.sql import Window as W
+    if max_queries is not None:
+        # probe via limit(n+1) so the check never scans past the threshold
+        n_q = queries.limit(max_queries + 1).count()
+        if n_q > max_queries:
+            raise ValueError(
+                f"brute_force_topk: query set has > {max_queries} rows; "
+                "the broadcast cross-join is only for small query sets — "
+                "use lsh_topk or ivf_topk (or raise max_queries explicitly)")
     joined = corpus.crossJoin(F.broadcast(queries))
     joined = joined.filter(F.col(id_col) != F.col(q_id_col))
     scored = joined.withColumn(
@@ -184,16 +202,25 @@ def _ivf_assign_arrow(df: DataFrame, cents: list[list[float]],
 
     @pandas_udf("int")
     def _assign(v: pd.Series) -> pd.Series:
+        if len(v) == 0:                      # np.stack raises on empty
+            return pd.Series([], dtype=np.int32)
         cm = bc.value
         cn = np.linalg.norm(cm, axis=1)
-        out = np.empty(len(v), dtype=np.int32)
         mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
         vn = np.linalg.norm(mat, axis=1)
         cos = (mat @ cm.T) / (vn[:, None] * cn[None, :])
-        out[:] = np.argmax(np.round(cos, 6), axis=1)
-        return pd.Series(out)
+        return pd.Series(np.argmax(_round_half_up6(cos), axis=1)
+                         .astype(np.int32))
 
     return df.withColumn(out_col, _assign(F.col(vec_col)))
+
+
+def _round_half_up6(x: np.ndarray) -> np.ndarray:
+    """Match Spark's F.round (BigDecimal HALF_UP: ties away from zero) at 6
+    decimals — np.round's banker's rounding can flip an argmax/nprobe
+    tie-break against the JVM literal path when a cosine lands exactly on a
+    5e-7 boundary."""
+    return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6
 
 
 def ivf_assign(df: DataFrame, cents: list[list[float]],
@@ -244,11 +271,14 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
         @pandas_udf("array<int>")
         def _probe(v: pd.Series) -> pd.Series:
+            if len(v) == 0:                  # np.stack raises on empty
+                return pd.Series([], dtype=object)
             cm = bc.value
             cn = np.linalg.norm(cm, axis=1)
             mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
             vn = np.linalg.norm(mat, axis=1)
-            cos = np.round((mat @ cm.T) / (vn[:, None] * cn[None, :]), 6)
+            cos = _round_half_up6(
+                (mat @ cm.T) / (vn[:, None] * cn[None, :]))
             # lexsort: primary -cosine desc, secondary cluster id asc
             order = np.argsort(-cos, axis=1, kind="stable")
             return pd.Series([row[:nprobe].astype(np.int32).tolist()

@@ -313,8 +313,15 @@ def bloom_prefilter_bucketed(candidates: DataFrame, sidecar_path: str,
             if n == 0:
                 continue
             bcol = batch.column("__bucket").to_numpy(zero_copy_only=False)
-            hcol = batch.column(batch.schema.get_field_index(hash_col)) \
-                .to_numpy(zero_copy_only=False)
+            hacol = batch.column(batch.schema.get_field_index(hash_col))
+            # a null in an Arrow int64 array makes to_numpy fall back to
+            # float64, silently rounding hashes above 2^53 — refuse instead
+            # (frontier hashes are never null; a null here is a caller bug)
+            if hacol.null_count:
+                raise ValueError(
+                    f"bloom_prefilter_bucketed: NULL in {hash_col} — "
+                    "int64 hashes must be non-null to stay exact")
+            hcol = hacol.to_numpy(zero_copy_only=False)
             out = np.zeros(n, dtype=bool)
             for b in np.unique(bcol):
                 entry = get(int(b))

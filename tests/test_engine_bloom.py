@@ -150,6 +150,35 @@ class TestBucketedProbe:
         # probes landing in never-seeded buckets must come back False
         assert out.filter(~F.col("maybe_seen")).count() > 0
 
+    def test_null_hash_rejected_not_silently_rounded(self, spark, tmp_path):
+        """A null in the int64 hash column would make Arrow's to_numpy fall
+        back to float64, silently rounding hashes above 2^53 — the probe
+        must refuse instead."""
+        import pytest
+        from pyspark.errors.exceptions.captured import PythonException
+        from abot_dotnet_core_spark.operators.seenfilter import (
+            bloom_prefilter_bucketed, build_bloom_sidecar)
+        seen = spark.range(0, 50).select(F.col("id").alias("url_hash"))
+        path = str(tmp_path / "sc3" / "round=1")
+        build_bloom_sidecar(seen, buckets=4, min_capacity=64) \
+            .write.mode("overwrite").parquet(path)
+        probes = spark.range(0, 10).select(
+            F.when(F.col("id") == 5, F.lit(None))
+            .otherwise(F.col("id")).alias("url_hash"))
+        with pytest.raises(PythonException, match="NULL in url_hash"):
+            bloom_prefilter_bucketed(probes, path, buckets=4).collect()
+        # and big hashes stay exact end-to-end (> 2^53 would corrupt if a
+        # float64 path were ever taken)
+        big = spark.createDataFrame(
+            [((1 << 62) + 1,), ((1 << 62) + 3,)], "url_hash long")
+        sidecar2 = build_bloom_sidecar(big, buckets=4, min_capacity=64)
+        path2 = str(tmp_path / "sc4" / "round=1")
+        sidecar2.write.mode("overwrite").parquet(path2)
+        out = {r["url_hash"]: r["maybe_seen"]
+               for r in bloom_prefilter_bucketed(
+                   big, path2, buckets=4).collect()}
+        assert out == {(1 << 62) + 1: True, (1 << 62) + 3: True}
+
     def test_tiny_threshold_crawl_identical_admission(self, spark,
                                                       tiny_corpus_dir,
                                                       tmp_path):

