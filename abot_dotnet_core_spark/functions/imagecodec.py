@@ -541,9 +541,10 @@ def encode_avi(frames: np.ndarray, us_per_frame: int = 40_000) -> bytes:
 # --------------------------------------------------------------------------
 
 def decode_image(raw: bytes) -> np.ndarray:
-    """Decode a PNG/BMP/PPM/GIF payload to an (h, w, ch) uint8 array.
-    JPEG and video formats raise NotImplementedError — they need a real
-    codec library, which this environment does not ship."""
+    """Decode a PNG/BMP/PPM/GIF/JPEG payload to an (h, w, ch) uint8 array.
+    Baseline/extended-sequential Huffman JPEG decodes for real
+    (jpegcodec.py, pure numpy); progressive/arithmetic JPEG and video
+    formats raise NotImplementedError."""
     if raw.startswith(_PNG_SIG):
         return decode_png(raw)
     if raw[:2] == b"BM":
@@ -553,7 +554,8 @@ def decode_image(raw: bytes) -> np.ndarray:
     if raw[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(raw)
     if raw[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError("JPEG decode requires a DCT codec library")
+        from .jpegcodec import decode_jpeg
+        return decode_jpeg(raw)
     raise ValueError("unrecognized image format")
 
 

