@@ -150,6 +150,14 @@ class CrawlEngine:
         self._sidecar: dict | None = None
         self._sidecar_bucketed = False
         self._sidecar_round: int | None = None
+        # static-input DataFrames, built once: corpus/corpus_meta/domain_state
+        # never change across rounds, but re-calling spark.read.parquet every
+        # round re-runs file listing + schema inference as a driver job each
+        # time — a pure per-round constant that drags scaling efficiency in
+        # frontier-drain rounds (profiled: ~8 tiny jobs/round)
+        self._meta_df: DataFrame | None = None
+        self._corpus_df: DataFrame | None = None
+        self._domain_state_cache: DataFrame | None = None
 
     # ------------------------------------------------------------------ #
     # setup
@@ -185,6 +193,30 @@ class CrawlEngine:
         if self._robots_count <= self.cfg.robots_broadcast_threshold:
             return F.broadcast(df)
         return df
+
+    # ---- static-input DataFrames (built once, reused every round) ------ #
+
+    def _meta(self) -> DataFrame:
+        if self._meta_df is None:
+            meta = self.spark.read.parquet(self.corpus_meta_path)
+            # fixtures written before the header columns existed read as NULL
+            for hc in ("x_robots", "retry_after"):
+                if hc not in meta.columns:
+                    meta = meta.withColumn(hc, F.lit(None).cast("string"))
+            self._meta_df = meta
+        return self._meta_df
+
+    def _corpus(self) -> DataFrame:
+        if self._corpus_df is None:
+            self._corpus_df = self.spark.read.parquet(self.corpus_path) \
+                .select("url", "html")
+        return self._corpus_df
+
+    def _domain_state(self) -> DataFrame:
+        if self._domain_state_cache is None:
+            self._domain_state_cache = self.store.read_table(
+                self.spark, "domain_state", 0)
+        return self._domain_state_cache
 
     def seed(self, seed_urls: list[str]) -> None:
         """Round -1: gate + schedule the seeds (WebCrawler.cs:238-240)."""
@@ -700,7 +732,7 @@ class CrawlEngine:
         # 20 ms politeness fudge floor, so the second window's per-domain
         # partition is O(S*B) rows, never frontier-sized.
         if politeness:
-            state = self.store.read_table(spark, "domain_state", 0)
+            state = self._domain_state()
             s = max(cfg.skew_salt, 1)
             # clamp like _retry_rows: w_ms=0 would make both divisions below
             # NULL (non-ANSI /0) and zero every budget forever
@@ -814,11 +846,7 @@ class CrawlEngine:
         # pushed into the corpus scan as an O(m)-byte Bloom filter instead
         # (build_url_bloom) and extraction runs ON the scan — the html never
         # shuffles at any queue size (the big-round path below).
-        meta = spark.read.parquet(self.corpus_meta_path)
-        # fixtures written before the header columns existed read as NULL
-        for hc in ("x_robots", "retry_after"):
-            if hc not in meta.columns:
-                meta = meta.withColumn(hc, F.lit(None).cast("string"))
+        meta = self._meta()
         # gate on the ADMITTED batch size, not the whole frontier: a large
         # frontier with a tiny politeness-budgeted batch must still take the
         # broadcast path (and the Bloom must be sized by what it filters)
@@ -860,7 +888,7 @@ class CrawlEngine:
         # denies — but never scheduled (SchedulePageLinks still requires
         # shouldCrawlPageLinks; the explode below filters on links_reason)
         parse_links = want_links | F.lit(cfg.is_forced_link_parsing_enabled)
-        corpus = spark.read.parquet(self.corpus_path).select("url", "html")
+        corpus = self._corpus()
         dl = fetched.filter(F.col("download_reason").isNull())
         links_t = ("array<struct<url:string,hash:bigint,"
                    "domain:string,scheme:string>>")

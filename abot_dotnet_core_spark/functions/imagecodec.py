@@ -12,8 +12,10 @@ decode stub for real pipelines that ship PNG/BMP/PPM/GIF payloads:
   GIF  : 87a/89a, global or local color table, first frame, LZW,
          non-interlaced
 
-JPEG/video stay honestly unimplemented (NotImplementedError) — a DCT
-decoder is out of scope without a library.
+Baseline/extended-sequential JPEG decodes for real via jpegcodec.py (the
+from-scratch ITU-T.81 implementation — Huffman + matrix IDCT in numpy);
+progressive/arithmetic JPEG and compressed video stay honestly
+unimplemented (NotImplementedError).
 
 Encoders (encode_png / encode_ppm / encode_bmp) exist so tests and catalog
 fixtures can synthesize deterministic payloads without any library either;

@@ -4,14 +4,15 @@ Media travel as opaque ``binary`` columns + typed metadata structs; all
 per-item work runs as Arrow-batched ``mapInPandas`` so batches stream through
 executors without materializing a partition of blobs in memory at once.
 
-PIL/ffmpeg are NOT available in this container, but PNG/BMP/PPM/GIF and
-RIFF/WAVE PCM are decodable with stdlib zlib/struct + numpy —
-``imagecodec.decode_image`` / ``decode_wav`` do real decode for those
-formats, so ``decode_stub=False`` computes real dimensions/means/resizes
-and real audio stats. JPEG/compressed-audio/video decode still raises
-NotImplementedError (needs a codec library); ``decode_stub=True``
-(default) keeps the deterministic md5 fake for format-agnostic plumbing
-tests.
+PIL/ffmpeg are NOT available in this container, but PNG/BMP/PPM/GIF,
+baseline JPEG (jpegcodec.py — pure-numpy ITU-T.81) and RIFF/WAVE PCM are
+decodable with stdlib zlib/struct + numpy — ``imagecodec.decode_image``
+/ ``decode_wav`` do real decode for those formats, so
+``decode_stub=False`` computes real dimensions/means/resizes and real
+audio stats. Progressive/arithmetic JPEG and compressed audio/video
+still raise NotImplementedError (needs a codec library);
+``decode_stub=True`` (default) keeps the deterministic md5 fake for
+format-agnostic plumbing tests.
 
 Operators:
   sniff_media_type    magic-byte detection (real — no decoder needed)
@@ -111,12 +112,13 @@ DECODE_META_SCHEMA = T.StructType([
 
 def decode_image_meta(df: DataFrame, id_col: str = "media_id",
                       bin_col: str = "payload") -> DataFrame:
-    """REAL pixel decode (PNG/BMP/PPM/GIF via imagecodec) -> dimensions and
-    the exact integer sample mean: mean_millis = (sum of all samples * 1000)
-    // sample count. Integer arithmetic end-to-end, so a SQL oracle that
-    knows the fixture's pixel-generation rule reproduces it bit-exactly.
-    Undecodable payloads (JPEG, junk) yield NULL width/height/mean —
-    the row is kept, the error is not swallowed silently into zeros."""
+    """REAL pixel decode (PNG/BMP/PPM/GIF/baseline-JPEG via imagecodec) ->
+    dimensions and the exact integer sample mean: mean_millis = (sum of all
+    samples * 1000) // sample count. Integer arithmetic end-to-end, so a
+    SQL oracle that knows the fixture's pixel-generation rule reproduces it
+    bit-exactly. Undecodable payloads (progressive JPEG, junk) yield NULL
+    width/height/mean — the row is kept, the error is not swallowed
+    silently into zeros."""
     def gen(batches):
         from .imagecodec import decode_image
         for pdf in batches:
@@ -226,7 +228,8 @@ def extract_features(df: DataFrame, dim: int = 16, id_col: str = "media_id",
                      decode_stub: bool = True) -> DataFrame:
     """Decode + featurize. ``decode_stub=True`` derives ``dim`` floats from
     md5(payload) (format-agnostic plumbing fake); ``decode_stub=False`` does
-    REAL decode for PNG/BMP/PPM/GIF via imagecodec (JPEG/video raise)."""
+    REAL decode for PNG/BMP/PPM/GIF/baseline-JPEG via imagecodec
+    (progressive JPEG / video raise)."""
     def _decode(raw: bytes) -> np.ndarray:
         if decode_stub:
             h = hashlib.md5(raw).digest()
@@ -234,7 +237,7 @@ def extract_features(df: DataFrame, dim: int = 16, id_col: str = "media_id",
             buf = (h * reps)[: dim]
             return (np.frombuffer(bytes(buf), dtype=np.uint8)
                     .astype(np.float32) / 255.0)
-        # real decode (PNG/BMP/PPM/GIF — imagecodec; JPEG/video raise):
+        # real decode (PNG/BMP/PPM/GIF/baseline JPEG — imagecodec):
         # feature = [h, w, ch, global mean/255] + (dim-4) horizontal-band
         # means of the grayscale /255 — deterministic, library-free
         from .imagecodec import decode_image
@@ -271,7 +274,8 @@ def resize_images(df: DataFrame, width: int = 64, height: int = 64,
     ``decode_stub=True`` emits width*height bytes derived by repeating
     md5(payload) (size-correct plumbing fake); ``decode_stub=False`` does a
     REAL decode + nearest-neighbor resample (packed grayscale output) for
-    PNG/BMP/PPM/GIF via imagecodec — JPEG/video still raise."""
+    PNG/BMP/PPM/GIF/baseline-JPEG via imagecodec — progressive JPEG
+    and video still raise."""
     n_out = width * height
 
     def _resize(raw: bytes) -> bytes:
