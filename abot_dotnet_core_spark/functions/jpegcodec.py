@@ -490,6 +490,8 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue                                   # standalone
         (seglen,) = struct.unpack(">H", raw[pos:pos + 2])
+        if seglen < 2:          # would walk pos backwards: corrupt header
+            raise ValueError("JPEG: bad segment length")
         body = raw[pos + 2:pos + seglen]
         end = pos + seglen
         if marker == 0xDB:                             # DQT

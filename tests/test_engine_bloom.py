@@ -219,8 +219,12 @@ class TestBucketedProbe:
             store_root=store,
             robots_path=f"{tiny_corpus_dir}/robots.parquet",
             bloom_prefilter=True)
-        # footer-metadata gate must choose bucketed without loading blobs
+        # the manifest counter (exact blob-byte gate recorded at merge
+        # time) must choose bucketed without loading blobs; pre-counter
+        # checkpoints fall back to the parquet-footer heuristic
         assert eng2._sidecar_bucketed and eng2._sidecar is None
+        assert eng2.store.read_manifest(
+            eng2.round)["counters"]["sidecar_bucketed"] is True
         eng2.run(max_rounds=50)
         exact = run(spark, tiny_corpus_dir, tmp_path / "bkr_exact",
                     bloom=False)

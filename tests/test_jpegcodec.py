@@ -174,6 +174,12 @@ class TestHonestFailures:
             J.decode_jpeg(raw[:20])
         with pytest.raises(ValueError):
             J.decode_jpeg(b"\x00\x01\x02")
+        # zero segment length must raise, not loop forever
+        bad = bytearray(raw)
+        i = bad.find(b"\xff\xdb")
+        bad[i + 2:i + 4] = b"\x00\x00"
+        with pytest.raises(ValueError, match="segment length"):
+            J.decode_jpeg(bytes(bad))
 
     def test_dispatch_and_meta(self, spark):
         """decode_image routes JPEG; decode_image_meta returns real stats
