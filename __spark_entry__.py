@@ -2908,10 +2908,18 @@ def q_image_decode(spark, sf_dir):
             for i in pdf["doc_id"]:
                 i = int(i)
                 w, h = 4 + i % 5, 3 + i % 4
+                # ids rotate the interlaced encodings (Adam7 PNG, 4-pass
+                # GIF) through the same pixel rule: decoded values are
+                # identical, so the closed-form oracle is unchanged while
+                # the value hash now exercises the interlace paths too.
                 if i % 4 == 3:
                     idx = ((np.arange(h * w, dtype=np.int64) + i) % 251) \
                         .astype(np.uint8).reshape(h, w)
-                    payloads.append(encode_gif(idx))
+                    payloads.append(encode_gif(idx, interlace=i % 8 == 7))
+                elif i % 8 == 4:
+                    px = ((np.arange(h * w * 3, dtype=np.int64) + i) % 251) \
+                        .astype(np.uint8).reshape(h, w, 3)
+                    payloads.append(encode_png(px, interlace=True))
                 else:
                     px = ((np.arange(h * w * 3, dtype=np.int64) + i) % 251) \
                         .astype(np.uint8).reshape(h, w, 3)
@@ -5153,6 +5161,174 @@ SELECT doc_id AS media_id, 'video/x-msvideo' AS mime,
 FROM s"""
 
 
+def q_g711_decode(spark, sf_dir):
+    """REAL G.711 companded audio decode (imagecodec.decode_wav, format
+    tags 6/7 — table-free ITU-T G.711 to the classic 16-bit-scale CCITT
+    values): per document a mono 8 kHz WAV whose DATA BYTES are the
+    deterministic ramp b_j = (j*7 + id) % 256, n = 48 + id % 9 samples,
+    mu-law for even ids / A-law for odd. decode_audio_meta recovers the
+    header fields and exact |sample| stats FROM THE BYTES; the oracle
+    re-derives the G.711 expansion formula per byte in pure integer SQL —
+    any segment/mantissa/sign/bias bug breaks the value hash."""
+    from abot_dotnet_core_spark.functions.multimodal import decode_audio_meta
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        from abot_dotnet_core_spark.functions.imagecodec import \
+            _wav_container
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = 48 + i % 9
+                data = ((np.arange(n, dtype=np.int64) * 7 + i) % 256) \
+                    .astype(np.uint8).tobytes()
+                payloads.append(_wav_container(
+                    7 if i % 2 == 0 else 6, 1, 8000, 1, 8, data))
+                ids.append(i)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        gen, "media_id long, payload binary")
+    return decode_audio_meta(media)
+
+
+def sql_g711_decode():
+    # mu-law (even ids): u = 255 - b; |x| = ((u%16)*8 + 132) * 2^((u//16)%8)
+    #                    - 132
+    # A-law (odd ids):   a = b XOR 85; e = (a//16) % 8; base = (a%16)*16+8;
+    #                    |x| = base if e = 0 else (base + 256) * 2^(e-1)
+    return """
+WITH d AS (SELECT doc_id, 48 + doc_id % 9 AS n FROM documents),
+b AS (SELECT doc_id, n, ((jj.j * 7 + doc_id) % 256) AS bv
+      FROM d, (SELECT unnest(range(0, 57)) AS j) jj
+      WHERE jj.j < n),
+v AS (SELECT doc_id, n,
+             CASE WHEN doc_id % 2 = 0 THEN
+               (((255 - bv) % 16) * 8 + 132)
+                 * (1 << (((255 - bv) // 16) % 8)) - 132
+             ELSE
+               CASE WHEN (xor(bv, 85) // 16) % 8 = 0
+                    THEN (xor(bv, 85) % 16) * 16 + 8
+                    ELSE ((xor(bv, 85) % 16) * 16 + 8 + 256)
+                         * (1 << ((xor(bv, 85) // 16) % 8 - 1)) END
+             END AS a
+      FROM b),
+s AS (SELECT doc_id, n, sum(a)::BIGINT AS sum_abs, max(a)::int AS peak
+      FROM v GROUP BY doc_id, n)
+SELECT doc_id AS media_id, 'audio/wav' AS mime, 8000 AS sample_rate,
+       1 AS channels, n::int AS n_frames,
+       (n * 1000000 // 8000)::int AS duration_micros, sum_abs, peak
+FROM s"""
+
+
+def q_adpcm_decode(spark, sf_dir):
+    """REAL IMA-ADPCM decode (imagecodec.decode_wav, format tag 0x11 —
+    block headers + nibble-stream predictor walk): per document a mono
+    constant signal c = id*13 % 5001 - 2500 over n = 600 + id % 5 samples
+    in 256-byte blocks. A constant decodes BIT-EXACTLY (zero diff ->
+    nibble 0 -> step index pinned at 0, predictor unchanged), and the
+    trailing block pads by holding c, so every decoded sample equals c:
+    the oracle is closed-form over the padded length
+    ceil(n/505)*505. Exercises multi-block headers, nibble unpacking and
+    the sample-0-from-header rule; any predictor/index bug breaks it."""
+    from abot_dotnet_core_spark.functions.multimodal import decode_audio_meta
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        from abot_dotnet_core_spark.functions.imagecodec import \
+            encode_adpcm_wav
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                c = i * 13 % 5001 - 2500
+                n = 600 + i % 5
+                payloads.append(encode_adpcm_wav(
+                    np.full(n, c, dtype=np.int32), 8000, 256))
+                ids.append(i)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        gen, "media_id long, payload binary")
+    return decode_audio_meta(media)
+
+
+def sql_adpcm_decode():
+    # samples-per-block for mono block_align=256: (256-4)*2+1 = 505; the
+    # writer always emits whole blocks, padding by holding the constant.
+    return """
+WITH d AS (SELECT doc_id, abs(doc_id * 13 % 5001 - 2500) AS c,
+                  ((600 + doc_id % 5 + 504) // 505) * 505 AS nf
+           FROM documents)
+SELECT doc_id AS media_id, 'audio/wav' AS mime, 8000 AS sample_rate,
+       1 AS channels, nf::int AS n_frames,
+       (nf * 1000000 // 8000)::int AS duration_micros,
+       (nf * c)::BIGINT AS sum_abs, c::int AS peak
+FROM d"""
+
+
+def q_mjpeg_decode(spark, sf_dir):
+    """REAL Motion-JPEG video decode (imagecodec.decode_avi MJPG path ->
+    jpegcodec per '00dc' chunk): per document nf = 2 + id % 2 grayscale
+    frames of flat 8x8 tiles (wt = 2 + id % 3 x ht = 1 + id % 2), tile t
+    (ramping across ALL frames) valued (t + id) % 256, all-ones quant so
+    DC-only blocks decode bit-exactly; every 3rd doc also rides restart
+    markers. decode_video_meta recovers dims/frames/fps and the exact
+    integer mean FROM THE BYTES; the oracle recomputes the tile ramp in
+    closed form (n <= 12 tiles -> single wrap)."""
+    from abot_dotnet_core_spark.functions.multimodal import decode_video_meta
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        from abot_dotnet_core_spark.functions.imagecodec import \
+            encode_mjpeg_avi
+        ones = np.ones(64, dtype=np.int64)
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                wt, ht, nf = 2 + i % 3, 1 + i % 2, 2 + i % 2
+                tiles = ((np.arange(nf * ht * wt, dtype=np.int64) + i)
+                         % 256).astype(np.uint8).reshape(nf, ht, wt)
+                frames = np.repeat(np.repeat(tiles, 8, axis=1), 8, axis=2)
+                payloads.append(encode_mjpeg_avi(
+                    frames, us_per_frame=40_000, quant_luma=ones,
+                    restart_interval=2 if i % 3 == 0 else 0))
+                ids.append(i)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        gen, "media_id long, payload binary")
+    return decode_video_meta(media)
+
+
+def sql_mjpeg_decode():
+    # tile ramp (t + id) % 256 over n = nf*wt*ht <= 12 tiles wraps at most
+    # once; each tile contributes 64 gray pixels -> 192 RGB samples, which
+    # cancels in the integer mean: mean_millis = (tot * 1000) // n.
+    return """
+WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS wt, 1 + doc_id % 2 AS ht,
+                  2 + doc_id % 2 AS nf
+           FROM documents),
+m AS (SELECT doc_id, wt, ht, nf, nf * wt * ht AS n,
+             least(nf * wt * ht, 256 - (doc_id % 256)) AS m0,
+             doc_id % 256 AS a
+      FROM d),
+s AS (SELECT doc_id, wt, ht, nf, n,
+             (m0 * a + (m0 * (m0 - 1)) // 2
+              + ((n - m0) * (n - m0 - 1)) // 2)::BIGINT AS tot
+      FROM m)
+SELECT doc_id AS media_id, 'video/x-msvideo' AS mime,
+       (8 * wt)::int AS width, (8 * ht)::int AS height, nf::int AS n_frames,
+       25000 AS fps_millis,
+       ((tot * 1000) // n)::int AS mean_millis
+FROM s"""
+
+
 def q_chunk_documents(spark, sf_dir):
     """Fixed-size character chunking with overlap (512-char windows, stride
     384): the long-document -> training-example transform. Emits the digest
@@ -5592,6 +5768,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": q_image_resize,
         "audio_decode": q_audio_decode,
         "video_decode": q_video_decode,
+        "g711_decode": q_g711_decode,
+        "adpcm_decode": q_adpcm_decode,
+        "mjpeg_decode": q_mjpeg_decode,
         # streaming-shaped event analytics
         "events_tumbling": q_events_tumbling,
         "events_sessions": q_events_sessions,
@@ -5736,6 +5915,9 @@ def oracle_sql() -> dict[str, str]:
         "image_resize": sql_image_resize(),
         "audio_decode": sql_audio_decode(),
         "video_decode": sql_video_decode(),
+        "g711_decode": sql_g711_decode(),
+        "adpcm_decode": sql_adpcm_decode(),
+        "mjpeg_decode": sql_mjpeg_decode(),
         "events_tumbling": sql_events_tumbling(),
         "events_sessions": sql_events_sessions(),
         "events_sliding": sql_events_sliding(),

@@ -6,11 +6,14 @@ decode stub for real pipelines that ship PNG/BMP/PPM/GIF payloads:
 
   decode_image(raw) -> (height, width, channels) uint8 ndarray
     PNG  : 8-bit depth, color types 0/2/3/4/6, filter types 0-4,
-           non-interlaced (Adam7 raises)
+           sequential or Adam7-interlaced
   BMP  : BITMAPINFOHEADER, uncompressed 8/24/32-bit, bottom-up or top-down
   PPM  : binary P5 (gray) / P6 (RGB), maxval <= 255
   GIF  : 87a/89a, global or local color table, first frame, LZW,
-         non-interlaced
+         sequential or interlaced
+
+Audio: WAV integer PCM, G.711 A-law/mu-law, IMA ADPCM.  Video:
+uncompressed-DIB AVI and Motion-JPEG AVI (via jpegcodec).
 
 Baseline/extended-sequential JPEG decodes for real via jpegcodec.py (the
 from-scratch ITU-T.81 implementation — Huffman + matrix IDCT in numpy);
@@ -42,6 +45,10 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 # color type -> samples per pixel
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# Adam7 interlace passes: (x_origin, y_origin, x_step, y_step), spec §8.2
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
 
 def _png_unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
@@ -102,12 +109,24 @@ def decode_png(raw: bytes) -> np.ndarray:
     w, h, depth, color, _comp, _filt, interlace = ihdr
     if depth != 8:
         raise NotImplementedError(f"PNG: bit depth {depth} (only 8)")
-    if interlace:
-        raise NotImplementedError("PNG: Adam7 interlacing")
     if color not in _PNG_CHANNELS:
         raise ValueError(f"PNG: color type {color}")
     ch = _PNG_CHANNELS[color]
-    px = _png_unfilter(zlib.decompress(bytes(idat)), h, w, ch)
+    data = zlib.decompress(bytes(idat))
+    if interlace:                                        # Adam7 (spec §8.2)
+        px = np.zeros((h, w, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue                  # empty pass contributes no bytes
+            nbytes = ph * (1 + pw * ch)   # each pass filtered independently
+            px[y0::dy, x0::dx] = _png_unfilter(
+                data[off:off + nbytes], ph, pw, ch)
+            off += nbytes
+    else:
+        px = _png_unfilter(data, h, w, ch)
     if color == 3:
         if plte is None:
             raise ValueError("PNG: palette image without PLTE")
@@ -115,20 +134,32 @@ def decode_png(raw: bytes) -> np.ndarray:
     return px
 
 
-def encode_png(px: np.ndarray) -> bytes:
-    """Minimal PNG writer: 8-bit gray/RGB/RGBA, filter type 0 scanlines."""
+def encode_png(px: np.ndarray, interlace: bool = False) -> bytes:
+    """Minimal PNG writer: 8-bit gray/RGB/RGBA, filter type 0 scanlines;
+    interlace=True writes the seven Adam7 pass subimages in order."""
     px = np.asarray(px, dtype=np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, ch = px.shape
     color = {1: 0, 3: 2, 4: 6}[ch]
-    scan = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts.extend(b"\x00" + sub[y].tobytes()
+                         for y in range(sub.shape[0]))
+        scan = b"".join(parts)
+    else:
+        scan = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (struct.pack(">I", len(data)) + ctype + data
                 + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0,
+                       1 if interlace else 0)
     return (_PNG_SIG + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(scan))
             + chunk(b"IEND", b""))
@@ -285,6 +316,15 @@ def _gif_lzw(min_code: int, data: bytes, n_expected: int) -> np.ndarray:
     return np.array(out[:n_expected], dtype=np.uint8)
 
 
+def _gif_interlace_rows(h: int) -> np.ndarray:
+    """Row order of an interlaced GIF frame (GIF89a appendix E: four
+    passes starting at rows 0/4/2/1 with steps 8/8/4/2). Scanline k of
+    the stream lands on image row _gif_interlace_rows(h)[k]."""
+    return np.concatenate([np.arange(start, h, step)
+                           for start, step in ((0, 8), (4, 8),
+                                               (2, 4), (1, 2))])
+
+
 def decode_gif(raw: bytes) -> np.ndarray:
     if raw[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
@@ -313,8 +353,6 @@ def decode_gif(raw: bytes) -> np.ndarray:
                 ct = np.frombuffer(raw, dtype=np.uint8, count=n * 3,
                                    offset=pos).reshape(n, 3)
                 pos += n * 3
-            if iflags & 0x40:
-                raise NotImplementedError("GIF: interlaced frame")
             if ct is None:
                 raise ValueError("GIF: no color table")
             min_code = raw[pos]
@@ -326,7 +364,12 @@ def decode_gif(raw: bytes) -> np.ndarray:
             idx = _gif_lzw(min_code, bytes(blocks), w * h)
             if len(idx) < w * h:
                 idx = np.pad(idx, (0, w * h - len(idx)))
-            return ct[idx.reshape(h, w)]
+            idx = idx.reshape(h, w)
+            if iflags & 0x40:                            # interlaced frame
+                out = np.empty_like(idx)
+                out[_gif_interlace_rows(h)] = idx
+                idx = out
+            return ct[idx]
         elif b0 == 0x3B:                                 # trailer
             break
         else:
@@ -373,15 +416,21 @@ def _gif_lzw_encode(idx: np.ndarray, min_code: int = 8) -> bytes:
     return bytes(out)
 
 
-def encode_gif(idx: np.ndarray, palette: np.ndarray | None = None) -> bytes:
+def encode_gif(idx: np.ndarray, palette: np.ndarray | None = None,
+               interlace: bool = False) -> bytes:
     """Minimal GIF89a writer: one frame of 8-bit indexed pixels with a
-    256-entry global color table (default: grayscale k -> (k,k,k))."""
+    256-entry global color table (default: grayscale k -> (k,k,k)).
+    interlace=True stores scanlines in the four-pass appendix-E order
+    with the descriptor interlace bit set."""
     idx = np.asarray(idx, dtype=np.uint8)
     h, w = idx.shape
     if palette is None:
         ramp = np.arange(256, dtype=np.uint8)
         palette = np.stack([ramp, ramp, ramp], axis=1)
-    lzw = _gif_lzw_encode(idx)
+    if interlace:
+        lzw = _gif_lzw_encode(idx[_gif_interlace_rows(h)])
+    else:
+        lzw = _gif_lzw_encode(idx)
     blocks = bytearray()
     i = 0
     while i < len(lzw):
@@ -391,7 +440,8 @@ def encode_gif(idx: np.ndarray, palette: np.ndarray | None = None) -> bytes:
     blocks += b"\x00"
     return (b"GIF89a" + struct.pack("<HH", w, h) + bytes([0x80 | 7, 0, 0])
             + np.asarray(palette, dtype=np.uint8).tobytes()
-            + b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+            + b"\x2C" + struct.pack("<HHHH", 0, 0, w, h)
+            + bytes([0x40 if interlace else 0x00])
             + bytes([8]) + bytes(blocks) + b"\x3B")
 
 
@@ -399,10 +449,116 @@ def encode_gif(idx: np.ndarray, palette: np.ndarray | None = None) -> bytes:
 # WAV (RIFF PCM) — the audio leg of the multimodal decode
 # --------------------------------------------------------------------------
 
+# --- G.711 companded PCM (format tags 6 = A-law, 7 = mu-law) ------------
+# Table-free ITU-T G.711 decode to 16-bit-scale linear (the classic
+# CCITT reference values: mu-law 0x00 -> -32124, A-law 0xD5 -> +8).
+
+_ULAW_BIAS = 0x84
+_ULAW_SEG_END = np.array([0xFF, 0x1FF, 0x3FF, 0x7FF,
+                          0xFFF, 0x1FFF, 0x3FFF, 0x7FFF], dtype=np.int32)
+_ALAW_SEG_END = np.array([0x1F, 0x3F, 0x7F, 0xFF,
+                          0x1FF, 0x3FF, 0x7FF, 0xFFF], dtype=np.int32)
+
+
+def _ulaw_decode(b: np.ndarray) -> np.ndarray:
+    u = (~b.astype(np.int32)) & 0xFF
+    exp = (u >> 4) & 7
+    mant = u & 0x0F
+    mag = (((mant << 3) + _ULAW_BIAS) << exp) - _ULAW_BIAS
+    return np.where(u & 0x80, -mag, mag)
+
+
+def _ulaw_encode(x: np.ndarray) -> np.ndarray:
+    pcm = np.clip(np.asarray(x, dtype=np.int32), -32768, 32767)
+    sign = np.where(pcm < 0, 0x80, 0)
+    mag = np.minimum(np.abs(pcm), 32635) + _ULAW_BIAS
+    seg = np.searchsorted(_ULAW_SEG_END, mag)
+    mant = (mag >> (seg + 3)) & 0x0F
+    return ((~(sign | (seg << 4) | mant)) & 0xFF).astype(np.uint8)
+
+
+def _alaw_decode(b: np.ndarray) -> np.ndarray:
+    a = b.astype(np.int32) ^ 0x55
+    exp = (a >> 4) & 7
+    mant = a & 0x0F
+    base = (mant << 4) + 8
+    mag = np.where(exp > 0, (base + 0x100) << np.maximum(exp - 1, 0), base)
+    return np.where(a & 0x80, mag, -mag)            # A-law sign bit 1 = +
+
+
+def _alaw_encode(x: np.ndarray) -> np.ndarray:
+    pcm16 = np.clip(np.asarray(x, dtype=np.int32), -32768, 32767)
+    mask = np.where(pcm16 >= 0, 0xD5, 0x55)
+    pcm = np.abs(pcm16) >> 3                        # 13-bit magnitude
+    seg = np.searchsorted(_ALAW_SEG_END, pcm)
+    over = seg >= 8
+    seg = np.minimum(seg, 7)
+    mant = np.where(seg < 2, (pcm >> 1) & 0x0F, (pcm >> seg) & 0x0F)
+    aval = np.where(over, 0x7F, (seg << 4) | mant)
+    return ((aval ^ mask) & 0xFF).astype(np.uint8)
+
+
+# --- IMA ADPCM (format tag 0x11) ----------------------------------------
+
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767],
+    dtype=np.int32)
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_step(predictor: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA-ADPCM decode step (IMA ADPCM spec / MS WAVE tag 0x11)."""
+    step = int(_IMA_STEPS[index])
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    predictor += -diff if nibble & 8 else diff
+    predictor = max(-32768, min(32767, predictor))
+    index = max(0, min(88, index + _IMA_INDEX[nibble & 7]))
+    return predictor, index
+
+
+def _adpcm_decode_block(block: bytes, channels: int) -> np.ndarray:
+    """Decode one IMA-ADPCM WAVE block to (samples, channels) int32."""
+    if len(block) < 4 * channels:
+        raise ValueError("WAV: truncated ADPCM block header")
+    preds, idxs, chans = [], [], []
+    for c in range(channels):
+        p, i = struct.unpack_from("<hBx", block, c * 4)
+        preds.append(p)
+        idxs.append(min(88, max(0, i)))
+        chans.append([p])                    # header predictor = sample 0
+    data = block[4 * channels:]
+    # nibble data: 4-byte (8-sample) groups per channel, interleaved
+    for g in range(len(data) // (4 * channels)):
+        for c in range(channels):
+            word = data[g * 4 * channels + c * 4:
+                        g * 4 * channels + c * 4 + 4]
+            for byte in word:
+                for nib in (byte & 0x0F, byte >> 4):  # low nibble first
+                    preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
+                    chans[c].append(preds[c])
+    n = min(len(ch) for ch in chans)
+    return np.stack([np.array(ch[:n], dtype=np.int32)
+                     for ch in chans], axis=1)
+
+
 def decode_wav(raw: bytes) -> tuple[np.ndarray, int]:
-    """Decode a RIFF/WAVE PCM payload to ((n_samples, channels) int32
-    array, sample_rate). 8-bit unsigned and 16/24/32-bit signed PCM
-    (format tag 1); compressed formats (mp3-in-wav, float, ADPCM) raise."""
+    """Decode a RIFF/WAVE payload to ((n_samples, channels) int32 array,
+    sample_rate). Real paths: 8-bit unsigned / 16/24/32-bit signed PCM
+    (format tag 1), G.711 A-law (tag 6) / mu-law (tag 7) to 16-bit-scale
+    linear, and IMA ADPCM (tag 0x11) blocks. Other compressed formats
+    (mp3-in-wav, float, MS-ADPCM) raise NotImplementedError."""
     if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos, fmt, data = 12, None, None
@@ -417,9 +573,24 @@ def decode_wav(raw: bytes) -> tuple[np.ndarray, int]:
             data = body
     if fmt is None or data is None:
         raise ValueError("WAV: missing fmt/data chunk")
-    tag, channels, rate, _br, _ba, bits = fmt
+    tag, channels, rate, _br, block_align, bits = fmt
+    if tag in (6, 7):                                # G.711 A-law / mu-law
+        dec = _alaw_decode if tag == 6 else _ulaw_decode
+        samples = dec(np.frombuffer(data, dtype=np.uint8))
+        n = (len(samples) // channels) * channels
+        return samples[:n].reshape(-1, channels), rate
+    if tag == 0x11:                                  # IMA ADPCM
+        if block_align < 4 * channels + 4:
+            raise ValueError("WAV: ADPCM block align too small")
+        blocks = [data[i:i + block_align]
+                  for i in range(0, len(data), block_align)]
+        parts = [_adpcm_decode_block(b, channels)
+                 for b in blocks if len(b) >= 4 * channels]
+        if not parts:
+            raise ValueError("WAV: no ADPCM blocks")
+        return np.concatenate(parts, axis=0), rate
     if tag != 1:
-        raise NotImplementedError(f"WAV: format tag {tag} (PCM only)")
+        raise NotImplementedError(f"WAV: format tag {tag}")
     if bits == 8:
         samples = (np.frombuffer(data, dtype=np.uint8)
                    .astype(np.int32) - 128)
@@ -452,24 +623,108 @@ def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
             + b"data" + struct.pack("<I", len(data)) + data)
 
 
+def _wav_container(tag: int, channels: int, rate: int, block_align: int,
+                   bits: int, data: bytes) -> bytes:
+    fmt = struct.pack("<HHIIHH", tag, channels, rate,
+                      rate * block_align, block_align, bits)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def encode_g711_wav(samples: np.ndarray, rate: int = 8000,
+                    law: str = "ulaw") -> bytes:
+    """G.711 companded WAV writer ((n,) or (n, channels) 16-bit-scale
+    linear input; law = 'ulaw' (tag 7) or 'alaw' (tag 6))."""
+    s = np.asarray(samples, dtype=np.int32)
+    if s.ndim == 1:
+        s = s[:, None]
+    channels = s.shape[1]
+    enc = _ulaw_encode if law == "ulaw" else _alaw_encode
+    data = enc(s.reshape(-1)).tobytes()
+    return _wav_container(7 if law == "ulaw" else 6, channels, rate,
+                          channels, 8, data)
+
+
+def encode_adpcm_wav(samples: np.ndarray, rate: int = 8000,
+                     block_align: int = 256) -> bytes:
+    """IMA-ADPCM (tag 0x11) WAV writer: the standard quantize-and-track
+    encoder, exact mirror of _ima_step so decode(encode(x)) reproduces
+    the decoder's predictor path bit-for-bit."""
+    s = np.asarray(samples, dtype=np.int32)
+    if s.ndim == 1:
+        s = s[:, None]
+    channels = s.shape[1]
+    if block_align < 4 * channels + 4 * channels:
+        raise ValueError("block_align too small")
+    spb = (block_align - 4 * channels) * 2 // channels + 1
+    out = bytearray()
+    # seed the step index near the first sample delta (encoder-side
+    # choice only — the decoder reads it from the block header), which
+    # kills the index-0 attack transient on steep signals
+    first_diff = [abs(int(s[1, c]) - int(s[0, c])) if s.shape[0] > 1 else 0
+                  for c in range(channels)]
+    idxs = [min(88, int(np.searchsorted(_IMA_STEPS, d)))
+            for d in first_diff]
+    for start in range(0, s.shape[0], spb):
+        blk = s[start:start + spb]
+        preds = [int(np.clip(blk[0, c], -32768, 32767))
+                 for c in range(channels)]
+        for c in range(channels):
+            out += struct.pack("<hBx", preds[c], idxs[c])
+        nibbles: list[list[int]] = [[] for _ in range(channels)]
+        for k in range(1, spb):
+            for c in range(channels):
+                x = int(blk[k, c]) if k < blk.shape[0] else preds[c]
+                step = int(_IMA_STEPS[idxs[c]])
+                diff = x - preds[c]
+                nib = 8 if diff < 0 else 0
+                diff = abs(diff)
+                if diff >= step:
+                    nib |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    nib |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    nib |= 1
+                preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
+                nibbles[c].append(nib)
+        # pack: 4-byte groups per channel, interleaved, low nibble first
+        per_ch = len(nibbles[0])
+        for g in range(0, per_ch, 8):
+            for c in range(channels):
+                grp = nibbles[c][g:g + 8] + [0] * max(0, 8 - (per_ch - g))
+                for j in range(0, 8, 2):
+                    out.append(grp[j] | (grp[j + 1] << 4))
+    return _wav_container(0x11, channels, rate, block_align, 4,
+                          bytes(out))
+
+
 # --------------------------------------------------------------------------
 # AVI (RIFF, uncompressed DIB frames) — the video leg
 # --------------------------------------------------------------------------
 
+_MJPEG_FOURCC = (b"MJPG", b"mjpg", b"dmb1")
+
+
 def decode_avi(raw: bytes) -> tuple[np.ndarray, int]:
-    """Decode an uncompressed RIFF/AVI (raw 24-bit DIB '00db' frames,
-    bottom-up BGR like BMP) to ((n_frames, h, w, 3) uint8 array,
-    micros_per_frame). Compressed streams (anything whose strh handler is
-    not DIB/raw and whose frames aren't 00db) raise NotImplementedError."""
+    """Decode a RIFF/AVI to ((n_frames, h, w, 3) uint8 array,
+    micros_per_frame). Real paths: uncompressed 24-bit DIB '00db' frames
+    (bottom-up BGR like BMP) and Motion-JPEG ('MJPG' handler, one
+    baseline JPEG per '00dc' chunk, decoded via jpegcodec). Any other
+    compressed handler raises NotImplementedError."""
     if raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI file")
 
     w = h = None
     us_per_frame = 0
+    handler = b"\x00\x00\x00\x00"
     frames: list[np.ndarray] = []
+    cframes: list[bytes] = []
 
     def walk(buf: bytes) -> None:
-        nonlocal w, h, us_per_frame
+        nonlocal w, h, us_per_frame, handler
         pos = 0
         while pos + 8 <= len(buf):
             cid = buf[pos:pos + 4]
@@ -483,18 +738,33 @@ def decode_avi(raw: bytes) -> tuple[np.ndarray, int]:
                 w = struct.unpack("<I", body[32:36])[0]
                 h = struct.unpack("<I", body[36:40])[0]
             elif cid == b"strh":
-                if body[:4] == b"vids" and body[4:8] not in (
-                        b"DIB ", b"\x00\x00\x00\x00"):
-                    raise NotImplementedError(
-                        f"AVI: compressed video handler {body[4:8]!r}")
+                if body[:4] == b"vids":
+                    handler = body[4:8]
+                    if handler not in (b"DIB ", b"\x00\x00\x00\x00",
+                                       *_MJPEG_FOURCC):
+                        raise NotImplementedError(
+                            f"AVI: compressed video handler {handler!r}")
             elif cid in (b"00db", b"01db"):
                 frames.append(np.frombuffer(body, dtype=np.uint8))
             elif cid in (b"00dc", b"01dc"):
-                raise NotImplementedError("AVI: compressed frame chunk")
+                cframes.append(bytes(body))
 
     walk(raw[12:])
-    if w is None or h is None or not frames:
+    if w is None or h is None or not (frames or cframes):
         raise ValueError("AVI: missing avih header or frames")
+    if cframes:
+        if handler not in _MJPEG_FOURCC:
+            raise NotImplementedError(
+                f"AVI: compressed frame chunk (handler {handler!r})")
+        from .jpegcodec import decode_jpeg
+        out = np.zeros((len(cframes), h, w, 3), dtype=np.uint8)
+        for f, blob in enumerate(cframes):
+            px = decode_jpeg(blob)                   # (fh, fw, 1|3) top-down
+            if px.shape[2] == 1:
+                px = np.repeat(px, 3, axis=2)
+            fh, fw = min(px.shape[0], h), min(px.shape[1], w)
+            out[f, :fh, :fw] = px[:fh, :fw]
+        return out, us_per_frame
     stride = ((w * 3) + 3) & ~3
     out = np.zeros((len(frames), h, w, 3), dtype=np.uint8)
     for f, data in enumerate(frames):
@@ -532,6 +802,43 @@ def encode_avi(frames: np.ndarray, us_per_frame: int = 40_000) -> bytes:
             frames[f, h - 1 - y, :, ::-1].tobytes() + pad
             for y in range(h)))
         for f in range(n))
+    body = (lst(b"hdrl", chunk(b"avih", avih)
+                + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+            + lst(b"movi", movi_body))
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+
+
+def encode_mjpeg_avi(frames: np.ndarray, us_per_frame: int = 40_000,
+                     **jpeg_kwargs) -> bytes:
+    """Motion-JPEG AVI writer: (n, h, w, 3) uint8 RGB or (n, h, w)
+    grayscale frames, each a baseline JPEG (jpegcodec.encode_jpeg, extra
+    kwargs passed through — e.g. quant_luma) in a '00dc' chunk with an
+    'MJPG' vids stream header."""
+    from .jpegcodec import encode_jpeg
+    frames = np.asarray(frames, dtype=np.uint8)
+    if frames.ndim == 3:
+        n, h, w = frames.shape
+    else:
+        n, h, w, _ = frames.shape
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body \
+            + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack("<IIIIIIIIII", us_per_frame, w * h * 25, 0,
+                       0x10, n, 0, 1, w * h * 3, w, h) + b"\x00" * 16
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
+                                            us_per_frame, 1_000_000, 0, n,
+                                            w * h * 3, 0, 0)
+            + struct.pack("<hhhh", 0, 0, w, h))
+    strf = struct.pack("<IiiHHII", 40, w, h, 1, 24, 0x47504A4D,  # 'MJPG'
+                       w * h * 3) + struct.pack("<iiII", 0, 0, 0, 0)
+    movi_body = b"".join(chunk(b"00dc", encode_jpeg(frames[f],
+                                                    **jpeg_kwargs))
+                         for f in range(n))
     body = (lst(b"hdrl", chunk(b"avih", avih)
                 + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
             + lst(b"movi", movi_body))

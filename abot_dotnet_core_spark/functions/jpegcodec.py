@@ -547,6 +547,19 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
                 if comp is None:
                     raise ValueError("JPEG: scan references unknown comp")
                 scomps.append((comp, tda >> 4, tda & 0x0F))
+            # MJPEG convention: frames may omit DHT entirely; decoders
+            # supply the ITU T.81 Annex K typical tables (table 0 = luma,
+            # table 1 = chroma) for any id the scan references but no DHT
+            # defined (OpenDML AVI spec / RFC 2435 §4.2).
+            for _comp, td, ta in scomps:
+                if td not in huff_dc:
+                    huff_dc[td] = _build_decode_table(
+                        *((DC_LUMA_BITS, DC_LUMA_VALS) if td == 0
+                          else (DC_CHROMA_BITS, DC_CHROMA_VALS)))
+                if ta not in huff_ac:
+                    huff_ac[ta] = _build_decode_table(
+                        *((AC_LUMA_BITS, AC_LUMA_VALS) if ta == 0
+                          else (AC_CHROMA_BITS, AC_CHROMA_VALS)))
             planes = _decode_scan(raw, end, frame, scomps, qt,
                                   huff_dc, huff_ac, restart_interval)
             return _assemble(frame, planes)

@@ -4,13 +4,15 @@ Media travel as opaque ``binary`` columns + typed metadata structs; all
 per-item work runs as Arrow-batched ``mapInPandas`` so batches stream through
 executors without materializing a partition of blobs in memory at once.
 
-PIL/ffmpeg are NOT available in this container, but PNG/BMP/PPM/GIF,
-baseline JPEG (jpegcodec.py — pure-numpy ITU-T.81) and RIFF/WAVE PCM are
-decodable with stdlib zlib/struct + numpy — ``imagecodec.decode_image``
-/ ``decode_wav`` do real decode for those formats, so
+PIL/ffmpeg are NOT available in this container, but PNG/BMP/PPM/GIF
+(incl. Adam7/GIF interlace), baseline JPEG (jpegcodec.py — pure-numpy
+ITU-T.81), RIFF/WAVE integer PCM + G.711 A-law/mu-law + IMA ADPCM, and
+uncompressed-DIB or Motion-JPEG AVI are decodable with stdlib
+zlib/struct + numpy — ``imagecodec.decode_image`` / ``decode_wav`` /
+``decode_avi`` do real decode for those formats, so
 ``decode_stub=False`` computes real dimensions/means/resizes and real
-audio stats. Progressive/arithmetic JPEG and compressed audio/video
-still raise NotImplementedError (needs a codec library);
+audio stats. Progressive/arithmetic JPEG and other compressed codecs
+(mp3, float WAV, non-MJPEG video) still raise NotImplementedError;
 ``decode_stub=True`` (default) keeps the deterministic md5 fake for
 format-agnostic plumbing tests.
 
@@ -152,10 +154,11 @@ VIDEO_META_SCHEMA = T.StructType([
 
 def decode_video_meta(df: DataFrame, id_col: str = "media_id",
                       bin_col: str = "payload") -> DataFrame:
-    """REAL video decode for uncompressed RIFF/AVI (imagecodec.decode_avi —
-    raw 24-bit DIB frames): dimensions, frame count, frame rate in
-    milli-fps, and the exact integer sample mean over ALL frames' pixels.
-    Compressed video yields NULL stats — the stub stays honest."""
+    """REAL video decode for RIFF/AVI (imagecodec.decode_avi — raw
+    24-bit DIB frames, or Motion-JPEG via jpegcodec): dimensions, frame
+    count, frame rate in milli-fps, and the exact integer sample mean
+    over ALL frames' pixels. Other compressed video yields NULL stats —
+    the stub stays honest."""
     def gen(batches):
         from .imagecodec import decode_avi
         for pdf in batches:
@@ -191,10 +194,11 @@ AUDIO_META_SCHEMA = T.StructType([
 
 def decode_audio_meta(df: DataFrame, id_col: str = "media_id",
                       bin_col: str = "payload") -> DataFrame:
-    """REAL audio decode for RIFF/WAVE PCM (imagecodec.decode_wav —
-    8/16/24/32-bit): sample rate, channel count, frame count, duration and
-    exact integer amplitude stats (sum of |sample|, peak). Compressed
-    audio (mp3, float WAV, ADPCM) yields NULL stats — kept, not faked."""
+    """REAL audio decode for RIFF/WAVE (imagecodec.decode_wav —
+    8/16/24/32-bit integer PCM, G.711 A-law/mu-law, IMA ADPCM): sample
+    rate, channel count, frame count, duration and exact integer
+    amplitude stats (sum of |sample|, peak). Other compressed audio
+    (mp3, float WAV) yields NULL stats — kept, not faked."""
     def gen(batches):
         from .imagecodec import decode_wav
         for pdf in batches:

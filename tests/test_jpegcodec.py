@@ -204,3 +204,31 @@ class TestHonestFailures:
         want = (int(img.astype(np.int64).sum()) * 1000) // img.size
         assert rows[0]["mean_millis"] == want
         assert rows[1]["width"] is None  # progressive -> NULL, not a crash
+
+
+class TestMjpegTableFallback:
+    def test_missing_dht_uses_annex_k_defaults(self):
+        """MJPEG frames commonly ship without DHT segments (RFC 2435
+        convention); the decoder must fall back to the T.81 Annex K
+        typical tables — which are exactly what encode_jpeg writes, so
+        the stripped stream must decode identically."""
+        import struct
+        import numpy as np
+        from abot_dotnet_core_spark.functions.jpegcodec import (
+            decode_jpeg, encode_jpeg)
+        px = (np.arange(24 * 16 * 3, dtype=np.int64) * 31 % 256) \
+            .astype(np.uint8).reshape(24, 16, 3)
+        raw = encode_jpeg(px)
+        out, pos = bytearray(raw[:2]), 2
+        while pos + 4 <= len(raw):
+            marker = raw[pos + 1]
+            if marker == 0xDA:
+                out += raw[pos:]
+                break
+            (seglen,) = struct.unpack(">H", raw[pos + 2:pos + 4])
+            if marker != 0xC4:                       # drop every DHT
+                out += raw[pos:pos + 2 + seglen]
+            pos += 2 + seglen
+        stripped = bytes(out)
+        assert len(stripped) < len(raw)
+        assert (decode_jpeg(stripped) == decode_jpeg(raw)).all()
