@@ -23,6 +23,12 @@ collapses to a ~10^7-row vocab in one word-count pass before training
 starts. Production tokenizers run ~50k merges and update pair counts
 incrementally instead of recounting; the recount-per-merge form here is
 the semantics-defining reference shape, exact for any N.
+
+Vocabs at or under BPE_LOCAL_TRAIN_THRESHOLD rows skip the per-merge
+Spark jobs entirely: the symbol table collects to the driver once and an
+exact Python mirror of the loop trains there (parity-pinned) — the
+sequential argmax dependency makes each distributed merge cost a full
+job's scheduler constant, which dominates at small vocab sizes.
 """
 
 from __future__ import annotations
@@ -85,14 +91,55 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
         .agg(F.sum("cnt").alias("pair_count")))
 
 
+# Below this many vocab rows, training runs on the driver: the sequential
+# merge loop costs one Spark job (~0.5 s of scheduler constant) per merge
+# in the distributed form, and a <=64k-row vocab fits trivially in driver
+# memory. The local trainer is an exact mirror (same pair iteration, same
+# count-desc/left-asc/right-asc tiebreak, same greedy merge pass), pinned
+# by parity tests. Same gate pattern as similarity.py's
+# IVF_ARROW_THRESHOLD / this module's BPE_ARROW_THRESHOLD.
+BPE_LOCAL_TRAIN_THRESHOLD = 65536
+
+
+def _train_local(vocab: list[tuple[int, list[str]]],
+                 n_merges: int) -> list[tuple[int, str, str, int]]:
+    """Driver-local BPE training — exact mirror of the distributed loop."""
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for cnt, syms in vocab:
+            for pair in zip(syms, syms[1:]):
+                counts[pair] = counts.get(pair, 0) + cnt
+        if not counts:
+            break
+        (l, r), c = min(counts.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, l, r, c))
+        vocab = [(cnt, _merge_pass_py(syms, l, r)) for cnt, syms in vocab]
+    return merges
+
+
 def bpe_train(words: DataFrame, n_merges: int = 10,
-              word_col: str = "word", count_col: str = "cnt") -> DataFrame:
+              word_col: str = "word", count_col: str = "cnt",
+              local: bool | None = None) -> DataFrame:
     """Learn the first ``n_merges`` BPE merge rules from a word-frequency
     table. Returns (rank, left_sym, right_sym, pair_count), rank 1-based
-    in learned order. Stops early if the vocab runs out of pairs."""
+    in learned order. Stops early if the vocab runs out of pairs.
+    ``local=None`` auto-routes: vocabs at or under
+    BPE_LOCAL_TRAIN_THRESHOLD rows collect to the driver and train in
+    Python (bit-identical merges, no per-merge Spark job); larger vocabs
+    run the distributed loop."""
     spark = words.sparkSession
-    vocab = word_symbols(words, word_col, count_col) \
-        .localCheckpoint(eager=True)
+    schema = "rank int, left_sym string, right_sym string, pair_count long"
+    symdf = word_symbols(words, word_col, count_col)
+    if local is None:
+        # probe via limit(T+1) so the check never scans past the threshold
+        local = (symdf.limit(BPE_LOCAL_TRAIN_THRESHOLD + 1).count()
+                 <= BPE_LOCAL_TRAIN_THRESHOLD)
+    if local:
+        rows = [(int(r["cnt"]), list(r["syms"])) for r in symdf.collect()]
+        return spark.createDataFrame(_train_local(rows, n_merges), schema)
+    vocab = symdf.localCheckpoint(eager=True)
     merges = []
     try:
         for rank in range(1, n_merges + 1):
@@ -110,9 +157,7 @@ def bpe_train(words: DataFrame, n_merges: int = 10,
             old.unpersist()
     finally:
         vocab.unpersist()
-    return spark.createDataFrame(
-        merges,
-        "rank int, left_sym string, right_sym string, pair_count long")
+    return spark.createDataFrame(merges, schema)
 
 
 def _merge_pass_py(syms: list[str], left: str, right: str) -> list[str]:

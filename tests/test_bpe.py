@@ -188,3 +188,52 @@ class TestBpeArrowPath:
         # below threshold stays pure codegen
         plan = simple_plan(bpe_segment(df, merges[:3]))
         assert "MapInPandas" not in plan and "Python" not in plan, plan
+
+
+class TestLocalTrainGate:
+    """Driver-local training fast path (BPE_LOCAL_TRAIN_THRESHOLD)."""
+
+    def test_local_vs_distributed_parity_with_ties(self, spark):
+        from abot_dotnet_core_spark.functions.bpe import bpe_train
+        # heavy tie pressure: many equal-count pairs force the
+        # count-desc/left-asc/right-asc tiebreak on both paths
+        words = _words(spark, {"abab": 3, "baba": 3, "abba": 3,
+                               "cc": 7, "ccc": 1, "dcd": 2, "xyzzy": 4})
+        key = lambda r: (r.rank, r.left_sym, r.right_sym, r.pair_count)
+        a = sorted(map(key, bpe_train(words, n_merges=8,
+                                      local=True).collect()))
+        b = sorted(map(key, bpe_train(words, n_merges=8,
+                                      local=False).collect()))
+        assert a == b and len(a) == 8
+
+    def test_auto_gate_small_vocab_runs_local(self, spark):
+        from abot_dotnet_core_spark.functions import bpe as B
+        words = _words(spark, {"low": 5, "newest": 6})
+        calls = []
+        orig = B._train_local
+        try:
+            B._train_local = lambda v, n: calls.append(len(v)) or orig(v, n)
+            out = B.bpe_train(words, n_merges=2).collect()
+        finally:
+            B._train_local = orig
+        assert calls == [2] and len(out) == 2
+
+    def test_sennrich_example_local(self, spark):
+        from abot_dotnet_core_spark.functions.bpe import bpe_train
+        words = _words(spark, {"low": 5, "lower": 2,
+                               "newest": 6, "widest": 3})
+        out = [(r.rank, r.left_sym, r.right_sym, r.pair_count)
+               for r in bpe_train(words, n_merges=5, local=True)
+               .orderBy("rank").collect()]
+        assert out == [(1, "e", "s", 9),
+                       (2, "es", "t", 9),
+                       (3, "est", "</w>", 9),
+                       (4, "l", "o", 7),
+                       (5, "lo", "w", 7)]
+
+    def test_early_stop_when_pairs_exhausted(self, spark):
+        from abot_dotnet_core_spark.functions.bpe import bpe_train
+        out = bpe_train(_words(spark, {"a": 1}), n_merges=5,
+                        local=True).collect()
+        # only pair is (a, </w>); after merging it nothing remains
+        assert len(out) == 1
