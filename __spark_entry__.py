@@ -2979,7 +2979,8 @@ def q_jpeg_decode(spark, sf_dir):
     def gen(batches):
         import numpy as np
         import pandas as pd
-        from abot_dotnet_core_spark.functions.jpegcodec import encode_jpeg
+        from abot_dotnet_core_spark.functions.jpegcodec import (
+            encode_jpeg, encode_jpeg_progressive)
         ones = np.ones(64, dtype=np.int64)
         for pdf in batches:
             ids, payloads = [], []
@@ -2989,9 +2990,17 @@ def q_jpeg_decode(spark, sf_dir):
                 tiles = ((np.arange(ht * wt, dtype=np.int64) + i) % 256) \
                     .astype(np.uint8).reshape(ht, wt)
                 img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
-                payloads.append(encode_jpeg(
-                    img, quant_luma=ones,
-                    restart_interval=2 if i % 5 == 0 else 0))
+                # ids rotate progressive (SOF2) encodings through the same
+                # tile rule: DC-only blocks decode bit-identically, so the
+                # closed-form oracle is unchanged while the value hash now
+                # covers the spectral-selection/refinement decode paths
+                if i % 5 != 0 and i % 7 == 1:
+                    payloads.append(encode_jpeg_progressive(
+                        img, quant_luma=ones))
+                else:
+                    payloads.append(encode_jpeg(
+                        img, quant_luma=ones,
+                        restart_interval=2 if i % 5 == 0 else 0))
                 ids.append(i)
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 

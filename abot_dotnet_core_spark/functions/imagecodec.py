@@ -15,10 +15,10 @@ decode stub for real pipelines that ship PNG/BMP/PPM/GIF payloads:
 Audio: WAV integer PCM, G.711 A-law/mu-law, IMA ADPCM.  Video:
 uncompressed-DIB AVI and Motion-JPEG AVI (via jpegcodec).
 
-Baseline/extended-sequential JPEG decodes for real via jpegcodec.py (the
-from-scratch ITU-T.81 implementation — Huffman + matrix IDCT in numpy);
-progressive/arithmetic JPEG and compressed video stay honestly
-unimplemented (NotImplementedError).
+Baseline, extended-sequential and progressive JPEG decode for real via
+jpegcodec.py (the from-scratch ITU-T.81 implementation — Huffman +
+matrix IDCT in numpy); arithmetic JPEG and non-MJPEG compressed video
+stay honestly unimplemented (NotImplementedError).
 
 Encoders (encode_png / encode_ppm / encode_bmp) exist so tests and catalog
 fixtures can synthesize deterministic payloads without any library either;
@@ -851,8 +851,8 @@ def encode_mjpeg_avi(frames: np.ndarray, us_per_frame: int = 40_000,
 
 def decode_image(raw: bytes) -> np.ndarray:
     """Decode a PNG/BMP/PPM/GIF/JPEG payload to an (h, w, ch) uint8 array.
-    Baseline/extended-sequential Huffman JPEG decodes for real
-    (jpegcodec.py, pure numpy); progressive/arithmetic JPEG and video
+    Baseline, extended-sequential and progressive Huffman JPEG decode
+    for real (jpegcodec.py, pure numpy); arithmetic JPEG and video
     formats raise NotImplementedError."""
     if raw.startswith(_PNG_SIG):
         return decode_png(raw)

@@ -9,10 +9,11 @@ example quantization/Huffman tables, byte stuffing + restart markers
 (F.1.2.3), and an orthonormal matrix IDCT (A.3.3) batched per component
 through one numpy matmul.
 
-Honest limits (each raises NotImplementedError): progressive (SOF2),
-arithmetic coding (SOF9+), 12-bit precision, 16-bit quant tables,
-hierarchical modes. Baseline (SOF0) and extended sequential (SOF1)
-Huffman decode for real.
+Honest limits (each raises NotImplementedError): arithmetic coding
+(SOF9+), 12-bit precision, 16-bit quant tables, hierarchical modes.
+Baseline (SOF0), extended sequential (SOF1) and progressive (SOF2 —
+spectral selection + successive approximation, Annex G.1.2) Huffman
+decode for real.
 
 Exactness contract used by the catalog oracle: a flat 8x8 block round-
 trips bit-exactly whenever the DC quantizer divides 8*(v-128) (all-ones
@@ -468,9 +469,10 @@ def encode_jpeg(px: np.ndarray, quant_luma: np.ndarray | None = None,
 # --------------------------------------------------------------------------
 
 def decode_jpeg(raw: bytes) -> np.ndarray:
-    """Decode a baseline/extended-sequential Huffman JPEG to (h, w, 1)
-    grayscale or (h, w, 3) RGB uint8. Progressive/arithmetic/12-bit raise
-    NotImplementedError; malformed input raises ValueError."""
+    """Decode a baseline, extended-sequential or progressive (SOF2)
+    Huffman JPEG to (h, w, 1) grayscale or (h, w, 3) RGB uint8.
+    Arithmetic/12-bit raise NotImplementedError; malformed input raises
+    ValueError."""
     if raw[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -478,6 +480,7 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None
+    prog = None
     restart_interval = 0
     n = len(raw)
     while pos + 4 <= n:
@@ -515,7 +518,7 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
                 tbl = _build_decode_table(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = tbl
                 bpos += 17 + nv
-        elif marker in (0xC0, 0xC1):                   # SOF0/SOF1
+        elif marker in (0xC0, 0xC1, 0xC2):             # SOF0/SOF1/SOF2
             prec = body[0]
             if prec != 8:
                 raise NotImplementedError("JPEG: 12-bit precision")
@@ -526,9 +529,8 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
                 cid, samp, tq = body[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F,
                               "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker == 0xC2:
-            raise NotImplementedError("JPEG: progressive (SOF2)")
+            frame = {"h": fh, "w": fw, "comps": comps,
+                     "progressive": marker == 0xC2}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -560,11 +562,35 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
                     huff_ac[ta] = _build_decode_table(
                         *((AC_LUMA_BITS, AC_LUMA_VALS) if ta == 0
                           else (AC_CHROMA_BITS, AC_CHROMA_VALS)))
+            if frame.get("progressive"):
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+                if prog is None:
+                    prog = _prog_alloc(frame)
+                br = _BitReader(raw, end)
+                if ss == 0:
+                    if se != 0:
+                        raise ValueError("JPEG: bad DC spectral range")
+                    _prog_dc_scan(br, prog, scomps, huff_dc, ah, al,
+                                  restart_interval)
+                else:
+                    _prog_ac_scan(br, prog, scomps, huff_ac, ss, se,
+                                  ah, al, restart_interval)
+                # resume the marker loop at the next true marker (skip
+                # residual pad bytes / stuffed FF00 the scan left behind)
+                p = br.pos
+                while p + 1 < n and not (raw[p] == 0xFF
+                                         and raw[p + 1] != 0x00):
+                    p += 1
+                pos = p
+                continue
             planes = _decode_scan(raw, end, frame, scomps, qt,
                                   huff_dc, huff_ac, restart_interval)
             return _assemble(frame, planes)
         # else: APPn/COM/unknown -> skip
         pos = end
+    if prog is not None:
+        return _prog_finish(frame, prog, qt)
     raise ValueError("JPEG: no scan data")
 
 
@@ -676,6 +702,418 @@ def _decode_scan(raw: bytes, pos: int, frame: dict, scomps: list,
         plane = np.clip(np.round(plane + 128.0), 0, 255)
         planes[cid] = plane
     return planes
+
+
+# --------------------------------------------------------------------------
+# progressive (SOF2) — spectral selection + successive approximation,
+# T.81 Annex G.1.2 / the classic jdphuff control structure
+# --------------------------------------------------------------------------
+
+# Progressive AC scans need EOBn symbols (n = run-length category of an
+# end-of-band run), which the Annex K typical tables do not contain —
+# real encoders ship custom tables for progressive. This fixed table
+# gives every symbol the writer can emit an 8-bit code: 15 EOBn, ZRL,
+# and (run, size) pairs for size 1-10 = 176 codes (the all-ones 8-bit
+# code stays unused, as T.81 requires).
+AC_PROG_BITS = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+AC_PROG_VALS = ([r << 4 for r in range(15)] + [0xF0]
+                + [(r << 4) | s for r in range(16) for s in range(1, 11)])
+
+
+def _emit_eobrun(w: _BitWriter, ac: dict, eobrun: int,
+                 be_bits: list[int]) -> None:
+    """Flush a pending end-of-band run + its deferred correction bits."""
+    if eobrun > 0:
+        nbits = eobrun.bit_length() - 1
+        code, ln = ac[nbits << 4]
+        w.write(code, ln)
+        if nbits:
+            w.write(eobrun - (1 << nbits), nbits)
+    for b in be_bits:
+        w.write(b, 1)
+
+
+def _enc_ac_first(w: _BitWriter, ac: dict, zz_blocks: list[np.ndarray],
+                  ss: int, se: int, al: int) -> None:
+    """First AC scan of a band (Ah=0): magnitudes >> Al, EOB-run coded."""
+    eobrun = 0
+    for zz in zz_blocks:
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            t = (-v if v < 0 else v) >> al
+            if t == 0:
+                r += 1
+                continue
+            if eobrun:
+                _emit_eobrun(w, ac, eobrun, [])
+                eobrun = 0
+            while r > 15:
+                code, ln = ac[0xF0]
+                w.write(code, ln)
+                r -= 16
+            s = t.bit_length()
+            code, ln = ac[(r << 4) | s]
+            w.write(code, ln)
+            w.write((t if v >= 0 else ~t) & ((1 << s) - 1), s)
+            r = 0
+        if r > 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                _emit_eobrun(w, ac, eobrun, [])
+                eobrun = 0
+    if eobrun:
+        _emit_eobrun(w, ac, eobrun, [])
+
+
+def _enc_ac_refine(w: _BitWriter, ac: dict, zz_blocks: list[np.ndarray],
+                   ss: int, se: int, al: int) -> None:
+    """AC refinement scan (Ah=Al+1): newly-significant coefs become
+    (run, 1) symbols + sign, already-nonzero coefs ride as correction
+    bits — deferred across EOB runs exactly as jcphuff buffers them."""
+    eobrun = 0
+    be: list[int] = []
+    for zz in zz_blocks:
+        absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+        eob = 0                     # 1 + relative index of last new coef
+        for j, t in enumerate(absv):
+            if t == 1:
+                eob = j + 1
+        r = 0
+        pend: list[int] = []
+        for j, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and j < eob:   # ZRL not foldable into the EOB
+                _emit_eobrun(w, ac, eobrun, be)
+                eobrun, be = 0, []
+                code, ln = ac[0xF0]
+                w.write(code, ln)
+                r -= 16
+                for b in pend:
+                    w.write(b, 1)
+                pend = []
+            if t > 1:                   # visible before: correction bit
+                pend.append(t & 1)
+                continue
+            _emit_eobrun(w, ac, eobrun, be)
+            eobrun, be = 0, []
+            code, ln = ac[(r << 4) | 1]
+            w.write(code, ln)
+            w.write(0 if int(zz[ss + j]) < 0 else 1, 1)
+            for b in pend:
+                w.write(b, 1)
+            pend = []
+            r = 0
+        if r > 0 or pend:
+            eobrun += 1
+            be.extend(pend)
+            if eobrun == 0x7FFF or len(be) > 900:
+                _emit_eobrun(w, ac, eobrun, be)
+                eobrun, be = 0, []
+    if eobrun or be:
+        _emit_eobrun(w, ac, eobrun, be)
+
+
+def encode_jpeg_progressive(px: np.ndarray,
+                            quant_luma: np.ndarray | None = None,
+                            quant_chroma: np.ndarray | None = None) -> bytes:
+    """Progressive (SOF2) JFIF writer — 4:4:4 or grayscale. Scan script:
+    DC first (Al=1), per-component spectral-selection AC first scans
+    (Al=1), DC refinement, per-component AC refinements (Al=0) — one
+    successive-approximation level, exercising every decode path. Encodes
+    the SAME quantized coefficients as ``encode_jpeg``, so both decodes
+    are pixel-identical."""
+    px = np.asarray(px)
+    if px.ndim == 3 and px.shape[2] == 1:
+        px = px[:, :, 0]
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("JPEG: empty image")
+    ql = (QUANT_LUMA if quant_luma is None
+          else np.asarray(quant_luma, dtype=np.int64))
+    qc = (QUANT_CHROMA if quant_chroma is None
+          else np.asarray(quant_chroma, dtype=np.int64))
+
+    out = bytearray(b"\xff\xd8")
+    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0]))
+
+    def seg(marker: bytes, body: bytes) -> None:
+        out.extend(marker + struct.pack(">H", len(body) + 2) + body)
+
+    seg(b"\xff\xdb", bytes([0]) + bytes(int(x) for x in ql[ZIGZAG]))
+    if not gray:
+        seg(b"\xff\xdb", bytes([1]) + bytes(int(x) for x in qc[ZIGZAG]))
+    if gray:
+        comps, ncomp = bytes([1, 0x11, 0]), 1
+    else:
+        comps, ncomp = bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]), 3
+    seg(b"\xff\xc2", bytes([8]) + struct.pack(">HH", h, w)
+        + bytes([ncomp]) + comps)
+
+    def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> None:
+        seg(b"\xff\xc4", bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    dht(1, 0, AC_PROG_BITS, AC_PROG_VALS)
+    if not gray:
+        dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+
+    # quantized coefficients, zigzag order, block raster per component
+    if gray:
+        planes = [(px.astype(np.float64) - 128.0, ql, 0)]
+    else:
+        ycc = _rgb_to_ycbcr(px)
+        planes = [(ycc[..., 0] - 128.0, ql, 0),
+                  (ycc[..., 1] - 128.0, qc, 1),
+                  (ycc[..., 2] - 128.0, qc, 1)]
+    comp_zz = []
+    for plane, q, _ in planes:
+        coefs = _fdct_quant(_blocks_of(plane), q)
+        comp_zz.append([coefs[i][ZIGZAG] for i in range(coefs.shape[0])])
+
+    dc_codes = [_build_codes(DC_LUMA_BITS, DC_LUMA_VALS)]
+    if not gray:
+        dcc = _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+        dc_codes += [dcc, dcc]
+    ac = _build_codes(AC_PROG_BITS, AC_PROG_VALS)
+
+    def sos(scomps: list[tuple[int, int, int]], ss: int, se: int,
+            ah: int, al: int) -> None:
+        body = bytes([len(scomps)])
+        for cid, td, ta in scomps:
+            body += bytes([cid, (td << 4) | ta])
+        seg(b"\xff\xda", body + bytes([ss, se, (ah << 4) | al]))
+
+    # scan 1: DC first, interleaved (4:4:4 -> one block per comp per MCU)
+    sos([(c + 1, (1 if c and not gray else 0), 0)
+         for c in range(ncomp)], 0, 0, 0, 1)
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    for i in range(len(comp_zz[0])):
+        for c in range(ncomp):
+            temp = int(comp_zz[c][i][0]) >> 1
+            diff = temp - preds[c]
+            preds[c] = temp
+            t = _category(diff)
+            code, ln = dc_codes[c][t]
+            bw.write(code, ln)
+            if t:
+                bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    bw.flush()
+    out += bw.out
+
+    # AC first scans per component (luma in two spectral bands)
+    bands = {0: [(1, 5), (6, 63)]}
+    for c in range(ncomp):
+        for ss, se in bands.get(c, [(1, 63)]):
+            sos([(c + 1, 0, 0)], ss, se, 0, 1)
+            bw = _BitWriter()
+            _enc_ac_first(bw, ac, comp_zz[c], ss, se, 1)
+            bw.flush()
+            out += bw.out
+
+    # DC refinement (interleaved, one bit per block)
+    sos([(c + 1, 0, 0) for c in range(ncomp)], 0, 0, 1, 0)
+    bw = _BitWriter()
+    for i in range(len(comp_zz[0])):
+        for c in range(ncomp):
+            bw.write(int(comp_zz[c][i][0]) & 1, 1)
+    bw.flush()
+    out += bw.out
+
+    # AC refinement scans
+    for c in range(ncomp):
+        for ss, se in bands.get(c, [(1, 63)]):
+            sos([(c + 1, 0, 0)], ss, se, 1, 0)
+            bw = _BitWriter()
+            _enc_ac_refine(bw, ac, comp_zz[c], ss, se, 0)
+            bw.flush()
+            out += bw.out
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+def _prog_alloc(frame: dict) -> dict:
+    """Per-component coefficient stores for a progressive frame: padded to
+    the MCU grid (interleaved DC scans cover padding blocks), with the
+    real (unpadded) block counts used by non-interleaved scans."""
+    h, w = frame["h"], frame["w"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    store, meta = {}, {}
+    for c in comps:
+        bwp, bhp = mcux * c["h"], mcuy * c["v"]
+        cw = (w * c["h"] + hmax - 1) // hmax
+        ch = (h * c["v"] + vmax - 1) // vmax
+        bwr, bhr = (cw + 7) // 8, (ch + 7) // 8
+        store[c["id"]] = np.zeros((bhp * bwp, 64), dtype=np.int64)
+        meta[c["id"]] = (bhp, bwp, bhr, bwr)
+    return {"store": store, "meta": meta, "mcux": mcux, "mcuy": mcuy}
+
+
+def _prog_dc_scan(br: _BitReader, prog: dict, scomps: list, huff_dc: dict,
+                  ah: int, al: int, restart_interval: int) -> None:
+    store, meta = prog["store"], prog["meta"]
+    preds = {comp["id"]: 0 for comp, _, _ in scomps}
+
+    def dc_block(comp, td, idx):
+        blk = store[comp["id"]][idx]
+        if ah == 0:                                    # first scan
+            tbl = huff_dc.get(td)
+            if tbl is None:
+                raise ValueError("JPEG: missing Huffman table")
+            t = br.decode_symbol(tbl)
+            if t > 15:
+                raise ValueError("JPEG: bad DC category")
+            preds[comp["id"]] += _extend(br.receive(t), t)
+            blk[0] = preds[comp["id"]] << al
+        elif br.read_bit():                            # refinement bit
+            blk[0] |= 1 << al
+
+    n_rst = units = 0
+    if len(scomps) > 1:                                # interleaved MCUs
+        mcux, mcuy = prog["mcux"], prog["mcuy"]
+        for m in range(mcux * mcuy):
+            if restart_interval and units == restart_interval:
+                br.sync_restart(n_rst)
+                n_rst += 1
+                units = 0
+                for comp, _, _ in scomps:
+                    preds[comp["id"]] = 0
+            my, mx = divmod(m, mcux)
+            for comp, td, _ in scomps:
+                _, bwp, _, _ = meta[comp["id"]]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        dc_block(comp, td,
+                                 (my * comp["v"] + by) * bwp
+                                 + mx * comp["h"] + bx)
+            units += 1
+    else:                                              # single component
+        comp, td, _ = scomps[0]
+        _, bwp, bhr, bwr = meta[comp["id"]]
+        for i in range(bhr * bwr):
+            if restart_interval and units == restart_interval:
+                br.sync_restart(n_rst)
+                n_rst += 1
+                units = 0
+                preds[comp["id"]] = 0
+            dc_block(comp, td, (i // bwr) * bwp + i % bwr)
+            units += 1
+
+
+def _prog_ac_scan(br: _BitReader, prog: dict, scomps: list, huff_ac: dict,
+                  ss: int, se: int, ah: int, al: int,
+                  restart_interval: int) -> None:
+    if len(scomps) != 1:
+        raise ValueError("JPEG: progressive AC scan must be one component")
+    comp, _, ta = scomps[0]
+    act = huff_ac.get(ta)
+    if act is None:
+        raise ValueError("JPEG: missing Huffman table")
+    blk_rows = prog["store"][comp["id"]]
+    _, bwp, bhr, bwr = prog["meta"][comp["id"]]
+    p1, m1 = 1 << al, -(1 << al)
+    eobrun = 0
+
+    def ac_first(blk):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = br.decode_symbol(act)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:                            # EOBn
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.receive(r)
+                    return
+                k += 16                                # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("JPEG: AC index out of range")
+            blk[ZIGZAG[k]] = _extend(br.receive(s), s) << al
+            k += 1
+
+    def ac_refine(blk):
+        # G.1.2.3 / jdphuff decode_mcu_AC_refine: corrections ride along
+        # while skipping runs, and continue through the EOB tail.
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = br.decode_symbol(act)
+                r, s = rs >> 4, rs & 0x0F
+                val = 0
+                if s:
+                    if s != 1:
+                        raise ValueError("JPEG: bad refinement magnitude")
+                    val = p1 if br.read_bit() else m1
+                elif r != 15:                          # EOBn
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                # advance over r zero-history coefs, correcting nonzeroes
+                while k <= se:
+                    pos = ZIGZAG[k]
+                    if blk[pos] != 0:
+                        if br.read_bit() and (blk[pos] & p1) == 0:
+                            blk[pos] += p1 if blk[pos] >= 0 else m1
+                    else:
+                        r -= 1
+                        if r < 0:
+                            break
+                    k += 1
+                if val and k <= se:
+                    blk[ZIGZAG[k]] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:                             # EOB tail corrections
+                pos = ZIGZAG[k]
+                if blk[pos] != 0:
+                    if br.read_bit() and (blk[pos] & p1) == 0:
+                        blk[pos] += p1 if blk[pos] >= 0 else m1
+                k += 1
+            eobrun -= 1
+
+    decode = ac_first if ah == 0 else ac_refine
+    n_rst = units = 0
+    for i in range(bhr * bwr):
+        if restart_interval and units == restart_interval:
+            br.sync_restart(n_rst)
+            n_rst += 1
+            units = 0
+            eobrun = 0
+        decode(blk_rows[(i // bwr) * bwp + i % bwr])
+        units += 1
+
+
+def _prog_finish(frame: dict, prog: dict, qt: dict) -> np.ndarray:
+    planes = {}
+    for comp in frame["comps"]:
+        cid = comp["id"]
+        q = qt.get(comp["tq"])
+        if q is None:
+            raise ValueError("JPEG: missing quant table")
+        bhp, bwp, _, _ = prog["meta"][cid]
+        coefs = (prog["store"][cid] * q).reshape(-1, 8, 8).astype(np.float64)
+        blocks = np.einsum("xu,nuv,yv->nxy", _A.T, coefs, _A.T)
+        plane = (blocks.reshape(bhp, bwp, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(bhp * 8, bwp * 8))
+        planes[cid] = np.clip(np.round(plane + 128.0), 0, 255)
+    return _assemble(frame, planes)
 
 
 def _assemble(frame: dict, planes: dict) -> np.ndarray:

@@ -11,7 +11,7 @@ uncompressed-DIB or Motion-JPEG AVI are decodable with stdlib
 zlib/struct + numpy — ``imagecodec.decode_image`` / ``decode_wav`` /
 ``decode_avi`` do real decode for those formats, so
 ``decode_stub=False`` computes real dimensions/means/resizes and real
-audio stats. Progressive/arithmetic JPEG and other compressed codecs
+audio stats. Arithmetic JPEG and other compressed codecs
 (mp3, float WAV, non-MJPEG video) still raise NotImplementedError;
 ``decode_stub=True`` (default) keeps the deterministic md5 fake for
 format-agnostic plumbing tests.
@@ -114,11 +114,11 @@ DECODE_META_SCHEMA = T.StructType([
 
 def decode_image_meta(df: DataFrame, id_col: str = "media_id",
                       bin_col: str = "payload") -> DataFrame:
-    """REAL pixel decode (PNG/BMP/PPM/GIF/baseline-JPEG via imagecodec) ->
+    """REAL pixel decode (PNG/BMP/PPM/GIF/JPEG via imagecodec) ->
     dimensions and the exact integer sample mean: mean_millis = (sum of all
     samples * 1000) // sample count. Integer arithmetic end-to-end, so a
     SQL oracle that knows the fixture's pixel-generation rule reproduces it
-    bit-exactly. Undecodable payloads (progressive JPEG, junk) yield NULL
+    bit-exactly. Undecodable payloads (arithmetic JPEG, junk) yield NULL
     width/height/mean — the row is kept, the error is not swallowed
     silently into zeros."""
     def gen(batches):
@@ -232,8 +232,8 @@ def extract_features(df: DataFrame, dim: int = 16, id_col: str = "media_id",
                      decode_stub: bool = True) -> DataFrame:
     """Decode + featurize. ``decode_stub=True`` derives ``dim`` floats from
     md5(payload) (format-agnostic plumbing fake); ``decode_stub=False`` does
-    REAL decode for PNG/BMP/PPM/GIF/baseline-JPEG via imagecodec
-    (progressive JPEG / video raise)."""
+    REAL decode for PNG/BMP/PPM/GIF/JPEG (incl. progressive) via
+    imagecodec (arithmetic JPEG / video raise)."""
     def _decode(raw: bytes) -> np.ndarray:
         if decode_stub:
             h = hashlib.md5(raw).digest()
@@ -278,8 +278,8 @@ def resize_images(df: DataFrame, width: int = 64, height: int = 64,
     ``decode_stub=True`` emits width*height bytes derived by repeating
     md5(payload) (size-correct plumbing fake); ``decode_stub=False`` does a
     REAL decode + nearest-neighbor resample (packed grayscale output) for
-    PNG/BMP/PPM/GIF/baseline-JPEG via imagecodec — progressive JPEG
-    and video still raise."""
+    PNG/BMP/PPM/GIF/JPEG (incl. progressive) via imagecodec — arithmetic
+    JPEG and video still raise."""
     n_out = width * height
 
     def _resize(raw: bytes) -> bytes:

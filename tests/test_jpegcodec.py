@@ -152,11 +152,13 @@ class TestRoundTrip:
 
 
 class TestHonestFailures:
-    def test_progressive_raises(self):
+    def test_baseline_scan_in_progressive_frame_rejected(self):
+        # SOF0 relabeled SOF2 leaves a full-band (Ss=0, Se=63) scan, which
+        # is illegal for a progressive DC scan
         img = np.full((8, 8), 100, np.uint8)
         raw = J.encode_jpeg(img)
         patched = raw.replace(b"\xff\xc0", b"\xff\xc2", 1)
-        with pytest.raises(NotImplementedError, match="progressive"):
+        with pytest.raises(ValueError, match="spectral"):
             J.decode_jpeg(patched)
 
     def test_16bit_quant_raises(self):
@@ -232,3 +234,80 @@ class TestMjpegTableFallback:
         stripped = bytes(out)
         assert len(stripped) < len(raw)
         assert (decode_jpeg(stripped) == decode_jpeg(raw)).all()
+
+
+class TestProgressive:
+    """SOF2: spectral selection + successive approximation (G.1.2)."""
+
+    def test_parity_with_baseline_random(self):
+        rng = np.random.default_rng(42)
+        for h, w, gray in [(8, 8, True), (16, 24, True), (17, 9, True),
+                           (8, 8, False), (24, 16, False), (33, 21, False)]:
+            px = rng.integers(0, 256, (h, w) if gray else (h, w, 3),
+                              dtype=np.uint8)
+            base = J.decode_jpeg(J.encode_jpeg(px))
+            prog = J.decode_jpeg(J.encode_jpeg_progressive(px))
+            assert np.array_equal(base, prog), (h, w, gray)
+
+    def test_parity_ones_quant_max_categories(self):
+        rng = np.random.default_rng(3)
+        ones = np.ones(64, dtype=np.int64)
+        px = rng.integers(0, 256, (32, 24, 3), dtype=np.uint8)
+        base = J.decode_jpeg(J.encode_jpeg(px, quant_luma=ones,
+                                           quant_chroma=ones))
+        prog = J.decode_jpeg(J.encode_jpeg_progressive(
+            px, quant_luma=ones, quant_chroma=ones))
+        assert np.array_equal(base, prog)
+
+    def test_eob_run_and_zrl_paths(self):
+        # mostly-flat with isolated spikes: long EOB runs across blocks,
+        # ZRL inside blocks, corrections riding the runs in refinement
+        px = np.full((128, 128), 128, np.uint8)
+        px[::17, ::13] = 255
+        base = J.decode_jpeg(J.encode_jpeg(px))
+        prog = J.decode_jpeg(J.encode_jpeg_progressive(px))
+        assert np.array_equal(base, prog)
+
+    def test_flat_tiles_bit_exact(self):
+        # DC-only blocks with ones quant: progressive decode recovers the
+        # tile values exactly (the catalog-oracle exactness contract)
+        ones = np.ones(64, dtype=np.int64)
+        tiles = ((np.arange(12, dtype=np.int64) * 37) % 256) \
+            .astype(np.uint8).reshape(3, 4)
+        img = np.repeat(np.repeat(tiles, 8, 0), 8, 1)
+        got = J.decode_jpeg(J.encode_jpeg_progressive(img, quant_luma=ones))
+        assert np.array_equal(got[:, :, 0], img)
+
+    def test_decodes_via_dispatch(self):
+        from abot_dotnet_core_spark.functions.imagecodec import decode_image
+        px = (np.arange(16 * 16, dtype=np.int64) * 7 % 256) \
+            .astype(np.uint8).reshape(16, 16)
+        assert decode_image(J.encode_jpeg_progressive(px)).shape \
+            == (16, 16, 1)
+
+    def test_truncated_progressive_is_partial_not_crash(self):
+        # dropping the tail scans must still yield a full-size image
+        # (coarse approximation), like any progressive viewer
+        px = (np.arange(24 * 24, dtype=np.int64) * 11 % 256) \
+            .astype(np.uint8).reshape(24, 24)
+        raw = J.encode_jpeg_progressive(px)
+        # cut right before the DC refinement scan (4th SOS)
+        cut = -1
+        n_sos = 0
+        i = 2
+        while i + 4 <= len(raw):
+            if raw[i] == 0xFF and raw[i + 1] == 0xDA:
+                n_sos += 1
+                if n_sos == 4:
+                    cut = i
+                    break
+            i += 1
+        assert cut > 0
+        got = J.decode_jpeg(raw[:cut] + b"\xff\xd9")
+        assert got.shape == (24, 24, 1)
+        full = J.decode_jpeg(raw)
+        # coarse decode approximates the full one: one missing bit level
+        # can move a pixel by ~sum(q_k/2) locally, but on average the
+        # image must track closely
+        err = np.abs(got.astype(int) - full.astype(int))
+        assert err.mean() < 16 and err.max() <= 160
