@@ -5338,6 +5338,61 @@ SELECT doc_id AS media_id, 'video/x-msvideo' AS mime,
 FROM s"""
 
 
+def q_frame_sample(spark, sf_dir):
+    """REAL video frame sampling (multimodal.extract_frames over
+    imagecodec.decode_avi): the video_decode fixture (uncompressed AVI,
+    sample J = (J + id) % 251 ramping across all frames), sampled at
+    every_n=2 -> one row per even frame index with that frame's exact
+    integer mean. The oracle slides the same multi-wrap arithmetic
+    series per frame: frame f's samples are J in [f*s, (f+1)*s) with
+    s = w*h*3, i.e. the window ramp with phase a_f = (id + f*s) % 251."""
+    from abot_dotnet_core_spark.functions.multimodal import extract_frames
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        from abot_dotnet_core_spark.functions.imagecodec import encode_avi
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h, nf = 4 + i % 3, 3 + i % 2, 2 + i % 3
+                fr = ((np.arange(nf * h * w * 3, dtype=np.int64) + i) % 251) \
+                    .astype(np.uint8).reshape(nf, h, w, 3)
+                ids.append(i)
+                payloads.append(encode_avi(fr, us_per_frame=40_000))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        gen, "media_id long, payload binary")
+    return extract_frames(media, every_n=2)
+
+
+def sql_frame_sample():
+    return """
+WITH d AS (SELECT doc_id, 4 + doc_id % 3 AS w, 3 + doc_id % 2 AS h,
+                  2 + doc_id % 3 AS nf
+           FROM documents),
+f AS (SELECT doc_id, w, h, nf, w * h * 3 AS s,
+             unnest(range(0, nf)) AS fi
+      FROM d),
+m AS (SELECT doc_id, w, h, fi, s,
+             (doc_id + fi * s) % 251 AS a,
+             s % 251 AS r, s // 251 AS q
+      FROM f WHERE fi % 2 = 0),
+m2 AS (SELECT doc_id, w, h, fi, s, a, r, q,
+              least(r, 251 - a) AS m0
+       FROM m),
+t AS (SELECT doc_id, w, h, fi, s,
+             (q * 31375 + m0 * a + (m0 * (m0 - 1)) // 2
+              + ((r - m0) * (r - m0 - 1)) // 2)::BIGINT AS tot
+      FROM m2)
+SELECT doc_id AS media_id, fi::int AS frame_idx,
+       w::int AS width, h::int AS height,
+       ((tot * 1000) // s)::int AS mean_millis
+FROM t"""
+
+
 def q_chunk_documents(spark, sf_dir):
     """Fixed-size character chunking with overlap (512-char windows, stride
     384): the long-document -> training-example transform. Emits the digest
@@ -5780,6 +5835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g711_decode": q_g711_decode,
         "adpcm_decode": q_adpcm_decode,
         "mjpeg_decode": q_mjpeg_decode,
+        "frame_sample": q_frame_sample,
         # streaming-shaped event analytics
         "events_tumbling": q_events_tumbling,
         "events_sessions": q_events_sessions,
@@ -5927,6 +5983,7 @@ def oracle_sql() -> dict[str, str]:
         "g711_decode": sql_g711_decode(),
         "adpcm_decode": sql_adpcm_decode(),
         "mjpeg_decode": sql_mjpeg_decode(),
+        "frame_sample": sql_frame_sample(),
         "events_tumbling": sql_events_tumbling(),
         "events_sessions": sql_events_sessions(),
         "events_sliding": sql_events_sliding(),

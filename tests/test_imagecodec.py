@@ -543,3 +543,38 @@ class TestMjpegAvi:
         r = decode_video_meta(df).collect()[0]
         assert (r.width, r.height, r.n_frames) == (12, 16, 2)
         assert r.mean_millis is not None
+
+
+class TestExtractFrames:
+    def test_dib_and_mjpeg_frames(self, spark):
+        from abot_dotnet_core_spark.functions.multimodal import (
+            extract_frames)
+        from abot_dotnet_core_spark.functions.jpegcodec import (
+            decode_jpeg, encode_jpeg)
+        fr = _rimg3(16, 8, seed=21)[None].repeat(5, axis=0)
+        rows = spark.createDataFrame([
+            Row(media_id=1, payload=bytearray(C.encode_avi(fr))),
+            Row(media_id=2, payload=bytearray(C.encode_mjpeg_avi(fr))),
+            Row(media_id=3, payload=bytearray(b"junk")),
+        ])
+        out = {(r.media_id, r.frame_idx): r
+               for r in extract_frames(rows, every_n=2).collect()}
+        # every_n=2 over 5 frames -> indices 0, 2, 4
+        assert {k for k in out} == {(1, 0), (1, 2), (1, 4),
+                                    (2, 0), (2, 2), (2, 4), (3, None)}
+        assert out[(3, None)].width is None
+        # DIB frames identical -> identical means; exact vs numpy
+        want = (int(fr[0].astype(np.int64).sum()) * 1000) // fr[0].size
+        assert out[(1, 0)].mean_millis == want
+        assert out[(1, 2)].mean_millis == want
+        # MJPEG frame mean equals the direct jpeg round-trip mean
+        jj = decode_jpeg(encode_jpeg(fr[0]))
+        wantj = (int(jj.astype(np.int64).sum()) * 1000) // jj.size
+        assert out[(2, 0)].mean_millis == wantj
+        assert out[(1, 0)].width == 8 and out[(1, 0)].height == 16
+
+    def test_every_n_validation(self, spark):
+        from abot_dotnet_core_spark.functions.multimodal import (
+            extract_frames)
+        with pytest.raises(ValueError):
+            extract_frames(spark.range(1), every_n=0)
