@@ -12,7 +12,8 @@ decode stub for real pipelines that ship PNG/BMP/PPM/GIF payloads:
   GIF  : 87a/89a, global or local color table, first frame, LZW,
          sequential or interlaced
 
-Audio: WAV integer PCM, G.711 A-law/mu-law, IMA ADPCM.  Video:
+Audio: WAV integer PCM, IEEE float, G.711 A-law/mu-law, IMA ADPCM
+(plus WAVE_FORMAT_EXTENSIBLE wrappers).  Video:
 uncompressed-DIB AVI and Motion-JPEG AVI (via jpegcodec).
 
 Baseline, extended-sequential and progressive JPEG decode for real via
@@ -169,6 +170,42 @@ def encode_png(px: np.ndarray, interlace: bool = False) -> bytes:
 # BMP
 # --------------------------------------------------------------------------
 
+def _bmp_rle8(data: bytes, h: int, w: int) -> np.ndarray:
+    """Decode the BMP RLE8 stream to an (h, w) index array in STORED row
+    order (bottom-up for positive heights; caller flips). Escapes: 00 00
+    end-of-line, 00 01 end-of-bitmap, 00 02 dx dy delta, 00 n absolute
+    run (word-aligned); else count/value run."""
+    idx = np.zeros((h, w), dtype=np.uint8)
+    x = y = pos = 0
+    while pos + 1 < len(data) and y < h:
+        n, v = data[pos], data[pos + 1]
+        pos += 2
+        if n > 0:                                        # run of n x v
+            end = min(x + n, w)
+            idx[y, x:end] = v
+            x = end
+        elif v == 0:                                     # end of line
+            x, y = 0, y + 1
+        elif v == 1:                                     # end of bitmap
+            break
+        elif v == 2:                                     # delta
+            if pos + 1 >= len(data):
+                raise ValueError("BMP: truncated RLE delta")
+            x = min(x + data[pos], w)
+            y += data[pos + 1]
+            pos += 2
+        else:                                            # absolute mode
+            end = min(x + v, w)
+            count = end - x
+            if pos + v > len(data):
+                raise ValueError("BMP: truncated RLE absolute run")
+            idx[y, x:end] = np.frombuffer(data, dtype=np.uint8,
+                                          count=count, offset=pos)
+            x = end
+            pos += v + (v & 1)                           # word alignment
+    return idx
+
+
 def decode_bmp(raw: bytes) -> np.ndarray:
     if raw[:2] != b"BM":
         raise ValueError("not a BMP")
@@ -179,10 +216,19 @@ def decode_bmp(raw: bytes) -> np.ndarray:
     w, h = struct.unpack("<ii", raw[18:26])
     bpp = struct.unpack("<H", raw[28:30])[0]
     comp = struct.unpack("<I", raw[30:34])[0]
-    if comp not in (0, 3):
+    if comp not in (0, 1, 3):
         raise NotImplementedError(f"BMP: compression {comp}")
     top_down = h < 0
     h = abs(h)
+    if comp == 1:                                        # RLE8 (8 bpp only)
+        if bpp != 8:
+            raise ValueError("BMP: RLE8 requires 8 bpp")
+        pal = np.frombuffer(raw, dtype=np.uint8, count=256 * 4,
+                            offset=14 + hdr_size).reshape(256, 4)[:, 2::-1]
+        idx = _bmp_rle8(raw[data_off:], h, w)
+        if not top_down:
+            idx = idx[::-1]
+        return pal[idx]
     if bpp == 24 or bpp == 32:
         nch = bpp // 8
         stride = ((w * nch) + 3) & ~3
@@ -207,6 +253,54 @@ def decode_bmp(raw: bytes) -> np.ndarray:
             px[py] = pal[row]
         return px
     raise NotImplementedError(f"BMP: {bpp} bpp")
+
+
+def encode_bmp_rle8(idx: np.ndarray,
+                    palette: np.ndarray | None = None) -> bytes:
+    """RLE8-compressed 8-bit indexed BMP writer (bottom-up, 256-entry
+    color table; default grayscale ramp). Emits run-length packets plus
+    an absolute-mode packet whenever a row starts with >= 3 distinct
+    values, so both decode paths get exercised."""
+    idx = np.asarray(idx, dtype=np.uint8)
+    h, w = idx.shape
+    if palette is None:
+        ramp = np.arange(256, dtype=np.uint8)
+        palette = np.stack([ramp, ramp, ramp], axis=1)
+    body = bytearray()
+    for y in range(h - 1, -1, -1):                       # stored bottom-up
+        row = idx[y]
+        x = 0
+        while x < w:
+            run = 1
+            while x + run < w and row[x + run] == row[x] and run < 255:
+                run += 1
+            if run >= 2 or x + 1 >= w:
+                body += bytes([run, row[x]])
+                x += run
+            else:                                        # absolute mode
+                lit = x
+                while (lit < w and lit - x < 255
+                       and (lit + 1 >= w or row[lit + 1] != row[lit])):
+                    lit += 1
+                cnt = lit - x
+                if cnt < 3:                              # too short: runs
+                    body += bytes([1, row[x]])
+                    x += 1
+                else:
+                    body += bytes([0, cnt]) + row[x:x + cnt].tobytes()
+                    if cnt & 1:
+                        body += b"\x00"                  # word alignment
+                    x += cnt
+        body += b"\x00\x00"                              # end of line
+    body += b"\x00\x01"                                  # end of bitmap
+    pal = np.zeros((256, 4), dtype=np.uint8)
+    pal[:, :3] = np.asarray(palette, dtype=np.uint8)[:, ::-1]  # BGR0
+    data_off = 14 + 40 + 1024
+    hdr = (b"BM" + struct.pack("<IHHI", data_off + len(body), 0, 0,
+                               data_off)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(body),
+                         2835, 2835, 256, 0))
+    return hdr + pal.tobytes() + bytes(body)
 
 
 def encode_bmp(px: np.ndarray) -> bytes:
@@ -557,11 +651,13 @@ def decode_wav(raw: bytes) -> tuple[np.ndarray, int]:
     """Decode a RIFF/WAVE payload to ((n_samples, channels) int32 array,
     sample_rate). Real paths: 8-bit unsigned / 16/24/32-bit signed PCM
     (format tag 1), G.711 A-law (tag 6) / mu-law (tag 7) to 16-bit-scale
-    linear, and IMA ADPCM (tag 0x11) blocks. Other compressed formats
-    (mp3-in-wav, float, MS-ADPCM) raise NotImplementedError."""
+    linear, IMA ADPCM (tag 0x11) blocks, IEEE float (tag 3, scaled to
+    16-bit-range integers) and WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrappers.
+    Other compressed formats (mp3-in-wav, MS-ADPCM) raise
+    NotImplementedError."""
     if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
-    pos, fmt, data = 12, None, None
+    pos, fmt, fmt_body, data = 12, None, b"", None
     while pos + 8 <= len(raw):
         cid, size = raw[pos:pos + 4], struct.unpack(
             "<I", raw[pos + 4:pos + 8])[0]
@@ -569,11 +665,27 @@ def decode_wav(raw: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + size + (size & 1)                     # chunks are padded
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif cid == b"data":
             data = body
     if fmt is None or data is None:
         raise ValueError("WAV: missing fmt/data chunk")
     tag, channels, rate, _br, block_align, bits = fmt
+    if tag == 0xFFFE:                # WAVE_FORMAT_EXTENSIBLE: the real
+        if len(fmt_body) < 26:       # tag leads the SubFormat GUID
+            raise ValueError("WAV: truncated extensible fmt chunk")
+        tag = struct.unpack("<H", fmt_body[24:26])[0]
+    if tag == 3:                                         # IEEE float
+        if bits == 32:
+            f = np.frombuffer(data, dtype="<f4")
+        elif bits == 64:
+            f = np.frombuffer(data, dtype="<f8")
+        else:
+            raise NotImplementedError(f"WAV: {bits}-bit float")
+        samples = np.round(np.clip(f, -1.0, 1.0) * 32767.0) \
+            .astype(np.int32)
+        n = (len(samples) // channels) * channels
+        return samples[:n].reshape(-1, channels), rate
     if tag in (6, 7):                                # G.711 A-law / mu-law
         dec = _alaw_decode if tag == 6 else _ulaw_decode
         samples = dec(np.frombuffer(data, dtype=np.uint8))

@@ -12,7 +12,7 @@ zlib/struct + numpy — ``imagecodec.decode_image`` / ``decode_wav`` /
 ``decode_avi`` do real decode for those formats, so
 ``decode_stub=False`` computes real dimensions/means/resizes and real
 audio stats. Arithmetic JPEG and other compressed codecs
-(mp3, float WAV, non-MJPEG video) still raise NotImplementedError;
+(mp3, non-MJPEG video) still raise NotImplementedError;
 ``decode_stub=True`` (default) keeps the deterministic md5 fake for
 format-agnostic plumbing tests.
 
@@ -198,7 +198,7 @@ def decode_audio_meta(df: DataFrame, id_col: str = "media_id",
     8/16/24/32-bit integer PCM, G.711 A-law/mu-law, IMA ADPCM): sample
     rate, channel count, frame count, duration and exact integer
     amplitude stats (sum of |sample|, peak). Other compressed audio
-    (mp3, float WAV) yields NULL stats — kept, not faked."""
+    (mp3) yields NULL stats — kept, not faked."""
     def gen(batches):
         from .imagecodec import decode_wav
         for pdf in batches:

@@ -234,7 +234,7 @@ class TestWav:
         with pytest.raises(ValueError):
             C.decode_wav(b"RIFFxxxxNOPE")
         import struct as st
-        fmt = st.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # float WAV
+        fmt = st.pack("<HHIIHH", 2, 1, 8000, 32000, 4, 4)  # MS-ADPCM
         wav = (b"RIFF" + st.pack("<I", 4 + 8 + len(fmt) + 8)
                + b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
                + b"data" + st.pack("<I", 0))
@@ -578,3 +578,76 @@ class TestExtractFrames:
             extract_frames)
         with pytest.raises(ValueError):
             extract_frames(spark.range(1), every_n=0)
+
+
+class TestRle8Bmp:
+    def test_roundtrip_runs_and_absolute(self):
+        rng = np.random.default_rng(31)
+        # mix of long runs (top half) and noise (bottom: absolute mode)
+        idx = np.zeros((12, 19), dtype=np.uint8)
+        idx[:6] = np.repeat(np.arange(6, dtype=np.uint8)[:, None] * 40, 19,
+                            axis=1)
+        idx[6:] = rng.integers(0, 256, (6, 19), dtype=np.uint8)
+        raw = C.encode_bmp_rle8(idx)
+        assert raw[30:34] == b"\x01\x00\x00\x00"         # compression 1
+        dec = C.decode_bmp(raw)
+        assert dec.shape == (12, 19, 3)
+        assert (dec[:, :, 0] == idx).all()
+        pal = ((np.arange(256 * 3) * 11) % 256).astype(np.uint8) \
+            .reshape(256, 3)
+        assert (C.decode_bmp(C.encode_bmp_rle8(idx, pal)) == pal[idx]).all()
+
+    def test_early_end_of_bitmap_leaves_zeros(self):
+        idx = np.full((4, 4), 9, dtype=np.uint8)
+        raw = bytearray(C.encode_bmp_rle8(idx))
+        # truncate after the first row's packets + EOL, then terminate
+        data_off = 14 + 40 + 1024
+        # first row = one run packet (2 bytes) + EOL (2 bytes)
+        trunc = bytes(raw[:data_off + 4]) + b"\x00\x01"
+        hdr = bytearray(trunc)
+        dec = C.decode_bmp(bytes(hdr))
+        assert (dec[3, :, 0] == 9).all()                 # bottom-up row 0
+        assert (dec[:3] == 0).all()
+
+    def test_truncated_raises(self):
+        idx = np.arange(16, dtype=np.uint8).reshape(4, 4)
+        raw = C.encode_bmp_rle8(idx)
+        with pytest.raises(ValueError):
+            C.decode_bmp(raw[:-7])
+
+
+class TestFloatAndExtensibleWav:
+    def test_float32_scaled(self):
+        import struct as st
+        f = np.array([0.0, 0.5, -0.5, 1.0, -1.0, 2.0, -2.0], np.float32)
+        data = f.tobytes()
+        fmt = st.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+        wav = (b"RIFF" + st.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+               + b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+               + b"data" + st.pack("<I", len(data)) + data)
+        dec, rate = C.decode_wav(wav)
+        # clip to [-1, 1] then scale by 32767, round-half-even
+        assert dec[:, 0].tolist() == [0, 16384, -16384, 32767, -32767,
+                                      32767, -32767]
+
+    def test_extensible_wraps_pcm(self):
+        import struct as st
+        s = np.array([100, -200, 300], dtype="<i2")
+        data = s.tobytes()
+        guid = st.pack("<H", 1) + b"\x00\x00" + bytes(12)  # PCM subformat
+        fmt = (st.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16)
+               + st.pack("<HHI", 22, 16, 0x4) + guid)
+        wav = (b"RIFF" + st.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+               + b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+               + b"data" + st.pack("<I", len(data)) + data)
+        dec, rate = C.decode_wav(wav)
+        assert rate == 8000 and dec[:, 0].tolist() == [100, -200, 300]
+
+    def test_extensible_truncated_raises(self):
+        import struct as st
+        fmt = st.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16)
+        wav = (b"RIFF" + st.pack("<I", 4 + 8 + len(fmt) + 8)
+               + b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+               + b"data" + st.pack("<I", 0))
+        with pytest.raises(ValueError):
+            C.decode_wav(wav)
