@@ -2913,9 +2913,18 @@ def q_image_decode(spark, sf_dir):
                 # identical, so the closed-form oracle is unchanged while
                 # the value hash now exercises the interlace paths too.
                 if i % 4 == 3:
+                    # indexed slot: grayscale-palette GIF (interlaced on
+                    # the 8k+3 ids) or RLE8 BMP (8k+7) — identical decoded
+                    # pixels (v,v,v), only the mime differs
                     idx = ((np.arange(h * w, dtype=np.int64) + i) % 251) \
                         .astype(np.uint8).reshape(h, w)
-                    payloads.append(encode_gif(idx, interlace=i % 8 == 7))
+                    if i % 8 == 7:
+                        from abot_dotnet_core_spark.functions.imagecodec \
+                            import encode_bmp_rle8
+                        payloads.append(encode_bmp_rle8(idx))
+                    else:
+                        payloads.append(encode_gif(idx,
+                                                   interlace=i % 8 == 3))
                 elif i % 8 == 4:
                     px = ((np.arange(h * w * 3, dtype=np.int64) + i) % 251) \
                         .astype(np.uint8).reshape(h, w, 3)
@@ -2956,7 +2965,8 @@ s AS (SELECT doc_id, w, h, n,
 SELECT doc_id AS media_id,
        CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/bmp'
             WHEN 2 THEN 'image/x-portable-pixmap'
-            ELSE 'image/gif' END AS mime,
+            ELSE CASE WHEN doc_id % 8 = 7 THEN 'image/bmp'
+                 ELSE 'image/gif' END END AS mime,
        w::int AS width, h::int AS height, 3 AS channels,
        ((tot * 1000) // n)::int AS mean_millis
 FROM s"""
