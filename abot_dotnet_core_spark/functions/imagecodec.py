@@ -5,10 +5,12 @@ decodable with the stdlib (zlib) + numpy, which closes the multimodal
 decode stub for real pipelines that ship PNG/BMP/PPM/GIF payloads:
 
   decode_image(raw) -> (height, width, channels) uint8 ndarray
-    PNG  : 8-bit depth, color types 0/2/3/4/6, filter types 0-4,
-           sequential or Adam7-interlaced
-  BMP  : BITMAPINFOHEADER, uncompressed 8/24/32-bit, bottom-up or top-down
-  PPM  : binary P5 (gray) / P6 (RGB), maxval <= 255
+    PNG  : 8/16-bit depth (16-bit downconverts to the high byte),
+           color types 0/2/3/4/6, filter types 0-4, sequential or
+           Adam7-interlaced
+  BMP  : BITMAPINFOHEADER, uncompressed 8/24/32-bit or RLE8,
+         bottom-up or top-down
+  PPM  : binary P5 (gray) / P6 (RGB), 8- or 16-bit samples
   GIF  : 87a/89a, global or local color table, first frame, LZW,
          sequential or interlaced
 
@@ -52,9 +54,14 @@ _ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
           (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
 
-def _png_unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
-    """Reverse the per-scanline PNG filters (spec §9, types 0-4)."""
-    stride = w * ch
+def _png_unfilter(raw: bytes, h: int, w: int, ch: int,
+                  sb: int = 1) -> np.ndarray:
+    """Reverse the per-scanline PNG filters (spec §9, types 0-4). ``sb``
+    is bytes per sample (2 for 16-bit depth); filters reference the pixel
+    ``ch*sb`` bytes to the left. Returns (h, w, ch) uint8 — 16-bit
+    samples downconvert to their high (big-endian first) byte."""
+    bpp = ch * sb
+    stride = w * bpp
     out = np.zeros((h, stride), dtype=np.uint8)
     pos = 0
     for y in range(h):
@@ -67,26 +74,27 @@ def _png_unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
             out[y] = line
         elif ftype == 1:                                 # Sub
             for x in range(stride):
-                left = out[y, x - ch] if x >= ch else 0
+                left = out[y, x - bpp] if x >= bpp else 0
                 out[y, x] = (int(line[x]) + int(left)) & 0xFF
         elif ftype == 2:                                 # Up
             out[y] = line + prev                         # uint8 wraps mod 256
         elif ftype == 3:                                 # Average
             for x in range(stride):
-                left = int(out[y, x - ch]) if x >= ch else 0
+                left = int(out[y, x - bpp]) if x >= bpp else 0
                 out[y, x] = (int(line[x]) + (left + int(prev[x])) // 2) & 0xFF
         elif ftype == 4:                                 # Paeth
             for x in range(stride):
-                a = int(out[y, x - ch]) if x >= ch else 0
+                a = int(out[y, x - bpp]) if x >= bpp else 0
                 b = int(prev[x])
-                c = int(prev[x - ch]) if x >= ch else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
                 out[y, x] = (int(line[x]) + pred) & 0xFF
         else:
             raise ValueError(f"PNG: unknown filter type {ftype}")
-    return out.reshape(h, w, ch)
+    px = out.reshape(h, w, ch, sb)
+    return px[..., 0] if sb == 2 else px.reshape(h, w, ch)
 
 
 def decode_png(raw: bytes) -> np.ndarray:
@@ -108,11 +116,14 @@ def decode_png(raw: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG: no IHDR")
     w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth != 8:
-        raise NotImplementedError(f"PNG: bit depth {depth} (only 8)")
+    if depth not in (8, 16):
+        raise NotImplementedError(f"PNG: bit depth {depth} (8/16 only)")
     if color not in _PNG_CHANNELS:
         raise ValueError(f"PNG: color type {color}")
+    if depth == 16 and color == 3:
+        raise ValueError("PNG: 16-bit palette images are invalid")
     ch = _PNG_CHANNELS[color]
+    sb = depth // 8
     data = zlib.decompress(bytes(idat))
     if interlace:                                        # Adam7 (spec §8.2)
         px = np.zeros((h, w, ch), dtype=np.uint8)
@@ -122,12 +133,13 @@ def decode_png(raw: bytes) -> np.ndarray:
             ph = (h - y0 + dy - 1) // dy
             if pw == 0 or ph == 0:
                 continue                  # empty pass contributes no bytes
-            nbytes = ph * (1 + pw * ch)   # each pass filtered independently
+            # each pass filtered independently
+            nbytes = ph * (1 + pw * ch * sb)
             px[y0::dy, x0::dx] = _png_unfilter(
-                data[off:off + nbytes], ph, pw, ch)
+                data[off:off + nbytes], ph, pw, ch, sb)
             off += nbytes
     else:
-        px = _png_unfilter(data, h, w, ch)
+        px = _png_unfilter(data, h, w, ch, sb)
     if color == 3:
         if plte is None:
             raise ValueError("PNG: palette image without PLTE")
@@ -343,8 +355,11 @@ def decode_ppm(raw: bytes) -> np.ndarray:
         tokens.append(int(raw[start:pos]))
     pos += 1                                             # single whitespace
     w, h, maxval = tokens
-    if maxval > 255:
-        raise NotImplementedError("PPM: 16-bit samples")
+    if maxval > 65535:
+        raise ValueError("PPM: maxval out of range")
+    if maxval > 255:                    # 16-bit big-endian -> high byte
+        s16 = np.frombuffer(raw, dtype=">u2", count=w * h * ch, offset=pos)
+        return (s16 >> 8).astype(np.uint8).reshape(h, w, ch)
     return (np.frombuffer(raw, dtype=np.uint8, count=w * h * ch, offset=pos)
             .reshape(h, w, ch).copy())
 

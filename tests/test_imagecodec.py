@@ -651,3 +651,57 @@ class TestFloatAndExtensibleWav:
                + b"data" + st.pack("<I", 0))
         with pytest.raises(ValueError):
             C.decode_wav(wav)
+
+
+class Test16BitDepth:
+    """16-bit PNG/PPM downconvert to the high byte (uint8 contract)."""
+
+    @staticmethod
+    def _png16(hi, lo, color, ftype=0):
+        h, w, ch = hi.shape
+        s16 = ((hi.astype(np.uint16) << 8) | lo).astype(">u2")
+        bpp = ch * 2
+        rows = bytearray()
+        for y in range(h):
+            arr = np.frombuffer(s16[y].tobytes(), np.uint8).astype(int)
+            f = arr.copy()
+            if ftype == 1:
+                f[bpp:] = (arr[bpp:] - arr[:-bpp]) % 256
+            rows += bytes([ftype]) + bytes(f.astype(np.uint8))
+
+        def chunk(t, d):
+            return (struct.pack(">I", len(d)) + t + d
+                    + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+        ihdr = struct.pack(">IIBBBBB", w, h, 16, color, 0, 0, 0)
+        return (C._PNG_SIG + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(rows)))
+                + chunk(b"IEND", b""))
+
+    def test_png16_all_color_types(self):
+        rng = np.random.default_rng(5)
+        for ch, color in [(1, 0), (3, 2), (2, 4), (4, 6)]:
+            hi = rng.integers(0, 256, (5, 7, ch), dtype=np.uint8)
+            lo = rng.integers(0, 256, (5, 7, ch), dtype=np.uint8)
+            got = C.decode_png(self._png16(hi, lo, color))
+            assert got.shape == (5, 7, ch) and (got == hi).all(), color
+
+    def test_png16_sub_filter_uses_bpp_distance(self):
+        rng = np.random.default_rng(6)
+        hi = rng.integers(0, 256, (4, 5, 3), dtype=np.uint8)
+        lo = np.full((4, 5, 3), 0x33, dtype=np.uint8)
+        got = C.decode_png(self._png16(hi, lo, 2, ftype=1))
+        assert (got == hi).all()
+
+    def test_png16_palette_invalid(self):
+        hi = np.zeros((2, 2, 1), dtype=np.uint8)
+        with pytest.raises(ValueError):
+            C.decode_png(self._png16(hi, hi, 3))
+
+    def test_ppm16(self):
+        rng = np.random.default_rng(7)
+        hi = rng.integers(0, 256, (3, 4, 3), dtype=np.uint16)
+        s16 = ((hi << 8) | 0x7F).astype(">u2")
+        ppm = b"P6\n4 3\n65535\n" + s16.tobytes()
+        assert (C.decode_ppm(ppm) == hi.astype(np.uint8)).all()
+        with pytest.raises(ValueError):
+            C.decode_ppm(b"P5\n1 1\n70000\n\x00\x00")
