@@ -5245,13 +5245,14 @@ FROM s"""
 def q_adpcm_decode(spark, sf_dir):
     """REAL IMA-ADPCM decode (imagecodec.decode_wav, format tag 0x11 —
     block headers + nibble-stream predictor walk): per document a mono
-    constant signal c = id*13 % 5001 - 2500 over n = 600 + id % 5 samples
-    in 256-byte blocks. A constant decodes BIT-EXACTLY (zero diff ->
-    nibble 0 -> step index pinned at 0, predictor unchanged), and the
-    trailing block pads by holding c, so every decoded sample equals c:
-    the oracle is closed-form over the padded length
-    ceil(n/505)*505. Exercises multi-block headers, nibble unpacking and
-    the sample-0-from-header rule; any predictor/index bug breaks it."""
+    constant signal c = id*13 % 5001 - 2500 over n = 150 + id % 5 samples
+    in 64-byte blocks (121 samples each). A constant decodes BIT-EXACTLY
+    (zero diff -> nibble 0 -> step index pinned at 0, predictor
+    unchanged), and the trailing block pads by holding c, so every
+    decoded sample equals c: the oracle is closed-form over the padded
+    length ceil(n/121)*121. Exercises multi-block headers, nibble
+    unpacking and the sample-0-from-header rule; any predictor/index bug
+    breaks it."""
     from abot_dotnet_core_spark.functions.multimodal import decode_audio_meta
 
     def gen(batches):
@@ -5264,9 +5265,9 @@ def q_adpcm_decode(spark, sf_dir):
             for i in pdf["doc_id"]:
                 i = int(i)
                 c = i * 13 % 5001 - 2500
-                n = 600 + i % 5
+                n = 150 + i % 5
                 payloads.append(encode_adpcm_wav(
-                    np.full(n, c, dtype=np.int32), 8000, 256))
+                    np.full(n, c, dtype=np.int32), 8000, 64))
                 ids.append(i)
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
@@ -5276,11 +5277,11 @@ def q_adpcm_decode(spark, sf_dir):
 
 
 def sql_adpcm_decode():
-    # samples-per-block for mono block_align=256: (256-4)*2+1 = 505; the
+    # samples-per-block for mono block_align=64: (64-4)*2+1 = 121; the
     # writer always emits whole blocks, padding by holding the constant.
     return """
 WITH d AS (SELECT doc_id, abs(doc_id * 13 % 5001 - 2500) AS c,
-                  ((600 + doc_id % 5 + 504) // 505) * 505 AS nf
+                  ((150 + doc_id % 5 + 120) // 121) * 121 AS nf
            FROM documents)
 SELECT doc_id AS media_id, 'audio/wav' AS mime, 8000 AS sample_rate,
        1 AS channels, nf::int AS n_frames,

@@ -619,11 +619,12 @@ _IMA_STEPS = np.array([
     16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767],
     dtype=np.int32)
 _IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEPS_PY = tuple(int(s) for s in _IMA_STEPS)
 
 
 def _ima_step(predictor: int, index: int, nibble: int) -> tuple[int, int]:
     """One IMA-ADPCM decode step (IMA ADPCM spec / MS WAVE tag 0x11)."""
-    step = int(_IMA_STEPS[index])
+    step = _IMA_STEPS_PY[index]
     diff = step >> 3
     if nibble & 1:
         diff += step >> 2
@@ -638,25 +639,45 @@ def _ima_step(predictor: int, index: int, nibble: int) -> tuple[int, int]:
 
 
 def _adpcm_decode_block(block: bytes, channels: int) -> np.ndarray:
-    """Decode one IMA-ADPCM WAVE block to (samples, channels) int32."""
+    """Decode one IMA-ADPCM WAVE block to (samples, channels) int32.
+    The predictor walk is the _ima_step recurrence inlined with native
+    ints (pinned equivalent by the reference-step-walk test) — the
+    recurrence is inherently sequential, so the constant factor is what
+    matters inside an Arrow batch."""
     if len(block) < 4 * channels:
         raise ValueError("WAV: truncated ADPCM block header")
-    preds, idxs, chans = [], [], []
-    for c in range(channels):
-        p, i = struct.unpack_from("<hBx", block, c * 4)
-        preds.append(p)
-        idxs.append(min(88, max(0, i)))
-        chans.append([p])                    # header predictor = sample 0
+    steps, itab = _IMA_STEPS_PY, _IMA_INDEX
     data = block[4 * channels:]
-    # nibble data: 4-byte (8-sample) groups per channel, interleaved
-    for g in range(len(data) // (4 * channels)):
-        for c in range(channels):
-            word = data[g * 4 * channels + c * 4:
-                        g * 4 * channels + c * 4 + 4]
-            for byte in word:
+    group = 4 * channels
+    chans = []
+    for c in range(channels):
+        pred, idx = struct.unpack_from("<hBx", block, c * 4)
+        idx = min(88, max(0, idx))
+        out = [pred]
+        append = out.append
+        for g in range(c * 4, len(data) - len(data) % group, group):
+            for byte in data[g:g + 4]:
                 for nib in (byte & 0x0F, byte >> 4):  # low nibble first
-                    preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
-                    chans[c].append(preds[c])
+                    step = steps[idx]
+                    diff = step >> 3
+                    if nib & 1:
+                        diff += step >> 2
+                    if nib & 2:
+                        diff += step >> 1
+                    if nib & 4:
+                        diff += step
+                    pred = pred - diff if nib & 8 else pred + diff
+                    if pred > 32767:
+                        pred = 32767
+                    elif pred < -32768:
+                        pred = -32768
+                    idx += itab[nib & 7]
+                    if idx < 0:
+                        idx = 0
+                    elif idx > 88:
+                        idx = 88
+                    append(pred)
+        chans.append(out)
     n = min(len(ch) for ch in chans)
     return np.stack([np.array(ch[:n], dtype=np.int32)
                      for ch in chans], axis=1)
@@ -795,15 +816,17 @@ def encode_adpcm_wav(samples: np.ndarray, rate: int = 8000,
             for d in first_diff]
     for start in range(0, s.shape[0], spb):
         blk = s[start:start + spb]
-        preds = [int(np.clip(blk[0, c], -32768, 32767))
+        cols = [blk[:, c].tolist() for c in range(channels)]
+        preds = [min(32767, max(-32768, cols[c][0]))
                  for c in range(channels)]
         for c in range(channels):
             out += struct.pack("<hBx", preds[c], idxs[c])
         nibbles: list[list[int]] = [[] for _ in range(channels)]
+        nblk = blk.shape[0]
         for k in range(1, spb):
             for c in range(channels):
-                x = int(blk[k, c]) if k < blk.shape[0] else preds[c]
-                step = int(_IMA_STEPS[idxs[c]])
+                x = cols[c][k] if k < nblk else preds[c]
+                step = _IMA_STEPS_PY[idxs[c]]
                 diff = x - preds[c]
                 nib = 8 if diff < 0 else 0
                 diff = abs(diff)
