@@ -25,8 +25,9 @@ Operators:
   extract_features    decode -> fixed-dim feature vector (real for
                       PNG/BMP/PPM/GIF when decode_stub=False)
   resize_images       nearest-neighbor resample (real when decode_stub=False)
-  sample_frames       video frame sampling plan (decode of the sampled
-                      frames remains the stubbed step)
+  extract_frames      REAL per-frame decode of sampled AVI frames
+                      (DIB or Motion-JPEG) -> one row per frame
+  sample_frames       index-only frame sampling plan from durations
 """
 
 from __future__ import annotations
