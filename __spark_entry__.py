@@ -5290,6 +5290,49 @@ SELECT doc_id AS media_id, 'audio/wav' AS mime, 8000 AS sample_rate,
 FROM d"""
 
 
+def q_msadpcm_decode(spark, sf_dir):
+    """REAL MS-ADPCM decode (imagecodec.decode_wav, format tag 2 — the
+    7-coefficient predictor + adaptive-delta walk): per document a mono
+    constant signal c = id*17 % 4001 - 2000 over n = 150 + id % 5
+    samples in 64-byte blocks (spb = (64-7)*2+2 = 116). A constant
+    decodes BIT-EXACTLY (predictor 0 = previous sample, zero diff ->
+    nibble 0, trailing block holds c), so the oracle is closed-form
+    over the padded length ceil(n/116)*116."""
+    from abot_dotnet_core_spark.functions.multimodal import decode_audio_meta
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        from abot_dotnet_core_spark.functions.imagecodec import \
+            encode_msadpcm_wav
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                c = i * 17 % 4001 - 2000
+                n = 150 + i % 5
+                payloads.append(encode_msadpcm_wav(
+                    np.full(n, c, dtype=np.int32), 8000, 64))
+                ids.append(i)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        gen, "media_id long, payload binary")
+    return decode_audio_meta(media)
+
+
+def sql_msadpcm_decode():
+    return """
+WITH d AS (SELECT doc_id, abs(doc_id * 17 % 4001 - 2000) AS c,
+                  ((150 + doc_id % 5 + 115) // 116) * 116 AS nf
+           FROM documents)
+SELECT doc_id AS media_id, 'audio/wav' AS mime, 8000 AS sample_rate,
+       1 AS channels, nf::int AS n_frames,
+       (nf * 1000000 // 8000)::int AS duration_micros,
+       (nf * c)::BIGINT AS sum_abs, c::int AS peak
+FROM d"""
+
+
 def q_mjpeg_decode(spark, sf_dir):
     """REAL Motion-JPEG video decode (imagecodec.decode_avi MJPG path ->
     jpegcodec per '00dc' chunk): per document nf = 2 + id % 2 grayscale
@@ -5846,6 +5889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g711_decode": q_g711_decode,
         "adpcm_decode": q_adpcm_decode,
         "mjpeg_decode": q_mjpeg_decode,
+        "msadpcm_decode": q_msadpcm_decode,
         "frame_sample": q_frame_sample,
         # streaming-shaped event analytics
         "events_tumbling": q_events_tumbling,
@@ -5994,6 +6038,7 @@ def oracle_sql() -> dict[str, str]:
         "g711_decode": sql_g711_decode(),
         "adpcm_decode": sql_adpcm_decode(),
         "mjpeg_decode": sql_mjpeg_decode(),
+        "msadpcm_decode": sql_msadpcm_decode(),
         "frame_sample": sql_frame_sample(),
         "events_tumbling": sql_events_tumbling(),
         "events_sessions": sql_events_sessions(),

@@ -14,8 +14,8 @@ decode stub for real pipelines that ship PNG/BMP/PPM/GIF payloads:
   GIF  : 87a/89a, global or local color table, first frame, LZW,
          sequential or interlaced
 
-Audio: WAV integer PCM, IEEE float, G.711 A-law/mu-law, IMA ADPCM
-(plus WAVE_FORMAT_EXTENSIBLE wrappers).  Video:
+Audio: WAV integer PCM, IEEE float, G.711 A-law/mu-law, IMA ADPCM,
+MS-ADPCM (plus WAVE_FORMAT_EXTENSIBLE wrappers).  Video:
 uncompressed-DIB AVI and Motion-JPEG AVI (via jpegcodec).
 
 Baseline, extended-sequential and progressive JPEG decode for real via
@@ -683,14 +683,118 @@ def _adpcm_decode_block(block: bytes, channels: int) -> np.ndarray:
                      for ch in chans], axis=1)
 
 
+# --- MS-ADPCM (format tag 2) --------------------------------------------
+
+_MS_COEFS = ((256, 0), (512, -256), (0, 0), (192, 64),
+             (240, 0), (460, -208), (392, -232))
+_MS_ADAPT = (230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230)
+
+
+def _msadpcm_decode_block(block: bytes, channels: int) -> np.ndarray:
+    """Decode one MS-ADPCM block (MS WAVE tag 2): per-channel header
+    (predictor index, initial delta, two seed samples), then 4-bit codes
+    HIGH nibble first, channels interleaved per nibble."""
+    hdr = 7 * channels
+    if len(block) < hdr:
+        raise ValueError("WAV: truncated MS-ADPCM block header")
+    pred_idx = [min(6, block[c]) for c in range(channels)]
+    deltas = [struct.unpack_from("<h", block, channels + 2 * c)[0]
+              for c in range(channels)]
+    s1 = [struct.unpack_from("<h", block, 3 * channels + 2 * c)[0]
+          for c in range(channels)]
+    s2 = [struct.unpack_from("<h", block, 5 * channels + 2 * c)[0]
+          for c in range(channels)]
+    chans = [[s2[c], s1[c]] for c in range(channels)]
+    coefs = [_MS_COEFS[i] for i in pred_idx]
+    c_i = 0
+    for byte in block[hdr:]:
+        for nib in (byte >> 4, byte & 0x0F):             # high nibble first
+            c1, c2 = coefs[c_i]
+            predictor = (s1[c_i] * c1 + s2[c_i] * c2) >> 8
+            signed = nib - 16 if nib >= 8 else nib
+            sample = predictor + signed * deltas[c_i]
+            if sample > 32767:
+                sample = 32767
+            elif sample < -32768:
+                sample = -32768
+            s2[c_i] = s1[c_i]
+            s1[c_i] = sample
+            deltas[c_i] = max(16, (_MS_ADAPT[nib] * deltas[c_i]) >> 8)
+            chans[c_i].append(sample)
+            c_i = (c_i + 1) % channels
+    n = min(len(ch) for ch in chans)
+    return np.stack([np.array(ch[:n], dtype=np.int32)
+                     for ch in chans], axis=1)
+
+
+def encode_msadpcm_wav(samples: np.ndarray, rate: int = 8000,
+                       block_align: int = 64) -> bytes:
+    """MS-ADPCM (tag 2) WAV writer: fixed predictor 0 (coef {256, 0} —
+    predictor = previous sample), initial delta 16, the standard
+    quantize-and-adapt walk mirroring _msadpcm_decode_block exactly."""
+    s = np.asarray(samples, dtype=np.int32)
+    if s.ndim == 1:
+        s = s[:, None]
+    channels = s.shape[1]
+    hdr = 7 * channels
+    if block_align <= hdr:
+        raise ValueError("block_align too small")
+    spb = (block_align - hdr) * 2 // channels + 2
+    out = bytearray()
+    # the adapted delta persists across blocks THROUGH the block header
+    # (blocks stay independently decodable), seeded from the first diff
+    # so neither the first block nor any later one pays an
+    # adapt-from-16 transient
+    deltas = [max(16, abs(int(s[min(2, s.shape[0] - 1), c])
+                          - int(s[min(1, s.shape[0] - 1), c])) // 4)
+              for c in range(channels)]
+    for start in range(0, s.shape[0], spb):
+        blk = s[start:start + spb]
+        cols = [blk[:, c].tolist() for c in range(channels)]
+        nblk = blk.shape[0]
+
+        def samp(c, k):
+            return (min(32767, max(-32768, cols[c][k])) if k < nblk
+                    else cols[c][nblk - 1])
+
+        s2 = [samp(c, 0) for c in range(channels)]
+        s1 = [samp(c, 1) if spb > 1 else s2[c] for c in range(channels)]
+        out += bytes([0] * channels)
+        for arr in (deltas, s1, s2):
+            for c in range(channels):
+                out += struct.pack("<h", arr[c])
+        nibbles = []
+        st1, st2, std = s1[:], s2[:], deltas[:]
+        for k in range(2, spb):
+            for c in range(channels):
+                x = samp(c, k)
+                predictor = st1[c]                       # coef {256, 0}
+                diff = x - predictor
+                nib = max(-8, min(7, int(round(diff / std[c])))) & 0x0F
+                signed = nib - 16 if nib >= 8 else nib
+                sample = predictor + signed * std[c]
+                sample = min(32767, max(-32768, sample))
+                st2[c] = st1[c]
+                st1[c] = sample
+                std[c] = max(16, (_MS_ADAPT[nib] * std[c]) >> 8)
+                nibbles.append(nib)
+        if len(nibbles) & 1:
+            nibbles.append(0)
+        for j in range(0, len(nibbles), 2):
+            out.append((nibbles[j] << 4) | nibbles[j + 1])
+        deltas = std                     # next block's header starts here
+    return _wav_container(2, channels, rate, block_align, 4, bytes(out))
+
+
 def decode_wav(raw: bytes) -> tuple[np.ndarray, int]:
     """Decode a RIFF/WAVE payload to ((n_samples, channels) int32 array,
     sample_rate). Real paths: 8-bit unsigned / 16/24/32-bit signed PCM
     (format tag 1), G.711 A-law (tag 6) / mu-law (tag 7) to 16-bit-scale
-    linear, IMA ADPCM (tag 0x11) blocks, IEEE float (tag 3, scaled to
-    16-bit-range integers) and WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrappers.
-    Other compressed formats (mp3-in-wav, MS-ADPCM) raise
-    NotImplementedError."""
+    linear, IMA ADPCM (tag 0x11) and MS-ADPCM (tag 2) blocks, IEEE
+    float (tag 3, scaled to 16-bit-range integers) and
+    WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrappers. Other compressed formats
+    (mp3-in-wav) raise NotImplementedError."""
     if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos, fmt, fmt_body, data = 12, None, b"", None
@@ -736,6 +840,16 @@ def decode_wav(raw: bytes) -> tuple[np.ndarray, int]:
                  for b in blocks if len(b) >= 4 * channels]
         if not parts:
             raise ValueError("WAV: no ADPCM blocks")
+        return np.concatenate(parts, axis=0), rate
+    if tag == 2:                                     # MS-ADPCM
+        if block_align <= 7 * channels:
+            raise ValueError("WAV: MS-ADPCM block align too small")
+        blocks = [data[i:i + block_align]
+                  for i in range(0, len(data), block_align)]
+        parts = [_msadpcm_decode_block(b, channels)
+                 for b in blocks if len(b) >= 7 * channels]
+        if not parts:
+            raise ValueError("WAV: no MS-ADPCM blocks")
         return np.concatenate(parts, axis=0), rate
     if tag != 1:
         raise NotImplementedError(f"WAV: format tag {tag}")

@@ -234,7 +234,7 @@ class TestWav:
         with pytest.raises(ValueError):
             C.decode_wav(b"RIFFxxxxNOPE")
         import struct as st
-        fmt = st.pack("<HHIIHH", 2, 1, 8000, 32000, 4, 4)  # MS-ADPCM
+        fmt = st.pack("<HHIIHH", 0x55, 1, 8000, 32000, 4, 0)  # mp3-in-wav
         wav = (b"RIFF" + st.pack("<I", 4 + 8 + len(fmt) + 8)
                + b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
                + b"data" + st.pack("<I", 0))
@@ -705,3 +705,56 @@ class Test16BitDepth:
         assert (C.decode_ppm(ppm) == hi.astype(np.uint8)).all()
         with pytest.raises(ValueError):
             C.decode_ppm(b"P5\n1 1\n70000\n\x00\x00")
+
+
+class TestMsAdpcm:
+    """MS-ADPCM WAV (format tag 2)."""
+
+    def test_tracking_error_bounded(self):
+        x = (6000 * np.sin(np.arange(2000) / 7)).astype(np.int32)
+        dec, rate = C.decode_wav(C.encode_msadpcm_wav(x, 8000, 64))
+        assert rate == 8000
+        assert np.abs(dec[:2000, 0].astype(np.int64) - x).max() < 600
+
+    def test_stereo(self):
+        x = (6000 * np.sin(np.arange(2000) / 7)).astype(np.int32)
+        st = np.stack([x, -x], axis=1)
+        dec, _ = C.decode_wav(C.encode_msadpcm_wav(st, 8000, 128))
+        assert dec.shape[1] == 2
+        assert np.abs(dec[:2000].astype(np.int64) - st).max() < 600
+
+    def test_constant_bit_exact(self):
+        d, _ = C.decode_wav(C.encode_msadpcm_wav(
+            np.full(300, -1234, np.int32), 8000, 64))
+        assert (d[:, 0] == -1234).all()
+        assert d.shape[0] == ((300 + 115) // 116) * 116
+
+    def test_seed_samples_lead_block(self):
+        # first two decoded samples of each block are iSamp2 then iSamp1
+        x = (np.arange(300) * 55 % 7001 - 3500).astype(np.int32)
+        dec, _ = C.decode_wav(C.encode_msadpcm_wav(x, 8000, 64))
+        spb = (64 - 7) * 2 + 2
+        assert dec[0, 0] == x[0] and dec[1, 0] == x[1]
+        assert dec[spb, 0] == x[spb] and dec[spb + 1, 0] == x[spb + 1]
+
+    def test_decoder_matches_reference_walk(self):
+        # hand-walk the tag-2 recurrence over a fixed nibble stream
+        blk = (bytes([1])                       # predictor 1: {512, -256}
+               + struct.pack("<h", 100)         # delta
+               + struct.pack("<h", 500)         # s1
+               + struct.pack("<h", 300)         # s2
+               + bytes([0x2F, 0x81]))
+        dec = C._msadpcm_decode_block(blk, 1)
+        s1, s2, delta, want = 500, 300, 100, [300, 500]
+        for nib in (0x2, 0xF, 0x8, 0x1):
+            pred = (s1 * 512 + s2 * -256) >> 8
+            signed = nib - 16 if nib >= 8 else nib
+            sample = max(-32768, min(32767, pred + signed * delta))
+            s2, s1 = s1, sample
+            delta = max(16, (C._MS_ADAPT[nib] * delta) >> 8)
+            want.append(sample)
+        assert dec[:, 0].tolist() == want
+
+    def test_malformed_raises(self):
+        with pytest.raises(ValueError):
+            C._msadpcm_decode_block(b"\x00\x00", 1)
