@@ -486,6 +486,133 @@ def decode_gif(raw: bytes) -> np.ndarray:
     raise ValueError("GIF: no image data")
 
 
+def decode_gif_frames(raw: bytes) -> tuple[np.ndarray, list[int]]:
+    """Decode ALL frames of a (possibly animated) GIF, composited onto
+    the logical screen per the GIF89a disposal model: disposal 0/1 keep
+    the canvas, 2 restores the frame rect to the background color, 3
+    restores the previous canvas; transparent pixels leave the canvas
+    through. Returns ((n, h, w, 3) uint8, per-frame delay list in
+    centiseconds)."""
+    if raw[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh = struct.unpack("<HH", raw[6:10])
+    flags, bg = raw[10], raw[11]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(raw, dtype=np.uint8, count=n * 3,
+                            offset=pos).reshape(n, 3)
+        pos += n * 3
+    bg_rgb = (gct[bg] if gct is not None and bg < len(gct)
+              else np.zeros(3, dtype=np.uint8))
+    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    disposal, delay, transparent = 0, 0, None
+    while pos < len(raw):
+        b0 = raw[pos]
+        if b0 == 0x21:                                   # extension
+            label = raw[pos + 1]
+            pos += 2
+            if label == 0xF9:                            # GCE
+                gflags = raw[pos + 1]
+                disposal = (gflags >> 2) & 7
+                delay = struct.unpack("<H", raw[pos + 2:pos + 4])[0]
+                transparent = raw[pos + 4] if gflags & 1 else None
+            while raw[pos]:
+                pos += 1 + raw[pos]
+            pos += 1
+        elif b0 == 0x2C:                                 # image descriptor
+            fx, fy, fw, fh = struct.unpack("<HHHH", raw[pos + 1:pos + 9])
+            iflags = raw[pos + 9]
+            pos += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                ct = np.frombuffer(raw, dtype=np.uint8, count=n * 3,
+                                   offset=pos).reshape(n, 3)
+                pos += n * 3
+            if ct is None:
+                raise ValueError("GIF: no color table")
+            min_code = raw[pos]
+            pos += 1
+            blocks = bytearray()
+            while raw[pos]:
+                blocks += raw[pos + 1:pos + 1 + raw[pos]]
+                pos += 1 + raw[pos]
+            pos += 1                                     # block terminator
+            idx = _gif_lzw(min_code, bytes(blocks), fw * fh)
+            if len(idx) < fw * fh:
+                idx = np.pad(idx, (0, fw * fh - len(idx)))
+            idx = idx.reshape(fh, fw)
+            if iflags & 0x40:
+                out = np.empty_like(idx)
+                out[_gif_interlace_rows(fh)] = idx
+                idx = out
+            saved = canvas.copy() if disposal == 3 else None
+            rect = canvas[fy:fy + fh, fx:fx + fw]
+            vis = (np.ones(idx.shape, dtype=bool) if transparent is None
+                   else idx != transparent)
+            vis = vis[:rect.shape[0], :rect.shape[1]]
+            rect[vis] = ct[idx[:rect.shape[0], :rect.shape[1]][vis]]
+            frames.append(canvas.copy())
+            delays.append(delay)
+            if disposal == 2:                            # restore to bg
+                canvas[fy:fy + fh, fx:fx + fw] = bg_rgb
+            elif disposal == 3 and saved is not None:    # restore previous
+                canvas = saved
+            disposal, delay, transparent = 0, 0, None
+        elif b0 == 0x3B:                                 # trailer
+            break
+        else:
+            raise ValueError(f"GIF: unknown block 0x{b0:02x}")
+    if not frames:
+        raise ValueError("GIF: no image data")
+    return np.stack(frames), delays
+
+
+def encode_gif_frames(frames: np.ndarray,
+                      palette: np.ndarray | None = None,
+                      delay_cs: int = 10,
+                      disposals: list[int] | None = None,
+                      offsets: list[tuple[int, int]] | None = None,
+                      sizes: list[tuple[int, int]] | None = None,
+                      transparent: int | None = None) -> bytes:
+    """Animated GIF89a writer for tests: (n, h, w) 8-bit indexed frames
+    (sub-rects via offsets/sizes crop each frame), one global 256-entry
+    color table, a GCE per frame (delay, disposal, optional transparent
+    index)."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    n, h, w = frames.shape
+    if palette is None:
+        ramp = np.arange(256, dtype=np.uint8)
+        palette = np.stack([ramp, ramp, ramp], axis=1)
+    out = bytearray(b"GIF89a" + struct.pack("<HH", w, h)
+                    + bytes([0x80 | 7, 0, 0])
+                    + np.asarray(palette, dtype=np.uint8).tobytes())
+    for f in range(n):
+        disp = disposals[f] if disposals else 0
+        fx, fy = offsets[f] if offsets else (0, 0)
+        fw, fh = sizes[f] if sizes else (w, h)
+        gflags = (disp & 7) << 2 | (1 if transparent is not None else 0)
+        out += (b"\x21\xf9\x04" + bytes([gflags])
+                + struct.pack("<H", delay_cs)
+                + bytes([transparent or 0]) + b"\x00")
+        sub = frames[f, fy:fy + fh, fx:fx + fw]
+        lzw = _gif_lzw_encode(sub)
+        out += b"\x2C" + struct.pack("<HHHH", fx, fy, fw, fh) + b"\x00"
+        out += bytes([8])
+        i = 0
+        while i < len(lzw):
+            k = min(255, len(lzw) - i)
+            out += bytes([k]) + lzw[i:i + k]
+            i += k
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
+
+
 def _gif_lzw_encode(idx: np.ndarray, min_code: int = 8) -> bytes:
     """Reference GIF-LZW compressor (matches _gif_lzw's width-growth rule;
     round-trip pinned by tests)."""

@@ -317,23 +317,28 @@ FRAME_EXTRACT_SCHEMA = T.StructType([
 def extract_frames(df: DataFrame, every_n: int = 1,
                    id_col: str = "media_id",
                    bin_col: str = "payload") -> DataFrame:
-    """REAL frame extraction from RIFF/AVI payloads (uncompressed DIB or
-    Motion-JPEG via imagecodec.decode_avi): one output row per sampled
-    frame (indices 0, every_n, 2*every_n, ...) with dimensions and the
-    exact integer sample mean of THAT frame — the frame-sampling step of
-    a vision training-data pipeline. Undecodable payloads yield a single
+    """REAL frame extraction from video-ish payloads — RIFF/AVI
+    (uncompressed DIB or Motion-JPEG) and animated GIF (composited per
+    the disposal model): one output row per sampled frame (indices 0,
+    every_n, 2*every_n, ...) with dimensions and the exact integer
+    sample mean of THAT frame — the frame-sampling step of a vision
+    training-data pipeline. Undecodable payloads yield a single
     NULL-stats row so the error is visible, not dropped. Row explosion
     happens inside the Arrow batch; the binary column never shuffles."""
     if every_n < 1:
         raise ValueError("every_n must be >= 1")
 
     def gen(batches):
-        from .imagecodec import decode_avi
+        from .imagecodec import decode_avi, decode_gif_frames
         for pdf in batches:
             rows = []
             for mid, b in zip(pdf[id_col], pdf[bin_col]):
                 try:
-                    frames, _us = decode_avi(bytes(b))
+                    bb = bytes(b)
+                    if bb[:6] in (b"GIF87a", b"GIF89a"):
+                        frames, _delays = decode_gif_frames(bb)
+                    else:
+                        frames, _us = decode_avi(bb)
                     n, h, w, _ch = frames.shape
                     for f in range(0, n, every_n):
                         fr = frames[f].astype(np.int64)

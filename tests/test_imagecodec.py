@@ -758,3 +758,67 @@ class TestMsAdpcm:
     def test_malformed_raises(self):
         with pytest.raises(ValueError):
             C._msadpcm_decode_block(b"\x00\x00", 1)
+
+
+class TestGifAnimation:
+    """Animated GIF: multi-frame compositing per the disposal model."""
+
+    def test_full_frame_roundtrip_with_delays(self):
+        rng = np.random.default_rng(17)
+        fr = rng.integers(0, 256, (4, 9, 13), dtype=np.uint8)
+        frames, delays = C.decode_gif_frames(
+            C.encode_gif_frames(fr, delay_cs=7))
+        assert frames.shape == (4, 9, 13, 3) and delays == [7] * 4
+        for f in range(4):
+            assert (frames[f, :, :, 0] == fr[f]).all()
+
+    def test_subrect_overlay_disposal_keep(self):
+        base = np.zeros((2, 10, 10), dtype=np.uint8)
+        base[0], base[1] = 50, 200
+        frames, _ = C.decode_gif_frames(C.encode_gif_frames(
+            base, disposals=[1, 1], offsets=[(0, 0), (3, 4)],
+            sizes=[(10, 10), (4, 3)]))
+        want = np.full((10, 10), 50, np.uint8)
+        want[4:7, 3:7] = 200
+        assert (frames[1, :, :, 0] == want).all()
+
+    def test_disposal_restore_background(self):
+        base = np.zeros((2, 10, 10), dtype=np.uint8)
+        base[0], base[1] = 50, 200
+        frames, _ = C.decode_gif_frames(C.encode_gif_frames(
+            base, disposals=[2, 0], offsets=[(2, 2), (0, 0)],
+            sizes=[(5, 5), (2, 2)]))
+        w1 = np.zeros((10, 10), np.uint8)
+        w1[0:2, 0:2] = 200
+        assert (frames[1, :, :, 0] == w1).all()
+
+    def test_transparency_leaves_canvas_through(self):
+        t = np.full((2, 6, 6), 7, np.uint8)
+        t[1] = 99
+        t[1, 2:4, 2:4] = 7
+        frames, _ = C.decode_gif_frames(C.encode_gif_frames(
+            t, disposals=[1, 1], transparent=7))
+        w1 = np.full((6, 6), 99, np.uint8)
+        w1[2:4, 2:4] = 0
+        assert (frames[1, :, :, 0] == w1).all()
+
+    def test_single_frame_parity_with_decode_gif(self):
+        one = ((np.arange(40) * 31) % 256).astype(np.uint8).reshape(5, 8)
+        g = C.encode_gif(one)
+        fs, _ = C.decode_gif_frames(g)
+        assert (fs[0] == C.decode_gif(g)).all()
+
+    def test_extract_frames_takes_gif(self, spark):
+        from abot_dotnet_core_spark.functions.multimodal import (
+            extract_frames)
+        fr = ((np.arange(3 * 6 * 6) * 13) % 256).astype(np.uint8) \
+            .reshape(3, 6, 6)
+        df = spark.createDataFrame(
+            [Row(media_id=5, payload=bytearray(C.encode_gif_frames(fr)))])
+        rows = sorted(extract_frames(df).collect(),
+                      key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in rows] == [0, 1, 2]
+        gray = fr[0].astype(np.int64)
+        assert rows[0].mean_millis == (int(gray.sum()) * 3 * 1000) \
+            // (gray.size * 3)
+        assert rows[0].width == 6 and rows[0].height == 6
