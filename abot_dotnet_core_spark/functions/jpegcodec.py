@@ -733,11 +733,24 @@ def _emit_eobrun(w: _BitWriter, ac: dict, eobrun: int,
         w.write(b, 1)
 
 
+def _rst(w: _BitWriter, n_rst: int) -> int:
+    """Byte-align and emit RSTn between restart intervals."""
+    w.flush()
+    w.out += bytes([0xFF, 0xD0 + (n_rst & 7)])
+    return n_rst + 1
+
+
 def _enc_ac_first(w: _BitWriter, ac: dict, zz_blocks: list[np.ndarray],
-                  ss: int, se: int, al: int) -> None:
+                  ss: int, se: int, al: int, restart: int = 0) -> None:
     """First AC scan of a band (Ah=0): magnitudes >> Al, EOB-run coded."""
     eobrun = 0
-    for zz in zz_blocks:
+    n_rst = 0
+    for bi, zz in enumerate(zz_blocks):
+        if restart and bi and bi % restart == 0:
+            if eobrun:
+                _emit_eobrun(w, ac, eobrun, [])
+                eobrun = 0
+            n_rst = _rst(w, n_rst)
         r = 0
         for k in range(ss, se + 1):
             v = int(zz[k])
@@ -767,13 +780,19 @@ def _enc_ac_first(w: _BitWriter, ac: dict, zz_blocks: list[np.ndarray],
 
 
 def _enc_ac_refine(w: _BitWriter, ac: dict, zz_blocks: list[np.ndarray],
-                   ss: int, se: int, al: int) -> None:
+                   ss: int, se: int, al: int, restart: int = 0) -> None:
     """AC refinement scan (Ah=Al+1): newly-significant coefs become
     (run, 1) symbols + sign, already-nonzero coefs ride as correction
     bits — deferred across EOB runs exactly as jcphuff buffers them."""
     eobrun = 0
+    n_rst = 0
     be: list[int] = []
-    for zz in zz_blocks:
+    for bi, zz in enumerate(zz_blocks):
+        if restart and bi and bi % restart == 0:
+            if eobrun or be:
+                _emit_eobrun(w, ac, eobrun, be)
+                eobrun, be = 0, []
+            n_rst = _rst(w, n_rst)
         absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
         eob = 0                     # 1 + relative index of last new coef
         for j, t in enumerate(absv):
@@ -818,13 +837,17 @@ def _enc_ac_refine(w: _BitWriter, ac: dict, zz_blocks: list[np.ndarray],
 
 def encode_jpeg_progressive(px: np.ndarray,
                             quant_luma: np.ndarray | None = None,
-                            quant_chroma: np.ndarray | None = None) -> bytes:
-    """Progressive (SOF2) JFIF writer — 4:4:4 or grayscale. Scan script:
-    DC first (Al=1), per-component spectral-selection AC first scans
-    (Al=1), DC refinement, per-component AC refinements (Al=0) — one
-    successive-approximation level, exercising every decode path. Encodes
-    the SAME quantized coefficients as ``encode_jpeg``, so both decodes
-    are pixel-identical."""
+                            quant_chroma: np.ndarray | None = None,
+                            subsample: bool = False,
+                            restart_interval: int = 0) -> bytes:
+    """Progressive (SOF2) JFIF writer — grayscale, 4:4:4 or 4:2:0 color.
+    Scan script: DC first (Al=1), per-component spectral-selection AC
+    first scans (Al=1), DC refinement, per-component AC refinements
+    (Al=0) — one successive-approximation level, exercising every decode
+    path. ``restart_interval`` (grayscale only, like encode_jpeg) emits
+    DRI + RSTn in every scan. Encodes the SAME quantized coefficients as
+    ``encode_jpeg`` with the same options, so both decodes are
+    pixel-identical on the visible region."""
     px = np.asarray(px)
     if px.ndim == 3 and px.shape[2] == 1:
         px = px[:, :, 0]
@@ -850,7 +873,8 @@ def encode_jpeg_progressive(px: np.ndarray,
     if gray:
         comps, ncomp = bytes([1, 0x11, 0]), 1
     else:
-        comps, ncomp = bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]), 3
+        samp = 0x22 if subsample else 0x11
+        comps, ncomp = bytes([1, samp, 0, 2, 0x11, 1, 3, 0x11, 1]), 3
     seg(b"\xff\xc2", bytes([8]) + struct.pack(">HH", h, w)
         + bytes([ncomp]) + comps)
 
@@ -861,19 +885,57 @@ def encode_jpeg_progressive(px: np.ndarray,
     dht(1, 0, AC_PROG_BITS, AC_PROG_VALS)
     if not gray:
         dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+    rst = restart_interval if gray else 0
+    if rst:
+        seg(b"\xff\xdd", struct.pack(">H", rst))
 
-    # quantized coefficients, zigzag order, block raster per component
+    # Per component: zigzag blocks over the MCU-PADDED grid (gh, gw),
+    # plus the REAL grid (rh, rw) non-interleaved AC scans cover. For
+    # gray/4:4:4 the two grids coincide; for 4:2:0 luma the padded grid
+    # can be wider (image dims not multiples of 16) and chroma's real
+    # grid always equals its padded one (ceil(ceil(h/2)/8) == ceil(h/16)).
+    comp_zz: list[list[np.ndarray]] = []
+    grids: list[tuple[int, int]] = []
+    reals: list[tuple[int, int]] = []
+    sampling: list[tuple[int, int]] = []
     if gray:
-        planes = [(px.astype(np.float64) - 128.0, ql, 0)]
+        coefs = _fdct_quant(_blocks_of(px.astype(np.float64) - 128.0), ql)
+        comp_zz.append([coefs[i][ZIGZAG] for i in range(coefs.shape[0])])
+        g = ((h + 7) // 8, (w + 7) // 8)
+        grids.append(g)
+        reals.append(g)
+        sampling.append((1, 1))
     else:
         ycc = _rgb_to_ycbcr(px)
-        planes = [(ycc[..., 0] - 128.0, ql, 0),
-                  (ycc[..., 1] - 128.0, qc, 1),
-                  (ycc[..., 2] - 128.0, qc, 1)]
-    comp_zz = []
-    for plane, q, _ in planes:
-        coefs = _fdct_quant(_blocks_of(plane), q)
-        comp_zz.append([coefs[i][ZIGZAG] for i in range(coefs.shape[0])])
+        if subsample:
+            mh, mw = -h % 16, -w % 16
+            ypad = np.pad(ycc[..., 0] - 128.0, ((0, mh), (0, mw)),
+                          mode="edge")
+            cbp = np.pad(ycc[..., 1], ((0, mh), (0, mw)), mode="edge")
+            crp = np.pad(ycc[..., 2], ((0, mh), (0, mw)), mode="edge")
+            cb = cbp.reshape(cbp.shape[0] // 2, 2,
+                             cbp.shape[1] // 2, 2).mean(axis=(1, 3)) - 128.0
+            cr = crp.reshape(crp.shape[0] // 2, 2,
+                             crp.shape[1] // 2, 2).mean(axis=(1, 3)) - 128.0
+            for plane, q, sf in ((ypad, ql, (2, 2)), (cb, qc, (1, 1)),
+                                 (cr, qc, (1, 1))):
+                coefs = _fdct_quant(_blocks_of(plane), q)
+                comp_zz.append([coefs[i][ZIGZAG]
+                                for i in range(coefs.shape[0])])
+                grids.append((plane.shape[0] // 8, plane.shape[1] // 8))
+                sampling.append(sf)
+            reals = [((h + 7) // 8, (w + 7) // 8),
+                     grids[1], grids[2]]
+        else:
+            for band, q in ((0, ql), (1, qc), (2, qc)):
+                coefs = _fdct_quant(
+                    _blocks_of(ycc[..., band] - 128.0), q)
+                comp_zz.append([coefs[i][ZIGZAG]
+                                for i in range(coefs.shape[0])])
+                g = ((h + 7) // 8, (w + 7) // 8)
+                grids.append(g)
+                sampling.append((1, 1))
+            reals = list(grids)
 
     dc_codes = [_build_codes(DC_LUMA_BITS, DC_LUMA_VALS)]
     if not gray:
@@ -888,14 +950,44 @@ def encode_jpeg_progressive(px: np.ndarray,
             body += bytes([cid, (td << 4) | ta])
         seg(b"\xff\xda", body + bytes([ss, se, (ah << 4) | al]))
 
-    # scan 1: DC first, interleaved (4:4:4 -> one block per comp per MCU)
+    # MCU-interleaved DC block order: (comp, padded-grid index) pairs
+    vmax = max(v for v, _ in sampling)
+    hmax = max(hh for _, hh in sampling)
+    mcuy = (grids[0][0] + sampling[0][0] - 1) // sampling[0][0] \
+        if gray else (h + 8 * vmax - 1) // (8 * vmax)
+    mcux = (grids[0][1] + sampling[0][1] - 1) // sampling[0][1] \
+        if gray else (w + 8 * hmax - 1) // (8 * hmax)
+    dc_order: list[list[tuple[int, int]]] = []      # per MCU
+    for my in range(mcuy):
+        for mx in range(mcux):
+            mcu = []
+            for c in range(ncomp):
+                v, hh = sampling[c]
+                _, gw = grids[c]
+                for by in range(v):
+                    for bx in range(hh):
+                        mcu.append((c, (my * v + by) * gw
+                                    + mx * hh + bx))
+            dc_order.append(mcu)
+
+    def real_blocks(c: int) -> list[np.ndarray]:
+        rh, rw = reals[c]
+        _, gw = grids[c]
+        return [comp_zz[c][r * gw + col]
+                for r in range(rh) for col in range(rw)]
+
+    # scan 1: DC first (interleaved over MCUs)
     sos([(c + 1, (1 if c and not gray else 0), 0)
          for c in range(ncomp)], 0, 0, 0, 1)
     bw = _BitWriter()
     preds = [0] * ncomp
-    for i in range(len(comp_zz[0])):
-        for c in range(ncomp):
-            temp = int(comp_zz[c][i][0]) >> 1
+    n_rst = 0
+    for mi, mcu in enumerate(dc_order):
+        if rst and mi and mi % rst == 0:
+            n_rst = _rst(bw, n_rst)
+            preds = [0] * ncomp
+        for c, idx in mcu:
+            temp = int(comp_zz[c][idx][0]) >> 1
             diff = temp - preds[c]
             preds[c] = temp
             t = _category(diff)
@@ -912,16 +1004,19 @@ def encode_jpeg_progressive(px: np.ndarray,
         for ss, se in bands.get(c, [(1, 63)]):
             sos([(c + 1, 0, 0)], ss, se, 0, 1)
             bw = _BitWriter()
-            _enc_ac_first(bw, ac, comp_zz[c], ss, se, 1)
+            _enc_ac_first(bw, ac, real_blocks(c), ss, se, 1, restart=rst)
             bw.flush()
             out += bw.out
 
     # DC refinement (interleaved, one bit per block)
     sos([(c + 1, 0, 0) for c in range(ncomp)], 0, 0, 1, 0)
     bw = _BitWriter()
-    for i in range(len(comp_zz[0])):
-        for c in range(ncomp):
-            bw.write(int(comp_zz[c][i][0]) & 1, 1)
+    n_rst = 0
+    for mi, mcu in enumerate(dc_order):
+        if rst and mi and mi % rst == 0:
+            n_rst = _rst(bw, n_rst)
+        for c, idx in mcu:
+            bw.write(int(comp_zz[c][idx][0]) & 1, 1)
     bw.flush()
     out += bw.out
 
@@ -930,7 +1025,7 @@ def encode_jpeg_progressive(px: np.ndarray,
         for ss, se in bands.get(c, [(1, 63)]):
             sos([(c + 1, 0, 0)], ss, se, 1, 0)
             bw = _BitWriter()
-            _enc_ac_refine(bw, ac, comp_zz[c], ss, se, 0)
+            _enc_ac_refine(bw, ac, real_blocks(c), ss, se, 0, restart=rst)
             bw.flush()
             out += bw.out
 

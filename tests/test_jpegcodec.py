@@ -311,3 +311,34 @@ class TestProgressive:
         # image must track closely
         err = np.abs(got.astype(int) - full.astype(int))
         assert err.mean() < 16 and err.max() <= 160
+
+
+class TestProgressiveSubsampledAndRestart:
+    def test_420_parity_with_baseline_420(self):
+        # includes widths where luma's real block grid is narrower than
+        # its MCU-padded grid (stride mapping in the coefficient store)
+        rng = np.random.default_rng(9)
+        for h, w in [(32, 48), (20, 24), (36, 40), (17, 23), (50, 56)]:
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            b = J.decode_jpeg(J.encode_jpeg(px, subsample=True))
+            p = J.decode_jpeg(J.encode_jpeg_progressive(px,
+                                                        subsample=True))
+            assert np.array_equal(b, p), (h, w)
+
+    def test_restart_markers_in_every_scan(self):
+        rng = np.random.default_rng(10)
+        px = rng.integers(0, 256, (32, 64), dtype=np.uint8)
+        raw = J.encode_jpeg_progressive(px, restart_interval=3)
+        assert b"\xff\xdd" in raw
+        assert raw.count(b"\xff\xd0") >= 6   # RST0 reused across scans
+        assert np.array_equal(J.decode_jpeg(J.encode_jpeg(px)),
+                              J.decode_jpeg(raw))
+
+    def test_restart_with_ones_quant(self):
+        rng = np.random.default_rng(11)
+        ones = np.ones(64, dtype=np.int64)
+        px = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+        a = J.decode_jpeg(J.encode_jpeg(px, quant_luma=ones))
+        b = J.decode_jpeg(J.encode_jpeg_progressive(
+            px, quant_luma=ones, restart_interval=2))
+        assert np.array_equal(a, b)
