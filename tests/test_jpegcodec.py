@@ -342,3 +342,32 @@ class TestProgressiveSubsampledAndRestart:
         b = J.decode_jpeg(J.encode_jpeg_progressive(
             px, quant_luma=ones, restart_interval=2))
         assert np.array_equal(a, b)
+
+
+class TestProgressiveRandomSweep:
+    def test_fifty_random_geometries(self):
+        """Randomized parity battery: near-flat images with ones quant
+        put most AC coefficients in {0, +-1, +-2}, which maximizes
+        traffic on the refinement scan's newly-significant path (long
+        insignificant runs -> ZRL-in-refinement) and correction bits
+        riding EOB runs; loud mismatch on any control-path bug."""
+        rng = np.random.default_rng(123)
+        for trial in range(50):
+            h = int(rng.integers(1, 41))
+            w = int(rng.integers(1, 41))
+            gray = bool(rng.integers(0, 2))
+            near_flat = bool(rng.integers(0, 2))
+            if near_flat:
+                px = rng.integers(126, 131,
+                                  (h, w) if gray else (h, w, 3))
+            else:
+                px = rng.integers(0, 256, (h, w) if gray else (h, w, 3))
+            px = px.astype(np.uint8)
+            kw = {}
+            if rng.integers(0, 2):
+                kw["quant_luma"] = ONES
+                if not gray:
+                    kw["quant_chroma"] = ONES
+            a = J.decode_jpeg(J.encode_jpeg(px, **kw))
+            b = J.decode_jpeg(J.encode_jpeg_progressive(px, **kw))
+            assert np.array_equal(a, b), (trial, h, w, gray, near_flat)
