@@ -486,13 +486,16 @@ def decode_gif(raw: bytes) -> np.ndarray:
     raise ValueError("GIF: no image data")
 
 
-def decode_gif_frames(raw: bytes) -> tuple[np.ndarray, list[int]]:
-    """Decode ALL frames of a (possibly animated) GIF, composited onto
+def decode_gif_frames(raw: bytes,
+                      max_frames: int | None = None
+                      ) -> tuple[np.ndarray, list[int]]:
+    """Decode frames of a (possibly animated) GIF, composited onto
     the logical screen per the GIF89a disposal model: disposal 0/1 keep
     the canvas, 2 restores the frame rect to the background color, 3
     restores the previous canvas; transparent pixels leave the canvas
     through. Returns ((n, h, w, 3) uint8, per-frame delay list in
-    centiseconds)."""
+    centiseconds). ``max_frames`` bounds memory on pathological
+    many-frame payloads (decoding stops after that many frames)."""
     if raw[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     sw, sh = struct.unpack("<HH", raw[6:10])
@@ -558,6 +561,8 @@ def decode_gif_frames(raw: bytes) -> tuple[np.ndarray, list[int]]:
             rect[vis] = ct[idx[:rect.shape[0], :rect.shape[1]][vis]]
             frames.append(canvas.copy())
             delays.append(delay)
+            if max_frames is not None and len(frames) >= max_frames:
+                break
             if disposal == 2:                            # restore to bg
                 canvas[fy:fy + fh, fx:fx + fw] = bg_rgb
             elif disposal == 3 and saved is not None:    # restore previous

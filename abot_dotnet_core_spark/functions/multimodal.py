@@ -316,7 +316,8 @@ FRAME_EXTRACT_SCHEMA = T.StructType([
 
 def extract_frames(df: DataFrame, every_n: int = 1,
                    id_col: str = "media_id",
-                   bin_col: str = "payload") -> DataFrame:
+                   bin_col: str = "payload",
+                   max_gif_frames: int = 256) -> DataFrame:
     """REAL frame extraction from video-ish payloads — RIFF/AVI
     (uncompressed DIB or Motion-JPEG) and animated GIF (composited per
     the disposal model): one output row per sampled frame (indices 0,
@@ -336,7 +337,8 @@ def extract_frames(df: DataFrame, every_n: int = 1,
                 try:
                     bb = bytes(b)
                     if bb[:6] in (b"GIF87a", b"GIF89a"):
-                        frames, _delays = decode_gif_frames(bb)
+                        frames, _delays = decode_gif_frames(
+                            bb, max_frames=max_gif_frames)
                     else:
                         frames, _us = decode_avi(bb)
                     n, h, w, _ch = frames.shape

@@ -822,3 +822,14 @@ class TestGifAnimation:
         assert rows[0].mean_millis == (int(gray.sum()) * 3 * 1000) \
             // (gray.size * 3)
         assert rows[0].width == 6 and rows[0].height == 6
+
+
+class TestGifFrameCap:
+    def test_max_frames_bounds_decode(self):
+        fr = ((np.arange(8 * 4 * 4) * 3) % 256).astype(np.uint8) \
+            .reshape(8, 4, 4)
+        raw = C.encode_gif_frames(fr)
+        frames, delays = C.decode_gif_frames(raw, max_frames=3)
+        assert frames.shape[0] == 3 and len(delays) == 3
+        full, _ = C.decode_gif_frames(raw)
+        assert (frames == full[:3]).all()
