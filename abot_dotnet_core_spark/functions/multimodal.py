@@ -156,18 +156,25 @@ VIDEO_META_SCHEMA = T.StructType([
 def decode_video_meta(df: DataFrame, id_col: str = "media_id",
                       bin_col: str = "payload") -> DataFrame:
     """REAL video decode for RIFF/AVI (imagecodec.decode_avi — raw
-    24-bit DIB frames, or Motion-JPEG via jpegcodec): dimensions, frame
-    count, frame rate in milli-fps, and the exact integer sample mean
-    over ALL frames' pixels. Other compressed video yields NULL stats —
-    the stub stays honest."""
+    24-bit DIB frames, or Motion-JPEG via jpegcodec) and animated GIF
+    (composited frames; frame rate from the first GCE delay): dimensions,
+    frame count, frame rate in milli-fps, and the exact integer sample
+    mean over ALL frames' pixels. Other compressed video yields NULL
+    stats — the stub stays honest."""
     def gen(batches):
-        from .imagecodec import decode_avi
+        from .imagecodec import decode_avi, decode_gif_frames
         for pdf in batches:
             rows = []
             for mid, b in zip(pdf[id_col], pdf[bin_col]):
                 mime = sniff_media_type(bytes(b) if b is not None else None)
                 try:
-                    frames, us = decode_avi(bytes(b))
+                    bb = bytes(b)
+                    if bb[:6] in (b"GIF87a", b"GIF89a"):
+                        frames, delays = decode_gif_frames(
+                            bb, max_frames=256)
+                        us = (delays[0] if delays else 0) * 10_000
+                    else:
+                        frames, us = decode_avi(bb)
                     n, h, w, ch = frames.shape
                     tot = int(frames.astype(np.int64).sum())
                     rows.append((mid, mime, w, h, n,

@@ -833,3 +833,21 @@ class TestGifFrameCap:
         assert frames.shape[0] == 3 and len(delays) == 3
         full, _ = C.decode_gif_frames(raw)
         assert (frames == full[:3]).all()
+
+
+class TestVideoMetaGif:
+    def test_decode_video_meta_animated_gif(self, spark):
+        from abot_dotnet_core_spark.functions.multimodal import (
+            decode_video_meta)
+        fr = ((np.arange(3 * 5 * 7) * 11) % 256).astype(np.uint8) \
+            .reshape(3, 5, 7)
+        raw = C.encode_gif_frames(fr, delay_cs=5)       # 20 fps
+        df = spark.createDataFrame(
+            [Row(media_id=9, payload=bytearray(raw))])
+        r = decode_video_meta(df).collect()[0]
+        assert (r.mime, r.width, r.height, r.n_frames) \
+            == ("image/gif", 7, 5, 3)
+        assert r.fps_millis == 1_000_000_000 // 50_000  # 20000 milli-fps
+        gray = fr.astype(np.int64)
+        assert r.mean_millis == (int(gray.sum()) * 3 * 1000) \
+            // (gray.size * 3)
