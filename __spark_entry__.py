@@ -3000,13 +3000,27 @@ def q_jpeg_decode(spark, sf_dir):
                 tiles = ((np.arange(ht * wt, dtype=np.int64) + i) % 256) \
                     .astype(np.uint8).reshape(ht, wt)
                 img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
-                # ids rotate progressive (SOF2) encodings through the same
-                # tile rule: DC-only blocks decode bit-identically, so the
-                # closed-form oracle is unchanged while the value hash now
-                # covers the spectral-selection/refinement decode paths
+                # ids rotate progressive (SOF2), multi-scan sequential
+                # and 4:2:2 encodings through the same tile rule: DC-only
+                # blocks decode bit-identically (gray-valued color tiles
+                # give Cb=Cr=128 exactly, luma untouched by chroma
+                # subsampling), so the closed-form oracle only flips the
+                # channel count while the value hash covers the
+                # spectral-selection/refinement, per-component-scan and
+                # generic-sampling decode paths
                 if i % 5 != 0 and i % 7 == 1:
                     payloads.append(encode_jpeg_progressive(
                         img, quant_luma=ones))
+                elif i % 5 != 0 and i % 7 == 2:
+                    img3 = np.repeat(img[:, :, None], 3, axis=2)
+                    payloads.append(encode_jpeg(
+                        img3, quant_luma=ones, quant_chroma=ones,
+                        interleave=False))
+                elif i % 5 != 0 and i % 7 == 3:
+                    img3 = np.repeat(img[:, :, None], 3, axis=2)
+                    payloads.append(encode_jpeg(
+                        img3, quant_luma=ones, quant_chroma=ones,
+                        subsample="422"))
                 else:
                     payloads.append(encode_jpeg(
                         img, quant_luma=ones,
@@ -3036,7 +3050,9 @@ s AS (SELECT doc_id, wt, ht, n,
               + ((n - m0) * (n - m0 - 1)) // 2)::BIGINT AS tot
       FROM m)
 SELECT doc_id AS media_id, 'image/jpeg' AS mime,
-       (8 * wt)::int AS width, (8 * ht)::int AS height, 1 AS channels,
+       (8 * wt)::int AS width, (8 * ht)::int AS height,
+       (CASE WHEN doc_id % 5 <> 0 AND doc_id % 7 IN (2, 3)
+             THEN 3 ELSE 1 END)::int AS channels,
        ((tot * 1000) // n)::int AS mean_millis
 FROM s"""
 

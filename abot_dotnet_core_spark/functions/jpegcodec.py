@@ -340,13 +340,30 @@ def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
     return np.stack([y, cb, cr], axis=-1)
 
 
+def _subsample_factors(subsample) -> tuple[int, int]:
+    """Luma sampling factors (h, v) for a ``subsample`` argument:
+    False/None -> 4:4:4, True/'420' -> 4:2:0, '422' -> 4:2:2."""
+    if subsample in (False, None):
+        return 1, 1
+    if subsample in (True, "420"):
+        return 2, 2
+    if subsample == "422":
+        return 2, 1
+    raise ValueError(f"JPEG: unknown subsampling {subsample!r}")
+
+
 def encode_jpeg(px: np.ndarray, quant_luma: np.ndarray | None = None,
                 quant_chroma: np.ndarray | None = None,
-                subsample: bool = False, restart_interval: int = 0) -> bytes:
+                subsample=False, restart_interval: int = 0,
+                interleave: bool = True) -> bytes:
     """Baseline JFIF writer. ``px`` is (h, w) / (h, w, 1) grayscale or
-    (h, w, 3) RGB. ``subsample=True`` emits 4:2:0 chroma; quant tables
-    default to Annex K (natural order, 64 ints). ``restart_interval``
-    (grayscale path only) emits DRI + RSTn markers every that many MCUs."""
+    (h, w, 3) RGB. ``subsample`` is False (4:4:4), True/'420' (2x2
+    chroma) or '422' (2x1 chroma); quant tables default to Annex K
+    (natural order, 64 ints). ``restart_interval`` (grayscale path only)
+    emits DRI + RSTn markers every that many MCUs. ``interleave=False``
+    (color only) writes one non-interleaved scan per component — the
+    T.81 multi-scan sequential layout — instead of a single interleaved
+    scan."""
     px = np.asarray(px)
     if px.ndim == 3 and px.shape[2] == 1:
         px = px[:, :, 0]
@@ -354,6 +371,7 @@ def encode_jpeg(px: np.ndarray, quant_luma: np.ndarray | None = None,
     h, w = px.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("JPEG: empty image")
+    sh_, sv_ = (1, 1) if gray else _subsample_factors(subsample)
     ql = (QUANT_LUMA if quant_luma is None
           else np.asarray(quant_luma, dtype=np.int64))
     qc = (QUANT_CHROMA if quant_chroma is None
@@ -375,7 +393,7 @@ def encode_jpeg(px: np.ndarray, quant_luma: np.ndarray | None = None,
         comps = bytes([1, 0x11, 0])
         ncomp = 1
     else:
-        samp = 0x22 if subsample else 0x11
+        samp = (sh_ << 4) | sv_
         comps = bytes([1, samp, 0, 2, 0x11, 1, 3, 0x11, 1])
         ncomp = 3
     seg(b"\xff\xc0", bytes([8]) + struct.pack(">HH", h, w)
@@ -392,20 +410,14 @@ def encode_jpeg(px: np.ndarray, quant_luma: np.ndarray | None = None,
     if restart_interval and gray:
         seg(b"\xff\xdd", struct.pack(">H", restart_interval))
 
-    # SOS
-    if gray:
-        sos = bytes([1, 1, 0x00])
-    else:
-        sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11])
-    seg(b"\xff\xda", sos + bytes([0, 63, 0]))
-
     dc_l = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_l = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
     dc_c = _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
     ac_c = _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
 
-    bw = _BitWriter()
     if gray:
+        seg(b"\xff\xda", bytes([1, 1, 0x00]) + bytes([0, 63, 0]))
+        bw = _BitWriter()
         blocks = _blocks_of(px.astype(np.float64) - 128.0)
         coefs = _fdct_quant(blocks, ql)
         pred = 0
@@ -418,48 +430,68 @@ def encode_jpeg(px: np.ndarray, quant_luma: np.ndarray | None = None,
                 n_rst += 1
                 pred = 0
             pred = _encode_block(bw, coefs[i], pred, dc_l, ac_l)
+        bw.flush()
+        out += bw.out
+        out += b"\xff\xd9"                             # EOI
+        return bytes(out)
+
+    ycc = _rgb_to_ycbcr(px)
+    yp = ycc[..., 0] - 128.0
+    if (sh_, sv_) != (1, 1):
+        # subsample chroma by (sv_ x sh_) mean over the MCU-padded image
+        mh, mw = -h % (8 * sv_), -w % (8 * sh_)
+        ypad = np.pad(yp, ((0, mh), (0, mw)), mode="edge")
+        cbp = np.pad(ycc[..., 1], ((0, mh), (0, mw)), mode="edge")
+        crp = np.pad(ycc[..., 2], ((0, mh), (0, mw)), mode="edge")
+        cb = cbp.reshape(cbp.shape[0] // sv_, sv_,
+                         cbp.shape[1] // sh_, sh_).mean(axis=(1, 3)) - 128.0
+        cr = crp.reshape(crp.shape[0] // sv_, sv_,
+                         crp.shape[1] // sh_, sh_).mean(axis=(1, 3)) - 128.0
     else:
-        ycc = _rgb_to_ycbcr(px)
-        yp = ycc[..., 0] - 128.0
-        if subsample:
-            # 2x2 mean then MCU-interleaved 16x16: pad planes to MCU grid
-            mh, mw = -h % 16, -w % 16
-            ypad = np.pad(yp, ((0, mh), (0, mw)), mode="edge")
-            cbp = np.pad(ycc[..., 1], ((0, mh), (0, mw)), mode="edge")
-            crp = np.pad(ycc[..., 2], ((0, mh), (0, mw)), mode="edge")
-            cb = cbp.reshape(cbp.shape[0] // 2, 2,
-                             cbp.shape[1] // 2, 2).mean(axis=(1, 3)) - 128.0
-            cr = crp.reshape(crp.shape[0] // 2, 2,
-                             crp.shape[1] // 2, 2).mean(axis=(1, 3)) - 128.0
-            hh, ww = ypad.shape
-            ny, nx = hh // 16, ww // 16
-            yc = _fdct_quant(_blocks_of(ypad), ql).reshape(ny, 2, nx, 2, 64)
-            cbc = _fdct_quant(_blocks_of(cb), qc).reshape(ny, nx, 64)
-            crc = _fdct_quant(_blocks_of(cr), qc).reshape(ny, nx, 64)
-            py = pcb = pcr = 0
-            for my in range(ny):
-                for mx in range(nx):
-                    for by in range(2):
-                        for bx in range(2):
-                            py = _encode_block(
-                                bw, yc[my, by, mx, bx], py, dc_l, ac_l)
-                    pcb = _encode_block(bw, cbc[my, mx], pcb, dc_c, ac_c)
-                    pcr = _encode_block(bw, crc[my, mx], pcr, dc_c, ac_c)
-        else:
-            nby, nbx = (h + 7) // 8, (w + 7) // 8
-            yc = _fdct_quant(_blocks_of(yp), ql).reshape(nby, nbx, 64)
-            cbc = _fdct_quant(_blocks_of(ycc[..., 1] - 128.0),
-                              qc).reshape(nby, nbx, 64)
-            crc = _fdct_quant(_blocks_of(ycc[..., 2] - 128.0),
-                              qc).reshape(nby, nbx, 64)
-            py = pcb = pcr = 0
-            for my in range(nby):
-                for mx in range(nbx):
-                    py = _encode_block(bw, yc[my, mx], py, dc_l, ac_l)
-                    pcb = _encode_block(bw, cbc[my, mx], pcb, dc_c, ac_c)
-                    pcr = _encode_block(bw, crc[my, mx], pcr, dc_c, ac_c)
-    bw.flush()
-    out += bw.out
+        ypad = yp
+        cb = ycc[..., 1] - 128.0
+        cr = ycc[..., 2] - 128.0
+
+    if interleave:
+        seg(b"\xff\xda",
+            bytes([3, 1, 0x00, 2, 0x11, 3, 0x11]) + bytes([0, 63, 0]))
+        bw = _BitWriter()
+        yc = _fdct_quant(_blocks_of(ypad), ql)
+        nbr = -(-ypad.shape[0] // 8)
+        nbc = -(-ypad.shape[1] // 8)
+        yc = yc.reshape(nbr, nbc, 64)
+        ny, nx = nbr // sv_, nbc // sh_
+        cbc = _fdct_quant(_blocks_of(cb), qc).reshape(ny, nx, 64)
+        crc = _fdct_quant(_blocks_of(cr), qc).reshape(ny, nx, 64)
+        py = pcb = pcr = 0
+        for my in range(ny):
+            for mx in range(nx):
+                for by in range(sv_):
+                    for bx in range(sh_):
+                        py = _encode_block(
+                            bw, yc[my * sv_ + by, mx * sh_ + bx],
+                            py, dc_l, ac_l)
+                pcb = _encode_block(bw, cbc[my, mx], pcb, dc_c, ac_c)
+                pcr = _encode_block(bw, crc[my, mx], pcr, dc_c, ac_c)
+        bw.flush()
+        out += bw.out
+    else:
+        # one non-interleaved scan per component, each over the
+        # component's real (unpadded) block grid in raster order, DC
+        # predictor reset per scan (T.81 multi-scan sequential layout)
+        for plane, q, dcod, acod, cid in (
+                (yp, ql, dc_l, ac_l, 1),
+                (cb, qc, dc_c, ac_c, 2),
+                (cr, qc, dc_c, ac_c, 3)):
+            td_ta = 0x00 if cid == 1 else 0x11
+            seg(b"\xff\xda", bytes([1, cid, td_ta]) + bytes([0, 63, 0]))
+            bw = _BitWriter()
+            coefs = _fdct_quant(_blocks_of(plane), q)
+            pred = 0
+            for i in range(coefs.shape[0]):
+                pred = _encode_block(bw, coefs[i], pred, dcod, acod)
+            bw.flush()
+            out += bw.out
     out += b"\xff\xd9"                                 # EOI
     return bytes(out)
 
@@ -481,6 +513,7 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     frame = None
     prog = None
+    seq_planes: dict[int, np.ndarray] = {}
     restart_interval = 0
     n = len(raw)
     while pos + 4 <= n:
@@ -584,19 +617,35 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
                     p += 1
                 pos = p
                 continue
-            planes = _decode_scan(raw, end, frame, scomps, qt,
-                                  huff_dc, huff_ac, restart_interval)
-            return _assemble(frame, planes)
+            # Sequential frames may split components across several
+            # non-interleaved scans (T.81 allows any partition of the
+            # frame's components into scans): accumulate planes until
+            # every frame component has been decoded.
+            planes, spos = _decode_scan(raw, end, frame, scomps, qt,
+                                        huff_dc, huff_ac, restart_interval)
+            seq_planes.update(planes)
+            if all(c["id"] in seq_planes for c in frame["comps"]):
+                return _assemble(frame, seq_planes)
+            p = spos
+            while p + 1 < n and not (raw[p] == 0xFF
+                                     and raw[p + 1] != 0x00):
+                p += 1
+            pos = p
+            continue
         # else: APPn/COM/unknown -> skip
         pos = end
     if prog is not None:
         return _prog_finish(frame, prog, qt)
+    if seq_planes:
+        raise ValueError("JPEG: missing component scans")
     raise ValueError("JPEG: no scan data")
 
 
 def _decode_scan(raw: bytes, pos: int, frame: dict, scomps: list,
                  qt: dict, huff_dc: dict, huff_ac: dict,
-                 restart_interval: int) -> dict:
+                 restart_interval: int) -> tuple[dict, int]:
+    """Decode one sequential scan; returns (planes for the scan's
+    components, stream position after the entropy-coded segment)."""
     h, w = frame["h"], frame["w"]
     hmax = max(c["h"] for c in frame["comps"])
     vmax = max(c["v"] for c in frame["comps"])
@@ -701,7 +750,7 @@ def _decode_scan(raw: bytes, pos: int, frame: dict, scomps: list,
                  .transpose(0, 2, 1, 3).reshape(bh_ * 8, bw_ * 8))
         plane = np.clip(np.round(plane + 128.0), 0, 255)
         planes[cid] = plane
-    return planes
+    return planes, br.pos
 
 
 # --------------------------------------------------------------------------

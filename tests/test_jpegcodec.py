@@ -371,3 +371,64 @@ class TestProgressiveRandomSweep:
             a = J.decode_jpeg(J.encode_jpeg(px, **kw))
             b = J.decode_jpeg(J.encode_jpeg_progressive(px, **kw))
             assert np.array_equal(a, b), (trial, h, w, gray, near_flat)
+
+
+class TestMultiScanSequential:
+    """T.81 allows a sequential frame to split its components across
+    several non-interleaved scans (one SOS per component); decoders must
+    accumulate planes until the frame is complete instead of assembling
+    after the first scan."""
+
+    def test_444_multi_scan_matches_interleaved(self):
+        rng = np.random.default_rng(20)
+        for shape in [(8, 8), (17, 23), (24, 40), (1, 1)]:
+            px = rng.integers(0, 256, shape + (3,), dtype=np.uint8)
+            a = J.decode_jpeg(J.encode_jpeg(px))
+            b = J.decode_jpeg(J.encode_jpeg(px, interleave=False))
+            assert np.array_equal(a, b), shape
+            # the layout really is three scans
+            assert J.encode_jpeg(px, interleave=False).count(b"\xff\xda") == 3
+
+    def test_420_and_422_multi_scan(self):
+        rng = np.random.default_rng(21)
+        for sub in (True, "422"):
+            for shape in [(16, 16), (17, 23), (9, 31)]:
+                px = rng.integers(0, 256, shape + (3,), dtype=np.uint8)
+                a = J.decode_jpeg(J.encode_jpeg(px, subsample=sub))
+                b = J.decode_jpeg(
+                    J.encode_jpeg(px, subsample=sub, interleave=False))
+                assert a.shape == b.shape == shape + (3,)
+                # identical quantized coefficients -> identical pixels
+                assert np.array_equal(a, b), (sub, shape)
+
+    def test_incomplete_multi_scan_raises(self):
+        px = np.full((8, 8, 3), 100, np.uint8)
+        raw = J.encode_jpeg(px, interleave=False)
+        # truncate after the second scan's SOS: drop everything from the
+        # third SOS marker on, then re-append EOI
+        third = raw.find(b"\xff\xda", raw.find(
+            b"\xff\xda", raw.find(b"\xff\xda") + 2) + 2)
+        assert third > 0
+        with pytest.raises(ValueError, match="missing component"):
+            J.decode_jpeg(raw[:third] + b"\xff\xd9")
+
+
+class TestChroma422:
+    def test_422_chroma_flat_exact(self):
+        # chroma-flat content loses nothing to 2x1 subsampling
+        img = np.zeros((24, 48, 3), np.uint8)
+        img[:, :, 0], img[:, :, 1], img[:, :, 2] = 90, 140, 200
+        dec = J.decode_jpeg(J.encode_jpeg(img, quant_luma=ONES,
+                                          quant_chroma=ONES,
+                                          subsample="422"))
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 1
+
+    def test_422_sof_sampling_bytes(self):
+        raw = J.encode_jpeg(np.zeros((8, 16, 3), np.uint8), subsample="422")
+        i = raw.find(b"\xff\xc0")
+        # component 1 sampling byte is h<<4|v = 0x21
+        assert raw[i + 11] == 0x21
+
+    def test_unknown_subsample_rejected(self):
+        with pytest.raises(ValueError, match="subsampling"):
+            J.encode_jpeg(np.zeros((8, 8, 3), np.uint8), subsample="411")
