@@ -556,12 +556,16 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
             if prec != 8:
                 raise NotImplementedError("JPEG: 12-bit precision")
             fh, fw = struct.unpack(">HH", body[1:5])
+            if fh == 0 or fw == 0:
+                raise ValueError("JPEG: zero frame dimension")
             ncomp = body[5]
             comps = []
             for c in range(ncomp):
                 cid, samp, tq = body[6 + 3 * c:9 + 3 * c]
-                comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F,
-                              "tq": tq})
+                ch, cv = samp >> 4, samp & 0x0F
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise ValueError("JPEG: bad sampling factors")
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
             frame = {"h": fh, "w": fw, "comps": comps,
                      "progressive": marker == 0xC2}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,

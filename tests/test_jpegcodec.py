@@ -432,3 +432,53 @@ class TestChroma422:
     def test_unknown_subsample_rejected(self):
         with pytest.raises(ValueError, match="subsampling"):
             J.encode_jpeg(np.zeros((8, 8, 3), np.uint8), subsample="411")
+
+
+class TestDecodeRobustness:
+    def test_zero_sampling_factor_raises_valueerror(self):
+        # a mutated SOF sampling byte of 0x00 must not reach the MCU-grid
+        # division (ZeroDivisionError escaped the progressive path once)
+        for prog in (False, True):
+            px = np.full((8, 8, 3), 50, np.uint8)
+            raw = bytearray(J.encode_jpeg_progressive(px) if prog
+                            else J.encode_jpeg(px))
+            i = raw.find(b"\xff\xc2" if prog else b"\xff\xc0")
+            raw[i + 11] = 0x00  # component 1 sampling byte
+            with pytest.raises(ValueError, match="sampling"):
+                J.decode_jpeg(bytes(raw))
+
+    def test_zero_frame_dimension_raises(self):
+        raw = bytearray(J.encode_jpeg(np.full((8, 8), 9, np.uint8)))
+        i = raw.find(b"\xff\xc0")
+        raw[i + 5:i + 7] = b"\x00\x00"  # height = 0
+        with pytest.raises(ValueError, match="dimension"):
+            J.decode_jpeg(bytes(raw))
+
+    def test_mutation_fuzz_error_envelope(self):
+        """300 random mutations of valid JPEGs either decode or raise one
+        of multimodal._DECODE_ERRORS — nothing escapes to fail a Spark
+        job (the decode_*_meta NULL contract)."""
+        from abot_dotnet_core_spark.functions.multimodal import _DECODE_ERRORS
+        rng = np.random.default_rng(1598)
+        px = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+        bases = [J.encode_jpeg(px), J.encode_jpeg(px, interleave=False),
+                 J.encode_jpeg(px, subsample=True),
+                 J.encode_jpeg_progressive(px)]
+        for trial in range(300):
+            raw = bytearray(bases[trial % len(bases)])
+            for _ in range(int(rng.integers(1, 6))):
+                op = rng.integers(0, 3)
+                if op == 0:
+                    raw[int(rng.integers(2, len(raw)))] = \
+                        int(rng.integers(0, 256))
+                elif op == 1 and len(raw) > 10:
+                    raw = raw[:int(rng.integers(4, len(raw)))]
+                else:
+                    i = int(rng.integers(2, len(raw)))
+                    raw = (raw[:i]
+                           + bytes(rng.integers(0, 256, 3, dtype=np.uint8))
+                           + raw[i:])
+            try:
+                J.decode_jpeg(bytes(raw))
+            except _DECODE_ERRORS:
+                pass
