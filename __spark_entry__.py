@@ -5041,6 +5041,60 @@ SELECT word, cnt,
 FROM v10"""
 
 
+def q_unigram_encode(spark, sf_dir):
+    """Unigram-LM Viterbi segmentation (functions/unigram.py — the
+    SentencePiece-style inference step, completing the tokenizer surface
+    next to BPE): every distinct [a-z]{1,12} word type segmented under the
+    fixed 178-piece integer-milli vocabulary, minimizing (score, n_pieces,
+    piece string) lexicographically. The whole DP is ONE F.aggregate fold
+    per word (4-slot sliding window of (score,n,path) structs, array_min
+    per shift-reduce step) — whole-stage codegen, zero Python, zero
+    shuffle beyond the word distinct; the oracle replays the identical DP
+    as 12 unrolled CTE positions with arg_min over a fixed-width
+    (score|n|path) sort key, so any fold/tie-break/window-slot bug breaks
+    the value hash."""
+    from abot_dotnet_core_spark.functions.unigram import (
+        viterbi_segment_words)
+    words = (_docs(spark, sf_dir)
+             .select(F.explode(F.split(F.lower(F.col("text")), "[^a-z]+"))
+                     .alias("word"))
+             .filter((F.length("word") >= 1) & (F.length("word") <= 12))
+             .distinct())
+    return viterbi_segment_words(words).orderBy("word")
+
+
+def sql_unigram_encode():
+    from abot_dotnet_core_spark.functions.unigram import (
+        MAX_WORD_LEN, UNIGRAM_VOCAB)
+    vocab_rows = ", ".join(f"('{t}', {m})" for t, m in UNIGRAM_VOCAB)
+    key = "printf('%012d|%03d|%s', score, n, path)"
+    ctes = [
+        "words AS (SELECT DISTINCT w AS word FROM "
+        "(SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w "
+        "FROM documents) WHERE len(w) BETWEEN 1 AND 12)",
+        f"vocab AS (SELECT * FROM (VALUES {vocab_rows}) v(token, milli))",
+        "dp0 AS (SELECT word, 0 AS score, 0 AS n, '' AS path FROM words)",
+    ]
+    for p in range(1, MAX_WORD_LEN + 1):
+        cands = " UNION ALL ".join(
+            f"SELECT d.word, d.score + v.milli AS score, d.n + 1 AS n, "
+            f"d.path || v.token || '.' AS path "
+            f"FROM dp{p - ln} d JOIN vocab v ON len(v.token) = {ln} "
+            f"AND v.token = substr(d.word, {p - ln + 1}, {ln})"
+            for ln in range(1, min(4, p) + 1))
+        ctes.append(
+            f"dp{p} AS (SELECT word, arg_min(score, k) AS score, "
+            f"arg_min(n, k) AS n, arg_min(path, k) AS path FROM "
+            f"(SELECT *, {key} AS k FROM ({cands})) GROUP BY word)")
+    finals = " UNION ALL ".join(
+        f"SELECT * FROM dp{p} WHERE len(word) = {p}"
+        for p in range(1, MAX_WORD_LEN + 1))
+    return ("WITH " + ",\n".join(ctes)
+            + "\nSELECT word, substr(path, 1, len(path) - 1) AS pieces, "
+            "n::int AS n_pieces, score::BIGINT AS score_milli "
+            f"FROM ({finals}) ORDER BY word")
+
+
 def q_image_resize(spark, sf_dir):
     """REAL nearest-neighbor image resample (resize_images with
     decode_stub=False): the same synthesized PNG/BMP/PPM ramp fixtures as
@@ -5919,6 +5973,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_compression": q_bpe_compression,
         "bpe_encode": q_bpe_encode,
+        "unigram_encode": q_unigram_encode,
         "length_quantiles": q_length_quantiles,
         "script_profile": q_script_profile,
         "span_dedup": q_span_dedup,
@@ -6070,6 +6125,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": sql_bpe_merges(),
         "bpe_compression": sql_bpe_compression(),
         "bpe_encode": sql_bpe_encode(),
+        "unigram_encode": sql_unigram_encode(),
         "length_quantiles": sql_length_quantiles(),
         "script_profile": sql_script_profile(),
         "span_dedup": sql_span_dedup(),

@@ -1,0 +1,203 @@
+"""Unigram-LM subword segmentation (SentencePiece-style Viterbi decode).
+
+``viterbi_segment_words`` assigns each word its best segmentation under a
+unigram vocabulary with integer milli(-log-prob) scores — the inference
+step of Kudo 2018's unigram tokenizer (arXiv:1804.10959), completing the
+tokenizer surface next to bpe.py's trainer/encoder. The reference crawler
+carries page text opaquely (Abot/src/Abot, CrawledPage.cs) — this serves
+the LLM-data-pipeline operator family, not crawl parity.
+
+Objective: minimize total score, ties broken by fewer pieces, then by the
+lexicographically smallest piece string — a total deterministic order, so
+the result is bit-exactly reproducible by the DuckDB oracle's unrolled DP.
+
+Spark-first shape: the whole Viterbi DP runs as ONE ``F.aggregate`` fold
+over the word's character positions, carrying a fixed 4-slot sliding
+window of DP states (score, n, path structs; ``array_min`` gives the
+field-ordered minimum and skips impossible candidates) — a single
+higher-order-function expression, O(max word length) codegen size, zero
+Python, zero shuffle beyond the word-table ``distinct``. Like bpe.py, it
+runs over the DISTINCT-words table, so a 100 TB corpus collapses to its
+vocabulary before any per-word work; segmentations join back to documents
+by word and the corpus text is never re-shuffled. Above
+UNIGRAM_ARROW_THRESHOLD vocab entries the literal score maps would bloat
+the expression tree (a production tokenizer ships ~32k pieces), so the
+vocab broadcasts into one Arrow-batched mapInPandas pass instead — the
+BPE_ARROW_THRESHOLD / IVF_ARROW_THRESHOLD gate pattern, parity-pinned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Fixed demonstration vocabulary: 26 single characters (every [a-z] word
+# is always segmentable) plus 2/3/4-gram pieces with deterministic integer
+# milli scores. Scores are LITERALS shared verbatim with the SQL oracle.
+UNIGRAM_VOCAB: list[tuple[str, int]] = [
+    ("a", 5000), ("b", 5000), ("c", 5000), ("d", 5000), ("e", 5000),
+    ("f", 5000), ("g", 5000), ("h", 5000), ("i", 5000), ("j", 5000),
+    ("k", 5000), ("l", 5000), ("m", 5000), ("n", 5000), ("o", 5000),
+    ("p", 5000), ("q", 5000), ("r", 5000), ("s", 5000), ("t", 5000),
+    ("u", 5000), ("v", 5000), ("w", 5000), ("x", 5000), ("y", 5000),
+    ("z", 5000), ("ag", 4300), ("al", 4307), ("am", 4314), ("an", 4321),
+    ("ar", 4328), ("as", 4335), ("at", 4342), ("bi", 4349), ("bl", 4356),
+    ("ch", 4363), ("co", 4370), ("cu", 4377), ("da", 4384), ("do", 4391),
+    ("ea", 4398), ("er", 4405), ("ey", 4412), ("fa", 4419), ("fi", 4426),
+    ("ge", 4433), ("gg", 4440), ("gr", 4447), ("ha", 4454), ("he", 4461),
+    ("ig", 4468), ("il", 4475), ("in", 4482), ("jo", 4489), ("ke", 4496),
+    ("le", 4503), ("li", 4510), ("lo", 4517), ("lu", 4524), ("me", 4531),
+    ("mn", 4538), ("nd", 4545), ("ne", 4552), ("oi", 4559), ("ol", 4566),
+    ("om", 4573), ("or", 4580), ("ou", 4587), ("ow", 4594), ("pa", 4601),
+    ("qu", 4608), ("re", 4615), ("rk", 4622), ("ro", 4629), ("rt", 4636),
+    ("ry", 4643), ("sc", 4650), ("sm", 4657), ("so", 4664), ("st", 4671),
+    ("ta", 4678), ("tc", 4685), ("th", 4692), ("to", 4699), ("tr", 4306),
+    ("ue", 4313), ("um", 4320), ("up", 4327), ("us", 4334), ("va", 4341),
+    ("ve", 4348), ("wi", 4355), ("agg", 5600), ("all", 5611), ("ark", 5622),
+    ("ash", 5633), ("ata", 5644), ("bat", 5655), ("big", 5666), ("ble", 5677),
+    ("can", 5688), ("col", 5699), ("cus", 5710), ("dat", 5721), ("der", 5732),
+    ("dow", 5743), ("eam", 5754), ("ery", 5765), ("fas", 5776), ("fil", 5787),
+    ("gro", 5798), ("has", 5809), ("ine", 5820), ("joi", 5831), ("key", 5842),
+    ("lin", 5853), ("low", 5864), ("lue", 5875), ("mer", 5886), ("ord", 5897),
+    ("ort", 5908), ("oup", 5919), ("que", 5930), ("row", 5941), ("sca", 5952),
+    ("slo", 5963), ("sma", 5974), ("sor", 5985), ("spa", 5996), ("str", 6007),
+    ("tab", 6018), ("tch", 6029), ("ter", 6040), ("the", 6051), ("tom", 6062),
+    ("tor", 6073), ("umn", 6084), ("val", 6095), ("vec", 6106), ("win", 6117),
+    ("able", 6500), ("alue", 6513), ("atch", 6526), ("batc", 6539), ("colu", 6552),
+    ("ctor", 6565), ("cust", 6578), ("data", 6591), ("erge", 6604), ("fast", 6617),
+    ("filt", 6630), ("grou", 6643), ("hash", 6656), ("join", 6669), ("line", 6682),
+    ("lter", 6695), ("lumn", 6708), ("mall", 6721), ("merg", 6734), ("ndow", 6747),
+    ("omer", 6760), ("orde", 6773), ("park", 6786), ("quer", 6799), ("rder", 6812),
+    ("ream", 6825), ("roup", 6838), ("scan", 6851), ("slow", 6864), ("smal", 6877),
+    ("sort", 6890), ("spar", 6903), ("stre", 6916), ("tabl", 6929), ("uery", 6942),
+    ("valu", 6955), ("vect", 6968), ("wind", 6981),
+]
+
+MAX_WORD_LEN = 12
+
+# Above this many vocab entries the per-length literal score maps stop
+# being a sane expression tree; ship the vocab as a broadcast dict into
+# one Arrow pass instead (same gate pattern as BPE_ARROW_THRESHOLD).
+UNIGRAM_ARROW_THRESHOLD = 512
+
+
+def _by_len(vocab):
+    out: dict[int, dict[str, int]] = {}
+    for tok, milli in vocab:
+        out.setdefault(len(tok), {})[tok] = milli
+    return out
+
+
+def _viterbi_codegen(words: DataFrame, vocab) -> DataFrame:
+    """One F.aggregate fold per word: acc is a 4-struct sliding window
+    [dp[i-4], dp[i-3], dp[i-2], dp[i-1->i]] over positions 1..len(word);
+    each step takes the array_min of the <=4 shift-reduce candidates."""
+    by_len = _by_len(vocab)
+    max_tok = max(by_len)
+    maps = {
+        ln: F.create_map(*[F.lit(x) for tok, m in sorted(d.items())
+                           for x in (tok, m)])
+        for ln, d in by_len.items()}
+
+    null_dp = F.lit(None).cast("struct<score:int,n:int,path:string>")
+    zero_dp = F.struct(F.lit(0).alias("score"), F.lit(0).alias("n"),
+                       F.lit("").alias("path"))
+    word = F.col("word")
+
+    def step(acc, i):
+        cands = []
+        for ln in range(1, max_tok + 1):
+            if ln not in by_len:
+                continue
+            prev = F.element_at(acc, 5 - ln)         # dp[i - ln]
+            tok = word.substr(i - F.lit(ln - 1), F.lit(ln))
+            milli = F.element_at(maps[ln], tok)
+            cands.append(F.when(
+                prev.isNotNull() & milli.isNotNull() & (i >= ln),
+                F.struct(
+                    (prev["score"] + milli).alias("score"),
+                    (prev["n"] + 1).alias("n"),
+                    F.concat(prev["path"], tok, F.lit(".")).alias("path"))))
+        new_dp = F.array_min(F.array(*cands))
+        return F.array(F.element_at(acc, 2), F.element_at(acc, 3),
+                       F.element_at(acc, 4), new_dp)
+
+    best = F.aggregate(
+        F.sequence(F.lit(1), F.length(word)),
+        F.array(null_dp, null_dp, null_dp, zero_dp),
+        step,
+        lambda acc: F.element_at(acc, 4))
+
+    dp = F.col("__dp")
+    return (words.withColumn("__dp", best)
+            .select(
+                "word",
+                F.expr("substr(__dp.path, 1, length(__dp.path) - 1)")
+                .alias("pieces"),
+                dp["n"].cast("int").alias("n_pieces"),
+                dp["score"].cast("long").alias("score_milli")))
+
+
+def _viterbi_arrow(words: DataFrame, vocab) -> DataFrame:
+    """Arrow path: broadcast {piece: milli}, per-word Python DP. Input is
+    the |distinct words| table, never the corpus, so the Python boundary
+    cost is bounded by vocabulary size (the BPE _segment_arrow argument)."""
+    import pandas as pd
+
+    bc = words.sparkSession.sparkContext.broadcast(dict(vocab))
+
+    def gen(batches):
+        scores = bc.value
+        max_tok = max(len(t) for t in scores)
+
+        def seg(w):
+            # dp[i] = (score, n, path) — identical (score, n, path)
+            # lexicographic objective as the codegen fold
+            dp = [None] * (len(w) + 1)
+            dp[0] = (0, 0, "")
+            for i in range(1, len(w) + 1):
+                best = None
+                for ln in range(1, min(max_tok, i) + 1):
+                    prev = dp[i - ln]
+                    if prev is None:
+                        continue
+                    tok = w[i - ln:i]
+                    m = scores.get(tok)
+                    if m is None:
+                        continue
+                    cand = (prev[0] + m, prev[1] + 1,
+                            prev[2] + tok + ".")
+                    if best is None or cand < best:
+                        best = cand
+                dp[i] = best
+            return dp[len(w)]
+
+        for pdf in batches:
+            res = [seg(w) for w in pdf["word"]]
+            yield pd.DataFrame({
+                "word": pdf["word"],
+                "pieces": [r[2][:-1] if r else None for r in res],
+                "n_pieces": [r[1] if r else None for r in res],
+                "score_milli": [r[0] if r else None for r in res]})
+
+    return words.mapInPandas(
+        gen, schema="word string, pieces string, n_pieces int, "
+                    "score_milli long")
+
+
+def viterbi_segment_words(words: DataFrame, vocab=None,
+                          word_col: str = "word",
+                          arrow: bool | None = None) -> DataFrame:
+    """Best unigram segmentation per word: (word, pieces, n_pieces,
+    score_milli), pieces dot-joined. Words must match [a-z]{1,12} (rows
+    that don't are filtered, mirroring the oracle's word rule). Vocabs at
+    or under UNIGRAM_ARROW_THRESHOLD entries run the codegen fold; larger
+    vocabs broadcast into one Arrow pass — identical output, parity-pinned."""
+    if vocab is None:
+        vocab = UNIGRAM_VOCAB
+    src = words.select(F.col(word_col).alias("word")) \
+        .filter(F.col("word").rlike("^[a-z]{1,%d}$" % MAX_WORD_LEN))
+    use_arrow = (len(vocab) > UNIGRAM_ARROW_THRESHOLD) if arrow is None \
+        else arrow
+    if use_arrow:
+        return _viterbi_arrow(src, vocab)
+    return _viterbi_codegen(src, vocab)

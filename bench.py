@@ -36,7 +36,7 @@ import time
 HEADLINE = [
     "image_decode", "jpeg_decode", "image_resize", "audio_decode",
     "video_decode", "g711_decode", "adpcm_decode", "frame_sample",
-    "bpe_encode",
+    "bpe_encode", "unigram_encode",
     "tpch_q1", "tpch_q3", "running_window", "rollup_agg",
     "exact_dedup", "minhash_signatures", "neardup_pairs",
     "neardup_components", "contamination", "substring_dedup",

@@ -1,0 +1,139 @@
+"""Unigram-LM Viterbi segmentation (functions/unigram.py): codegen-fold
+vs Arrow-path vs sequential-Python parity, tie-break order, filtering,
+and plan shape (zero Python / zero shuffle in the codegen path)."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from abot_dotnet_core_spark.functions.unigram import (
+    MAX_WORD_LEN, UNIGRAM_ARROW_THRESHOLD, UNIGRAM_VOCAB,
+    viterbi_segment_words)
+
+
+def ref_segment(w, vocab):
+    """Sequential reference: identical (score, n, path) lexicographic
+    objective as both engine paths."""
+    scores = dict(vocab)
+    max_tok = max(len(t) for t in scores)
+    dp = [None] * (len(w) + 1)
+    dp[0] = (0, 0, "")
+    for i in range(1, len(w) + 1):
+        best = None
+        for ln in range(1, min(max_tok, i) + 1):
+            prev = dp[i - ln]
+            if prev is None:
+                continue
+            m = scores.get(w[i - ln:i])
+            if m is None:
+                continue
+            cand = (prev[0] + m, prev[1] + 1, prev[2] + w[i - ln:i] + ".")
+            if best is None or cand < best:
+                best = cand
+        dp[i] = best
+    r = dp[len(w)]
+    return (w, r[2][:-1], r[1], r[0]) if r else None
+
+
+def run(spark, words, vocab=None, arrow=None):
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    out = viterbi_segment_words(df, vocab=vocab, arrow=arrow)
+    return sorted((r["word"], r["pieces"], r["n_pieces"], r["score_milli"])
+                  for r in out.collect())
+
+
+class TestParity:
+    def test_default_vocab_words(self, spark):
+        words = ["table", "customer", "window", "stream", "query", "a",
+                 "zzzz", "spark", "agg", "xqjvz"]
+        exp = sorted(ref_segment(w, UNIGRAM_VOCAB) for w in words)
+        assert run(spark, words) == exp
+        assert run(spark, words, arrow=True) == exp
+
+    def test_random_words_both_paths(self, spark):
+        rng = random.Random(42)
+        words = list({"".join(rng.choice("abcdelmnorstuw")
+                              for _ in range(rng.randint(1, MAX_WORD_LEN)))
+                      for _ in range(120)})
+        exp = sorted(ref_segment(w, UNIGRAM_VOCAB) for w in words)
+        assert run(spark, words) == exp
+        assert run(spark, words, arrow=True) == exp
+
+    def test_random_vocab(self, spark):
+        rng = random.Random(7)
+        vocab = [(c, 5000) for c in "abcdef"]
+        seen = {t for t, _ in vocab}
+        for _ in range(40):
+            t = "".join(rng.choice("abcdef")
+                        for _ in range(rng.randint(2, 4)))
+            if t not in seen:
+                seen.add(t)
+                vocab.append((t, rng.randint(3000, 9000)))
+        words = list({"".join(rng.choice("abcdef")
+                              for _ in range(rng.randint(1, 12)))
+                      for _ in range(80)})
+        exp = sorted(ref_segment(w, vocab) for w in words)
+        assert run(spark, words, vocab=vocab) == exp
+        assert run(spark, words, vocab=vocab, arrow=True) == exp
+
+
+class TestSemantics:
+    def test_score_beats_piece_count(self, spark):
+        # "abab": one 4-gram at 9000 loses to two cheap 2-grams at 4000
+        vocab = [("a", 5000), ("b", 5000), ("ab", 2000), ("abab", 9000)]
+        [(_, pieces, n, score)] = run(spark, ["abab"], vocab=vocab)
+        assert (pieces, n, score) == ("ab.ab", 2, 4000)
+
+    def test_tie_prefers_fewer_pieces(self, spark):
+        # both segmentations cost 10000; the single piece wins
+        vocab = [("a", 5000), ("aa", 10000)]
+        [(_, pieces, n, score)] = run(spark, ["aa"], vocab=vocab)
+        assert (pieces, n, score) == ("aa", 1, 10000)
+
+    def test_tie_prefers_lexicographic_path(self, spark):
+        # score and piece count tie: "a.bc" < "ab.c"
+        vocab = [("a", 5000), ("b", 5000), ("c", 5000),
+                 ("ab", 4000), ("bc", 4000)]
+        [(_, pieces, n, score)] = run(spark, ["abc"], vocab=vocab)
+        assert (pieces, n, score) == ("a.bc", 2, 9000)
+        assert run(spark, ["abc"], vocab=vocab, arrow=True)[0][1] == "a.bc"
+
+    def test_filters_nonmatching_words(self, spark):
+        out = run(spark, ["ok", "Nope", "has space", "x" * 13, ""])
+        assert [r[0] for r in out] == ["ok"]
+
+    def test_unreachable_word_null_row_arrow(self, spark):
+        # vocab without 'z': codegen yields NULL struct fields, Arrow
+        # yields NULL columns — both keep the row
+        vocab = [("a", 5000)]
+        for arrow in (False, True):
+            out = run(spark, ["az"], vocab=vocab, arrow=arrow)
+            assert out == [("az", None, None, None)]
+
+
+class TestPlanAndRouting:
+    def test_codegen_plan_no_python_no_exchange(self, spark):
+        df = spark.createDataFrame([("table",)], "word string")
+        plan = viterbi_segment_words(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Python" not in plan
+        assert "Exchange" not in plan
+
+    def test_large_vocab_routes_to_arrow(self, spark):
+        alpha = "abcdefghijklmnopqrstuvwxyz"
+        vocab = [(c, 5000) for c in alpha]
+        i = 0
+        while len(vocab) <= UNIGRAM_ARROW_THRESHOLD:
+            a, b = divmod(i, 26)
+            vocab.append((alpha[a % 26] + alpha[b] + alpha[(a // 26) % 26],
+                          6000 + i))
+            i += 1
+        assert len(dict(vocab)) == len(vocab)  # distinct tokens
+        df = spark.createDataFrame([("table",)], "word string")
+        plan = viterbi_segment_words(df, vocab=vocab)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan
+
+    def test_default_vocab_stays_codegen(self, spark):
+        assert len(UNIGRAM_VOCAB) <= UNIGRAM_ARROW_THRESHOLD
