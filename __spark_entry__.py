@@ -5068,12 +5068,17 @@ def sql_unigram_encode():
         MAX_WORD_LEN, UNIGRAM_VOCAB)
     vocab_rows = ", ".join(f"('{t}', {m})" for t, m in UNIGRAM_VOCAB)
     key = "printf('%012d|%03d|%s', score, n, path)"
+    # dp CTEs MUST be MATERIALIZED: each position references the previous
+    # four, and DuckDB 1.0 inlines plain CTEs, which makes the plan tree
+    # grow tribonacci-style (planning alone takes minutes by position 12)
     ctes = [
-        "words AS (SELECT DISTINCT w AS word FROM "
+        "words AS MATERIALIZED (SELECT DISTINCT w AS word FROM "
         "(SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w "
         "FROM documents) WHERE len(w) BETWEEN 1 AND 12)",
-        f"vocab AS (SELECT * FROM (VALUES {vocab_rows}) v(token, milli))",
-        "dp0 AS (SELECT word, 0 AS score, 0 AS n, '' AS path FROM words)",
+        f"vocab AS MATERIALIZED (SELECT * FROM (VALUES {vocab_rows}) "
+        "v(token, milli))",
+        "dp0 AS MATERIALIZED "
+        "(SELECT word, 0 AS score, 0 AS n, '' AS path FROM words)",
     ]
     for p in range(1, MAX_WORD_LEN + 1):
         cands = " UNION ALL ".join(
@@ -5083,7 +5088,7 @@ def sql_unigram_encode():
             f"AND v.token = substr(d.word, {p - ln + 1}, {ln})"
             for ln in range(1, min(4, p) + 1))
         ctes.append(
-            f"dp{p} AS (SELECT word, arg_min(score, k) AS score, "
+            f"dp{p} AS MATERIALIZED (SELECT word, arg_min(score, k) AS score, "
             f"arg_min(n, k) AS n, arg_min(path, k) AS path FROM "
             f"(SELECT *, {key} AS k FROM ({cands})) GROUP BY word)")
     finals = " UNION ALL ".join(
@@ -5093,6 +5098,41 @@ def sql_unigram_encode():
             + "\nSELECT word, substr(path, 1, len(path) - 1) AS pieces, "
             "n::int AS n_pieces, score::BIGINT AS score_milli "
             f"FROM ({finals}) ORDER BY word")
+
+
+def q_unigram_refit(spark, sf_dir):
+    """Unigram-LM hard-EM re-estimation (functions/unigram.py:
+    unigram_refit — the M-step under Viterbi counts): pieces counted
+    along every word's best segmentation weighted by word frequency,
+    re-scored by exact integer inverse frequency
+    (total*1000 div piece_count) so the oracle reproduces the M-step
+    bit-exactly. One codegen Viterbi pass over distinct words + one hash
+    agg over pieces; the corpus never re-shuffles."""
+    from abot_dotnet_core_spark.functions.unigram import unigram_refit
+    words = (_docs(spark, sf_dir)
+             .select(F.explode(F.split(F.lower(F.col("text")), "[^a-z]+"))
+                     .alias("word"))
+             .filter((F.length("word") >= 1) & (F.length("word") <= 12))
+             .groupBy("word").agg(F.count("*").alias("cnt")))
+    return unigram_refit(words)
+
+
+def sql_unigram_refit():
+    seg = sql_unigram_encode()
+    # reuse the full Viterbi oracle as a subquery; re-tokenize for counts
+    return f"""
+WITH seg AS MATERIALIZED ({seg}),
+wc AS (SELECT w AS word, count(*) AS cnt FROM
+       (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        FROM documents) WHERE len(w) BETWEEN 1 AND 12 GROUP BY w),
+pc AS (SELECT unnest(string_split(s.pieces, '.')) AS piece, wc.cnt
+       FROM seg s JOIN wc ON wc.word = s.word),
+agg AS (SELECT piece, sum(cnt)::BIGINT AS piece_count FROM pc
+        GROUP BY piece)
+SELECT piece, piece_count,
+       ((SELECT sum(piece_count) FROM agg) * 1000) // piece_count
+           AS new_score_milli
+FROM agg ORDER BY piece_count DESC, piece"""
 
 
 def q_image_resize(spark, sf_dir):
@@ -5974,6 +6014,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_compression": q_bpe_compression,
         "bpe_encode": q_bpe_encode,
         "unigram_encode": q_unigram_encode,
+        "unigram_refit": q_unigram_refit,
         "length_quantiles": q_length_quantiles,
         "script_profile": q_script_profile,
         "span_dedup": q_span_dedup,
@@ -6126,6 +6167,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_compression": sql_bpe_compression(),
         "bpe_encode": sql_bpe_encode(),
         "unigram_encode": sql_unigram_encode(),
+        "unigram_refit": sql_unigram_refit(),
         "length_quantiles": sql_length_quantiles(),
         "script_profile": sql_script_profile(),
         "span_dedup": sql_span_dedup(),

@@ -201,3 +201,39 @@ def viterbi_segment_words(words: DataFrame, vocab=None,
     if use_arrow:
         return _viterbi_arrow(src, vocab)
     return _viterbi_codegen(src, vocab)
+
+
+def unigram_refit(words: DataFrame, vocab=None, word_col: str = "word",
+                  count_col: str = "cnt",
+                  arrow: bool | None = None) -> DataFrame:
+    """One hard-EM re-estimation pass (the M-step of Kudo 2018's unigram
+    training under Viterbi counts): segment every word type, count each
+    piece along the best segmentations weighted by word frequency, and
+    re-score pieces by integer inverse frequency,
+
+        new_score_milli(p) = (total_piece_count * 1000) // piece_count(p)
+
+    — an integer-exact surrogate for -log(p(piece)) chosen so the DuckDB
+    oracle reproduces it bit-exactly (floating-point log would not be).
+    Returns (piece, piece_count, new_score_milli), observed pieces only.
+
+    Scale shape: Viterbi runs over the |distinct words| table (codegen
+    fold or Arrow per the vocab-size gate), piece counts are one hash
+    aggregation (map-side combinable, shuffle volume = |pieces|), and the
+    corpus itself never re-shuffles — word counts arrive pre-aggregated,
+    exactly like bpe_train's input."""
+    counts = words.select(F.col(word_col).alias("word"),
+                          F.col(count_col).cast("long").alias("cnt"))
+    seg = viterbi_segment_words(counts, vocab=vocab, arrow=arrow)
+    pieces = (seg.join(counts, "word")
+              .filter(F.col("pieces").isNotNull())
+              .select(F.explode(F.split("pieces", "\\.")).alias("piece"),
+                      "cnt")
+              .groupBy("piece").agg(F.sum("cnt").alias("piece_count")))
+    total = pieces.agg(F.sum("piece_count").alias("__total"))
+    return (pieces.crossJoin(total)     # 1-row scalar attach
+            .select("piece", "piece_count",
+                    # div = exact int64 division, matching the oracle's //
+                    F.expr("div(__total * 1000, piece_count)")
+                    .alias("new_score_milli"))
+            .orderBy(F.desc("piece_count"), "piece"))

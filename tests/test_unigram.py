@@ -137,3 +137,37 @@ class TestPlanAndRouting:
 
     def test_default_vocab_stays_codegen(self, spark):
         assert len(UNIGRAM_VOCAB) <= UNIGRAM_ARROW_THRESHOLD
+
+
+class TestRefit:
+    def test_refit_matches_sequential_mirror(self, spark):
+        from abot_dotnet_core_spark.functions.unigram import unigram_refit
+        rng = random.Random(3)
+        words = list({"".join(rng.choice("abcdelmnorstuw")
+                              for _ in range(rng.randint(1, 12)))
+                      for _ in range(60)})
+        counts = {w: rng.randint(1, 9) for w in words}
+        df = spark.createDataFrame(list(counts.items()),
+                                   "word string, cnt long")
+        got = [(r["piece"], r["piece_count"], r["new_score_milli"])
+               for r in unigram_refit(df).collect()]
+        # sequential mirror
+        pc: dict[str, int] = {}
+        for w, c in counts.items():
+            seg = ref_segment(w, UNIGRAM_VOCAB)
+            for p in seg[1].split("."):
+                pc[p] = pc.get(p, 0) + c
+        total = sum(pc.values())
+        exp = sorted(((p, c, total * 1000 // c) for p, c in pc.items()),
+                     key=lambda r: (-r[1], r[0]))
+        assert got == exp
+
+    def test_refit_ordering_deterministic(self, spark):
+        from abot_dotnet_core_spark.functions.unigram import unigram_refit
+        df = spark.createDataFrame(
+            [("ab", 3), ("ba", 3)], "word string, cnt long")
+        vocab = [("a", 5000), ("b", 5000)]
+        rows = [(r["piece"], r["piece_count"], r["new_score_milli"])
+                for r in unigram_refit(df, vocab=vocab).collect()]
+        # 'a' and 'b' tie on count 6 -> piece asc breaks the tie
+        assert rows == [("a", 6, 2000), ("b", 6, 2000)]
