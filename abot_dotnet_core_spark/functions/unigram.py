@@ -88,11 +88,12 @@ def _by_len(vocab):
 
 
 def _viterbi_codegen(words: DataFrame, vocab) -> DataFrame:
-    """One F.aggregate fold per word: acc is a 4-struct sliding window
-    [dp[i-4], dp[i-3], dp[i-2], dp[i-1->i]] over positions 1..len(word);
-    each step takes the array_min of the <=4 shift-reduce candidates."""
+    """One F.aggregate fold per word: acc is a W-struct sliding window
+    [dp[i-W], ..., dp[i-1->i]] over positions 1..len(word), W = the
+    vocab's longest piece; each step takes the array_min of the <=W
+    shift-reduce candidates."""
     by_len = _by_len(vocab)
-    max_tok = max(by_len)
+    max_tok = max(by_len)                            # window size W
     maps = {
         ln: F.create_map(*[F.lit(x) for tok, m in sorted(d.items())
                            for x in (tok, m)])
@@ -108,7 +109,8 @@ def _viterbi_codegen(words: DataFrame, vocab) -> DataFrame:
         for ln in range(1, max_tok + 1):
             if ln not in by_len:
                 continue
-            prev = F.element_at(acc, 5 - ln)         # dp[i - ln]
+            # dp[i - ln] sits at 1-based slot W+1-ln of the window
+            prev = F.element_at(acc, max_tok + 1 - ln)
             tok = word.substr(i - F.lit(ln - 1), F.lit(ln))
             milli = F.element_at(maps[ln], tok)
             cands.append(F.when(
@@ -118,14 +120,14 @@ def _viterbi_codegen(words: DataFrame, vocab) -> DataFrame:
                     (prev["n"] + 1).alias("n"),
                     F.concat(prev["path"], tok, F.lit(".")).alias("path"))))
         new_dp = F.array_min(F.array(*cands))
-        return F.array(F.element_at(acc, 2), F.element_at(acc, 3),
-                       F.element_at(acc, 4), new_dp)
+        shifted = [F.element_at(acc, k) for k in range(2, max_tok + 1)]
+        return F.array(*shifted, new_dp)
 
     best = F.aggregate(
         F.sequence(F.lit(1), F.length(word)),
-        F.array(null_dp, null_dp, null_dp, zero_dp),
+        F.array(*([null_dp] * (max_tok - 1)), zero_dp),
         step,
-        lambda acc: F.element_at(acc, 4))
+        lambda acc: F.element_at(acc, max_tok))
 
     dp = F.col("__dp")
     return (words.withColumn("__dp", best)

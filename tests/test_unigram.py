@@ -171,3 +171,19 @@ class TestRefit:
                 for r in unigram_refit(df, vocab=vocab).collect()]
         # 'a' and 'b' tie on count 6 -> piece asc breaks the tie
         assert rows == [("a", 6, 2000), ("b", 6, 2000)]
+
+
+class TestLongTokens:
+    def test_vocab_with_six_char_pieces(self, spark):
+        # window generalizes past 4: a 6-char piece must win end-to-end
+        vocab = [(c, 5000) for c in "abcdef"] + [("abcdef", 9000)]
+        words = ["abcdef", "abcdefab", "fedcba"]
+        exp = sorted(ref_segment(w, vocab) for w in words)
+        assert run(spark, words, vocab=vocab) == exp
+        assert run(spark, words, vocab=vocab, arrow=True) == exp
+        assert run(spark, ["abcdef"], vocab=vocab)[0][1] == "abcdef"
+
+    def test_singles_only_vocab(self, spark):
+        vocab = [(c, 5000) for c in "ab"]
+        assert run(spark, ["abba"], vocab=vocab) == \
+            [("abba", "a.b.b.a", 4, 20000)]
