@@ -5100,6 +5100,67 @@ def sql_unigram_encode():
             f"FROM ({finals}) ORDER BY word")
 
 
+def q_wordpiece_encode(spark, sf_dir):
+    """Greedy longest-match-first segmentation (WordPiece / MaxMatch —
+    BERT's tokenizer; functions/unigram.py:wordpiece_encode), the third
+    classic subword algorithm next to BPE and unigram Viterbi, over the
+    same 178-piece vocabulary. One F.aggregate fold per word carrying
+    (consumed, n, path) — whole-stage codegen, zero Python; the oracle
+    replays the greedy walk as 12 unrolled LINEAR CTE steps (each
+    position LEFT-JOINs the vocab longest-first), so greedy-vs-Viterbi
+    divergences (e.g. 'table' -> tabl.e here vs ta.ble under Viterbi)
+    are pinned by the value hash."""
+    from abot_dotnet_core_spark.functions.unigram import wordpiece_encode
+    words = (_docs(spark, sf_dir)
+             .select(F.explode(F.split(F.lower(F.col("text")), "[^a-z]+"))
+                     .alias("word"))
+             .filter((F.length("word") >= 1) & (F.length("word") <= 12))
+             .distinct())
+    return wordpiece_encode(words).orderBy("word")
+
+
+def sql_wordpiece_encode():
+    from abot_dotnet_core_spark.functions.unigram import (
+        MAX_WORD_LEN, UNIGRAM_VOCAB)
+    vocab_rows = ", ".join(f"('{t}', {m})" for t, m in UNIGRAM_VOCAB)
+    lens = sorted({len(t) for t, _ in UNIGRAM_VOCAB}, reverse=True)
+    ctes = [
+        "words AS MATERIALIZED (SELECT DISTINCT w AS word FROM "
+        "(SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w "
+        "FROM documents) WHERE len(w) BETWEEN 1 AND 12)",
+        f"vocab AS MATERIALIZED (SELECT * FROM (VALUES {vocab_rows}) "
+        "v(token, milli))",
+        "g0 AS MATERIALIZED "
+        "(SELECT word, 0 AS done, 0 AS n, '' AS path FROM words)",
+    ]
+    for p in range(1, MAX_WORD_LEN + 1):
+        joins = " ".join(
+            f"LEFT JOIN vocab v{ln} ON len(v{ln}.token) = {ln} "
+            f"AND v{ln}.token = substr(g.word, {p}, {ln})"
+            for ln in lens)
+        pick = " ".join(
+            f"WHEN v{ln}.token IS NOT NULL THEN "
+            f"struct_pack(done := g.done + {ln}, n := g.n + 1, "
+            f"path := g.path || v{ln}.token || '.')"
+            for ln in lens)
+        # guard order: already finished / not yet at this position keep
+        # state; longest match advances; no match -> stuck (-1)
+        ctes.append(
+            f"g{p} AS MATERIALIZED (SELECT g.word, s.* FROM g{p - 1} g "
+            f"{joins}, LATERAL (SELECT CASE "
+            f"WHEN g.done + 1 <> {p} OR g.done >= len(g.word) THEN "
+            f"struct_pack(done := g.done, n := g.n, path := g.path) "
+            f"{pick} "
+            f"ELSE struct_pack(done := -1, n := g.n, path := g.path) "
+            f"END AS st) t, LATERAL (SELECT t.st.done AS done, "
+            f"t.st.n AS n, t.st.path AS path) s)")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT word, CASE WHEN done = len(word) THEN "
+            "substr(path, 1, len(path) - 1) END AS pieces, "
+            "(CASE WHEN done = len(word) THEN n END)::int AS n_pieces "
+            f"FROM g{MAX_WORD_LEN} ORDER BY word")
+
+
 def q_unigram_refit(spark, sf_dir):
     """Unigram-LM hard-EM re-estimation (functions/unigram.py:
     unigram_refit — the M-step under Viterbi counts): pieces counted
@@ -6015,6 +6076,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "unigram_encode": q_unigram_encode,
         "unigram_refit": q_unigram_refit,
+        "wordpiece_encode": q_wordpiece_encode,
         "length_quantiles": q_length_quantiles,
         "script_profile": q_script_profile,
         "span_dedup": q_span_dedup,
@@ -6168,6 +6230,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": sql_bpe_encode(),
         "unigram_encode": sql_unigram_encode(),
         "unigram_refit": sql_unigram_refit(),
+        "wordpiece_encode": sql_wordpiece_encode(),
         "length_quantiles": sql_length_quantiles(),
         "script_profile": sql_script_profile(),
         "span_dedup": sql_span_dedup(),

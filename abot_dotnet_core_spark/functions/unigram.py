@@ -239,3 +239,106 @@ def unigram_refit(words: DataFrame, vocab=None, word_col: str = "word",
                     F.expr("div(__total * 1000, piece_count)")
                     .alias("new_score_milli"))
             .orderBy(F.desc("piece_count"), "piece"))
+
+
+def wordpiece_encode(words: DataFrame, vocab=None,
+                     word_col: str = "word",
+                     arrow: bool | None = None) -> DataFrame:
+    """Greedy longest-match-first segmentation (WordPiece / MaxMatch,
+    Wu et al. 2016 — BERT's tokenizer), the third classic subword
+    algorithm next to BPE and unigram Viterbi: at each position consume
+    the LONGEST vocab piece; a word with no match at some position is
+    unsegmentable and yields NULL pieces (WordPiece's whole-word [UNK]).
+    Returns (word, pieces, n_pieces); same (score-free) vocab surface as
+    viterbi_segment_words. Greedy differs from Viterbi observably: with
+    pieces {ab, a, bc}, greedy segments 'abc' as ab.<stuck> -> NULL while
+    Viterbi finds a.bc.
+
+    Same execution shape as the Viterbi fold: ONE F.aggregate per word
+    over character positions carrying (consumed, n, path) — pure
+    whole-stage codegen, zero Python, zero shuffle — with the identical
+    UNIGRAM_ARROW_THRESHOLD Arrow gate for production-size vocabs."""
+    if vocab is None:
+        vocab = UNIGRAM_VOCAB
+    src = words.select(F.col(word_col).alias("word")) \
+        .filter(F.col("word").rlike("^[a-z]{1,%d}$" % MAX_WORD_LEN))
+    use_arrow = (len(vocab) > UNIGRAM_ARROW_THRESHOLD) if arrow is None \
+        else arrow
+    if use_arrow:
+        return _wordpiece_arrow(src, vocab)
+    return _wordpiece_codegen(src, vocab)
+
+
+def _wordpiece_codegen(words: DataFrame, vocab) -> DataFrame:
+    by_len = _by_len(vocab)
+    max_tok = max(by_len)
+    maps = {
+        ln: F.create_map(*[F.lit(x) for tok, m in sorted(d.items())
+                           for x in (tok, m)])
+        for ln, d in by_len.items()}
+    word = F.col("word")
+    zero = F.struct(F.lit(0).alias("done"), F.lit(0).alias("n"),
+                    F.lit("").alias("path"))
+
+    def step(acc, i):
+        cands = []
+        for ln in range(max_tok, 0, -1):             # longest first
+            if ln not in by_len:
+                continue
+            tok = word.substr(i, F.lit(ln))
+            cands.append(F.when(
+                (F.length(word) - i + 1 >= ln)
+                & F.element_at(maps[ln], tok).isNotNull(),
+                F.struct((acc["done"] + ln).alias("done"),
+                         (acc["n"] + 1).alias("n"),
+                         F.concat(acc["path"], tok, F.lit("."))
+                         .alias("path"))))
+        # -1 marks "stuck at i": no piece matches, word is unsegmentable
+        stuck = F.struct(F.lit(-1).alias("done"), acc["n"].alias("n"),
+                         acc["path"].alias("path"))
+        return F.when(acc["done"] + 1 == i,
+                      F.coalesce(*cands, stuck)).otherwise(acc)
+
+    fin = F.aggregate(F.sequence(F.lit(1), F.length(word)), zero, step)
+    done = F.col("__g")["done"]
+    return (words.withColumn("__g", fin)
+            .select(
+                "word",
+                F.when(done == F.length(word),
+                       F.expr("substr(__g.path, 1, length(__g.path) - 1)"))
+                .alias("pieces"),
+                F.when(done == F.length(word), F.col("__g")["n"])
+                .cast("int").alias("n_pieces")))
+
+
+def _wordpiece_arrow(words: DataFrame, vocab) -> DataFrame:
+    import pandas as pd
+
+    bc = words.sparkSession.sparkContext.broadcast(dict(vocab))
+
+    def gen(batches):
+        scores = bc.value
+        max_tok = max(len(t) for t in scores)
+
+        def seg(w):
+            i, n, path = 0, 0, []
+            while i < len(w):
+                for ln in range(min(max_tok, len(w) - i), 0, -1):
+                    if w[i:i + ln] in scores:
+                        path.append(w[i:i + ln])
+                        n += 1
+                        i += ln
+                        break
+                else:
+                    return None
+            return (".".join(path), n)
+
+        for pdf in batches:
+            res = [seg(w) for w in pdf["word"]]
+            yield pd.DataFrame({
+                "word": pdf["word"],
+                "pieces": [r[0] if r else None for r in res],
+                "n_pieces": [r[1] if r else None for r in res]})
+
+    return words.mapInPandas(
+        gen, schema="word string, pieces string, n_pieces int")

@@ -187,3 +187,62 @@ class TestLongTokens:
         vocab = [(c, 5000) for c in "ab"]
         assert run(spark, ["abba"], vocab=vocab) == \
             [("abba", "a.b.b.a", 4, 20000)]
+
+
+def ref_wordpiece(w, vocab):
+    scores = dict(vocab)
+    max_tok = max(len(t) for t in scores)
+    i, n, path = 0, 0, []
+    while i < len(w):
+        for ln in range(min(max_tok, len(w) - i), 0, -1):
+            if w[i:i + ln] in scores:
+                path.append(w[i:i + ln])
+                n += 1
+                i += ln
+                break
+        else:
+            return (w, None, None)
+    return (w, ".".join(path), n)
+
+
+class TestWordpiece:
+    def test_greedy_differs_from_viterbi(self, spark):
+        from abot_dotnet_core_spark.functions.unigram import wordpiece_encode
+        df = spark.createDataFrame([("table",)], "word string")
+        [r] = wordpiece_encode(df).collect()
+        assert r["pieces"] == "tabl.e"      # Viterbi gives ta.ble
+        [v] = viterbi_segment_words(df).collect()
+        assert v["pieces"] == "ta.ble"
+
+    def test_stuck_word_yields_null(self, spark):
+        from abot_dotnet_core_spark.functions.unigram import wordpiece_encode
+        vocab = [("ab", 1), ("a", 1), ("bc", 1)]
+        for arrow in (False, True):
+            df = spark.createDataFrame([("abc",)], "word string")
+            [r] = wordpiece_encode(df, vocab=vocab, arrow=arrow).collect()
+            assert (r["pieces"], r["n_pieces"]) == (None, None)
+
+    def test_random_parity_both_paths(self, spark):
+        from abot_dotnet_core_spark.functions.unigram import wordpiece_encode
+        rng = random.Random(11)
+        vocab = [(c, 1) for c in "abcd"] + \
+            [("ab", 1), ("bcd", 1), ("abcd", 1), ("dd", 1), ("ddda", 1)]
+        # drop 'c' singles so greedy can actually get stuck
+        vocab = [(t, s) for t, s in vocab if t != "c"]
+        words = list({"".join(rng.choice("abcd")
+                              for _ in range(rng.randint(1, 12)))
+                      for _ in range(100)})
+        exp = sorted(ref_wordpiece(w, vocab) for w in words)
+        for arrow in (False, True):
+            df = spark.createDataFrame([(w,) for w in words], "word string")
+            got = sorted((r["word"], r["pieces"], r["n_pieces"])
+                         for r in wordpiece_encode(
+                             df, vocab=vocab, arrow=arrow).collect())
+            assert got == exp, arrow
+
+    def test_codegen_plan_clean(self, spark):
+        from abot_dotnet_core_spark.functions.unigram import wordpiece_encode
+        df = spark.createDataFrame([("table",)], "word string")
+        plan = wordpiece_encode(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Python" not in plan and "Exchange" not in plan
