@@ -5063,41 +5063,59 @@ def q_unigram_encode(spark, sf_dir):
     return viterbi_segment_words(words).orderBy("word")
 
 
-def sql_unigram_encode():
-    from abot_dotnet_core_spark.functions.unigram import (
-        MAX_WORD_LEN, UNIGRAM_VOCAB)
-    vocab_rows = ", ".join(f"('{t}', {m})" for t, m in UNIGRAM_VOCAB)
+_UNIGRAM_WORDS_CTE = (
+    "words AS MATERIALIZED (SELECT DISTINCT w AS word FROM "
+    "(SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w "
+    "FROM documents) WHERE len(w) BETWEEN 1 AND 12)")
+
+
+def _sql_viterbi_ctes(prefix, vocab_cte, words_cte="words"):
+    """Unrolled Viterbi DP CTE list over ``words_cte`` joined against
+    ``vocab_cte``(token, milli), plus the name of a final CTE
+    ``{prefix}seg``(word, pieces, n_pieces, score_milli). dp CTEs MUST be
+    MATERIALIZED: each position references the previous four, and DuckDB
+    1.0 inlines plain CTEs, which makes the plan tree grow
+    tribonacci-style (planning alone takes minutes by position 12)."""
+    from abot_dotnet_core_spark.functions.unigram import MAX_WORD_LEN
     key = "printf('%012d|%03d|%s', score, n, path)"
-    # dp CTEs MUST be MATERIALIZED: each position references the previous
-    # four, and DuckDB 1.0 inlines plain CTEs, which makes the plan tree
-    # grow tribonacci-style (planning alone takes minutes by position 12)
-    ctes = [
-        "words AS MATERIALIZED (SELECT DISTINCT w AS word FROM "
-        "(SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w "
-        "FROM documents) WHERE len(w) BETWEEN 1 AND 12)",
-        f"vocab AS MATERIALIZED (SELECT * FROM (VALUES {vocab_rows}) "
-        "v(token, milli))",
-        "dp0 AS MATERIALIZED "
-        "(SELECT word, 0 AS score, 0 AS n, '' AS path FROM words)",
-    ]
+    ctes = [f"{prefix}dp0 AS MATERIALIZED "
+            f"(SELECT word, 0 AS score, 0 AS n, '' AS path "
+            f"FROM {words_cte})"]
     for p in range(1, MAX_WORD_LEN + 1):
         cands = " UNION ALL ".join(
             f"SELECT d.word, d.score + v.milli AS score, d.n + 1 AS n, "
             f"d.path || v.token || '.' AS path "
-            f"FROM dp{p - ln} d JOIN vocab v ON len(v.token) = {ln} "
+            f"FROM {prefix}dp{p - ln} d JOIN {vocab_cte} v "
+            f"ON len(v.token) = {ln} "
             f"AND v.token = substr(d.word, {p - ln + 1}, {ln})"
             for ln in range(1, min(4, p) + 1))
         ctes.append(
-            f"dp{p} AS MATERIALIZED (SELECT word, arg_min(score, k) AS score, "
+            f"{prefix}dp{p} AS MATERIALIZED "
+            f"(SELECT word, arg_min(score, k) AS score, "
             f"arg_min(n, k) AS n, arg_min(path, k) AS path FROM "
             f"(SELECT *, {key} AS k FROM ({cands})) GROUP BY word)")
     finals = " UNION ALL ".join(
-        f"SELECT * FROM dp{p} WHERE len(word) = {p}"
+        f"SELECT * FROM {prefix}dp{p} WHERE len(word) = {p}"
         for p in range(1, MAX_WORD_LEN + 1))
+    ctes.append(
+        f"{prefix}seg AS MATERIALIZED (SELECT word, "
+        f"substr(path, 1, len(path) - 1) AS pieces, "
+        f"n::int AS n_pieces, score::BIGINT AS score_milli "
+        f"FROM ({finals}))")
+    return ctes
+
+
+def sql_unigram_encode():
+    from abot_dotnet_core_spark.functions.unigram import UNIGRAM_VOCAB
+    vocab_rows = ", ".join(f"('{t}', {m})" for t, m in UNIGRAM_VOCAB)
+    ctes = [
+        _UNIGRAM_WORDS_CTE,
+        f"vocab AS MATERIALIZED (SELECT * FROM (VALUES {vocab_rows}) "
+        "v(token, milli))",
+    ] + _sql_viterbi_ctes("", "vocab")
     return ("WITH " + ",\n".join(ctes)
-            + "\nSELECT word, substr(path, 1, len(path) - 1) AS pieces, "
-            "n::int AS n_pieces, score::BIGINT AS score_milli "
-            f"FROM ({finals}) ORDER BY word")
+            + "\nSELECT word, pieces, n_pieces, score_milli FROM seg "
+            "ORDER BY word")
 
 
 def q_wordpiece_encode(spark, sf_dir):
@@ -5161,6 +5179,70 @@ def sql_wordpiece_encode():
             f"FROM g{MAX_WORD_LEN} ORDER BY word")
 
 
+def q_unigram_train(spark, sf_dir):
+    """FULL unigram-LM training loop (functions/unigram.py:unigram_train
+    — the hard-EM counterpart of bpe_train): seed vocab = corpus chars +
+    top-150 weighted 2-4-char substrings (rank-seeded scores), then two
+    segment->recount->re-score iterations with unigram pruning (pieces
+    no best segmentation uses drop out; chars are retained at a penalty
+    so every word stays segmentable). Integer arithmetic end-to-end; the
+    oracle unrolls BOTH iterations — seed CTEs + 2x(12-position Viterbi
+    DP + refit + vocab rebuild) — so every stage of the training loop is
+    value-hash-pinned."""
+    from abot_dotnet_core_spark.functions.unigram import unigram_train
+    words = (_docs(spark, sf_dir)
+             .select(F.explode(F.split(F.lower(F.col("text")), "[^a-z]+"))
+                     .alias("word"))
+             .filter((F.length("word") >= 1) & (F.length("word") <= 12))
+             .groupBy("word").agg(F.count("*").alias("cnt")))
+    return unigram_train(words, n_iters=2, top_n=150)
+
+
+def sql_unigram_train(top_n: int = 150):
+    subs = " UNION ALL ".join(
+        f"SELECT substr(word, s.s, {ln}) AS token, cnt FROM wc, LATERAL "
+        f"(SELECT unnest(generate_series(1, len(wc.word) - {ln} + 1)) AS s) s "
+        f"WHERE len(word) >= {ln}"
+        for ln in (2, 3, 4))
+    ctes = [
+        "wc AS MATERIALIZED (SELECT w AS word, count(*) AS cnt FROM "
+        "(SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w "
+        "FROM documents) WHERE len(w) BETWEEN 1 AND 12 GROUP BY w)",
+        "chars AS MATERIALIZED (SELECT DISTINCT substr(word, s.s, 1) AS "
+        "token FROM wc, LATERAL (SELECT unnest(generate_series(1, "
+        "len(wc.word))) AS s) s)",
+        f"top_subs AS MATERIALIZED (SELECT token, row_number() OVER "
+        f"(ORDER BY scnt DESC, token) AS rank FROM (SELECT token, "
+        f"sum(cnt) AS scnt FROM ({subs}) GROUP BY token) "
+        f"QUALIFY rank <= {top_n})",
+        "vocab0 AS MATERIALIZED (SELECT token, 5000 AS milli FROM chars "
+        "UNION ALL SELECT token, 2000 * len(token) + rank FROM top_subs)",
+    ]
+    for it, (pfx, vc) in enumerate((("a_", "vocab0"), ("b_", "vocab1"))):
+        ctes += _sql_viterbi_ctes(pfx, vc, "wc")
+        ctes += [
+            f"{pfx}refit AS MATERIALIZED (SELECT piece, "
+            f"sum(cnt)::BIGINT AS piece_count FROM "
+            f"(SELECT unnest(string_split(s.pieces, '.')) AS piece, w.cnt "
+            f"FROM {pfx}seg s JOIN wc w ON w.word = s.word "
+            f"WHERE s.pieces IS NOT NULL) GROUP BY piece)",
+            f"{pfx}tot AS MATERIALIZED (SELECT sum(piece_count)::BIGINT "
+            f"AS t FROM {pfx}refit)",
+            f"{pfx}score AS MATERIALIZED (SELECT piece, piece_count, "
+            f"((t.t * 1000) // piece_count)::BIGINT AS milli "
+            f"FROM {pfx}refit, {pfx}tot t)",
+        ]
+        if it == 0:
+            ctes.append(
+                "vocab1 AS MATERIALIZED (SELECT piece AS token, milli "
+                "FROM a_score UNION ALL SELECT c.token, "
+                "(SELECT max(milli) + 1000 FROM a_score) FROM chars c "
+                "WHERE c.token NOT IN (SELECT piece FROM a_score))")
+    return ("WITH " + ",\n".join(ctes)
+            + "\nSELECT piece, piece_count, milli AS score_milli "
+            "FROM b_score ORDER BY piece_count DESC, piece")
+
+
 def q_unigram_refit(spark, sf_dir):
     """Unigram-LM hard-EM re-estimation (functions/unigram.py:
     unigram_refit — the M-step under Viterbi counts): pieces counted
@@ -5191,7 +5273,7 @@ pc AS (SELECT unnest(string_split(s.pieces, '.')) AS piece, wc.cnt
 agg AS (SELECT piece, sum(cnt)::BIGINT AS piece_count FROM pc
         GROUP BY piece)
 SELECT piece, piece_count,
-       ((SELECT sum(piece_count) FROM agg) * 1000) // piece_count
+       (((SELECT sum(piece_count) FROM agg) * 1000) // piece_count)::BIGINT
            AS new_score_milli
 FROM agg ORDER BY piece_count DESC, piece"""
 
@@ -6076,6 +6158,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "unigram_encode": q_unigram_encode,
         "unigram_refit": q_unigram_refit,
+        "unigram_train": q_unigram_train,
         "wordpiece_encode": q_wordpiece_encode,
         "length_quantiles": q_length_quantiles,
         "script_profile": q_script_profile,
@@ -6230,6 +6313,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": sql_bpe_encode(),
         "unigram_encode": sql_unigram_encode(),
         "unigram_refit": sql_unigram_refit(),
+        "unigram_train": sql_unigram_train(),
         "wordpiece_encode": sql_wordpiece_encode(),
         "length_quantiles": sql_length_quantiles(),
         "script_profile": sql_script_profile(),

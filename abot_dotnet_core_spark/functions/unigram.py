@@ -342,3 +342,79 @@ def _wordpiece_arrow(words: DataFrame, vocab) -> DataFrame:
 
     return words.mapInPandas(
         gen, schema="word string, pieces string, n_pieces int")
+
+
+def unigram_train(words: DataFrame, n_iters: int = 2, top_n: int = 150,
+                  word_col: str = "word", count_col: str = "cnt",
+                  arrow: bool | None = None) -> DataFrame:
+    """Train a unigram vocabulary from a word-frequency table — the full
+    (hard-EM) loop around viterbi_segment_words/unigram_refit, the same
+    driver-loop structure as bpe_train:
+
+      seed:  every character of the corpus at milli 5000, plus the
+             ``top_n`` weighted 2-4-char substrings (count desc, token
+             asc), seeded score 2000*len(token) + rank — longer and more
+             frequent pieces start cheaper;
+      iter:  Viterbi-segment all word types under the current scores,
+             count pieces along best segmentations weighted by word
+             frequency, re-score by exact integer inverse frequency
+             (total*1000 div count); pieces that no best segmentation
+             uses drop out (unigram pruning), except characters, which
+             are retained at (max re-score + 1000) so every word stays
+             segmentable.
+
+    Returns the last iteration's (piece, piece_count, score_milli),
+    count desc / piece asc. Integer arithmetic end-to-end, so the DuckDB
+    oracle unrolls the whole loop bit-exactly. Like bpe_train, only
+    vocab-sized tables ever reach the driver (one collect per iteration
+    of at most |seed vocab| rows); the corpus collapses to its
+    word-frequency table before training starts and never re-shuffles."""
+    spark = words.sparkSession
+    counts = (words.select(F.col(word_col).alias("word"),
+                           F.col(count_col).cast("long").alias("cnt"))
+              .filter(F.col("word").rlike("^[a-z]{1,%d}$" % MAX_WORD_LEN))
+              .localCheckpoint(eager=True))
+    try:
+        # seed vocabulary
+        chars = [r["token"] for r in counts.select(
+            F.explode(F.split("word", "(?!$)")).alias("token"))
+            .distinct().collect()]
+        subs = None
+        for ln in (2, 3, 4):
+            part = counts.select(
+                F.explode(F.when(
+                    F.length("word") >= ln,
+                    F.expr(f"transform(sequence(1, length(word) - {ln} + 1),"
+                           f" s -> substr(word, s, {ln}))"))
+                    .otherwise(F.array().cast("array<string>")))
+                .alias("token"), "cnt")
+            subs = part if subs is None else subs.unionAll(part)
+        # global top-N via TakeOrdered (distributed), NOT a row_number
+        # window over an unpartitioned sort — rank assigned on the
+        # driver over the already-ordered top_n rows
+        ranked = (subs.groupBy("token").agg(F.sum("cnt").alias("scnt"))
+                  .orderBy(F.desc("scnt"), "token").limit(top_n).collect())
+        vocab = [(c, 5000) for c in sorted(chars)]
+        vocab += [(r["token"], 2000 * len(r["token"]) + rank)
+                  for rank, r in enumerate(ranked, start=1)]
+
+        for _ in range(n_iters):
+            seg = viterbi_segment_words(counts, vocab=vocab, arrow=arrow)
+            refit = (seg.join(counts, "word")
+                     .filter(F.col("pieces").isNotNull())
+                     .select(F.explode(F.split("pieces", "\\."))
+                             .alias("piece"), "cnt")
+                     .groupBy("piece").agg(F.sum("cnt").alias("piece_count"))
+                     .collect())
+            pc = {r["piece"]: int(r["piece_count"]) for r in refit}
+            total = sum(pc.values())
+            scores = {p: total * 1000 // c for p, c in pc.items()}
+            penalty = max(scores.values()) + 1000
+            vocab = sorted(scores.items())
+            vocab += [(c, penalty) for c in sorted(chars) if c not in scores]
+    finally:
+        counts.unpersist()
+    rows = sorted(((p, pc[p], scores[p]) for p in pc),
+                  key=lambda r: (-r[1], r[0]))
+    return spark.createDataFrame(
+        rows, "piece string, piece_count long, score_milli long")

@@ -246,3 +246,57 @@ class TestWordpiece:
         plan = wordpiece_encode(df)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Python" not in plan and "Exchange" not in plan
+
+
+class TestTrain:
+    def test_train_matches_sequential_mirror(self, spark):
+        from abot_dotnet_core_spark.functions.unigram import unigram_train
+        rng = random.Random(5)
+        words = list({"".join(rng.choice("abcdmrst")
+                              for _ in range(rng.randint(1, 10)))
+                      for _ in range(50)})
+        counts = {w: rng.randint(1, 8) for w in words}
+        df = spark.createDataFrame(list(counts.items()),
+                                   "word string, cnt long")
+        got = [(r["piece"], r["piece_count"], r["score_milli"])
+               for r in unigram_train(df, n_iters=2, top_n=30).collect()]
+
+        # ---- sequential mirror of the whole loop ----
+        chars = sorted({c for w in words for c in w})
+        sub_cnt: dict[str, int] = {}
+        for w, c in counts.items():
+            for ln in (2, 3, 4):
+                for s in range(len(w) - ln + 1):
+                    t = w[s:s + ln]
+                    sub_cnt[t] = sub_cnt.get(t, 0) + c
+        ranked = sorted(sub_cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+        vocab = [(ch, 5000) for ch in chars] + \
+            [(t, 2000 * len(t) + rank)
+             for rank, (t, _) in enumerate(ranked, start=1)]
+        for _ in range(2):
+            pc: dict[str, int] = {}
+            for w, c in counts.items():
+                seg = ref_segment(w, vocab)
+                if seg is None or seg[1] is None:
+                    continue
+                for p in seg[1].split("."):
+                    pc[p] = pc.get(p, 0) + c
+            total = sum(pc.values())
+            scores = {p: total * 1000 // c for p, c in pc.items()}
+            penalty = max(scores.values()) + 1000
+            vocab = sorted(scores.items()) + \
+                [(ch, penalty) for ch in chars if ch not in scores]
+        exp = sorted(((p, pc[p], scores[p]) for p in pc),
+                     key=lambda r: (-r[1], r[0]))
+        assert got == exp
+
+    def test_train_keeps_all_words_segmentable(self, spark):
+        from abot_dotnet_core_spark.functions.unigram import (
+            unigram_train, viterbi_segment_words)
+        df = spark.createDataFrame(
+            [("qqqq", 1), ("qx", 1)], "word string, cnt long")
+        out = unigram_train(df, n_iters=2, top_n=5).collect()
+        vocab = [(r["piece"], r["score_milli"]) for r in out]
+        # chars 'q'/'x' survive (possibly at penalty) -> both words segment
+        seg = viterbi_segment_words(df, vocab=vocab).collect()
+        assert all(r["pieces"] is not None for r in seg)
