@@ -12,9 +12,10 @@ lexicographically smallest piece string — a total deterministic order, so
 the result is bit-exactly reproducible by the DuckDB oracle's unrolled DP.
 
 Spark-first shape: the whole Viterbi DP runs as ONE ``F.aggregate`` fold
-over the word's character positions, carrying a fixed 4-slot sliding
-window of DP states (score, n, path structs; ``array_min`` gives the
-field-ordered minimum and skips impossible candidates) — a single
+over the word's character positions, carrying a sliding window of DP
+states sized to the vocab's longest piece (score, n, path structs;
+``array_min`` gives the field-ordered minimum, skipping impossible
+candidates) — a single
 higher-order-function expression, O(max word length) codegen size, zero
 Python, zero shuffle beyond the word-table ``distinct``. Like bpe.py, it
 runs over the DISTINCT-words table, so a 100 TB corpus collapses to its
