@@ -286,14 +286,29 @@ def main() -> None:
         # best (not mean) is reported because the noise source is
         # competing load, which only ever slows a trial down.
         trials = max(int(os.environ.get("BENCH_CRAWL_TRIALS", "2")), 1)
+        # when the interleaved trials still disagree badly the box is
+        # under sustained steal — buy up to MAX_TRIALS extra samples so
+        # best-of-N has a chance to land in a quiet window
+        max_trials = max(int(os.environ.get("BENCH_CRAWL_MAX_TRIALS",
+                                            "4")), trials)
+
+        def spread(rs):
+            vals = [c["urls_per_sec"] for c in rs]
+            return (max(vals) - min(vals)) / max(vals) if len(vals) > 1 \
+                else 0.0
+
         runs, polite_runs = [], []
-        for t in range(trials):
+        t = 0
+        while t < trials or (t < max_trials
+                             and max(spread(runs),
+                                     spread(polite_runs)) > 0.10):
             runs.append(bench_crawl(spark, n_pages, "/root/repo/.bench",
                                     warmup=(t == 0)))
             # politeness path: budgeted per-domain admission + robots delays
             polite_runs.append(bench_crawl(
                 spark, min(n_pages, 60_000), "/root/repo/.bench",
                 warmup=False, politeness=True, max_rounds=12))
+            t += 1
         best = max(runs, key=lambda c: c["urls_per_sec"])
         polite_best = max(polite_runs, key=lambda c: c["urls_per_sec"])
         queries["crawl_urls_per_sec"] = best["urls_per_sec"]
