@@ -482,3 +482,25 @@ class TestDecodeRobustness:
                 J.decode_jpeg(bytes(raw))
             except _DECODE_ERRORS:
                 pass
+
+
+class TestMultiScanRandomSweep:
+    def test_thirty_random_geometries(self):
+        """Randomized battery over the multi-scan sequential and 4:2:2
+        encode paths: every (subsample, interleave) combination must
+        decode pixel-identically to the single-scan interleaved layout of
+        the same quantized coefficients."""
+        rng = np.random.default_rng(321)
+        for trial in range(30):
+            h = int(rng.integers(1, 41))
+            w = int(rng.integers(1, 41))
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            sub = [False, True, "422"][int(rng.integers(0, 3))]
+            kw = {}
+            if rng.integers(0, 2):
+                kw["quant_luma"] = ONES
+                kw["quant_chroma"] = ONES
+            a = J.decode_jpeg(J.encode_jpeg(px, subsample=sub, **kw))
+            b = J.decode_jpeg(J.encode_jpeg(px, subsample=sub,
+                                            interleave=False, **kw))
+            assert np.array_equal(a, b), (trial, h, w, sub)
