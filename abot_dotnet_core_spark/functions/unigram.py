@@ -242,7 +242,7 @@ def unigram_refit(words: DataFrame, vocab=None, word_col: str = "word",
             .orderBy(F.desc("piece_count"), "piece"))
 
 
-def wordpiece_encode(words: DataFrame, vocab=None,
+def wordpiece_encode(words: DataFrame, vocab=None, cont_vocab=None,
                      word_col: str = "word",
                      arrow: bool | None = None) -> DataFrame:
     """Greedy longest-match-first segmentation (WordPiece / MaxMatch,
@@ -255,6 +255,13 @@ def wordpiece_encode(words: DataFrame, vocab=None,
     pieces {ab, a, bc}, greedy segments 'abc' as ab.<stuck> -> NULL while
     Viterbi finds a.bc.
 
+    ``cont_vocab`` enables BERT's continuation convention: non-initial
+    positions match ``cont_vocab`` (bare strings; rendered with the
+    standard ``##`` prefix in ``pieces``) while position 1 matches
+    ``vocab`` — e.g. vocab={un, runnable}, cont_vocab={runnable, able}
+    segments 'unrunnable' as un.##runnable. Omitted -> one vocab for all
+    positions, no prefix.
+
     Same execution shape as the Viterbi fold: ONE F.aggregate per word
     over character positions carrying (consumed, n, path) — pure
     whole-stage codegen, zero Python, zero shuffle — with the identical
@@ -263,36 +270,52 @@ def wordpiece_encode(words: DataFrame, vocab=None,
         vocab = UNIGRAM_VOCAB
     src = words.select(F.col(word_col).alias("word")) \
         .filter(F.col("word").rlike("^[a-z]{1,%d}$" % MAX_WORD_LEN))
-    use_arrow = (len(vocab) > UNIGRAM_ARROW_THRESHOLD) if arrow is None \
+    n_vocab = len(vocab) + (len(cont_vocab) if cont_vocab else 0)
+    use_arrow = (n_vocab > UNIGRAM_ARROW_THRESHOLD) if arrow is None \
         else arrow
     if use_arrow:
-        return _wordpiece_arrow(src, vocab)
-    return _wordpiece_codegen(src, vocab)
+        return _wordpiece_arrow(src, vocab, cont_vocab)
+    return _wordpiece_codegen(src, vocab, cont_vocab)
 
 
-def _wordpiece_codegen(words: DataFrame, vocab) -> DataFrame:
+def _wordpiece_codegen(words: DataFrame, vocab, cont_vocab=None
+                       ) -> DataFrame:
     by_len = _by_len(vocab)
-    max_tok = max(by_len)
-    maps = {
-        ln: F.create_map(*[F.lit(x) for tok, m in sorted(d.items())
-                           for x in (tok, m)])
-        for ln, d in by_len.items()}
+    cont_by_len = _by_len(cont_vocab) if cont_vocab else by_len
+    prefix = "##" if cont_vocab else ""
+    max_tok = max(max(by_len), max(cont_by_len))
+
+    def mk_maps(d):
+        return {ln: F.create_map(*[F.lit(x) for tok, m in sorted(e.items())
+                                   for x in (tok, m)])
+                for ln, e in d.items()}
+
+    maps = mk_maps(by_len)
+    cont_maps = mk_maps(cont_by_len)
     word = F.col("word")
     zero = F.struct(F.lit(0).alias("done"), F.lit(0).alias("n"),
                     F.lit("").alias("path"))
 
     def step(acc, i):
+        is_init = acc["done"] == 0
         cands = []
         for ln in range(max_tok, 0, -1):             # longest first
-            if ln not in by_len:
+            if ln not in by_len and ln not in cont_by_len:
                 continue
             tok = word.substr(i, F.lit(ln))
+            null_m = F.lit(None).cast("int")
+            hit = F.when(
+                is_init,
+                F.element_at(maps[ln], tok) if ln in by_len else null_m) \
+                .otherwise(F.element_at(cont_maps[ln], tok)
+                           if ln in cont_by_len else null_m)
+            out_tok = F.when(is_init, tok) \
+                .otherwise(F.concat(F.lit(prefix), tok))
             cands.append(F.when(
-                (F.length(word) - i + 1 >= ln)
-                & F.element_at(maps[ln], tok).isNotNull(),
+                (F.length(word) - i + 1 >= ln) & hit.isNotNull(),
                 F.struct((acc["done"] + ln).alias("done"),
                          (acc["n"] + 1).alias("n"),
-                         F.concat(acc["path"], tok, F.lit("."))
+                         F.concat(acc["path"], out_tok, F.lit("."))
                          .alias("path"))))
         # -1 marks "stuck at i": no piece matches, word is unsegmentable
         stuck = F.struct(F.lit(-1).alias("done"), acc["n"].alias("n"),
@@ -312,21 +335,27 @@ def _wordpiece_codegen(words: DataFrame, vocab) -> DataFrame:
                 .cast("int").alias("n_pieces")))
 
 
-def _wordpiece_arrow(words: DataFrame, vocab) -> DataFrame:
+def _wordpiece_arrow(words: DataFrame, vocab, cont_vocab=None) -> DataFrame:
     import pandas as pd
 
-    bc = words.sparkSession.sparkContext.broadcast(dict(vocab))
+    bc = words.sparkSession.sparkContext.broadcast(
+        (dict(vocab), dict(cont_vocab) if cont_vocab else None))
 
     def gen(batches):
-        scores = bc.value
-        max_tok = max(len(t) for t in scores)
+        scores, cont = bc.value
+        cont_scores = cont if cont is not None else scores
+        prefix = "##" if cont is not None else ""
+        max_tok = max(max(len(t) for t in scores),
+                      max(len(t) for t in cont_scores))
 
         def seg(w):
             i, n, path = 0, 0, []
             while i < len(w):
+                tbl = scores if i == 0 else cont_scores
+                pfx = "" if i == 0 else prefix
                 for ln in range(min(max_tok, len(w) - i), 0, -1):
-                    if w[i:i + ln] in scores:
-                        path.append(w[i:i + ln])
+                    if w[i:i + ln] in tbl:
+                        path.append(pfx + w[i:i + ln])
                         n += 1
                         i += ln
                         break

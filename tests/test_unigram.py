@@ -300,3 +300,65 @@ class TestTrain:
         # chars 'q'/'x' survive (possibly at penalty) -> both words segment
         seg = viterbi_segment_words(df, vocab=vocab).collect()
         assert all(r["pieces"] is not None for r in seg)
+
+
+class TestWordpieceContinuation:
+    def test_bert_style_continuation(self, spark):
+        from abot_dotnet_core_spark.functions.unigram import wordpiece_encode
+        vocab = [("un", 1), ("runnable", 1), ("r", 1)]
+        cont = [("runnable", 1), ("able", 1), ("nable", 1)]
+        df = spark.createDataFrame([("unrunnable",)], "word string")
+        for arrow in (False, True):
+            [r] = wordpiece_encode(df, vocab=vocab, cont_vocab=cont,
+                                   arrow=arrow).collect()
+            assert (r["pieces"], r["n_pieces"]) == ("un.##runnable", 2), \
+                arrow
+
+    def test_initial_only_piece_not_matched_mid_word(self, spark):
+        from abot_dotnet_core_spark.functions.unigram import wordpiece_encode
+        # 'ab' is initial-only; at position 3 only cont pieces match, and
+        # cont has no piece for 'ab' -> stuck -> NULL
+        vocab = [("ab", 1)]
+        cont = [("cd", 1)]
+        df = spark.createDataFrame([("abab",), ("abcd",)], "word string")
+        for arrow in (False, True):
+            rows = {r["word"]: (r["pieces"], r["n_pieces"])
+                    for r in wordpiece_encode(
+                        df, vocab=vocab, cont_vocab=cont,
+                        arrow=arrow).collect()}
+            assert rows["abab"] == (None, None), arrow
+            assert rows["abcd"] == ("ab.##cd", 2), arrow
+
+    def test_random_parity_with_mirror(self, spark):
+        from abot_dotnet_core_spark.functions.unigram import wordpiece_encode
+        rng = random.Random(17)
+        init_v = [(c, 1) for c in "abc"] + [("ab", 1), ("abc", 1)]
+        cont_v = [(c, 1) for c in "bc"] + [("bc", 1), ("cb", 1), ("aa", 1)]
+
+        def mirror(w):
+            iv, cv = dict(init_v), dict(cont_v)
+            i, n, path = 0, 0, []
+            while i < len(w):
+                tbl = iv if i == 0 else cv
+                pfx = "" if i == 0 else "##"
+                for ln in range(min(4, len(w) - i), 0, -1):
+                    if w[i:i + ln] in tbl:
+                        path.append(pfx + w[i:i + ln])
+                        n += 1
+                        i += ln
+                        break
+                else:
+                    return (w, None, None)
+            return (w, ".".join(path), n)
+
+        words = list({"".join(rng.choice("abc")
+                              for _ in range(rng.randint(1, 12)))
+                      for _ in range(80)})
+        exp = sorted(mirror(w) for w in words)
+        for arrow in (False, True):
+            df = spark.createDataFrame([(w,) for w in words], "word string")
+            got = sorted((r["word"], r["pieces"], r["n_pieces"])
+                         for r in wordpiece_encode(
+                             df, vocab=init_v, cont_vocab=cont_v,
+                             arrow=arrow).collect())
+            assert got == exp, arrow
