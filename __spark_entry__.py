@@ -5179,6 +5179,80 @@ def sql_wordpiece_encode():
             f"FROM g{MAX_WORD_LEN} ORDER BY word")
 
 
+def q_wordpiece_bert_encode(spark, sf_dir):
+    """WordPiece with BERT's ``##`` continuation convention (Wu et al.
+    2016; functions/unigram.py:wordpiece_encode cont_vocab): position 1
+    matches the full 178-piece initial vocab, every later position
+    matches a DISTINCT continuation vocab (chars + 3/4-grams — the
+    2-grams are initial-only) and is rendered ``##piece``. Pins the
+    two-vocab convention end-to-end: e.g. 'table' segments tabl.##e
+    here, and any word whose greedy walk needs a 2-gram mid-word goes
+    NULL while staying segmentable in the single-vocab entry. Same
+    whole-stage-codegen F.aggregate fold (290 total pieces < the
+    512-entry Arrow gate), zero Python, zero extra shuffle."""
+    from abot_dotnet_core_spark.functions.unigram import (
+        UNIGRAM_VOCAB, wordpiece_encode)
+    cont = [(t, m) for t, m in UNIGRAM_VOCAB if len(t) != 2]
+    words = (_docs(spark, sf_dir)
+             .select(F.explode(F.split(F.lower(F.col("text")), "[^a-z]+"))
+                     .alias("word"))
+             .filter((F.length("word") >= 1) & (F.length("word") <= 12))
+             .distinct())
+    return wordpiece_encode(words, vocab=UNIGRAM_VOCAB,
+                            cont_vocab=cont).orderBy("word")
+
+
+def sql_wordpiece_bert_encode():
+    from abot_dotnet_core_spark.functions.unigram import (
+        MAX_WORD_LEN, UNIGRAM_VOCAB)
+    cont_vocab = [(t, m) for t, m in UNIGRAM_VOCAB if len(t) != 2]
+    init_rows = ", ".join(f"('{t}', {m})" for t, m in UNIGRAM_VOCAB)
+    cont_rows = ", ".join(f"('{t}', {m})" for t, m in cont_vocab)
+    init_lens = sorted({len(t) for t, _ in UNIGRAM_VOCAB}, reverse=True)
+    cont_lens = sorted({len(t) for t, _ in cont_vocab}, reverse=True)
+    ctes = [
+        "words AS MATERIALIZED (SELECT DISTINCT w AS word FROM "
+        "(SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w "
+        "FROM documents) WHERE len(w) BETWEEN 1 AND 12)",
+        f"vocab_i AS MATERIALIZED (SELECT * FROM (VALUES {init_rows}) "
+        "v(token, milli))",
+        f"vocab_c AS MATERIALIZED (SELECT * FROM (VALUES {cont_rows}) "
+        "v(token, milli))",
+        "g0 AS MATERIALIZED "
+        "(SELECT word, 0 AS done, 0 AS n, '' AS path FROM words)",
+    ]
+    for p in range(1, MAX_WORD_LEN + 1):
+        # position 1 is the word's only initial position: it joins the
+        # initial vocab bare; every later position joins the continuation
+        # vocab and renders the BERT '##' prefix into the path
+        vtbl = "vocab_i" if p == 1 else "vocab_c"
+        lens = init_lens if p == 1 else cont_lens
+        pfx = "" if p == 1 else "'##' || "
+        joins = " ".join(
+            f"LEFT JOIN {vtbl} v{ln} ON len(v{ln}.token) = {ln} "
+            f"AND v{ln}.token = substr(g.word, {p}, {ln})"
+            for ln in lens)
+        pick = " ".join(
+            f"WHEN v{ln}.token IS NOT NULL THEN "
+            f"struct_pack(done := g.done + {ln}, n := g.n + 1, "
+            f"path := g.path || {pfx}v{ln}.token || '.')"
+            for ln in lens)
+        ctes.append(
+            f"g{p} AS MATERIALIZED (SELECT g.word, s.* FROM g{p - 1} g "
+            f"{joins}, LATERAL (SELECT CASE "
+            f"WHEN g.done + 1 <> {p} OR g.done >= len(g.word) THEN "
+            f"struct_pack(done := g.done, n := g.n, path := g.path) "
+            f"{pick} "
+            f"ELSE struct_pack(done := -1, n := g.n, path := g.path) "
+            f"END AS st) t, LATERAL (SELECT t.st.done AS done, "
+            f"t.st.n AS n, t.st.path AS path) s)")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT word, CASE WHEN done = len(word) THEN "
+            "substr(path, 1, len(path) - 1) END AS pieces, "
+            "(CASE WHEN done = len(word) THEN n END)::int AS n_pieces "
+            f"FROM g{MAX_WORD_LEN} ORDER BY word")
+
+
 def q_unigram_train(spark, sf_dir):
     """FULL unigram-LM training loop (functions/unigram.py:unigram_train
     — the hard-EM counterpart of bpe_train): seed vocab = corpus chars +
@@ -6160,6 +6234,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_refit": q_unigram_refit,
         "unigram_train": q_unigram_train,
         "wordpiece_encode": q_wordpiece_encode,
+        "wordpiece_bert_encode": q_wordpiece_bert_encode,
         "length_quantiles": q_length_quantiles,
         "script_profile": q_script_profile,
         "span_dedup": q_span_dedup,
@@ -6315,6 +6390,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_refit": sql_unigram_refit(),
         "unigram_train": sql_unigram_train(),
         "wordpiece_encode": sql_wordpiece_encode(),
+        "wordpiece_bert_encode": sql_wordpiece_bert_encode(),
         "length_quantiles": sql_length_quantiles(),
         "script_profile": sql_script_profile(),
         "span_dedup": sql_span_dedup(),

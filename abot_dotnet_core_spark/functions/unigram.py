@@ -409,6 +409,11 @@ def unigram_train(words: DataFrame, n_iters: int = 2, top_n: int = 150,
         chars = [r["token"] for r in counts.select(
             F.explode(F.split("word", "(?!$)")).alias("token"))
             .distinct().collect()]
+        if not chars:
+            # zero trainable [a-z]{1,MAX_WORD_LEN} words: an empty vocab,
+            # not a ValueError from max() on an empty sequence below
+            return spark.createDataFrame(
+                [], "piece string, piece_count long, score_milli long")
         subs = None
         for ln in (2, 3, 4):
             part = counts.select(
@@ -437,6 +442,11 @@ def unigram_train(words: DataFrame, n_iters: int = 2, top_n: int = 150,
                      .groupBy("piece").agg(F.sum("cnt").alias("piece_count"))
                      .collect())
             pc = {r["piece"]: int(r["piece_count"]) for r in refit}
+            if not pc:
+                # a refit iteration that counts zero pieces (all
+                # segmentations null) cannot re-score — empty vocab out
+                return spark.createDataFrame(
+                    [], "piece string, piece_count long, score_milli long")
             total = sum(pc.values())
             scores = {p: total * 1000 // c for p, c in pc.items()}
             penalty = max(scores.values()) + 1000

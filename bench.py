@@ -67,7 +67,18 @@ HEADLINE = [
 ]
 
 
-def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+def _best2_spread(vals: list[float], lower_is_better: bool) -> float:
+    """Relative disagreement between the BEST TWO samples (not all
+    accumulated trials): one early steal-contaminated outlier must not
+    keep triggering retrial purchases after later trials converge."""
+    if len(vals) < 2:
+        return 0.0
+    s = sorted(vals, reverse=not lower_is_better)
+    best, second = s[0], s[1]
+    return abs(second - best) / max(abs(best), 1e-9)
+
+
+def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
     qs = entrymod.queries()
@@ -79,14 +90,36 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         .count().orderBy("k").collect()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
         .groupBy("l_returnflag").count().collect()
-    out = {}
-    for name in HEADLINE:
+
+    def run_one(name: str) -> float:
         fn = qs[name]
         t0 = time.time()
         n = fn(spark, sf_dir).count()
-        out[name] = round(time.time() - t0, 3)
         assert n >= 0
-    return out
+        return round(time.time() - t0, 3)
+
+    trials = {name: [run_one(name)] for name in HEADLINE}
+    # spread-triggered retrial for the most expensive entries: single-shot
+    # timings on a shared box showed phantom ~3x regressions in code
+    # byte-unchanged across rounds (dedup_recall 14.9 s vs 6.4 quiet-box).
+    # Best-of-2 for the top-K by first-pass cost, plus a 3rd trial while
+    # the best two still disagree >15% — the noise source is competing
+    # load, which only ever slows a trial down, so min is the code's time.
+    top_k = int(os.environ.get("BENCH_QUERY_RETRY_TOPK", "12"))
+    max_t = int(os.environ.get("BENCH_QUERY_MAX_TRIALS", "3"))
+    expensive = sorted(HEADLINE, key=lambda n: trials[n][0],
+                       reverse=True)[:top_k]
+    retrials = {}
+    for name in expensive:
+        while len(trials[name]) < 2 or (
+                len(trials[name]) < max_t
+                and _best2_spread(trials[name], True) > 0.15):
+            trials[name].append(run_one(name))
+        retrials[name] = {"trials": trials[name],
+                          "spread": round(_best2_spread(trials[name], True),
+                                          3)}
+    out = {n: min(ts) for n, ts in trials.items()}
+    return out, retrials
 
 
 def warmup_crawl(spark, workdir: str) -> None:
@@ -273,7 +306,7 @@ def main() -> None:
     from abot_dotnet_core_spark.session import get_spark
     spark = get_spark("bench", cpus=cpus, shuffle_partitions=max(cpus, 8))
 
-    queries = bench_queries(spark, sf_dir)
+    queries, query_retrials = bench_queries(spark, sf_dir)
 
     crawl = {}
     if os.environ.get("BENCH_SKIP_CRAWL") != "1":
@@ -293,9 +326,10 @@ def main() -> None:
                                             "4")), trials)
 
         def spread(rs):
-            vals = [c["urls_per_sec"] for c in rs]
-            return (max(vals) - min(vals)) / max(vals) if len(vals) > 1 \
-                else 0.0
+            # best-two spread (not max-vs-min over all trials): one early
+            # steal-contaminated sample must not force MAX_TRIALS after
+            # later trials converge — best-of-N reporting is unaffected
+            return _best2_spread([c["urls_per_sec"] for c in rs], False)
 
         runs, polite_runs = [], []
         t = 0
@@ -336,8 +370,8 @@ def main() -> None:
     try:
         os.makedirs(os.path.dirname(detail_path), exist_ok=True)
         with open(detail_path, "w") as f:
-            json.dump({"queries": queries, "crawl": crawl, "cpus": cpus}, f,
-                      indent=1)
+            json.dump({"queries": queries, "query_retrials": query_retrials,
+                       "crawl": crawl, "cpus": cpus}, f, indent=1)
     except OSError:
         pass
     print(json.dumps({
@@ -348,6 +382,7 @@ def main() -> None:
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "crawl": {k: slim(v) for k, v in crawl.items()},
+        "query_retrials": query_retrials,
         "cpus": cpus,
     }))
 

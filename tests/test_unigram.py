@@ -290,6 +290,18 @@ class TestTrain:
                      key=lambda r: (-r[1], r[0]))
         assert got == exp
 
+    def test_train_empty_input_returns_empty_vocab(self, spark):
+        # ADVICE r5: zero [a-z]{1,12} words must yield an empty vocab
+        # DataFrame, not a ValueError from max() on an empty sequence
+        from abot_dotnet_core_spark.functions.unigram import unigram_train
+        for rows in ([], [("HTTP-404!", 3), ("1234", 1),
+                          ("waylongerthantwelvechars", 2)]):
+            df = spark.createDataFrame(rows, "word string, cnt long")
+            out = unigram_train(df, n_iters=2, top_n=5)
+            assert out.count() == 0
+            assert [f.name for f in out.schema.fields] == \
+                ["piece", "piece_count", "score_milli"]
+
     def test_train_keeps_all_words_segmentable(self, spark):
         from abot_dotnet_core_spark.functions.unigram import (
             unigram_train, viterbi_segment_words)
