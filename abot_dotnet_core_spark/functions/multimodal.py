@@ -12,7 +12,14 @@ zlib/struct + numpy — ``imagecodec.decode_image`` / ``decode_wav`` /
 ``decode_avi`` do real decode for those formats, so
 ``decode_stub=False`` computes real dimensions/means/resizes and real
 audio stats. Arithmetic JPEG and other compressed codecs
-(mp3, non-MJPEG video) still raise NotImplementedError;
+(mp3, non-MJPEG video) still raise NotImplementedError — a deliberate,
+frozen scope decision (README "Media codec scope"): MPEG audio/H.264
+are defined by large normative tabulated data (ISO 11172-3 Table C.1
+synthesis window, B.2a-d allocation tables; CABAC tables) that cannot
+be reconstructed from first principles nor validated in this sandbox
+(no network, no sample files, no reference decoder) — a self-round-trip
+decoder with a wrong table would pass green while corrupting every
+real-world file. Rows are kept with NULL stats, never faked;
 ``decode_stub=True`` (default) keeps the deterministic md5 fake for
 format-agnostic plumbing tests.
 
