@@ -6116,9 +6116,45 @@ _R4_DRIVER_WINDOW = [
 ]
 
 
+# Round 5 rotates again: with r3 (first-50 head) + r4 (_R4_DRIVER_WINDOW)
+# the driver has independently confirmed 95 distinct entries; this window
+# presents 45 of the 52 never-driver-sampled entries (tokenizers incl. the
+# new wordpiece_bert_encode, recrawl history, events family, graph tail,
+# winnowing, codec additions, WARC round-trip) behind 5 canaries — per the
+# r4 ADVICE, the canaries now include two previously-driver-green
+# dedup/minhash entries alongside three crawl-kernel ones. The 7 entries
+# never driver-sampled after this round (set_ops, pivot_agg, distinct_agg,
+# cube_agg, window_funcs, events_sliding, length_profile) are exactly the
+# ones whose plan families the driver already confirmed via siblings
+# (rollup_agg/running_window/tpch_q1/events_tumbling/token_stats); all 147
+# keep the full local mirror sweep every round.
+_R5_DRIVER_WINDOW = [
+    # canaries (driver-green in earlier rounds)
+    "url_hash64", "seen_antijoin", "frontier_bfs",
+    "line_dedup", "embedding_neardup",
+    # never driver-sampled before round 5
+    "unigram_encode", "unigram_refit", "unigram_train",
+    "wordpiece_encode", "wordpiece_bert_encode",
+    "g711_decode", "adpcm_decode", "msadpcm_decode", "mjpeg_decode",
+    "image_resize", "multimodal_meta", "warc_roundtrip",
+    "winnow_fingerprints", "winnow_pairs", "simhash_pairs", "span_dedup",
+    "fingerprint", "chunk_documents", "segment_langs",
+    "perplexity_buckets", "corpus_report", "mixture_weights",
+    "dataset_split", "shuffle_shards",
+    "hll_distinct", "bloom_fpr",
+    "host_triangles", "host_kcore", "redirect_resolve", "nepotism",
+    "registered_domain", "domain_stats",
+    "url_keep_latest", "capture_stats", "url_variants",
+    "recrawl_schedule",
+    "events_sessions", "events_asof", "events_interval",
+    "events_funnel", "events_retention", "events_json_agg",
+    "tpch_q3", "running_window", "rollup_agg",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     cat = _catalog()
-    head = {k: cat[k] for k in _R4_DRIVER_WINDOW}
+    head = {k: cat[k] for k in _R5_DRIVER_WINDOW}
     head.update((k, v) for k, v in cat.items() if k not in head)
     return head
 
