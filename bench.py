@@ -98,22 +98,26 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
         assert n >= 0
         return round(time.time() - t0, 3)
 
+    # Steal-proofing: single-shot timings on a shared box showed phantom
+    # ~3-8x regressions in code byte-unchanged across rounds (dedup_recall
+    # 14.9 s vs 6.4 quiet-box; an hll_distinct first pass measured 5.0 s
+    # vs 0.6 s true during one documented steal window). Every query gets
+    # best-of-2 — the second pass runs in REVERSE order so a steal window
+    # that overlaps one end of the suite hits different queries on each
+    # pass — and the top-K by cost buy extra trials while their best two
+    # samples still disagree >15%. The noise source is competing load,
+    # which only ever slows a trial down, so min is the code's time.
     trials = {name: [run_one(name)] for name in HEADLINE}
-    # spread-triggered retrial for the most expensive entries: single-shot
-    # timings on a shared box showed phantom ~3x regressions in code
-    # byte-unchanged across rounds (dedup_recall 14.9 s vs 6.4 quiet-box).
-    # Best-of-2 for the top-K by first-pass cost, plus a 3rd trial while
-    # the best two still disagree >15% — the noise source is competing
-    # load, which only ever slows a trial down, so min is the code's time.
+    for name in reversed(HEADLINE):
+        trials[name].append(run_one(name))
     top_k = int(os.environ.get("BENCH_QUERY_RETRY_TOPK", "12"))
-    max_t = int(os.environ.get("BENCH_QUERY_MAX_TRIALS", "3"))
-    expensive = sorted(HEADLINE, key=lambda n: trials[n][0],
+    max_t = int(os.environ.get("BENCH_QUERY_MAX_TRIALS", "4"))
+    expensive = sorted(HEADLINE, key=lambda n: min(trials[n]),
                        reverse=True)[:top_k]
     retrials = {}
     for name in expensive:
-        while len(trials[name]) < 2 or (
-                len(trials[name]) < max_t
-                and _best2_spread(trials[name], True) > 0.15):
+        while (len(trials[name]) < max_t
+               and _best2_spread(trials[name], True) > 0.15):
             trials[name].append(run_one(name))
         retrials[name] = {"trials": trials[name],
                           "spread": round(_best2_spread(trials[name], True),
