@@ -102,13 +102,17 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
     # ~3-8x regressions in code byte-unchanged across rounds (dedup_recall
     # 14.9 s vs 6.4 quiet-box; an hll_distinct first pass measured 5.0 s
     # vs 0.6 s true during one documented steal window). Every query gets
-    # best-of-2 — the second pass runs in REVERSE order so a steal window
-    # that overlaps one end of the suite hits different queries on each
-    # pass — and the top-K by cost buy extra trials while their best two
-    # samples still disagree >15%. The noise source is competing load,
-    # which only ever slows a trial down, so min is the code's time.
+    # best-of-2 with the second pass ROTATED by half the suite, so each
+    # query's two samples are ~half a suite apart in wall time and no
+    # steal window can cover both (a reversed second pass was tried first
+    # and failed exactly at the suite's last entry, whose two samples ran
+    # back-to-back: proximity_search measured 2.56/2.81 s in-suite vs
+    # 0.73 s isolated). The top-K by cost buy extra trials while their
+    # best two samples still disagree >15%. The noise source is competing
+    # load, which only ever slows a trial down, so min is the code's time.
     trials = {name: [run_one(name)] for name in HEADLINE}
-    for name in reversed(HEADLINE):
+    half = len(HEADLINE) // 2
+    for name in HEADLINE[half:] + HEADLINE[:half]:
         trials[name].append(run_one(name))
     top_k = int(os.environ.get("BENCH_QUERY_RETRY_TOPK", "12"))
     max_t = int(os.environ.get("BENCH_QUERY_MAX_TRIALS", "4"))
